@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Parity, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,13 +18,29 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
-    "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    // SURVEY §2 parity operators (through the production pipeline code)
+    "s1_scan_prune_filter" -> (Parity.s1ScanPruneFilter _),
+    "s2_union_by_name"     -> (Parity.s2UnionByName _),
+    "p1_add_fields"        -> (Parity.p1AddFields _),
+    "p2_kafka_payload"     -> (Parity.p2KafkaPayload _),
+    "f_validate_ok"        -> (Parity.fValidateOk _),
+    "f_validate_ko"        -> (Parity.fValidateKo _),
+    "k1_file_sink_roundtrip" -> (Parity.k1FileSinkRoundtrip _),
+    // Relational pack
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "s1_scan_prune_filter" -> Parity.s1Sql,
+    "s2_union_by_name"     -> Parity.s2Sql,
+    "p1_add_fields"        -> Parity.p1Sql,
+    "p2_kafka_payload"     -> Parity.p2Sql,
+    "f_validate_ok"        -> Parity.fValidateOkSql,
+    "f_validate_ko"        -> Parity.fValidateKoSql,
+    "k1_file_sink_roundtrip" -> Parity.k1Sql,
     "q1_pricing_summary" -> Relational.q1PricingSummarySql,
     "q6_forecast_revenue" -> Relational.q6ForecastRevenueSql,
   )

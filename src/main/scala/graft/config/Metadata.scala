@@ -1,0 +1,158 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+
+/** Typed metadata model for the dataflow-document DSL.
+  *
+  * The JSON shape is compatible with the reference's config documents
+  * (reference `Dataflow.scala:3-32`, example `metadata.json:1-70`): a
+  * `dataflows` array, each with `sources`, `transformations` (types
+  * `add_fields` / `validate_fields`) and `sinks`. Differences from the
+  * reference, all strictness fixes (SURVEY §3.2, §7.4):
+  *
+  *   - unknown transformation types, validation rules, and sink inputs are
+  *     rejected AT PARSE TIME with a descriptive error (the reference
+  *     silently ignores unknown transformation types and throws a bare
+  *     `MatchError` at run time for unknown rules/sinks,
+  *     `PipelineProcessor.scala:57-60,120-144`);
+  *   - sources may carry an optional explicit `schema` (DDL string) — at
+  *     100 TB, schema inference is an extra scan we refuse to pay;
+  *   - sinks may carry an optional `topic` (the reference hardcodes
+  *     `pipeline-ok` / `pipeline-ko`, `PipelineProcessor.scala:131,143`).
+  *
+  * Decoding uses jackson-module-scala (ships with Spark; the reference's
+  * lift-json is not available offline and not wanted).
+  */
+final case class DataflowMetadata(dataflows: Seq[DataflowConf])
+
+final case class DataflowConf(
+    name: String,
+    sources: Seq[SourceConf],
+    transformations: Seq[TransformConf],
+    sinks: Seq[SinkConf])
+
+final case class SourceConf(
+    name: String,
+    path: String,
+    format: String,
+    schema: Option[String] = None)
+
+/** Transformation ADT. `input` is carried for documentation parity but —
+  * like the reference (`Dataflow.scala:18` parsed, never read) — the
+  * default pipeline wiring is add_fields → validate (SURVEY §3.2).
+  */
+sealed trait TransformConf { def name: String; def input: Option[String] }
+final case class AddFieldsConf(
+    name: String,
+    input: Option[String],
+    fields: Seq[FieldDef]) extends TransformConf
+final case class ValidateFieldsConf(
+    name: String,
+    input: Option[String],
+    rules: Seq[FieldRules]) extends TransformConf
+
+/** A computed column: `function` is any Spark SQL expression string (the
+  * reference's entire scalar-function surface, `PipelineProcessor.scala:99`). */
+final case class FieldDef(name: String, function: String)
+
+final case class FieldRules(field: String, rules: Seq[ValidationRule])
+
+/** Validation rule ADT — exhaustive, sealed (the reference pattern-matches
+  * on raw strings and `MatchError`s on anything unknown,
+  * `PipelineProcessor.scala:57-60`). */
+sealed trait ValidationRule {
+  /** Error code emitted for a failing row, e.g. `office-notEmpty` —
+    * format per reference `PipelineProcessor.scala:58-59`. */
+  def code(field: String): String = s"$field-$ruleName"
+  def ruleName: String
+}
+case object NotEmpty extends ValidationRule { val ruleName = "notEmpty" }
+case object NotNull extends ValidationRule { val ruleName = "notNull" }
+/** Extension rules beyond the reference's two. */
+final case class MatchesRegex(regex: String) extends ValidationRule { val ruleName = "matchesRegex" }
+final case class MinLength(n: Int) extends ValidationRule { val ruleName = "minLength" }
+
+object ValidationRule {
+  def parse(s: String): ValidationRule = s match {
+    case "notEmpty" => NotEmpty
+    case "notNull"  => NotNull
+    case other if other.startsWith("matchesRegex:") => MatchesRegex(other.stripPrefix("matchesRegex:"))
+    case other if other.startsWith("minLength:")    => MinLength(other.stripPrefix("minLength:").toInt)
+    case other => throw new IllegalArgumentException(
+      s"unknown validation rule '$other' (supported: notEmpty, notNull, matchesRegex:<re>, minLength:<n>)")
+  }
+}
+
+final case class SinkConf(
+    input: String,
+    name: String,
+    paths: Seq[String],
+    format: String,
+    saveMode: String,
+    topic: Option[String] = None)
+
+object MetadataReader {
+
+  // Raw Jackson mirror of the JSON document (pre-validation).
+  private[config] final case class RawMetadata(dataflows: Seq[RawDataflow])
+  private[config] final case class RawDataflow(
+      name: String, sources: Seq[RawSource],
+      transformations: Seq[RawTransform], sinks: Seq[RawSink])
+  private[config] final case class RawSource(
+      name: String, path: String, format: String, schema: Option[String])
+  private[config] final case class RawTransform(
+      name: String, `type`: String, params: RawParams)
+  private[config] final case class RawParams(
+      input: Option[String],
+      validations: Option[Seq[RawValidation]],
+      addFields: Option[Seq[RawAddField]])
+  private[config] final case class RawValidation(field: String, validations: Seq[String])
+  private[config] final case class RawAddField(name: String, function: String)
+  private[config] final case class RawSink(
+      input: String, name: String, paths: Seq[String],
+      format: String, saveMode: String, topic: Option[String])
+
+  private val mapper = {
+    val m = new ObjectMapper() with ClassTagExtensions
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def parse(json: String): DataflowMetadata = {
+    val raw = mapper.readValue[RawMetadata](json)
+    DataflowMetadata(raw.dataflows.map(validateDataflow))
+  }
+
+  def read(path: String): DataflowMetadata =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  private def validateDataflow(d: RawDataflow): DataflowConf = {
+    require(d.sources.nonEmpty, s"dataflow '${d.name}': at least one source required")
+    val transforms = d.transformations.map { t =>
+      t.`type` match {
+        case "add_fields" =>
+          val fs = t.params.addFields.getOrElse(throw new IllegalArgumentException(
+            s"dataflow '${d.name}', transformation '${t.name}': add_fields requires params.addFields"))
+          AddFieldsConf(t.name, t.params.input, fs.map(f => FieldDef(f.name, f.function)))
+        case "validate_fields" =>
+          val vs = t.params.validations.getOrElse(throw new IllegalArgumentException(
+            s"dataflow '${d.name}', transformation '${t.name}': validate_fields requires params.validations"))
+          ValidateFieldsConf(t.name, t.params.input,
+            vs.map(v => FieldRules(v.field, v.validations.map(ValidationRule.parse))))
+        case other => throw new IllegalArgumentException(
+          s"dataflow '${d.name}', transformation '${t.name}': unknown type '$other' " +
+          "(supported: add_fields, validate_fields)")
+      }
+    }
+    val sinks = d.sinks.map { s =>
+      require(s.paths.nonEmpty || s.topic.nonEmpty,
+        s"dataflow '${d.name}', sink '${s.name}': needs at least one path or a topic")
+      SinkConf(s.input, s.name, s.paths, s.format, s.saveMode, s.topic)
+    }
+    DataflowConf(d.name, d.sources.map(s => SourceConf(s.name, s.path, s.format, s.schema)),
+      transforms, sinks)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config._
+import graft.operators.{AddFields, ValidationSplit}
+import graft.sinks.Sinks
+import graft.sources.SourceReader
+
+/** Batch dataflow runner — the reference's `process()` loop
+  * (`PipelineProcessor.scala:13-42`) as a pure plan-builder plus one
+  * persist step per dataflow.
+  *
+  * Observable-behavior parity (SURVEY §3.2): `add_fields` is applied to
+  * the raw source union BEFORE validation regardless of declaration order
+  * (so computed columns appear on both OK and KO splits, like the
+  * reference's hardcoded wiring at `:24-36`); `params.input` remains
+  * advisory. Debug `show()` calls (reference `:70,84`) are dropped — at
+  * scale they are two extra jobs per dataflow.
+  */
+object PipelineRunner {
+
+  final case class Options(
+      unionMode: SourceReader.UnionMode = SourceReader.UnionMode.ByName,
+      kafkaServer: Option[String] = None,
+      repartition: Option[Int] = None,
+      /** Reproduce the reference's 3VL row-dropping split (tests only). */
+      referenceCompatSplit: Boolean = false)
+
+  final case class DataflowResult(name: String, split: ValidationSplit.Split) {
+    def ok: DataFrame = split.ok
+    def ko: DataFrame = split.ko
+  }
+
+  /** Build the OK/KO plans for one dataflow (no actions triggered). */
+  def plan(spark: SparkSession, df: DataflowConf,
+           opts: Options = Options()): DataflowResult = {
+    val source = SourceReader.read(spark, df.sources, opts.unionMode)
+    val fields = df.transformations.collect { case a: AddFieldsConf => a.fields }.flatten
+    val withFields = AddFields(fields)(source)
+    val rules = df.transformations.collect { case v: ValidateFieldsConf => v.rules }.flatten
+    val split =
+      if (opts.referenceCompatSplit) ValidationSplit.splitReferenceCompat(withFields, rules)
+      else ValidationSplit.split(withFields, rules)
+    DataflowResult(df.name, split)
+  }
+
+  /** Run one dataflow end-to-end: plan, persist to all sinks, unpersist. */
+  def run(spark: SparkSession, df: DataflowConf, opts: Options = Options()): DataflowResult = {
+    val res = plan(spark, df, opts)
+    val splits = Map("ok_with_date" -> res.ok, "validation_ko" -> res.ko)
+    try Sinks.persist(df.sinks, splits, opts.kafkaServer, repartition = opts.repartition)
+    finally res.split.unpersist()
+    res
+  }
+
+  /** Run every dataflow in a metadata document (reference `process()`). */
+  def runAll(spark: SparkSession, meta: DataflowMetadata,
+             opts: Options = Options()): Seq[DataflowResult] =
+    meta.dataflows.map(run(spark, _, opts))
+}

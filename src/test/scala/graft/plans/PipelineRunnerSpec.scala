@@ -1,0 +1,86 @@
+package graft.plans
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.config.MetadataReader
+import graft.operators.AddFields
+import graft.config.FieldDef
+
+/** End-to-end dataflow: reference-shaped metadata over reference-shaped
+  * input rows (FIXTURES.md §1) into temp-dir sinks, asserted row-sets. */
+class PipelineRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  def e2eConfig(in: String, out: String): String = s"""{
+    "dataflows": [{
+      "name": "prueba-acceso",
+      "sources": [
+        {"name": "person_inputs", "path": "$in/*", "format": "json",
+         "schema": "name STRING, age BIGINT, office STRING"}
+      ],
+      "transformations": [
+        {"name": "validation", "type": "validate_fields",
+         "params": {"validations": [
+           {"field": "office", "validations": ["notEmpty"]},
+           {"field": "age", "validations": ["notNull"]}]}},
+        {"name": "ok_with_date", "type": "add_fields",
+         "params": {"addFields": [{"name": "dt", "function": "current_timestamp"}]}}
+      ],
+      "sinks": [
+        {"input": "ok_with_date", "name": "raw-ok", "paths": ["$out/ok"],
+         "format": "json", "saveMode": "overwrite"},
+        {"input": "validation_ko", "name": "raw-ko", "paths": ["$out/ko1", "$out/ko2"],
+         "format": "json", "saveMode": "overwrite"}
+      ]
+    }]
+  }"""
+
+  test("reference dataflow end-to-end: OK/KO land in the configured sinks") {
+    val in = Files.createTempDirectory("graft_in_").toString
+    val out = Files.createTempDirectory("graft_out_").toString
+    // the reference's input.json fixture verbatim (3 person rows)
+    Files.writeString(java.nio.file.Paths.get(s"$in/input.json"),
+      """{"name":"Xabier","age":39,"office":""}
+        |{"name":"Miguel","office":"RIO"}
+        |{"name":"Fran","age":31,"office":"RIO"}
+        |""".stripMargin)
+
+    val meta = MetadataReader.parse(e2eConfig(in, out))
+    PipelineRunner.runAll(spark, meta)
+
+    val ok = spark.read.json(s"$out/ok/raw-ok")
+    assert(ok.select("name").as[String].collect().toSeq == Seq("Fran"))
+    // add_fields ran before validation → dt present on BOTH splits
+    // (reference hardcoded ordering, SURVEY §3.2)
+    assert(ok.columns.contains("dt"))
+
+    val ko1 = spark.read.json(s"$out/ko1/raw-ko")
+    assert(ko1.select("name").as[String].collect().toSet == Set("Xabier", "Miguel"))
+    assert(ko1.columns.contains("dt"))
+    assert(ko1.columns.contains("arraycoderrorbyfield"))
+
+    // multi-path sink: second path got the same rows
+    val ko2 = spark.read.json(s"$out/ko2/raw-ko")
+    assert(ko2.count() == 2)
+  }
+
+  test("unknown sink input fails with a descriptive error, not MatchError") {
+    val in = Files.createTempDirectory("graft_in2_").toString
+    val out = Files.createTempDirectory("graft_out2_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/input.json"),
+      """{"name":"A","age":1,"office":"X"}""" + "\n")
+    val meta = MetadataReader.parse(
+      e2eConfig(in, out).replace("\"validation_ko\"", "\"no_such_split\""))
+    val e = intercept[IllegalArgumentException](PipelineRunner.runAll(spark, meta))
+    assert(e.getMessage.contains("no_such_split"))
+    assert(e.getMessage.contains("available"))
+  }
+
+  test("add_fields sequential semantics: later fields see earlier ones") {
+    val df = Seq((2, 3)).toDF("a", "b")
+    val out = AddFields(Seq(
+      FieldDef("s", "a + b"),
+      FieldDef("s2", "s * s")))(df)
+    assert(out.select("s2").as[Int].head() == 25)
+  }
+}

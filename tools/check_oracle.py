@@ -62,6 +62,10 @@ def main():
             results[name] = f"SCHEMA-MISMATCH got={list(got.columns)} exp={list(exp.columns)}"
         elif len(got) != len(exp):
             results[name] = f"ROWCOUNT-MISMATCH got={len(got)} exp={len(exp)}"
+        elif list(map(str, got.dtypes)) != list(map(str, exp.dtypes)):
+            results[name] = ("DTYPE-MISMATCH " + str(
+                [(c, str(a), str(b)) for c, a, b in
+                 zip(got.columns, got.dtypes, exp.dtypes) if str(a) != str(b)]))
         else:
             eq = got.equals(exp)
             if not eq:

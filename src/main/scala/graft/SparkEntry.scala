@@ -28,7 +28,25 @@ object SparkEntry {
     "k1_file_sink_roundtrip" -> (Parity.k1FileSinkRoundtrip _),
     // Relational pack
     "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q2_customer_by_region" -> (Relational.q2CustomerByRegion _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q4_order_priority_semi" -> (Relational.q4OrderPrioritySemi _),
+    "q5_customers_without_big_orders" -> (Relational.q5CustomersWithoutBigOrders _),
     "q6_forecast_revenue" -> (Relational.q6ForecastRevenue _),
+    "q7_top_parts_per_brand" -> (Relational.q7TopPartsPerBrand _),
+    "q8_running_order_total" -> (Relational.q8RunningOrderTotal _),
+    "q9_top_orders" -> (Relational.q9TopOrders _),
+    "q10_distinct_counts" -> (Relational.q10DistinctCounts _),
+    "q11_nation_setops" -> (Relational.q11NationSetOps _),
+    "q12_rollup_region_nation" -> (Relational.q12RollupRegionNation _),
+    "q13_grouping_sets" -> (Relational.q13GroupingSets _),
+    "q14_promo_revenue_share" -> (Relational.q14PromoRevenueShare _),
+    "q15_top_supplier_revenue" -> (Relational.q15TopSupplierRevenue _),
+    "q16_nations_having" -> (Relational.q16NationsHaving _),
+    "q17_small_quantity_revenue" -> (Relational.q17SmallQuantityRevenue _),
+    "q18_events_hourly" -> (Relational.q18EventsHourly _),
+    "q19_user_sessions" -> (Relational.q19UserSessions _),
+    "q20_event_type_pivot" -> (Relational.q20EventTypePivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,6 +60,24 @@ object SparkEntry {
     "f_validate_ko"        -> Parity.fValidateKoSql,
     "k1_file_sink_roundtrip" -> Parity.k1Sql,
     "q1_pricing_summary" -> Relational.q1PricingSummarySql,
+    "q2_customer_by_region" -> Relational.q2CustomerByRegionSql,
+    "q3_shipping_priority" -> Relational.q3ShippingPrioritySql,
+    "q4_order_priority_semi" -> Relational.q4OrderPrioritySemiSql,
+    "q5_customers_without_big_orders" -> Relational.q5CustomersWithoutBigOrdersSql,
     "q6_forecast_revenue" -> Relational.q6ForecastRevenueSql,
+    "q7_top_parts_per_brand" -> Relational.q7TopPartsPerBrandSql,
+    "q8_running_order_total" -> Relational.q8RunningOrderTotalSql,
+    "q9_top_orders" -> Relational.q9TopOrdersSql,
+    "q10_distinct_counts" -> Relational.q10DistinctCountsSql,
+    "q11_nation_setops" -> Relational.q11NationSetOpsSql,
+    "q12_rollup_region_nation" -> Relational.q12RollupRegionNationSql,
+    "q13_grouping_sets" -> Relational.q13GroupingSetsSql,
+    "q14_promo_revenue_share" -> Relational.q14PromoRevenueShareSql,
+    "q15_top_supplier_revenue" -> Relational.q15TopSupplierRevenueSql,
+    "q16_nations_having" -> Relational.q16NationsHavingSql,
+    "q17_small_quantity_revenue" -> Relational.q17SmallQuantityRevenueSql,
+    "q18_events_hourly" -> Relational.q18EventsHourlySql,
+    "q19_user_sessions" -> Relational.q19UserSessionsSql,
+    "q20_event_type_pivot" -> Relational.q20EventTypePivotSql,
   )
 }

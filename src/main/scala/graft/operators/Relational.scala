@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -98,4 +99,397 @@ object Relational {
       AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24"""
+
+  /** Star-schema join: region ⋈ nation ⋈ customer with the two dims
+    * EXPLICITLY broadcast — at 100 TB region/nation are KB-sized while the
+    * fact side is huge; a shuffle join here would be the classic mistake. */
+  def q2CustomerByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir); val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q2CustomerByRegionSql: String = """
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name"""
+
+  /** TPC-H Q3 flavor: 3-way join, aggregation, top-10 by revenue.
+    * Catalyst broadcasts the filtered customer side under AQE; the
+    * orders⋈lineitem join shuffles on orderkey — the natural key. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1999-06-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1999-06-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingPrioritySql: String = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1999-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10"""
+
+  /** TPC-H Q4 flavor: EXISTS as a LEFT SEMI join (no duplication, the
+    * lineitem side never leaves the join — at scale this is the only
+    * correct shape for EXISTS, never an inner join + distinct). */
+  def q4OrderPrioritySemi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir).filter(col("l_discount") > 0.08)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4OrderPrioritySemiSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  /** NOT EXISTS as a LEFT ANTI join: customers with no half-million order. */
+  def q5CustomersWithoutBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 450000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q5CustomersWithoutBigOrdersSql: String = """
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
+  /** Window rank: top-3 parts by retail price within each brand.
+    * row_number (not rank) with a unique tie-break → deterministic. */
+  def q7TopPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  val q7TopPartsPerBrandSql: String = """
+    SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+      FROM part) t
+    WHERE rn <= 3
+    ORDER BY p_brand, rn"""
+
+  /** Running total + lag per customer (explicit ROWS frame — the default
+    * RANGE frame differs between engines on ties). */
+  def q8RunningOrderTotal(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        sum(dec(col("o_totalprice"))).over(frame).cast("double").as("running_total"),
+        lag(col("o_totalprice"), 1).over(order).as("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q8RunningOrderTotalSql: String = """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           lag(o_totalprice, 1) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
+  /** Global top-K: Spark plans sort+limit as TakeOrderedAndProject — a
+    * per-partition top-K then a single driver merge, no full sort. */
+  def q9TopOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(20)
+
+  val q9TopOrdersSql: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+
+  /** Exact distinct-aggregation (expand + two-phase agg under the hood). */
+  def q10DistinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val q10DistinctCountsSql: String = """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Set operators beyond the reference's UNION ALL: INTERSECT / EXCEPT
+    * (both plan as aggregate + semi/anti join in Spark). */
+  def q11NationSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val suppNations = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    val both = custNations.intersect(suppNations).withColumn("side", lit("both"))
+    val custOnly = custNations.except(suppNations).withColumn("side", lit("customer_only"))
+    both.unionByName(custOnly).orderBy(col("side"), col("nationkey"))
+  }
+
+  val q11NationSetOpsSql: String = """
+    SELECT nationkey, 'both' AS side FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier) t1
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS side FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier) t2
+    ORDER BY side, nationkey"""
+
+  /** ROLLUP over the region→nation hierarchy. */
+  def q12RollupRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir); val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val q12RollupRegionNationSql: String = """
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+
+  /** GROUPING SETS through the SQL entry point (`spark.sql`) — the one
+    * grouping shape the DataFrame API doesn't expose directly. */
+  def q13GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  val q13GroupingSetsSql: String = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  /** TPC-H Q14 flavor: conditional aggregation over a broadcast join;
+    * the ratio is one double division over two exact decimal sums. */
+  def q14PromoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("2000-01-01").cast("timestamp"))
+    val p = Tables.part(spark, dir)
+    val rev = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          / sum(rev).cast("double")).as("promo_share_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q14PromoRevenueShareSql: String = """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS promo_share_pct,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'"""
+
+  /** TPC-H Q15 flavor: scalar subquery (max over an aggregate) expressed
+    * as an unpartitioned window max — one extra exchange over the tiny
+    * aggregate, not a second scan of lineitem. */
+  def q15TopSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("2000-04-01").cast("timestamp"))
+    val rev = l.groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("total_revenue"))
+    val withMax = rev.withColumn("max_rev", max(col("total_revenue")).over(Window.partitionBy()))
+    val s = Tables.supplier(spark, dir)
+    withMax.filter(col("total_revenue") === col("max_rev"))
+      .join(s, col("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierRevenueSql: String = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '2000-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey"""
+
+  /** GROUP BY + HAVING (post-aggregation filter). */
+  def q16NationsHaving(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir); val c = Tables.customer(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+      .filter(col("n_cust") > 60)
+      .orderBy(col("n_name"))
+  }
+
+  val q16NationsHavingSql: String = """
+    SELECT n_name, COUNT(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name HAVING COUNT(*) > 60
+    ORDER BY n_name"""
+
+  /** TPC-H Q17 flavor: per-part average as a joined aggregate (the
+    * correlated-subquery shape decorrelated by hand — same plan Catalyst
+    * produces for the subquery form). */
+  def q17SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val avgQ = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    l.join(avgQ, l("l_partkey") === avgQ("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(dsum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n_items"))
+  }
+
+  val q17SmallQuantityRevenueSql: String = """
+    WITH a AS (
+      SELECT l_partkey AS ap_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN a ON l_partkey = ap_partkey
+    WHERE l_quantity < 0.5 * avg_qty"""
+
+  /** Hourly tumbling-window aggregation over the events table — the batch
+    * shape of the streaming windowed agg (same date_trunc bucketing). */
+  def q18EventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  val q18EventsHourlySql: String = """
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY bucket, event_type"""
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + conditional
+    * count — the batch equivalent of stateful streaming sessionization.
+    * Timestamps are compared in integer MICROseconds (exact in both
+    * engines; fractional-second doubles would round differently). */
+  def q19UserSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNotNull &&
+             unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg((sum(col("new_session")) + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q19UserSessionsSql: String = """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id,
+           CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id ORDER BY user_id"""
+
+  /** Pivot: per-user event-type counts with an explicit value list (an
+    * implicit list would need an extra distinct pass — never at scale). */
+  def q20EventTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    types.foldLeft(pivoted)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(col("user_id"))
+  }
+
+  val q20EventTypePivotSql: String = """
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id ORDER BY user_id"""
 }

@@ -66,9 +66,13 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  val eventsSchema: StructType = StructType(Seq(
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as
+    * TimestampType (micros) — it is declared LongType here and converted
+    * to a microsecond timestamp in [[events]]. DuckDB's `epoch_us` floors
+    * the same way, so the two engines agree exactly. */
+  val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -90,7 +94,7 @@ object Tables {
     "region" -> regionSchema, "nation" -> nationSchema,
     "customer" -> customerSchema, "supplier" -> supplierSchema,
     "part" -> partSchema, "orders" -> ordersSchema,
-    "lineitem" -> lineitemSchema, "events" -> eventsSchema,
+    "lineitem" -> lineitemSchema, "events" -> eventsRawSchema,
     "documents" -> documentsSchema, "embeddings" -> embeddingsSchema)
 
   /** Read table `name` from `dir` (a `/root/testdata/sf*` directory). */
@@ -104,7 +108,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** Events with `ts` converted from raw nanos to a microsecond timestamp.
+    * Integer `div` — `/` on longs is double division, and an ns epoch
+    * (~1.7e18) does not fit double's 53-bit mantissa. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

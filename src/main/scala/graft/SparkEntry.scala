@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Parity, Relational}
+import graft.operators.{Dedup, Multimodal, Parity, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,23 @@ object SparkEntry {
     "q18_events_hourly" -> (Relational.q18EventsHourly _),
     "q19_user_sessions" -> (Relational.q19UserSessions _),
     "q20_event_type_pivot" -> (Relational.q20EventTypePivot _),
+    // Text analysis
+    "tx_token_stats" -> (TextAnalysis.txTokenStats _),
+    "tx_lang_id" -> (TextAnalysis.txLangId _),
+    "tx_quality_score" -> (TextAnalysis.txQualityScore _),
+    "tx_fingerprint" -> (TextAnalysis.txFingerprint _),
+    // Dedup family
+    "dd_exact" -> (Dedup.ddExact _),
+    "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
+    "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
+    "dd_simhash" -> (Dedup.ddSimhash _),
+    // Similarity search
+    "sim_bruteforce_topk" -> (Similarity.simBruteForceTopK _),
+    "sim_lsh_topk" -> (Similarity.simLshTopK _),
+    "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
+    // Multimodal
+    "mm_extract_features" -> (Multimodal.mmExtractFeatures _),
+    "mm_frame_sample" -> (Multimodal.mmFrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,5 +96,18 @@ object SparkEntry {
     "q18_events_hourly" -> Relational.q18EventsHourlySql,
     "q19_user_sessions" -> Relational.q19UserSessionsSql,
     "q20_event_type_pivot" -> Relational.q20EventTypePivotSql,
+    "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
+    "tx_lang_id" -> TextAnalysis.txLangIdSql,
+    "tx_quality_score" -> TextAnalysis.txQualityScoreSql,
+    "tx_fingerprint" -> TextAnalysis.txFingerprintSql,
+    "dd_exact" -> Dedup.ddExactSql,
+    "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
+    "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
+    "dd_simhash" -> Dedup.ddSimhashSql,
+    "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
+    "sim_lsh_topk" -> Similarity.simLshTopKSql,
+    "sim_cosine_neardup" -> Similarity.simCosineNearDupSql,
+    "mm_extract_features" -> Multimodal.mmExtractFeaturesSql,
+    "mm_frame_sample" -> Multimodal.mmFrameSampleSql,
   )
 }

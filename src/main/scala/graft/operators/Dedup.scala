@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Deduplication family for a training-data pipeline: exact, n-gram
+  * Jaccard, MinHash+LSH banding, SimHash. No reference counterpart — this
+  * is the BASELINE.json extension surface, designed scale-first:
+  *
+  *   - exact dedup groups on a 128-bit digest, never on the document body
+  *     (shuffling full documents at 100 TB is the classic mistake);
+  *   - MinHash/LSH is the scale path for near-dup: signatures are K longs
+  *     per doc, banding turns the quadratic pair search into an equi-join
+  *     on (band, signature) — shuffle cost O(docs·K), not O(docs²);
+  *   - the exact-Jaccard pair join exists as the correctness baseline and
+  *     oracle anchor (quadratic in the shingle-match graph; only for
+  *     validation scale);
+  *   - everything is built on [[Portable]] md5-derived integer hashing, so
+  *     each step is reproducible in DuckDB SQL and the whole family is
+  *     oracle-checked exactly — including LSH's candidate set.
+  *
+  * The synthetic `documents` table has no near-duplicates, so dedup
+  * queries operate on [[augmented]]: documents ∪ deterministic variants
+  * (first five words dropped, doc_id + 10000) — constructed identically in
+  * the SQL oracles.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- corpus
+
+  /** documents ∪ near-dup variants of docs 0..24 (drop first 5 words). */
+  def augmented(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val w = Portable.words(col("text"))
+    val variants = docs.filter(col("doc_id") < 25 && size(w) > 10)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        array_join(slice(w, 6, 1000000), " ").as("text"))
+    docs.unionByName(variants)
+  }
+
+  val augmentedSql: String = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id,
+           array_to_string(string_split(text, ' ')[6:], ' ') AS text
+    FROM documents
+    WHERE doc_id < 25 AND len(string_split(text, ' ')) > 10"""
+
+  // ----------------------------------------------------------- exact dedup
+
+  /** Exact dedup: one digest per body, keep the smallest doc_id. */
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    augmented(spark, dir)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val ddExactSql: String = s"""
+    WITH aug AS ($augmentedSql)
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM aug GROUP BY md5(text) ORDER BY keep_id"""
+
+  // -------------------------------------------------- exact n-gram Jaccard
+
+  /** Shingle relation: (doc_id, shingle) exploded distinct word-bigrams. */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    augmented(spark, dir)
+      .select(col("doc_id"), explode(Portable.bigramShingles(col("text"))).as("shingle"))
+
+  private val shingleRowsSql: String = s"""
+    SELECT doc_id, unnest(${Portable.bigramShinglesSql("text")}) AS shingle
+    FROM aug"""
+
+  /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5). Quadratic in shingle
+    * co-occurrence — the validation baseline the LSH path is checked
+    * against, not the 100 TB path. */
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val s = shingleRows(spark, dir)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = s.as("a"); val b = s.as("b")
+    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val ddNgramJaccardSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    s AS ($shingleRowsSql),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM s GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) >= 0.5
+    ORDER BY id_a, id_b"""
+
+  // ---------------------------------------------------------- MinHash + LSH
+
+  /** K hash permutations mh_k(h) = (a_k·h + b_k) mod P over the portable
+    * shingle hash; LSH banding with BANDS bands of R rows. */
+  val K = 16
+  val BANDS = 4
+  val R = 4
+  /** Affine permutation constants — arbitrary but fixed, mirrored in SQL. */
+  val A: Seq[Long] = (0 until K).map(k => 37L * k + 11L)
+  val B: Seq[Long] = (0 until K).map(k => 101L * k + 7L)
+
+  private def minhashCol(k: Int): Column =
+    min(pmod(lit(A(k)) * col("h") + lit(B(k)), lit(Portable.P))).as(s"mh_$k")
+
+  private def minhashColSql(k: Int): String =
+    s"min((${A(k)} * h + ${B(k)}) % ${Portable.P}) AS mh_$k"
+
+  /** Per-doc MinHash signature (K columns mh_0..mh_{K-1}). */
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir)
+      .withColumn("h", Portable.hashP(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(minhashCol(0), (1 until K).map(minhashCol): _*)
+
+  private val signaturesSql: String = s"""
+    SELECT doc_id, ${(0 until K).map(minhashColSql).mkString(",\n           ")}
+    FROM (SELECT doc_id, ${Portable.hashPSql("shingle")} AS h FROM s)
+    GROUP BY doc_id"""
+
+  /** LSH candidate pairs → exact-Jaccard verification (j ≥ 0.5).
+    * The LSH part is the 100 TB path: an equi-join on (band, band
+    * signature) instead of an all-pairs comparison; the verify join then
+    * touches only candidate docs. */
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+    // band signature = concat of the R member hashes
+    val banded = (0 until BANDS).map { bnd =>
+      val sig = concat_ws("_", (bnd * R until (bnd + 1) * R).map(k => col(s"mh_$k")): _*)
+      sigs.select(col("doc_id"), lit(bnd).as("band"), sig.as("sig"))
+    }.reduce(_ unionByName _)
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verification on the candidate set only
+    val s = shingleRows(spark, dir)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val common = candidates
+      .join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(s.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingle", "shingle_b"), "id_b")
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val ddMinhashLshSql: String = {
+    val bandSelects = (0 until BANDS).map { bnd =>
+      val sig = (bnd * R until (bnd + 1) * R).map(k => s"mh_$k").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $sig AS sig FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH aug AS ($augmentedSql),
+    s AS ($shingleRowsSql),
+    sigs AS ($signaturesSql),
+    banded AS (
+      $bandSelects),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM s GROUP BY doc_id),
+    common AS (
+      SELECT id_a, id_b, COUNT(*) AS n_common
+      FROM candidates c
+      JOIN s sa ON sa.doc_id = c.id_a
+      JOIN s sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) >= 0.5
+    ORDER BY id_a, id_b"""
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 60-bit SimHash over word tokens: bit j of the signature is the sign
+    * of Σ_tokens (bit_j(hash60(token)) ? +1 : −1). Computed via an
+    * explode + two-level aggregation — portable, shuffle size O(docs·60).
+    */
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val toks = augmented(spark, dir)
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
+      .withColumn("h", Portable.hash60(col("tok")))
+    // shiftright/shiftleft take a literal Int in the Scala DSL; the SQL
+    // forms accept a column shift amount
+    val bits = toks.crossJoin(spark.range(60).select(col("id").as("j")))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(shiftright(h, cast(j as int)) & 1) = 1"), 1)
+        .otherwise(-1)).as("w"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("w") > 0, expr("shiftleft(cast(1 as bigint), cast(j as int))"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  private val simhashesSql: String = """
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      FROM toks, range(60) r(j)
+      GROUP BY doc_id, j)
+    GROUP BY doc_id"""
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 12 of the 60-bit
+    * signatures (restricted to id_a < 25's variant family for the pair
+    * scan; full-scale would band on signature prefixes the same way as
+    * MinHash). */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashes(spark, dir)
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        expr("cast(bit_count(a.simhash ^ b.simhash) as int)"))
+      .filter(col("hamming") <= 12)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val ddSimhashSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    toks AS (
+      SELECT doc_id, ${Portable.hash60Sql("tok")} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM aug)),
+    sh AS ($simhashesSql)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    ORDER BY id_a, id_b"""
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline: token statistics,
+  * n-gram-heuristic language ID, quality scoring, and document
+  * fingerprinting — all narrow, codegen'd projections (zero shuffles; at
+  * 100 TB these run at scan speed).
+  *
+  * No reference counterpart (the reference has no text functions beyond
+  * whatever `expr()` admits); these are the BASELINE.json extension
+  * surface. Every count is integer-exact and every ratio is one IEEE
+  * double division, so the DuckDB oracles match bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Language stopword profiles for the n-gram/stopword heuristic. One
+    * regex per language, identical string in Spark and DuckDB (both RE2-
+    * compatible `\b` word boundaries). */
+  val langProfiles: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\\b",
+    "en" -> "\\b(the|and|of|to|is|in|that|it|for|was)\\b",
+    "es" -> "\\b(el|la|de|que|y|en|un|una|es|por)\\b",
+    "fr" -> "\\b(le|la|les|et|de|un|une|est|que|pour)\\b",
+    // \x{...} escapes — the one codepoint syntax Java regex and RE2 share
+    // (\uXXXX is Java-only).
+    "zh" -> "[\\x{4e00}-\\x{9fff}]")
+
+  private def scoreCol(re: String): Column =
+    regexp_count(col("text"), lit(re))
+  private def scoreSql(re: String): String =
+    s"CAST(len(regexp_extract_all(text, '$re')) AS INT)"
+
+  /** Token statistics: whitespace words, BPE-ish alnum tokens, char
+    * classes, average word length. */
+  def txTokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(Portable.words(col("text"))).as("n_words"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+")).as("n_tokens"),
+        length(col("text")).as("n_chars_obs"),
+        length(regexp_replace(col("text"), lit("\\s"), lit(""))).as("n_nonspace"),
+        (length(regexp_replace(col("text"), lit("\\s"), lit(""))).cast("double")
+          / size(Portable.words(col("text")))).as("avg_word_len"))
+      .orderBy(col("doc_id"))
+
+  val txTokenStatsSql: String = """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_obs,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS INT) AS n_nonspace,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_word_len
+    FROM documents ORDER BY doc_id"""
+
+  /** Stopword-profile language ID: score each language's profile regex,
+    * argmax with a fixed alphabetical tie-break. */
+  def txLangId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = langProfiles.map { case (l, re) => scoreCol(re).as(s"s_$l") }
+    val m = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
+    val predicted = langProfiles.foldRight(lit("und")) { case ((l, _), elze) =>
+      when(col(s"s_$l") === col("m"), lit(l)).otherwise(elze)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("actual") +: scores: _*)
+      .withColumn("m", m)
+      .withColumn("predicted", predicted)
+      .select("doc_id", "actual", "predicted", "m")
+      .orderBy(col("doc_id"))
+  }
+
+  val txLangIdSql: String = {
+    val scoreDefs = langProfiles.map { case (l, re) => s"${scoreSql(re)} AS s_$l" }.mkString(",\n           ")
+    val m = langProfiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val caseChain = langProfiles.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    s"""
+    WITH s AS (
+      SELECT doc_id, lang AS actual,
+           $scoreDefs
+      FROM documents)
+    SELECT doc_id, actual, CASE $caseChain ELSE 'und' END AS predicted,
+           CAST(m AS INT) AS m
+    FROM (SELECT *, $m AS m FROM s)
+    ORDER BY doc_id"""
+  }
+
+  /** Quality scoring: length/punctuation/stopword/digit ratios folded into
+    * one composite score (weights arbitrary but fixed). */
+  def txQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val nWords = size(Portable.words(col("text"))).cast("double")
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double")
+    val digits = regexp_count(col("text"), lit("[0-9]")).cast("double")
+    val stop = regexp_count(col("text"), lit(langProfiles.toMap.apply("en"))).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (punct / nChars).as("punct_ratio"),
+        (digits / nChars).as("digit_ratio"),
+        (stop / nWords).as("stopword_ratio"),
+        (least(nWords / lit(100.0), lit(1.0)) * lit(0.5)
+          + least(stop / nWords * lit(10.0), lit(1.0)) * lit(0.3)
+          + (lit(1.0) - least(punct / nChars * lit(20.0), lit(1.0))) * lit(0.2)).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txQualityScoreSql: String = {
+    val en = langProfiles.toMap.apply("en")
+    s"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digits,
+             CAST(len(regexp_extract_all(text, '$en')) AS DOUBLE) AS stop
+      FROM documents)
+    SELECT doc_id,
+           punct / n_chars AS punct_ratio,
+           digits / n_chars AS digit_ratio,
+           stop / n_words AS stopword_ratio,
+           least(n_words / 100.0, 1.0) * 0.5
+             + least(stop / n_words * 10.0, 1.0) * 0.3
+             + (1.0 - least(punct / n_chars * 20.0, 1.0)) * 0.2 AS quality
+    FROM c ORDER BY doc_id"""
+  }
+
+  /** Document fingerprinting: md5 of the whitespace-normalized lowercase
+    * text, plus the portable 60-bit integer fingerprint (the primitive the
+    * MinHash/SimHash dedup family builds on). */
+  def txFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), lit("\\s+"), lit(" "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(norm).as("fp_md5"),
+        Portable.hash60(norm).as("fp_int60"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txFingerprintSql: String = s"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+      FROM documents)
+    SELECT doc_id, md5(norm) AS fp_md5, ${Portable.hash60Sql("norm")} AS fp_int60
+    FROM n ORDER BY doc_id"""
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic checks the DuckDB oracle can't express: LSH recall against the
+  * exact baseline, SimHash metric properties, multimodal batch shape. */
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    // every variant doc (id+10000, first 5 words dropped) should pair with
+    // its source: jaccard is high by construction
+    val pairs = Dedup.ddMinhashLsh(spark, sf())
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ddNgramJaccard(spark, sf())
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "augmented corpus must contain near-dup pairs")
+    val recall = (exact intersect pairs).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${pairs.size} of ${exact.size})")
+  }
+
+  test("simhash: identical texts collide, planted variants are close") {
+    val sh = Dedup.simhashes(spark, sf())
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    val variantPairs = sh.keys.filter(_ >= 10000).map(v => (v - 10000, v))
+    assert(variantPairs.nonEmpty)
+    val hammings = variantPairs.map { case (a, b) =>
+      java.lang.Long.bitCount(sh(a) ^ sh(b))
+    }
+    // dropping 5 of >10 words keeps most token mass → small hamming
+    assert(hammings.max <= 20, s"variant hamming too large: ${hammings.max}")
+    // unrelated docs should usually be far: median over a fixed sample
+    val unrelated = (0L until 50L).map(i => java.lang.Long.bitCount(sh(i) ^ sh(i + 100)))
+    assert(unrelated.sorted.apply(unrelated.size / 2) > 10)
+  }
+
+  test("LSH ANN recall@5 vs brute force is usable") {
+    val bf = Similarity.simBruteForceTopK(spark, sf())
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.simLshTopK(spark, sf())
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // bucketed search trades recall for the O(N²)→O(bucket) cut; with 8
+    // planes on random data expect limited but nonzero overlap
+    assert(lsh.nonEmpty)
+    assert((bf intersect lsh).nonEmpty)
+  }
+
+  test("bucket ids are stable and bounded") {
+    val buckets = Similarity.simLshTopK(spark, sf())
+    assert(buckets.count() > 0)
+    val ids = graft.sources.Tables.embeddings(spark, sf())
+      .withColumn("b", Similarity.bucketId($"embedding"))
+      .select("b").as[Int].collect()
+    assert(ids.forall(b => b >= 0 && b < 256))
+  }
+
+  test("multimodal: features computed per partition batch, frames explode") {
+    val feats = Multimodal.mmExtractFeatures(spark, sf())
+    assert(feats.count() == 500)
+    val row = feats.filter($"doc_id" === 0).head()
+    assert(row.getAs[Long]("n_bytes") > 0)
+    assert(row.getAs[Long]("n_frames") == row.getAs[Long]("n_bytes") / 256 + 1)
+    val frames = Multimodal.mmFrameSample(spark, sf())
+    // every video doc contributes exactly n_frames rows
+    val perDoc = frames.groupBy($"doc_id").count()
+      .join(feats.filter(pmod($"doc_id", lit(3)) === 2), "doc_id")
+    assert(perDoc.filter($"count" =!= $"n_frames").count() == 0)
+  }
+
+  test("exact dedup collapses identical bodies only") {
+    val d = Dedup.ddExact(spark, sf())
+    // no two distinct originals share a body; variants differ from sources
+    assert(d.filter($"n_copies" > 1).count() == 0)
+  }
+}

@@ -30,20 +30,30 @@ object Portable {
   def words(c: Column): Column = split(c, " ")
   def wordsSql(x: String): String = s"string_split($x, ' ')"
 
-  /** Distinct word-bigram shingles. Guard: Spark's `sequence(1, 0)` counts
+  /** Shingle width. Word 4-grams, not bigrams: the synthetic corpus has a
+    * ~30-word vocabulary, so bigrams are near-universal (931 distinct
+    * across 5000 sf0.1 docs, hottest in 338 docs → the shingle equi-join
+    * explodes to 73M pairs). 4-grams are selective (210k distinct,
+    * hottest 6, 361k join pairs) — the same document-frequency argument
+    * applies to any low-entropy corpus at 100 TB. */
+  val ShingleN = 4
+
+  /** Distinct word n-gram shingles. Guard: Spark's `sequence(1, 0)` counts
     * DOWN (yields [1,0]) so short texts need the explicit empty case;
     * DuckDB's `range(1, 1)` is already empty. */
-  def bigramShingles(c: Column): Column = {
+  def shingles(c: Column, n: Int = ShingleN): Column = {
     val w = words(c)
-    when(size(w) < 2, array().cast("array<string>"))
+    when(size(w) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
-        sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))))
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
   }
 
-  def bigramShinglesSql(x: String): String =
-    s"""list_distinct(list_transform(range(1, len(${wordsSql(x)})),
-        i -> ${wordsSql(x)}[i] || ' ' || ${wordsSql(x)}[i+1]))"""
+  def shinglesSql(x: String, n: Int = ShingleN): String = {
+    val parts = (0 until n).map(k => s"${wordsSql(x)}[i+$k]").mkString(" || ' ' || ")
+    s"""list_distinct(list_transform(range(1, len(${wordsSql(x)}) - ${n - 2}),
+        i -> $parts))"""
+  }
 
   /** Sequential-fold double dot product of two float arrays — identical to
     * DuckDB's `list_sum(list_transform(range(1, n+1), i -> x[i]::DOUBLE *
@@ -56,9 +66,11 @@ object Portable {
   def dotDoubleSql(x: String, y: String, dim: Int): String =
     s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
 
-  /** Cosine similarity in sequential double arithmetic. */
+  /** Cosine similarity in sequential double arithmetic — the codegen'd
+    * custom expression ([[CosineSimilarity]]); same fold as the built-in
+    * `dotDouble` composition and the SQL formulation. */
   def cosine(x: Column, y: Column): Column =
-    dotDouble(x, y) / (sqrt(dotDouble(x, x)) * sqrt(dotDouble(y, y)))
+    CosineSimilarity.cosineSim(x, y)
 
   def cosineSql(x: String, y: String, dim: Int): String =
     s"""(${dotDoubleSql(x, y, dim)} /

@@ -30,9 +30,15 @@ object Dedup {
 
   // ---------------------------------------------------------------- corpus
 
-  /** documents ∪ near-dup variants of docs 0..24 (drop first 5 words). */
+  /** documents ∪ near-dup variants of docs 0..24 (drop first 5 words).
+    * Repartitioned: the table arrives as one parquet file → one input
+    * partition, which would serialize every downstream hash/shingle
+    * pipeline onto a single core. Compute-bound stages must not inherit
+    * file partitioning (same rule at 100 TB, where the shuffle cost is
+    * amortized by the hash work it parallelizes). */
   def augmented(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val w = Portable.words(col("text"))
     val variants = docs.filter(col("doc_id") < 25 && size(w) > 10)
       .select((col("doc_id") + 10000).as("doc_id"),
@@ -64,13 +70,21 @@ object Dedup {
 
   // -------------------------------------------------- exact n-gram Jaccard
 
-  /** Shingle relation: (doc_id, shingle) exploded distinct word-bigrams. */
+  /** Shingle relation: (doc_id, shingle, h) exploded distinct word
+    * n-grams with the reduced hash MATERIALIZED. Persisted: every
+    * consumer (sizes, both sides of the pair self-join, MinHash
+    * signatures) re-reads this relation — without the persist the
+    * md5-per-shingle pipeline recomputes once per reference, and without
+    * the materialized `h` CollapseProject inlines the md5 into each of
+    * the K min-aggregates (K× hash cost). */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     augmented(spark, dir)
-      .select(col("doc_id"), explode(Portable.bigramShingles(col("text"))).as("shingle"))
+      .select(col("doc_id"), explode(Portable.shingles(col("text"))).as("shingle"))
+      .withColumn("h", Portable.hashP(col("shingle")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private val shingleRowsSql: String = s"""
-    SELECT doc_id, unnest(${Portable.bigramShinglesSql("text")}) AS shingle
+    SELECT doc_id, unnest(${Portable.shinglesSql("text")}) AS shingle
     FROM aug"""
 
   /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5). Quadratic in shingle
@@ -130,7 +144,6 @@ object Dedup {
   /** Per-doc MinHash signature (K columns mh_0..mh_{K-1}). */
   def signatures(spark: SparkSession, dir: String): DataFrame =
     shingleRows(spark, dir)
-      .withColumn("h", Portable.hashP(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(minhashCol(0), (1 until K).map(minhashCol): _*)
 
@@ -145,11 +158,16 @@ object Dedup {
     * touches only candidate docs. */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signatures(spark, dir)
-    // band signature = concat of the R member hashes
-    val banded = (0 until BANDS).map { bnd =>
-      val sig = concat_ws("_", (bnd * R until (bnd + 1) * R).map(k => col(s"mh_$k")): _*)
-      sigs.select(col("doc_id"), lit(bnd).as("band"), sig.as("sig"))
-    }.reduce(_ unionByName _)
+    // band signature = concat of the R member hashes; ONE posexplode pass
+    // (a per-band union would re-run the K-aggregate signature computation
+    // once per band per join side), persisted for the self-join's two
+    // consumers — 4 short rows per doc
+    val sigCols = (0 until BANDS).map { bnd =>
+      concat_ws("_", (bnd * R until (bnd + 1) * R).map(k => col(s"mh_$k")): _*)
+    }
+    val banded = sigs
+      .select(col("doc_id"), posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -209,23 +227,17 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 60-bit SimHash over word tokens: bit j of the signature is the sign
-    * of Σ_tokens (bit_j(hash60(token)) ? +1 : −1). Computed via an
-    * explode + two-level aggregation — portable, shuffle size O(docs·60).
-    */
-  def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    val toks = augmented(spark, dir)
+    * of Σ_tokens (bit_j(hash60(token)) ? +1 : −1). Computed with the
+    * custom [[graft.functions.SimHashAgg]] Catalyst aggregate — one
+    * mergeable 240-byte buffer per doc per partition, versus the naive
+    * explode-per-bit formulation's tokens×60 shuffle rows (the SQL oracle
+    * keeps the explicit per-bit form; identical arithmetic). */
+  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    augmented(spark, dir)
       .select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
       .withColumn("h", Portable.hash60(col("tok")))
-    // shiftright/shiftleft take a literal Int in the Scala DSL; the SQL
-    // forms accept a column shift amount
-    val bits = toks.crossJoin(spark.range(60).select(col("id").as("j")))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("(shiftright(h, cast(j as int)) & 1) = 1"), 1)
-        .otherwise(-1)).as("w"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("w") > 0, expr("shiftleft(cast(1 as bigint), cast(j as int))"))
-        .otherwise(0L)).as("simhash"))
-  }
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
 
   private val simhashesSql: String = """
     SELECT doc_id,

@@ -139,7 +139,10 @@ object Similarity {
     * 200 vectors — the all-pairs form; the LSH bucket join is the scale
     * form of the same predicate). */
   def simCosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // single-file table → repartition so the O(n²) cosine work spreads
+    // across cores instead of inheriting one input partition
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 200)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     a.join(b, col("id_a") < col("id_b"))

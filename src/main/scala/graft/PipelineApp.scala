@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.config.MetadataReader
+import graft.plans.PipelineRunner
+import graft.sources.SourceReader
+import graft.streaming.StreamingPipeline
+
+/** CLI entry point — parity with the reference's `PipelineApp.main`
+  * (reference `PipelineApp.scala:10-23`: args = metadataPath,
+  * kafkaServer), extended with explicit flags instead of positional-only
+  * args and an optional streaming mode.
+  *
+  * Usage:
+  *   PipelineApp <metadataPath> [--kafka <bootstrapServers>]
+  *     [--streaming --checkpoint <dir>] [--positional-union]
+  *     [--repartition <n>] [--show]
+  */
+object PipelineApp {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: PipelineApp <metadataPath> [--kafka <servers>] " +
+        "[--streaming --checkpoint <dir>] [--positional-union] [--repartition <n>] [--show]")
+      sys.exit(2)
+    }
+    val metadataPath = args(0)
+    def flagValue(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val kafka = flagValue("--kafka")
+    val streaming = args.contains("--streaming")
+    val checkpoint = flagValue("--checkpoint")
+    val positional = args.contains("--positional-union")
+    val repartition = flagValue("--repartition").map(_.toInt)
+    val show = args.contains("--show")
+
+    val spark = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    try {
+      val meta = MetadataReader.read(metadataPath)
+      val opts = PipelineRunner.Options(
+        unionMode = if (positional) SourceReader.UnionMode.Positional
+                    else SourceReader.UnionMode.ByName,
+        kafkaServer = kafka,
+        repartition = repartition)
+      if (streaming) {
+        val ckpt = checkpoint.getOrElse(
+          throw new IllegalArgumentException("--streaming requires --checkpoint <dir>"))
+        val queries = meta.dataflows.map { df =>
+          require(df.sources.size == 1,
+            s"streaming dataflow '${df.name}' must have exactly one source")
+          val s = df.sources.head
+          val schema = s.schema.map(org.apache.spark.sql.types.StructType.fromDDL)
+            .getOrElse(throw new IllegalArgumentException(
+              s"streaming source '${s.name}' requires an explicit schema"))
+          val source = StreamingPipeline.fileSource(spark, s.path, s.format, schema)
+          StreamingPipeline.runDataflow(source, df, s"$ckpt/${df.name}", kafka)
+        }
+        queries.foreach(_.awaitTermination())
+      } else {
+        meta.dataflows.foreach { df =>
+          val res = PipelineRunner.run(spark, df, opts)
+          // K3 console sink, behind a flag (the reference shows
+          // unconditionally — two extra jobs per dataflow,
+          // PipelineProcessor.scala:70,84)
+          if (show) { res.ok.show(false); res.ko.show(false) }
+        }
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.config.{FieldRules, NotEmpty, NotNull}
+import org.scalacheck.Gen
+import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
+
+/** Property-based invariants of the validation split (SURVEY §5.3):
+  * ∀ inputs — OK ∪ KO == input, OK ∩ KO == ∅, and each KO row's error
+  * array is exactly its failed rules. Exercises the null/empty/missing
+  * corner space the fixed fixtures can't enumerate. */
+class PropertySpec extends SparkSpec with ScalaCheckPropertyChecks {
+  import spark.implicits._
+
+  case class Person(id: Long, name: Option[String], office: Option[String])
+
+  val genPerson: Gen[Person] = for {
+    id <- Gen.choose(0L, Long.MaxValue)
+    name <- Gen.option(Gen.oneOf("", "Ana", "Luis", "Xo é", "x" * 50))
+    office <- Gen.option(Gen.oneOf("", "RIO", "LIS", " "))
+  } yield Person(id, name, office)
+
+  val rules = Seq(
+    FieldRules("name", Seq(NotNull, NotEmpty)),
+    FieldRules("office", Seq(NotEmpty)))
+
+  def expectedErrors(p: Person): Seq[String] = {
+    val nameNull = p.name.isEmpty
+    val nameEmpty = !p.name.exists(_ != "") // null or "" fails notEmpty (null-safe semantics)
+    val officeEmpty = !p.office.exists(_ != "")
+    Seq(
+      if (nameNull) Some("name-notNull") else None,
+      if (nameEmpty) Some("name-notEmpty") else None,
+      if (officeEmpty) Some("office-notEmpty") else None).flatten
+  }
+
+  test("∀ rows: OK ∪ KO == input, OK ∩ KO == ∅, KO errors are exactly the failed rules") {
+    forAll(Gen.listOfN(40, genPerson), minSuccessful(15)) { people =>
+      whenever(people.map(_.id).distinct.size == people.size) {
+        val df = people.toDF()
+        val s = ValidationSplit.split(df, rules, persist = false)
+        val okIds = s.ok.select("id").as[Long].collect().toSet
+        val koRows = s.ko.select($"id", $"arraycoderrorbyfield")
+          .as[(Long, Seq[String])].collect().toMap
+        // partition: no loss, no overlap
+        assert(okIds.intersect(koRows.keySet).isEmpty)
+        assert(okIds ++ koRows.keySet == people.map(_.id).toSet)
+        // error arrays exact, in rule-declaration order
+        people.foreach { p =>
+          val exp = expectedErrors(p)
+          if (exp.isEmpty) assert(okIds.contains(p.id), s"$p should be OK")
+          else assert(koRows.get(p.id).contains(exp), s"$p expected $exp got ${koRows.get(p.id)}")
+        }
+      }
+    }
+  }
+
+  test("sketch estimates stay within advertised error of exact answers") {
+    val approx = Sketches.skApproxStats(spark, sf("sf0.01"))
+      .select($"l_returnflag", $"approx_orders", $"approx_parts").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = Relational.q10DistinctCounts(spark, sf("sf0.01"))
+      .select($"l_returnflag", $"n_orders", $"n_parts").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    exact.foreach { case (flag, (orders, parts)) =>
+      val (ao, ap) = approx(flag)
+      assert(math.abs(ao - orders).toDouble / orders < 0.05,
+        s"$flag orders: approx $ao vs exact $orders")
+      assert(math.abs(ap - parts).toDouble / parts < 0.03,
+        s"$flag parts: approx $ap vs exact $parts (rsd 0.01)")
+    }
+  }
+}

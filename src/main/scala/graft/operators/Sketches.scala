@@ -21,7 +21,7 @@ object Sketches {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
         percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("approx_p95_qty"),

@@ -3,22 +3,34 @@ package graft.operators
 import graft.SparkSpec
 import graft.config.{FieldRules, NotEmpty, NotNull}
 import org.scalacheck.Gen
-import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
+import org.scalacheck.rng.Seed
 
 /** Property-based invariants of the validation split (SURVEY §5.3):
   * ∀ inputs — OK ∪ KO == input, OK ∩ KO == ∅, and each KO row's error
   * array is exactly its failed rules. Exercises the null/empty/missing
-  * corner space the fixed fixtures can't enumerate. */
-class PropertySpec extends SparkSpec with ScalaCheckPropertyChecks {
+  * corner space the fixed fixtures can't enumerate.
+  *
+  * Uses plain ScalaCheck generators sampled under fixed seeds (no
+  * scalatest-plus bridge — not available in the offline dependency cache):
+  * each seed yields one deterministic 40-row corpus, so failures are
+  * reproducible by seed without a shrinking framework. */
+class PropertySpec extends SparkSpec {
   import spark.implicits._
+  import PropertySpec.Person
 
-  case class Person(id: Long, name: Option[String], office: Option[String])
-
-  val genPerson: Gen[Person] = for {
-    id <- Gen.choose(0L, Long.MaxValue)
+  /** Fields only — the unique id is assigned by list index afterwards, so
+    * every generated corpus trivially satisfies the distinct-id
+    * precondition instead of being discarded on collision. */
+  val genFields: Gen[(Option[String], Option[String])] = for {
     name <- Gen.option(Gen.oneOf("", "Ana", "Luis", "Xo é", "x" * 50))
     office <- Gen.option(Gen.oneOf("", "RIO", "LIS", " "))
-  } yield Person(id, name, office)
+  } yield (name, office)
+
+  def corpus(seed: Long): List[Person] =
+    Gen.listOfN(40, genFields)
+      .pureApply(Gen.Parameters.default, Seed(seed))
+      .zipWithIndex
+      .map { case ((n, o), i) => Person(i.toLong, n, o) }
 
   val rules = Seq(
     FieldRules("name", Seq(NotNull, NotEmpty)),
@@ -35,22 +47,22 @@ class PropertySpec extends SparkSpec with ScalaCheckPropertyChecks {
   }
 
   test("∀ rows: OK ∪ KO == input, OK ∩ KO == ∅, KO errors are exactly the failed rules") {
-    forAll(Gen.listOfN(40, genPerson), minSuccessful(15)) { people =>
-      whenever(people.map(_.id).distinct.size == people.size) {
-        val df = people.toDF()
-        val s = ValidationSplit.split(df, rules, persist = false)
-        val okIds = s.ok.select("id").as[Long].collect().toSet
-        val koRows = s.ko.select($"id", $"arraycoderrorbyfield")
-          .as[(Long, Seq[String])].collect().toMap
-        // partition: no loss, no overlap
-        assert(okIds.intersect(koRows.keySet).isEmpty)
-        assert(okIds ++ koRows.keySet == people.map(_.id).toSet)
-        // error arrays exact, in rule-declaration order
-        people.foreach { p =>
-          val exp = expectedErrors(p)
-          if (exp.isEmpty) assert(okIds.contains(p.id), s"$p should be OK")
-          else assert(koRows.get(p.id).contains(exp), s"$p expected $exp got ${koRows.get(p.id)}")
-        }
+    (1L to 15L).foreach { seed =>
+      val people = corpus(seed)
+      val df = people.toDF()
+      val s = ValidationSplit.split(df, rules, persist = false)
+      val okIds = s.ok.select("id").as[Long].collect().toSet
+      val koRows = s.ko.select($"id", $"arraycoderrorbyfield")
+        .as[(Long, Seq[String])].collect().toMap
+      // partition: no loss, no overlap
+      assert(okIds.intersect(koRows.keySet).isEmpty, s"seed=$seed overlap")
+      assert(okIds ++ koRows.keySet == people.map(_.id).toSet, s"seed=$seed loss")
+      // error arrays exact, in rule-declaration order
+      people.foreach { p =>
+        val exp = expectedErrors(p)
+        if (exp.isEmpty) assert(okIds.contains(p.id), s"seed=$seed $p should be OK")
+        else assert(koRows.get(p.id).contains(exp),
+          s"seed=$seed $p expected $exp got ${koRows.get(p.id)}")
       }
     }
   }
@@ -64,10 +76,16 @@ class PropertySpec extends SparkSpec with ScalaCheckPropertyChecks {
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
     exact.foreach { case (flag, (orders, parts)) =>
       val (ao, ap) = approx(flag)
-      assert(math.abs(ao - orders).toDouble / orders < 0.05,
-        s"$flag orders: approx $ao vs exact $orders")
+      assert(math.abs(ao - orders).toDouble / orders < 0.03,
+        s"$flag orders: approx $ao vs exact $orders (rsd 0.01)")
       assert(math.abs(ap - parts).toDouble / parts < 0.03,
         s"$flag parts: approx $ap vs exact $parts (rsd 0.01)")
     }
   }
+}
+
+object PropertySpec {
+  /** Top-level so Spark can build an Encoder (inner case classes need the
+    * enclosing instance's scope, which executors don't have). */
+  case class Person(id: Long, name: Option[String], office: Option[String])
 }

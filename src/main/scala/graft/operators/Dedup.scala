@@ -78,10 +78,9 @@ object Dedup {
     * the materialized `h` CollapseProject inlines the md5 into each of
     * the K min-aggregates (K× hash cost). */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    augmented(spark, dir)
+    graft.Caches.persist(augmented(spark, dir)
       .select(col("doc_id"), explode(Portable.shingles(col("text"))).as("shingle"))
-      .withColumn("h", Portable.hashP(col("shingle")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("h", Portable.hashP(col("shingle"))))
 
   private val shingleRowsSql: String = s"""
     SELECT doc_id, unnest(${Portable.shinglesSql("text")}) AS shingle
@@ -165,9 +164,8 @@ object Dedup {
     val sigCols = (0 until BANDS).map { bnd =>
       concat_ws("_", (bnd * R until (bnd + 1) * R).map(k => col(s"mh_$k")): _*)
     }
-    val banded = sigs
-      .select(col("doc_id"), posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = graft.Caches.persist(sigs
+      .select(col("doc_id"), posexplode(array(sigCols: _*)).as(Seq("band", "sig"))))
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -249,18 +247,36 @@ object Dedup {
       GROUP BY doc_id, j)
     GROUP BY doc_id"""
 
+  /** SimHash banding: the 60-bit signature split into SIM_BANDS
+    * contiguous 12-bit chunks. A candidate pair must agree exactly on at
+    * least one chunk — the same LSH trade MinHash banding makes: the
+    * quadratic all-pairs scan becomes an equi-join on (band, chunk) with
+    * 2^12 buckets per band, and recall is probabilistic (guaranteed only
+    * for hamming < SIM_BANDS by pigeonhole; pairs with their differing
+    * bits spread across every chunk are not candidates). The DuckDB
+    * oracle mirrors the banding bit-for-bit, so the candidate set itself
+    * is oracle-checked, as with [[ddMinhashLsh]]. */
+  val SIM_BANDS = 5
+  val SIM_BAND_BITS = 12
+
   /** SimHash near-dup pairs: Hamming distance ≤ 12 of the 60-bit
-    * signatures (restricted to id_a < 25's variant family for the pair
-    * scan; full-scale would band on signature prefixes the same way as
-    * MinHash). */
+    * signatures, candidate generation by 5×12-bit prefix banding.
+    * Shuffle cost O(docs·SIM_BANDS), never O(docs²). */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashes(spark, dir)
-    val a = sh.as("a"); val b = sh.as("b")
-    a.join(b, col("a.doc_id") < col("b.doc_id"))
+    val chunks = (0 until SIM_BANDS).map(bnd =>
+      shiftright(col("simhash"), bnd * SIM_BAND_BITS)
+        .bitwiseAND(lit((1L << SIM_BAND_BITS) - 1)))
+    val banded = simhashes(spark, dir)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming",
         expr("cast(bit_count(a.simhash ^ b.simhash) as int)"))
       .filter(col("hamming") <= 12)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
+      .distinct() // a pair can collide in several bands
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -269,10 +285,15 @@ object Dedup {
     toks AS (
       SELECT doc_id, ${Portable.hash60Sql("tok")} AS h
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM aug)),
-    sh AS ($simhashesSql)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    sh AS ($simhashesSql),
+    banded AS (
+      SELECT doc_id, simhash, bnd AS band,
+             (simhash >> (CAST(bnd AS INT) * $SIM_BAND_BITS)) & ${(1L << SIM_BAND_BITS) - 1} AS chunk
+      FROM sh, range($SIM_BANDS) r(bnd))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
     ORDER BY id_a, id_b"""
 }

@@ -35,15 +35,36 @@ class ExtensionSpec extends SparkSpec {
     assert(unrelated.sorted.apply(unrelated.size / 2) > 10)
   }
 
-  test("LSH ANN recall@5 vs brute force is usable") {
-    val bf = Similarity.simBruteForceTopK(spark, sf())
+  test("multi-table LSH ANN recall@5 vs brute force meets the 0.8 floor") {
+    // measured on the synthetic corpus: 12 tables × 4 planes gives
+    // recall@5 = 0.86 (sf0.01) / 0.90 (sf0.1); assert the floor at sf0.01
+    val bf = Similarity.simBruteForceTopK(spark, sf("sf0.01"))
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.simLshTopK(spark, sf())
+    val lsh = Similarity.simLshTopK(spark, sf("sf0.01"))
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
-    // bucketed search trades recall for the O(N²)→O(bucket) cut; with 8
-    // planes on random data expect limited but nonzero overlap
-    assert(lsh.nonEmpty)
-    assert((bf intersect lsh).nonEmpty)
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.8, s"LSH ANN recall@5 $recall below 0.8 floor")
+  }
+
+  test("banded near-dup plans contain no all-pairs join") {
+    // the 100 TB criterion: candidate generation must be an equi-join on
+    // band keys, never a nested-loop/cartesian pair scan
+    Seq(
+      Dedup.ddSimhash(spark, sf()),
+      Dedup.ddMinhashLsh(spark, sf()),
+      Similarity.simCosineNearDup(spark, sf()),
+      Similarity.simLshTopK(spark, sf())).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"all-pairs join in plan:\n${plan.linesIterator.take(30).mkString("\n")}")
+    }
+  }
+
+  test("query builders leave no cached relations behind after release") {
+    Dedup.ddMinhashLsh(spark, sf()).write.mode("overwrite").format("noop").save()
+    graft.Caches.releaseAll()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "CacheManager should be empty after Caches.releaseAll()")
   }
 
   test("bucket ids are stable and bounded") {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Parity, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Parity, Relational, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,10 @@ object SparkEntry {
     // Multimodal
     "mm_extract_features" -> (Multimodal.mmExtractFeatures _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
+    // Sketches — no oracleSql entry (estimates are impl-specific): the
+    // driver records the weaker rows-only check; accuracy bounds vs the
+    // exact answers are asserted in PropertySpec
+    "sk_approx_stats" -> (Sketches.skApproxStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -367,12 +367,16 @@ object Relational {
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
               col("l_shipdate") <  lit("2000-04-01").cast("timestamp"))
-    val rev = l.groupBy(col("l_suppkey"))
+    // the max is a 1-row aggregate broadcast back against the per-supplier
+    // relation — NOT max().over(Window.partitionBy()), which funnels every
+    // supplier row through a single partition; rev is persisted so the
+    // lineitem shuffle runs once for both consumers
+    val rev = graft.Caches.persist(l.groupBy(col("l_suppkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-        .cast("double").as("total_revenue"))
-    val withMax = rev.withColumn("max_rev", max(col("total_revenue")).over(Window.partitionBy()))
+        .cast("double").as("total_revenue")))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
     val s = Tables.supplier(spark, dir)
-    withMax.filter(col("total_revenue") === col("max_rev"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
       .join(s, col("l_suppkey") === s("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))

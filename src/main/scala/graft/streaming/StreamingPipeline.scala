@@ -77,33 +77,74 @@ object StreamingPipeline {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
 
-  final case class SessionState(count: Long, lastTsUs: Long, totalEvents: Long)
-  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+  /** One not-yet-closed session interval (event-time micros). */
+  final case class OpenInterval(start: Long, end: Long, n: Long)
+  final case class SessionsState(open: List[OpenInterval])
+  final case class ClosedSession(user_id: Long, session_start: Long,
+                                 session_end: Long, n_events: Long)
 
-  /** Stateful sessionization via mapGroupsWithState: the streaming
-    * equivalent of the batch q19 (30-minute gap). State per user survives
-    * across micro-batches; ProcessingTimeTimeout would evict idle users in
-    * production (no timeout fires in the synchronous test harness). */
+  /** Merge new event timestamps into the open-interval list: interval
+    * union under the gap threshold. Order-insensitive — an out-of-order
+    * event can extend an earlier interval or bridge two existing ones,
+    * which the single running `lastTs` formulation gets wrong. */
+  private[streaming] def mergeIntervals(open: List[OpenInterval], tss: Seq[Long],
+                                        gapUs: Long): List[OpenInterval] = {
+    val all = (open ++ tss.map(t => OpenInterval(t, t, 1))).sortBy(i => (i.start, i.end))
+    all.foldLeft(List.empty[OpenInterval]) { (acc, iv) =>
+      acc match {
+        case h :: t if iv.start - h.end <= gapUs =>
+          OpenInterval(h.start, math.max(h.end, iv.end), h.n + iv.n) :: t
+        case _ => iv :: acc
+      }
+    }.reverse
+  }
+
+  /** Stateful sessionization via flatMapGroupsWithState — the streaming
+    * equivalent of the batch q19 (30-minute gap), production shape:
+    *
+    *   - state per user is a LIST of open session intervals, merged under
+    *     the gap, so out-of-order events across micro-batches (within the
+    *     watermark) sessionize exactly like the batch sort;
+    *   - `EventTimeTimeout` + the watermark close sessions: an interval
+    *     whose `end + gap` is behind the watermark can never be extended
+    *     (no older event can arrive), so it is emitted once, exactly, in
+    *     Append mode, and its state is dropped — state size is bounded by
+    *     the watermark horizon, never by user lifetime.
+    *
+    * Output: one row per CLOSED session (user_id, session_start,
+    * session_end, n_events), event-time micros. */
   def sessionize(spark: SparkSession, events: DataFrame,
-                 gapUs: Long = 1800L * 1000000L): DataFrame = {
+                 gapUs: Long = 1800L * 1000000L,
+                 watermarkDelay: String = "1 hour"): DataFrame = {
     import spark.implicits._
+    // the watermark column itself must reach the stateful operator (the
+    // unsupported-op checker resolves EventTimeTimeout against it), so ts
+    // stays a Timestamp until inside the lambda
     val typed = events
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      .as[(Long, Long)]
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
     typed.groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
-          val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-          var sessions = prev.count
-          var last = prev.lastTsUs
-          var total = prev.totalEvents
-          rows.map(_._2).toArray.sorted.foreach { ts =>
-            if (last == Long.MinValue || ts - last > gapUs) sessions += 1
-            last = ts
-            total += 1
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionsState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val existing = state.getOption.map(_.open).getOrElse(Nil)
+          val merged =
+            if (state.hasTimedOut) existing
+            else mergeIntervals(existing, rows.map(r => micros(r._2)).toSeq, gapUs)
+          val (closed, stillOpen) = merged.partition(iv => iv.end + gapUs < wmUs)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(stillOpen))
+            // fire when the earliest open interval becomes closable
+            // (guaranteed > current watermark by the partition above)
+            state.setTimeoutTimestamp((stillOpen.map(_.end).min + gapUs) / 1000L + 1L)
           }
-          state.update(SessionState(sessions, last, total))
-          UserSessions(userId, sessions, total)
+          closed.iterator.map(iv => ClosedSession(userId, iv.start, iv.end, iv.n))
       }
       .toDF()
   }

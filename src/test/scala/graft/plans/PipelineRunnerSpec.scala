@@ -76,6 +76,31 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("available"))
   }
 
+  test("the SHIPPED example metadata.json runs end-to-end (golden)") {
+    // the user-facing artifact at src/main/resources/metadata.json,
+    // path-rewritten into temp dirs — guards the example against drift
+    val in = Files.createTempDirectory("graft_ex_in_").toString
+    val out = Files.createTempDirectory("graft_ex_out_").toString
+    val resource = new String(
+      getClass.getResourceAsStream("/metadata.json").readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(resource.contains("/tmp/graft-example"), "example paths changed?")
+    Files.writeString(java.nio.file.Paths.get(s"$in/input.json"),
+      """{"name":"Xabier","age":39,"office":""}
+        |{"name":"Miguel","office":"RIO"}
+        |{"name":"Fran","age":31,"office":"RIO"}
+        |""".stripMargin)
+    val meta = MetadataReader.parse(resource
+      .replace("/tmp/graft-example/input/events/person", in)
+      .replace("/tmp/graft-example/output", out))
+    PipelineRunner.runAll(spark, meta)
+    val ok = spark.read.json(s"$out/events/person/raw-ok")
+    assert(ok.select("name").as[String].collect().toSeq == Seq("Fran"))
+    assert(ok.columns.contains("dt"))
+    val ko = spark.read.json(s"$out/discards/person/raw-ko")
+    assert(ko.select("name").as[String].collect().toSet == Set("Xabier", "Miguel"))
+  }
+
   test("add_fields sequential semantics: later fields see earlier ones") {
     val df = Seq((2, 3)).toDF("a", "b")
     val out = AddFields(Seq(

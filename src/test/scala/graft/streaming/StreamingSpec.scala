@@ -90,19 +90,58 @@ class StreamingSpec extends SparkSpec {
 
   test("stateful sessionization equals the batch q19 result") {
     val dir = eventsDir
+    // a far-future "clock" event for a dummy user advances the watermark
+    // past every real session's end + gap, forcing all of them closed
+    val dummyUser = 999999L
+    val maxTs = Tables.events(spark, sf()).agg(max("ts")).head().getTimestamp(0)
     val stream = spark.readStream.schema(Tables.events(spark, sf()).schema).parquet(dir)
-    val sessions = StreamingPipeline.sessionize(spark, stream)
-    val q = sessions.writeStream.outputMode("update").format("memory")
-      .queryName("sessions").trigger(Trigger.AvailableNow()).start()
+    val sessions = StreamingPipeline.sessionize(spark, stream, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    q.processAllAvailable()
+    Tables.events(spark, sf()).limit(1)
+      .withColumn("user_id", lit(dummyUser))
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)))
+      .write.mode("append").parquet(dir)
     q.processAllAvailable(); q.stop()
-    // last update per user is the final state
-    val got = spark.table("sessions")
-      .groupBy("user_id").agg(max("n_sessions").as("gs"), max("n_events").as("ge"))
+    // every closed session per user rolls up to the batch answer
+    val got = spark.table("sessions").filter(col("user_id") =!= dummyUser)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("gs"), sum("n_events").as("ge"))
     val batch = graft.operators.Relational.q19UserSessions(spark, sf())
     val diff = got.join(batch, "user_id")
       .filter(col("gs") =!= col("n_sessions") || col("ge") =!= col("n_events"))
     assert(batch.count() == got.count())
     assert(diff.count() == 0)
+  }
+
+  test("sessionization handles out-of-order events across micro-batches; state evicts") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = JFiles.createTempDirectory("graft_stream_ooo_").toString
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("user_id", "s").select(col("user_id"), to_timestamp(col("s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    write("b1", Seq((7L, "2024-01-01 10:00:00"), (7L, "2024-01-01 12:00:00")))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("user_id BIGINT, ts TIMESTAMP")
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val sessions = StreamingPipeline.sessionize(spark, stream, watermarkDelay = "2 hours")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("ooo_sessions").start()
+    q.processAllAvailable()
+    // batch 2: an out-of-order event (10:10 < the 12:00 already seen, but
+    // inside the 2h watermark) must extend the EARLIER session, and a
+    // late-clock event advances the watermark to 16:00 so both of user
+    // 7's sessions close; user 8's stays open (bounded, un-emitted state)
+    write("b2", Seq((7L, "2024-01-01 10:10:00"), (8L, "2024-01-01 18:00:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ooo_sessions")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def us(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    assert(got == Set(
+      (7L, us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"), 2L),
+      (7L, us("2024-01-01 12:00:00"), us("2024-01-01 12:00:00"), 1L)),
+      s"got $got")
   }
 
   test("kafka payload projection keeps the reference shape") {

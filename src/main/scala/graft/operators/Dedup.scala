@@ -70,21 +70,27 @@ object Dedup {
 
   // -------------------------------------------------- exact n-gram Jaccard
 
-  /** Shingle relation: (doc_id, shingle, h) exploded distinct word
-    * n-grams with the reduced hash MATERIALIZED. Persisted: every
-    * consumer (sizes, both sides of the pair self-join, MinHash
-    * signatures) re-reads this relation — without the persist the
-    * md5-per-shingle pipeline recomputes once per reference, and without
-    * the materialized `h` CollapseProject inlines the md5 into each of
-    * the K min-aggregates (K× hash cost). */
+  /** Shingle relation: (doc_id, h) — distinct word n-grams REDUCED TO
+    * their portable hash, the string dropped immediately. Every
+    * downstream step (sizes, the pair self-join, MinHash signatures,
+    * the LSH verify join) operates on the 8-byte long, so shuffles carry
+    * longs instead of ~25-byte shingle strings — a ~3× shuffle-width cut
+    * that compounds at 100 TB. Jaccard is therefore hashed-shingle
+    * Jaccard (deterministic, mirrored exactly in the oracle; MinHash
+    * itself is built on the same hash anyway). DISTINCT dedupes the rare
+    * within-doc hash collision so set sizes stay consistent. Persisted:
+    * every consumer re-reads this relation — without the persist the
+    * md5-per-shingle pipeline recomputes once per reference. */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.persist(augmented(spark, dir)
       .select(col("doc_id"), explode(Portable.shingles(col("text"))).as("shingle"))
-      .withColumn("h", Portable.hashP(col("shingle"))))
+      .select(col("doc_id"), Portable.hashP(col("shingle")).as("h"))
+      .distinct())
 
   private val shingleRowsSql: String = s"""
-    SELECT doc_id, unnest(${Portable.shinglesSql("text")}) AS shingle
-    FROM aug"""
+    SELECT DISTINCT doc_id, ${Portable.hashPSql("shingle")} AS h
+    FROM (SELECT doc_id, unnest(${Portable.shinglesSql("text")}) AS shingle
+          FROM aug)"""
 
   /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5). Quadratic in shingle
     * co-occurrence — the validation baseline the LSH path is checked
@@ -93,7 +99,7 @@ object Dedup {
     val s = shingleRows(spark, dir)
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = s.as("a"); val b = s.as("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+    val common = a.join(b, col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -113,7 +119,7 @@ object Dedup {
     sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM s GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT id_a, id_b,
            CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) AS jaccard
@@ -148,7 +154,7 @@ object Dedup {
 
   private val signaturesSql: String = s"""
     SELECT doc_id, ${(0 until K).map(minhashColSql).mkString(",\n           ")}
-    FROM (SELECT doc_id, ${Portable.hashPSql("shingle")} AS h FROM s)
+    FROM s
     GROUP BY doc_id"""
 
   /** LSH candidate pairs → exact-Jaccard verification (j ≥ 0.5).
@@ -177,8 +183,8 @@ object Dedup {
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val common = candidates
       .join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
-      .join(s.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingle", "shingle_b"), "id_b")
-      .filter(col("shingle") === col("shingle_b"))
+      .join(s.withColumnRenamed("doc_id", "id_b").withColumnRenamed("h", "h_b"), "id_b")
+      .filter(col("h") === col("h_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
     common
@@ -211,7 +217,7 @@ object Dedup {
       SELECT id_a, id_b, COUNT(*) AS n_common
       FROM candidates c
       JOIN s sa ON sa.doc_id = c.id_a
-      JOIN s sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      JOIN s sb ON sb.doc_id = c.id_b AND sb.h = sa.h
       GROUP BY id_a, id_b)
     SELECT id_a, id_b,
            CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) AS jaccard

@@ -67,23 +67,17 @@ object Similarity {
     }
   }
 
-  /** Signed projection of an embedding onto plane `p` (sequential fold). */
-  private def projection(x: Column, p: Int): Column =
-    aggregate(
-      zip_with(x, typedLit(planeSigns(p).map(_.toDouble).toSeq), (v, s) => v.cast("double") * s),
-      lit(0.0), (acc, v) => acc + v)
-
   private def projectionSql(x: String, p: Int): String = {
     val signs = planeSigns(p).mkString("[", ", ", "]")
     s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $x[i]::DOUBLE * ($signs)[i]))"
   }
 
   /** Bucket id for LSH table `t`: `planes` sign bits (planes t·planes …
-    * t·planes+planes−1) packed into an int. */
+    * t·planes+planes−1) packed into an int. Computed through the
+    * codegen'd [[graft.functions.HyperplaneBuckets]] kernel. */
   def bucketId(x: Column, t: Int = 0, planes: Int = NEARDUP_PLANES): Column =
-    (0 until planes).map(i =>
-      when(projection(x, t * planes + i) > 0, lit(1 << i)).otherwise(lit(0)))
-      .reduce(_ + _)
+    element_at(
+      graft.functions.HyperplaneBuckets.buckets(x, t + 1, planes, planeSigns), t + 1)
 
   def bucketIdSql(x: String, t: Int = 0, planes: Int = NEARDUP_PLANES): String =
     (0 until planes).map(i =>
@@ -91,12 +85,14 @@ object Similarity {
       .mkString("(", " + ", ")")
 
   /** Narrow banded relation (vec_id, tbl, bucket) — one row per vector
-    * per LSH table. Embeddings are NOT carried through the explode (the
-    * band join shuffles 12 short rows per vector, not 12 copies of a
+    * per LSH table. All `tables` bucket ids come from ONE codegen'd pass
+    * over the embedding ([[graft.functions.HyperplaneBuckets]]), and
+    * embeddings are NOT carried through the explode (the band join
+    * shuffles `tables` short rows per vector, not `tables` copies of a
     * 64-float array); candidates join the vectors back by id. */
   private def banded(e: DataFrame, tables: Int, planes: Int): DataFrame =
     e.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t => bucketId(col("embedding"), t, planes)): _*))
+      posexplode(graft.functions.HyperplaneBuckets.buckets(col("embedding"), tables, planes, planeSigns))
         .as(Seq("tbl", "bucket")))
 
   private def bandedSql(tables: Int, planes: Int): String =

@@ -60,6 +60,7 @@ object SparkEntry {
     // Similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteForceTopK _),
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
+    "sim_ivf_topk" -> (Similarity.simIvfTopK _),
     "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
     // Multimodal
     "mm_extract_features" -> (Multimodal.mmExtractFeatures _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "dd_simhash" -> Dedup.ddSimhashSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
+    "sim_ivf_topk" -> Similarity.simIvfTopKSql,
     "sim_cosine_neardup" -> Similarity.simCosineNearDupSql,
     "mm_extract_features" -> Multimodal.mmExtractFeaturesSql,
     "mm_frame_sample" -> Multimodal.mmFrameSampleSql,

@@ -46,6 +46,16 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH ANN recall@5 $recall below 0.8 floor")
   }
 
+  test("IVF ANN recall@5 vs brute force meets the 0.85 floor") {
+    // measured: 0.92 at sf0.01 (1.00 at sf0.1) probing 4 of 16 cells
+    val bf = Similarity.simBruteForceTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.simIvfTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.85, s"IVF ANN recall@5 $recall below 0.85 floor")
+  }
+
   test("banded near-dup plans contain no all-pairs join") {
     // the 100 TB criterion: candidate generation must be an equi-join on
     // band keys, never a nested-loop/cartesian pair scan

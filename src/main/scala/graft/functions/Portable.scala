@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
-  /** 60-bit hash of a string via md5: first 15 hex chars as a long.
+  /** 60-bit hash of a string via md5: first 15 hex chars as a long,
+    * computed by the codegen'd [[Hash60]] expression (digest bytes
+    * directly — no hex string/`conv` round-trip; bit-identical to
+    * `conv(substring(md5(x), 1, 15), 16, 10)`).
     * DuckDB: `('0x' || substr(md5(x),1,15))::BIGINT`. */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column = Hash60.hash60(c)
 
   def hash60Sql(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"

@@ -83,8 +83,10 @@ object Dedup {
     * md5-per-shingle pipeline recomputes once per reference. */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.persist(augmented(spark, dir)
-      .select(col("doc_id"), explode(Portable.shingles(col("text"))).as("shingle"))
-      .select(col("doc_id"), Portable.hashP(col("shingle")).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.NgramHash60s.shingleHashes(col("text"), Portable.ShingleN))
+          .as("h60"))
+      .select(col("doc_id"), pmod(col("h60"), lit(Portable.P)).as("h"))
       .distinct())
 
   private val shingleRowsSql: String = s"""
@@ -238,8 +240,8 @@ object Dedup {
     * keeps the explicit per-bit form; identical arithmetic). */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
     augmented(spark, dir)
-      .select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
-      .withColumn("h", Portable.hash60(col("tok")))
+      .select(col("doc_id"),
+        explode(graft.functions.NgramHash60s.tokenHashes(col("text"))).as("h"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
 

@@ -77,6 +77,16 @@ object StreamingPipeline {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming dedup: drop rows whose `cols` tuple was already seen
+    * within the watermark horizon — the ingest-side exact-dedup of a
+    * training-data pipeline (state is bounded by the watermark, unlike
+    * plain `dropDuplicates` whose key state grows forever). */
+  def dedupeWithinWatermark(df: DataFrame, cols: Seq[String],
+                            watermarkDelay: String = "1 hour",
+                            eventTimeCol: String = "ts"): DataFrame =
+    df.withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
+
   /** One not-yet-closed session interval (event-time micros). */
   final case class OpenInterval(start: Long, end: Long, n: Long)
   final case class SessionsState(open: List[OpenInterval])

@@ -99,6 +99,25 @@ class ExtensionSpec extends SparkSpec {
     assert(perDoc.filter($"count" =!= $"n_frames").count() == 0)
   }
 
+  test("salted join and salted agg equal their unsalted forms on a skewed key") {
+    // 90% of rows share key 1 — the shape AQE can't always save
+    val left = spark.range(0, 10000).select(
+      when($"id" < 9000, lit(1L)).otherwise(pmod($"id", lit(100))).as("k"), $"id")
+    val right = (0L until 100L).map(k => (k, s"dim_$k")).toSeq.toDF("k", "v")
+    val plain = left.join(right, Seq("k")).select($"id", $"v")
+    val salted = Skew.saltedJoin(left, right, Seq("k"), saltOn = $"id", buckets = 8)
+      .select($"id", $"v")
+    assert(salted.count() == plain.count())
+    assert(plain.exceptAll(salted).count() == 0)
+
+    val expected = left.groupBy("k").agg(count(lit(1)).as("c"), sum($"id").as("s"))
+    val twoPhase = Skew.saltedAgg(left, Seq("k"), saltOn = $"id", buckets = 8,
+      partial = Seq(count(lit(1)).as("c"), sum($"id").as("s")),
+      merge = Seq(sum($"c").as("c"), sum($"s").as("s")))
+    assert(twoPhase.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(twoPhase).count() == 0)
+  }
+
   test("exact dedup collapses identical bodies only") {
     val d = Dedup.ddExact(spark, sf())
     // no two distinct originals share a body; variants differ from sources

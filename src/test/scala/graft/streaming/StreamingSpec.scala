@@ -144,6 +144,27 @@ class StreamingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("streaming dedup within watermark drops cross-batch duplicates") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_stream_dd_").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("event_id", "s").select(col("event_id"), to_timestamp(col("s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:01:00")))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("event_id BIGINT, ts TIMESTAMP")
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val deduped = StreamingPipeline.dedupeWithinWatermark(stream, Seq("event_id"), "1 hour")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dd_stream").start()
+    q.processAllAvailable()
+    // batch 2 re-delivers event 1 (at-least-once ingest) within the
+    // watermark plus a genuinely new event
+    write(Seq((1L, "2024-01-01 10:00:00"), (3L, "2024-01-01 10:05:00")))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dd_stream").select("event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
   test("kafka payload projection keeps the reference shape") {
     val payload = graft.sinks.Sinks.kafkaPayload(Tables.region(spark, sf()))
     assert(payload.columns.toSeq == Seq("value"))

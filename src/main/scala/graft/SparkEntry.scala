@@ -65,6 +65,7 @@ object SparkEntry {
     // Multimodal
     "mm_extract_features" -> (Multimodal.mmExtractFeatures _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
+    "mm_resize" -> (Multimodal.mmResize _),
     // Sketches — no oracleSql entry (estimates are impl-specific): the
     // driver records the weaker rows-only check; accuracy bounds vs the
     // exact answers are asserted in PropertySpec
@@ -115,5 +116,6 @@ object SparkEntry {
     "sim_cosine_neardup" -> Similarity.simCosineNearDupSql,
     "mm_extract_features" -> Multimodal.mmExtractFeaturesSql,
     "mm_frame_sample" -> Multimodal.mmFrameSampleSql,
+    "mm_resize" -> Multimodal.mmResizeSql,
   )
 }

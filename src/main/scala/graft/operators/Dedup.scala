@@ -233,17 +233,17 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 60-bit SimHash over word tokens: bit j of the signature is the sign
-    * of Σ_tokens (bit_j(hash60(token)) ? +1 : −1). Computed with the
-    * custom [[graft.functions.SimHashAgg]] Catalyst aggregate — one
-    * mergeable 240-byte buffer per doc per partition, versus the naive
-    * explode-per-bit formulation's tokens×60 shuffle rows (the SQL oracle
-    * keeps the explicit per-bit form; identical arithmetic). */
+    * of Σ_tokens (bit_j(hash60(token)) ? +1 : −1). One doc = one row, so
+    * the signature is a NARROW PROJECTION via the codegen'd
+    * [[graft.functions.SimHash60]] kernel — no token explode, no
+    * aggregation, zero shuffle. The mergeable
+    * [[graft.functions.SimHashAgg]] form stays available for inputs
+    * where a document spans rows (identical arithmetic; the SQL oracle
+    * keeps the explicit per-bit form). */
   def simhashes(spark: SparkSession, dir: String): DataFrame =
     augmented(spark, dir)
       .select(col("doc_id"),
-        explode(graft.functions.NgramHash60s.tokenHashes(col("text"))).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
+        graft.functions.SimHash60.simhash60(col("text")).as("simhash"))
 
   private val simhashesSql: String = """
     SELECT doc_id,
@@ -274,9 +274,11 @@ object Dedup {
     val chunks = (0 until SIM_BANDS).map(bnd =>
       shiftright(col("simhash"), bnd * SIM_BAND_BITS)
         .bitwiseAND(lit((1L << SIM_BAND_BITS) - 1)))
-    val banded = simhashes(spark, dir)
+    // persisted: both sides of the self-join consume it (otherwise each
+    // side re-runs the md5-per-token signature pass)
+    val banded = graft.Caches.persist(simhashes(spark, dir)
       .select(col("doc_id"), col("simhash"),
-        posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
+        posexplode(array(chunks: _*)).as(Seq("band", "chunk"))))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -82,6 +82,58 @@ object Multimodal {
            substring(text, 1, 1) AS head_char
     FROM documents ORDER BY doc_id"""
 
+  final case class ResizedMedia(
+      doc_id: Long, in_w: Long, in_h: Long, out_w: Long, out_h: Long,
+      resized_digest: String)
+
+  /** Letterbox target box for [[mmResize]]. */
+  val ResizeTarget = 224L
+
+  /** Stubbed resize of the "image" rows: aspect-preserving letterbox into
+    * a [[ResizeTarget]]² box with EXACT integer arithmetic
+    * (`dim · target / max(w, h)` in long division — reproducible in any
+    * engine, no float rounding), plus a digest standing in for the
+    * re-encoded payload (md5 of payload ++ ":WxH"). Runs through the
+    * same `mapPartitions` codec contract as [[extractFeatures]] — a real
+    * resampler would init per partition and transform the pixel buffer
+    * where the stub digests. */
+  def resizeMedia(media: Dataset[MediaRow]): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val f = StubCodec.decode(row)
+        val m = math.max(f.width, f.height)
+        val outW = f.width * ResizeTarget / m
+        val outH = f.height * ResizeTarget / m
+        md.reset()
+        md.update(row.payload)
+        md.update(s":${outW}x$outH".getBytes("UTF-8"))
+        val digest = md.digest().map("%02x".format(_)).mkString
+        ResizedMedia(row.doc_id, f.width, f.height, outW, outH, digest)
+      }
+    }
+  }
+
+  /** Oracled query: resized dims + digest for every image row. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    resizeMedia(media(spark, dir)).toDF().orderBy(col("doc_id"))
+
+  val mmResizeSql: String = s"""
+    WITH f AS (
+      SELECT doc_id, text,
+             16 * (1 + octet_length(encode(text)) % 64) AS in_w,
+             16 * (1 + octet_length(encode(text)) % 48) AS in_h
+      FROM documents WHERE doc_id % 3 = 0),
+    r AS (
+      SELECT doc_id, text, in_w, in_h,
+             in_w * $ResizeTarget // greatest(in_w, in_h) AS out_w,
+             in_h * $ResizeTarget // greatest(in_w, in_h) AS out_h
+      FROM f)
+    SELECT doc_id, in_w, in_h, out_w, out_h,
+           md5(text || ':' || out_w || 'x' || out_h) AS resized_digest
+    FROM r ORDER BY doc_id"""
+
   /** Frame sampling for "video" rows: every FrameBytes-sized chunk becomes
     * a (doc_id, frame_idx, frame_digest) row via a generator explode. */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {

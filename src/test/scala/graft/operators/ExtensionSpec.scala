@@ -20,6 +20,20 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${pairs.size} of ${exact.size})")
   }
 
+  test("per-row SimHash60 expression equals the mergeable SimHashAgg") {
+    // the agg is the multi-row form (doc spanning streamed chunks);
+    // identical arithmetic to the projection kernel
+    val viaExpr = Dedup.simhashes(spark, sf())
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    val viaAgg = Dedup.augmented(spark, sf())
+      .select(col("doc_id"),
+        explode(graft.functions.NgramHash60s.tokenHashes(col("text"))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaAgg)
+  }
+
   test("simhash: identical texts collide, planted variants are close") {
     val sh = Dedup.simhashes(spark, sf())
       .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap

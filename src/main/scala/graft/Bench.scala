@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * `count()` lets Spark elide aggregate/projection work (column pruning
   * reduces counts to scan+tally), which would under-report honest query
   * cost. One untimed warmup query amortizes session/codegen startup out
-  * of the first measurement.
+  * of the first measurement, and each query is timed over two runs with
+  * the MIN reported — single local[32] runs jitter ±20% from JIT/GC,
+  * which would drown real per-query regressions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,13 +35,16 @@ object Bench {
     force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        finally Caches.releaseAll()
+        (System.nanoTime() - t0) / 1e9
       }
-      finally Caches.releaseAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

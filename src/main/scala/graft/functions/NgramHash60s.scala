@@ -30,7 +30,7 @@ object NgramHash60Kernel {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
-  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean, modP: Long): ArrayData = {
     val bytes = text.getBytes
     var nw = 1
     var i = 0
@@ -59,6 +59,7 @@ object NgramHash60Kernel {
       var k = 0
       while (k < 8) { v = (v << 8) | (dig(k) & 0xffL); k += 1 }
       v = v >>> 4
+      if (modP > 0) v = v % modP // v is non-negative: % == pmod
       if (seen == null || seen.add(v)) { out(m) = v; m += 1 }
       p += 1
     }
@@ -69,28 +70,31 @@ object NgramHash60Kernel {
 /** Codegen'd `array<long>` of 60-bit n-gram hashes — replaces the
   * split → transform/concat_ws → array_distinct → md5 built-in chain
   * that allocates every shingle as a string before hashing it. */
-case class NgramHash60s(child: Expression, n: Int, distinct: Boolean)
+case class NgramHash60s(child: Expression, n: Int, distinct: Boolean, modP: Long)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(x: Any): Any =
-    NgramHash60Kernel.compute(x.asInstanceOf[UTF8String], n, distinct)
+    NgramHash60Kernel.compute(x.asInstanceOf[UTF8String], n, distinct, modP)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, x =>
-      s"graft.functions.NgramHash60Kernel.compute($x, $n, $distinct)")
+      s"graft.functions.NgramHash60Kernel.compute($x, $n, $distinct, ${modP}L)")
 
   override protected def withNewChildInternal(newChild: Expression): NgramHash60s =
     copy(child = newChild)
 }
 
 object NgramHash60s {
-  /** Distinct n-gram (shingle) hashes of a text column. */
-  def shingleHashes(c: Column, n: Int): Column =
-    Bridge.column(NgramHash60s(Bridge.expression(c), n, distinct = true))
+  /** Distinct n-gram (shingle) hashes of a text column, optionally
+    * reduced mod P BEFORE the dedup — so the per-doc value set equals
+    * SQL's `DISTINCT doc_id, hash % P` with no downstream distinct
+    * shuffle needed. */
+  def shingleHashes(c: Column, n: Int, modP: Long = 0L): Column =
+    Bridge.column(NgramHash60s(Bridge.expression(c), n, distinct = true, modP))
 
   /** Per-token (1-gram, duplicates kept) hashes of a text column. */
   def tokenHashes(c: Column): Column =
-    Bridge.column(NgramHash60s(Bridge.expression(c), 1, distinct = false))
+    Bridge.column(NgramHash60s(Bridge.expression(c), 1, distinct = false, modP = 0L))
 }

@@ -77,17 +77,17 @@ object Dedup {
     * longs instead of ~25-byte shingle strings — a ~3× shuffle-width cut
     * that compounds at 100 TB. Jaccard is therefore hashed-shingle
     * Jaccard (deterministic, mirrored exactly in the oracle; MinHash
-    * itself is built on the same hash anyway). DISTINCT dedupes the rare
-    * within-doc hash collision so set sizes stay consistent. Persisted:
-    * every consumer re-reads this relation — without the persist the
-    * md5-per-shingle pipeline recomputes once per reference. */
+    * itself is built on the same hash anyway). The mod-P reduction AND
+    * the per-doc dedup happen inside the kernel, so the per-doc value
+    * set equals SQL's `SELECT DISTINCT doc_id, h` with no distinct
+    * shuffle in the plan at all. Persisted: every consumer re-reads this
+    * relation — without the persist the md5-per-shingle pipeline
+    * recomputes once per reference. */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.persist(augmented(spark, dir)
       .select(col("doc_id"),
-        explode(graft.functions.NgramHash60s.shingleHashes(col("text"), Portable.ShingleN))
-          .as("h60"))
-      .select(col("doc_id"), pmod(col("h60"), lit(Portable.P)).as("h"))
-      .distinct())
+        explode(graft.functions.NgramHash60s.shingleHashes(
+          col("text"), Portable.ShingleN, modP = Portable.P)).as("h")))
 
   private val shingleRowsSql: String = s"""
     SELECT DISTINCT doc_id, ${Portable.hashPSql("shingle")} AS h

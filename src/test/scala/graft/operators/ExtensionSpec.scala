@@ -20,6 +20,23 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${pairs.size} of ${exact.size})")
   }
 
+  test("hash kernels equal the pure built-in formulation") {
+    // NgramHash60s (byte-slice md5, in-kernel mod-P dedup) vs the
+    // composed split/concat_ws/array_distinct/md5/conv/pmod chain —
+    // pure Spark builtins, no custom expressions on the right side
+    import graft.functions.{NgramHash60s, Portable}
+    val docs = graft.sources.Tables.documents(spark, sf()).limit(50)
+    val viaKernel = docs.select($"doc_id",
+        explode(NgramHash60s.shingleHashes($"text", Portable.ShingleN, modP = Portable.P)).as("h"))
+      .as[(Long, Long)].collect().toSet
+    val viaBuiltins = docs
+      .select($"doc_id", explode(Portable.shingles($"text")).as("s"))
+      .select($"doc_id",
+        pmod(conv(substring(md5($"s"), 1, 15), 16, 10).cast("long"), lit(Portable.P)).as("h"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(viaKernel == viaBuiltins)
+  }
+
   test("per-row SimHash60 expression equals the mergeable SimHashAgg") {
     // the agg is the multi-row form (doc spanning streamed chunks);
     // identical arithmetic to the projection kernel

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Parity, Relational, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Parity, Relational, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,7 @@ object SparkEntry {
     "q18_events_hourly" -> (Relational.q18EventsHourly _),
     "q19_user_sessions" -> (Relational.q19UserSessions _),
     "q20_event_type_pivot" -> (Relational.q20EventTypePivot _),
+    "q21_asof_last_purchase" -> (AsOfJoin.q21AsofLastPurchase _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "q18_events_hourly" -> Relational.q18EventsHourlySql,
     "q19_user_sessions" -> Relational.q19UserSessionsSql,
     "q20_event_type_pivot" -> Relational.q20EventTypePivotSql,
+    "q21_asof_last_purchase" -> AsOfJoin.q21AsofLastPurchaseSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,

@@ -23,8 +23,8 @@ object Sketches {
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
-        percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("approx_p95_qty"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(2500)).as("approx_median_price"),
+        percentile_approx(col("l_quantity"), lit(0.95), lit(2500)).as("approx_p95_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 }

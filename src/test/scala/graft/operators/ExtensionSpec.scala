@@ -143,6 +143,22 @@ class ExtensionSpec extends SparkSpec {
       (102L, None, None)))           // key 2 has no right rows
   }
 
+  test("binned range join equals the naive theta join; plan is an equi-join") {
+    val points = spark.range(0, 1000).select(($"id" * 7 % 500).as("p"), $"id")
+    val intervals = spark.range(0, 40)
+      .select($"id".as("iv_id"), ($"id" * 11 % 300).as("lo"))
+      .withColumn("hi", $"lo" + 25)
+    val binned = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", binWidth = 20)
+      .select($"iv_id", $"id")
+    val naive = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+      .select($"iv_id", $"id")
+    assert(binned.count() == naive.count())
+    assert(naive.exceptAll(binned).count() == 0)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "binned range join must be an equi-join")
+  }
+
   test("salted join and salted agg equal their unsalted forms on a skewed key") {
     // 90% of rows share key 1 — the shape AQE can't always save
     val left = spark.range(0, 10000).select(

@@ -37,6 +37,33 @@ class ExtensionSpec extends SparkSpec {
     assert(viaKernel == viaBuiltins)
   }
 
+  test("hash kernel edges: empty text, short text, space runs, trailing space, unicode") {
+    import graft.functions.{NgramHash60s, Portable}
+    val fixture = Seq("", "a", "a b c", "a b c d", "a  b  c  d e",
+      "x y z w ", "é ü 漢 字 test", "a b c d a b c d").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaKernel = fixture.select($"doc_id",
+        explode(NgramHash60s.shingleHashes($"text", Portable.ShingleN, modP = Portable.P)).as("h"))
+      .as[(Long, Long)].collect().toSet
+    val viaBuiltins = fixture
+      .select($"doc_id", explode(Portable.shingles($"text")).as("s"))
+      .select($"doc_id",
+        pmod(conv(substring(md5($"s"), 1, 15), 16, 10).cast("long"), lit(Portable.P)).as("h"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(viaKernel == viaBuiltins)
+    // SimHash60 against the explicit per-token builtin formulation
+    val shKernel = fixture.select($"doc_id",
+        graft.functions.SimHash60.simhash60($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val shBuiltins = fixture
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"doc_id")
+      .agg(graft.functions.SimHashAgg.simhashAgg($"h").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(shKernel == shBuiltins)
+  }
+
   test("per-row SimHash60 expression equals the mergeable SimHashAgg") {
     // the agg is the multi-row form (doc spanning streamed chunks);
     // identical arithmetic to the projection kernel

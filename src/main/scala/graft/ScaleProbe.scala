@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-growth probe: times the document/embedding scale-path queries
+  * on two directories (typically sf0.1 and a replicated N× copy) and
+  * prints the growth ratio per query. Sub-linear-to-linear growth is the
+  * empirical check behind SCALING.md's claims — a quadratic pair scan
+  * would show ~N² here. Usage:
+  * `runMain graft.ScaleProbe <dirSmall> <dirBig>` */
+object ScaleProbe {
+  private val Probes = Seq(
+    "dd_exact", "dd_minhash_lsh", "dd_simhash",
+    "sim_lsh_topk", "sim_ivf_topk", "sim_cosine_neardup", "tx_token_stats")
+
+  def main(args: Array[String]): Unit = {
+    val Array(dirSmall, dirBig) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      finally Caches.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup
+    time("tx_token_stats", dirSmall)
+    Probes.foreach { name =>
+      val s = math.min(time(name, dirSmall), time(name, dirSmall))
+      val b = math.min(time(name, dirBig), time(name, dirBig))
+      println(f"[probe] $name%-22s small=$s%7.2fs big=$b%7.2fs ratio=${b / s}%5.1fx")
+    }
+    spark.stop()
+  }
+}

@@ -142,17 +142,24 @@ object Dedup {
   val A: Seq[Long] = (0 until K).map(k => 37L * k + 11L)
   val B: Seq[Long] = (0 until K).map(k => 101L * k + 7L)
 
-  private def minhashCol(k: Int): Column =
-    min(pmod(lit(A(k)) * col("h") + lit(B(k)), lit(Portable.P))).as(s"mh_$k")
-
   private def minhashColSql(k: Int): String =
     s"min((${A(k)} * h + ${B(k)}) % ${Portable.P}) AS mh_$k"
 
-  /** Per-doc MinHash signature (K columns mh_0..mh_{K-1}). */
-  def signatures(spark: SparkSession, dir: String): DataFrame =
-    shingleRows(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(minhashCol(0), (1 until K).map(minhashCol): _*)
+  /** Per-doc MinHash signature (K columns mh_0..mh_{K-1}), computed as a
+    * NARROW PROJECTION by the codegen'd [[graft.functions.MinHashSig]]
+    * kernel — one doc is one row, so no shingle explode and no
+    * K-aggregate groupBy (the widest shuffle of the round-1 pipeline).
+    * Docs with fewer than n words have no shingle set → sentinel mins →
+    * filtered, matching the aggregate form which produces no group. */
+  def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val sig = graft.functions.MinHashSig.minhashSig(
+      col("text"), Portable.ShingleN, A, B, Portable.P)
+    augmented(spark, dir)
+      .select(col("doc_id"), sig.as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(col("doc_id") +:
+        (0 until K).map(k => element_at(col("sig"), k + 1).as(s"mh_$k")): _*)
+  }
 
   private val signaturesSql: String = s"""
     SELECT doc_id, ${(0 until K).map(minhashColSql).mkString(",\n           ")}

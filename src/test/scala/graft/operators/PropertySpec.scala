@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.config.{FieldRules, NotEmpty, NotNull}
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -64,6 +65,52 @@ class PropertySpec extends SparkSpec {
         else assert(koRows.get(p.id).contains(exp),
           s"seed=$seed $p expected $exp got ${koRows.get(p.id)}")
       }
+    }
+  }
+
+  test("∀ texts: byte-range hash kernels equal the built-in formulations") {
+    import graft.functions.{MinHashSig, NgramHash60s, Portable, SimHash60}
+    val genWord = Gen.oneOf(Gen.const(""), Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("é", "漢字", "a-b", "x" * 30))
+    val genText = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, genWord))
+      .map(_.mkString(" "))
+    (1L to 10L).foreach { seed =>
+      val texts = Gen.listOfN(30, genText)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = texts.toDF("doc_id", "text")
+      // shingle hashes
+      val viaKernel = df.select($"doc_id",
+          explode(NgramHash60s.shingleHashes($"text", Portable.ShingleN, modP = Portable.P)).as("h"))
+        .as[(Long, Long)].collect().toSet
+      val viaBuiltins = df
+        .select($"doc_id", explode(Portable.shingles($"text")).as("s"))
+        .select($"doc_id",
+          pmod(conv(substring(md5($"s"), 1, 15), 16, 10).cast("long"), lit(Portable.P)).as("h"))
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(viaKernel == viaBuiltins, s"seed=$seed shingle kernel mismatch")
+      // per-row simhash vs per-token builtin + aggregate
+      val shKernel = df.select($"doc_id", SimHash60.simhash60($"text"))
+        .as[(Long, Long)].collect().toMap
+      val shAgg = df.select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .select($"doc_id", conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy($"doc_id").agg(graft.functions.SimHashAgg.simhashAgg($"h").as("sh"))
+        .as[(Long, Long)].collect().toMap
+      assert(shKernel == shAgg, s"seed=$seed simhash kernel mismatch")
+      // per-row minhash signature vs groupBy of K mins over exploded hashes
+      val sigKernel = df.select($"doc_id",
+          MinHashSig.minhashSig($"text", Portable.ShingleN, Dedup.A, Dedup.B, Portable.P).as("sig"))
+        .filter(element_at($"sig", 1) =!= Long.MaxValue)
+        .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+      val sigAgg = df
+        .select($"doc_id", explode(Portable.shingles($"text")).as("s"))
+        .select($"doc_id",
+          pmod(conv(substring(md5($"s"), 1, 15), 16, 10).cast("long"), lit(Portable.P)).as("h"))
+        .groupBy($"doc_id")
+        .agg(array((0 until Dedup.K).map(k =>
+          min(pmod(lit(Dedup.A(k)) * $"h" + lit(Dedup.B(k)), lit(Portable.P)))): _*).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(sigKernel == sigAgg, s"seed=$seed minhash kernel mismatch")
     }
   }
 

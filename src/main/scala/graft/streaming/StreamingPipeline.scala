@@ -87,6 +87,68 @@ object StreamingPipeline {
     df.withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
 
+  final case class NearDupCandidate(doc_id: Long, matched_with: Long, bucket: String)
+
+  /** Streaming NEAR-dup candidate detection at ingest — the stateful
+    * counterpart of the batch MinHash+LSH dedup, possible in a stream
+    * precisely because the signature is a per-row codegen'd expression
+    * ([[graft.functions.MinHashSig]]): no explode-aggregate, so each
+    * micro-batch computes signatures at scan speed, explodes the LSH
+    * bands, and keys state by band bucket. Each bucket's state is ONE
+    * representative doc_id (the first seen); later docs landing in the
+    * bucket emit a candidate pair against it. `EventTimeTimeout` evicts
+    * buckets idle past the watermark + `evictAfterMs`, bounding state by
+    * the dedup horizon rather than corpus lifetime. A doc pairing with
+    * its match in several bands emits one candidate per band — consumers
+    * dedupe (and exact-verify) downstream, exactly like the batch LSH
+    * verify stage. Input: (doc_id, text, ts). */
+  def streamingNearDupCandidates(docs: DataFrame,
+                                 watermarkDelay: String = "1 hour",
+                                 evictAfterMs: Long = 3600L * 1000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    import graft.functions.{MinHashSig, Portable}
+    val sig = MinHashSig.minhashSig(col("text"), Portable.ShingleN, Dedup.A, Dedup.B, Portable.P)
+    val bandCols = (0 until Dedup.BANDS).map { b =>
+      concat_ws("_",
+        lit(b) +: (b * Dedup.R until (b + 1) * Dedup.R)
+          .map(k => element_at(col("sig"), k + 1)): _*)
+    }
+    val banded = docs
+      .select(col("doc_id"), col("ts"), sig.as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(col("doc_id"), col("ts"), explode(array(bandCols: _*)).as("bkey"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, String)]
+    banded.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bkey: String, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            var rep = state.getOption
+            val out = Seq.newBuilder[NearDupCandidate]
+            sorted.foreach { case (id, _, _) =>
+              rep match {
+                case Some(r) => out += NearDupCandidate(id, r, bkey)
+                case None    => rep = Some(id)
+              }
+            }
+            rep.foreach { r =>
+              state.update(r)
+              // armed from the newest EVENT time, not the watermark (the
+              // watermark is 0 in the first batch, which would evict the
+              // bucket the moment the real watermark appears); rows below
+              // the watermark are pre-filtered, so this is always > wm
+              state.setTimeoutTimestamp(sorted.last._2.getTime + evictAfterMs)
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   /** One not-yet-closed session interval (event-time micros). */
   final case class OpenInterval(start: Long, end: Long, n: Long)
   final case class SessionsState(open: List[OpenInterval])

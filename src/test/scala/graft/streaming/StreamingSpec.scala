@@ -165,6 +165,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("streaming near-dup flags a later near-duplicate against the first-seen doc") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_stream_nd_").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "s")
+        .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((1L, base, "2024-01-01 10:00:00"),
+      (3L, "completely different words nothing shared here at all with anything", "2024-01-01 10:00:30")))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP")
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val flags = StreamingPipeline.streamingNearDupCandidates(stream)
+    val q = flags.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_stream").start()
+    q.processAllAvailable()
+    // batch 2: doc 2 = doc 1's text verbatim (same signature, same buckets)
+    write(Seq((2L, base, "2024-01-01 10:05:00")))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("neardup_stream")
+      .select("doc_id", "matched_with").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 1L)), s"got $pairs") // doc 3 never flagged; 1 is the rep
+  }
+
   test("kafka payload projection keeps the reference shape") {
     val payload = graft.sinks.Sinks.kafkaPayload(Tables.region(spark, sf()))
     assert(payload.columns.toSeq == Seq("value"))

@@ -54,6 +54,7 @@ object SparkEntry {
     "tx_lang_id" -> (TextAnalysis.txLangId _),
     "tx_quality_score" -> (TextAnalysis.txQualityScore _),
     "tx_fingerprint" -> (TextAnalysis.txFingerprint _),
+    "tx_vocab_topk" -> (TextAnalysis.txVocabTopK _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,
     "tx_fingerprint" -> TextAnalysis.txFingerprintSql,
+    "tx_vocab_topk" -> TextAnalysis.txVocabTopKSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,

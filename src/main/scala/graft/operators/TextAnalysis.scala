@@ -128,6 +128,26 @@ object TextAnalysis {
     FROM c ORDER BY doc_id"""
   }
 
+  /** Corpus vocabulary: the 50 most frequent word tokens with counts and
+    * document frequency — the vocab/contamination scan of a training-data
+    * pipeline. Partial-aggregated groupBy on the token, top-k via
+    * TakeOrderedAndProject (never a full sort); ties broken by token. */
+  def txVocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(50)
+
+  val txVocabTopKSql: String = """
+    SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 50"""
+
   /** Document fingerprinting: md5 of the whitespace-normalized lowercase
     * text, plus the portable 60-bit integer fingerprint (the primitive the
     * MinHash/SimHash dedup family builds on). */

@@ -9,7 +9,7 @@ import org.apache.spark.sql.Dataset
   * run). Builders register persists here; the consumer (Verify / Bench /
   * PipelineRunner / tests) calls [[releaseAll]] once the action completes.
   * Keeps cached storage bounded to one query's working set instead of
-  * accumulating across a 40-query session.
+  * accumulating across the multi-query Verify/Bench session.
   */
 object Caches {
   private val live = scala.collection.mutable.LinkedHashSet.empty[Dataset[_]]

@@ -36,25 +36,31 @@ object AsOfJoin {
            leftTie: String, rightTie: String): DataFrame = {
     require(valueCols.forall(v => !left.columns.contains(v)),
       s"value columns ${valueCols.mkString(",")} must not collide with left columns")
-    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftFields = left.schema.fields
+    // the right row's values travel as ONE nullable struct, so the
+    // running last(ignoreNulls) picks whole right rows — a null value
+    // INSIDE the latest right row stays null rather than tearing back to
+    // an older row's value per column
+    val rvType = org.apache.spark.sql.types.StructType(
+      valueCols.map(v => right.schema(v)))
     val l = left.select(
       Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
         col(leftTie).as("__tie")) ++
-      leftFields.map(f => col(f.name)) ++
-      valueCols.map(v => lit(null).cast(rightTypes(v)).as(v)): _*)
+      leftFields.map(f => col(f.name)) :+
+      lit(null).cast(rvType).as("__rv"): _*)
     val r = right.select(
       Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
         col(rightTie).as("__tie")) ++
-      leftFields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
-      valueCols.map(col): _*)
+      leftFields.map(f => lit(null).cast(f.dataType).as(f.name)) :+
+      struct(valueCols.map(col): _*).as("__rv"): _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withAsof = l.unionByName(r).select(
-      (col("__side") +: leftFields.map(f => col(f.name))) ++
-      valueCols.map(v => last(col(v), ignoreNulls = true).over(w).as(s"asof_$v")): _*)
-    withAsof.filter(col("__side") === 1).drop("__side")
+    val withAsof = l.unionByName(r)
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+    withAsof.filter(col("__side") === 1).select(
+      leftFields.map(f => col(f.name)) ++
+      valueCols.map(v => col("__asof").getField(v).as(s"asof_$v")): _*)
   }
 
   /** Gated query: every click event with the user's most recent purchase
@@ -78,20 +84,20 @@ object AsOfJoin {
     WITH u AS (
       SELECT user_id AS k, ts AS t, 1 AS side, event_id AS tie,
              user_id, ts, event_id, value,
-             NULL::BIGINT AS p_event_id, NULL::DOUBLE AS p_value
+             NULL::STRUCT(p_event_id BIGINT, p_value DOUBLE) AS rv
       FROM events WHERE event_type = 'click'
       UNION ALL
       SELECT user_id, ts, 0, event_id,
              NULL::BIGINT, NULL::TIMESTAMP, NULL::BIGINT, NULL::DOUBLE,
-             event_id, value
+             struct_pack(p_event_id := event_id, p_value := value)
       FROM events WHERE event_type = 'purchase'),
     w AS (
-      SELECT *,
-             last_value(p_event_id IGNORE NULLS) OVER win AS asof_p_event_id,
-             last_value(p_value IGNORE NULLS) OVER win AS asof_p_value
+      SELECT *, last_value(rv IGNORE NULLS) OVER win AS asof_rv
       FROM u
       WINDOW win AS (PARTITION BY k ORDER BY t, side, tie
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-    SELECT user_id, ts, event_id, value, asof_p_event_id, asof_p_value
+    SELECT user_id, ts, event_id, value,
+           struct_extract(asof_rv, 'p_event_id') AS asof_p_event_id,
+           struct_extract(asof_rv, 'p_value') AS asof_p_value
     FROM w WHERE side = 1 ORDER BY event_id"""
 }

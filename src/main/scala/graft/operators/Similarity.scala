@@ -77,7 +77,8 @@ object Similarity {
     * codegen'd [[graft.functions.HyperplaneBuckets]] kernel. */
   def bucketId(x: Column, t: Int = 0, planes: Int = NEARDUP_PLANES): Column =
     element_at(
-      graft.functions.HyperplaneBuckets.buckets(x, t + 1, planes, planeSigns), t + 1)
+      graft.functions.HyperplaneBuckets.buckets(x, 1, planes,
+        planeSigns.slice(t * planes, (t + 1) * planes)), 1)
 
   def bucketIdSql(x: String, t: Int = 0, planes: Int = NEARDUP_PLANES): String =
     (0 until planes).map(i =>
@@ -136,7 +137,10 @@ object Similarity {
     * [[TOPK_TABLES]] tables. */
   def simLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val bd = banded(e, TOPK_TABLES, TOPK_PLANES)
+    // persisted: the query side and the corpus side of the band join both
+    // consume it — otherwise each side re-runs the bucketing kernel over
+    // the full corpus
+    val bd = graft.Caches.persist(banded(e, TOPK_TABLES, TOPK_PLANES))
     val qb = bd.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val cb = bd.select(col("vec_id").as("neighbor_id"),
@@ -275,7 +279,8 @@ object Similarity {
     * Never an all-pairs product. */
   def simCosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val bd = banded(e, NEARDUP_TABLES, NEARDUP_PLANES)
+    // persisted: both sides of the band self-join consume it
+    val bd = graft.Caches.persist(banded(e, NEARDUP_TABLES, NEARDUP_PLANES))
     val a = bd.as("a"); val b = bd.as("b")
     val candidates = a.join(b,
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -131,7 +131,10 @@ object StreamingPipeline {
             val out = Seq.newBuilder[NearDupCandidate]
             sorted.foreach { case (id, _, _) =>
               rep match {
-                case Some(r) => out += NearDupCandidate(id, r, bkey)
+                // id != r guards at-least-once redelivery of the
+                // representative itself (a self-pair would pass any
+                // downstream exact-verify with similarity 1.0)
+                case Some(r) => if (id != r) out += NearDupCandidate(id, r, bkey)
                 case None    => rep = Some(id)
               }
             }

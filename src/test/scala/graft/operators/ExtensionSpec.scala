@@ -157,16 +157,19 @@ class ExtensionSpec extends SparkSpec {
     assert(perDoc.filter($"count" =!= $"n_frames").count() == 0)
   }
 
-  test("as-of join: inclusive match, latest-by-tie, null when no prior row") {
+  test("as-of join: inclusive match, latest-by-tie, null when no prior row, no tearing") {
     val left = Seq((1L, 10L, 100L), (1L, 5L, 101L), (2L, 7L, 102L)).toDF("k", "t", "lid")
-    val right = Seq((1L, 10L, 200L, 1.0), (1L, 3L, 201L, 2.0),
-      (1L, 10L, 202L, 3.0), (3L, 1L, 203L, 4.0)).toDF("k", "rt", "rid", "rv")
+    val right = Seq((1L, 10L, 200L, Some(1.0)), (1L, 3L, 201L, Some(2.0)),
+      (1L, 10L, 202L, Some(3.0)), (3L, 1L, 203L, Some(4.0)),
+      (1L, 4L, 205L, None)).toDF("k", "rt", "rid", "rv")
     val out = AsOfJoin.asOf(left, right, "k", "t", "rt", Seq("rid", "rv"), "lid", "rid")
       .select($"lid", $"asof_rid", $"asof_rv")
       .as[(Long, Option[Long], Option[Double])].collect().toSet
     assert(out == Set(
       (100L, Some(202L), Some(3.0)), // t=10 matches rt=10 inclusively; tie picks rid 202
-      (101L, Some(201L), Some(2.0)), // only rt=3 precedes t=5
+      // latest row ≤ t=5 is (rt=4, rid=205, rv=NULL): its null rv must
+      // NOT tear back to the older rt=3 row's 2.0 — whole-row semantics
+      (101L, Some(205L), None),
       (102L, None, None)))           // key 2 has no right rows
   }
 

@@ -39,6 +39,19 @@ object ScaleProbe {
       val b = math.min(time(name, dirBig), time(name, dirBig))
       println(f"[probe] $name%-22s small=$s%7.2fs big=$b%7.2fs ratio=${b / s}%5.1fx")
     }
+    // the documented mitigation for near-dup's n²/2^planes candidate
+    // growth: scale planes with the corpus (+3 planes ≈ 8× fewer
+    // in-bucket pairs at 10× data)
+    def timeNd(dir: String, planes: Int): Double = {
+      val t0 = System.nanoTime()
+      try graft.operators.Similarity.cosineNearDupPairs(spark, dir, 4, planes)
+        .write.mode("overwrite").format("noop").save()
+      finally Caches.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val nd8 = math.min(timeNd(dirBig, 8), timeNd(dirBig, 8))
+    val nd11 = math.min(timeNd(dirBig, 11), timeNd(dirBig, 11))
+    println(f"[probe] neardup@big planes=8 ${nd8}%.2fs vs planes=11 ${nd11}%.2fs")
     spark.stop()
   }
 }

@@ -53,7 +53,7 @@ object Similarity {
   val NEARDUP_PLANES = 8
   val NEARDUP_THRESHOLD = 0.35
 
-  private val MaxPlanes = (TOPK_TABLES * TOPK_PLANES) max (NEARDUP_TABLES * NEARDUP_PLANES)
+  val MaxPlanes = (TOPK_TABLES * TOPK_PLANES) max (NEARDUP_TABLES * NEARDUP_PLANES)
 
   /** Deterministic ±1 hyperplane weight for (plane, dim): the parity of
     * the 60-bit MD5 prefix of "plane_dim". Materialized as Scala
@@ -277,10 +277,19 @@ object Similarity {
     * (equi-join on (tbl, bucket) — 2^8 buckets per table), then exact
     * cosine ≥ [[NEARDUP_THRESHOLD]] verification on candidates only.
     * Never an all-pairs product. */
-  def simCosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def simCosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupPairs(spark, dir, NEARDUP_TABLES, NEARDUP_PLANES)
+
+  /** Parametric form — candidate density scales with n²/2^planes, so
+    * `planes` must grow ~log₂(corpus) to hold per-bucket occupancy
+    * constant (measured in SCALING.md's 10× probe). The gated query pins
+    * (4, 8) because the DuckDB oracle mirrors the constants. */
+  def cosineNearDupPairs(spark: SparkSession, dir: String,
+                         tables: Int, planes: Int): DataFrame = {
+    require(tables * planes <= MaxPlanes, s"at most $MaxPlanes planes available")
     val e = Tables.embeddings(spark, dir)
     // persisted: both sides of the band self-join consume it
-    val bd = graft.Caches.persist(banded(e, NEARDUP_TABLES, NEARDUP_PLANES))
+    val bd = graft.Caches.persist(banded(e, tables, planes))
     val a = bd.as("a"); val b = bd.as("b")
     val candidates = a.join(b,
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -165,6 +165,38 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("sessionization state survives a checkpoint restart") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_stream_rs_").toString
+    val ckpt = JFiles.createTempDirectory("graft_stream_rs_ckpt_").toString
+    val out = JFiles.createTempDirectory("graft_stream_rs_out_").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("user_id", "s").select(col("user_id"), to_timestamp(col("s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("user_id BIGINT, ts TIMESTAMP")
+    // memory sink can't recover from a checkpoint — use the file sink,
+    // which is also the restart-exactly-once production shape
+    def start() = StreamingPipeline.sessionize(spark,
+        spark.readStream.schema(schema).parquet(dir), watermarkDelay = "2 hours")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    // run 1: open a session, then STOP the query (state lives in ckpt)
+    write(Seq((5L, "2024-01-01 10:00:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // run 2: an event 10 minutes later must EXTEND the recovered open
+    // session (a state loss would start a second session), then a
+    // far-future clock event closes it
+    write(Seq((5L, "2024-01-01 10:10:00")))
+    write(Seq((6L, "2024-01-02 12:00:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    def us(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    val got = spark.read.parquet(out).filter($"user_id" === 5L)
+      .select($"session_start", $"session_end", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"), 2L)),
+      s"got $got — state did not survive the restart")
+  }
+
   test("streaming near-dup flags a later near-duplicate against the first-seen doc") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft_stream_nd_").toString

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Parity, RangeJoin, Relational, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Parity, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,7 @@ object SparkEntry {
     "q20_event_type_pivot" -> (Relational.q20EventTypePivot _),
     "q21_asof_last_purchase" -> (AsOfJoin.q21AsofLastPurchase _),
     "q22_range_ship_window" -> (RangeJoin.q22RangeShipWindow _),
+    "q23_salted_event_stats" -> (Skew.q23SaltedEventStats _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "q20_event_type_pivot" -> Relational.q20EventTypePivotSql,
     "q21_asof_last_purchase" -> AsOfJoin.q21AsofLastPurchaseSql,
     "q22_range_ship_window" -> RangeJoin.q22RangeShipWindowSql,
+    "q23_salted_event_stats" -> Skew.q23SaltedEventStatsSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities.
@@ -35,6 +35,25 @@ object Skew {
       .withColumn("__salt", col("__salt").cast("int"))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+  /** Gated query: per-event-type stats through the two-phase salted
+    * aggregation — event_type has 5 hot keys over the whole table, the
+    * exact shape where a single-phase groupBy funnels each key through
+    * one reducer. The oracle is the plain GROUP BY (same exact result:
+    * counts and long sums are associative across salt buckets). */
+  def q23SaltedEventStats(spark: SparkSession, dir: String): DataFrame =
+    saltedAgg(graft.sources.Tables.events(spark, dir),
+        keys = Seq("event_type"), saltOn = col("event_id"), buckets = 16,
+        partial = Seq(count(lit(1)).as("c"),
+          sum(col("value").cast("decimal(18,2)")).as("v")),
+        merge = Seq(sum(col("c")).as("n_events"),
+          sum(col("v")).cast("double").as("total_value")))
+      .orderBy(col("event_type"))
+
+  val q23SaltedEventStatsSql: String = """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type"""
 
   /** Two-phase (partial → final) aggregation for a skewed group key:
     * aggregate on (keys..., salt) first — the hot group's rows combine in

@@ -25,13 +25,14 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(name: String, dir: String): Double = {
+    def timed(df: => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
+      try df.write.mode("overwrite").format("noop").save()
       finally Caches.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
+    def time(name: String, dir: String): Double =
+      timed(SparkEntry.queries(name)(spark, dir))
     // warmup
     time("tx_token_stats", dirSmall)
     Probes.foreach { name =>
@@ -42,13 +43,8 @@ object ScaleProbe {
     // the documented mitigation for near-dup's n²/2^planes candidate
     // growth: scale planes with the corpus (+3 planes ≈ 8× fewer
     // in-bucket pairs at 10× data)
-    def timeNd(dir: String, planes: Int): Double = {
-      val t0 = System.nanoTime()
-      try graft.operators.Similarity.cosineNearDupPairs(spark, dir, 4, planes)
-        .write.mode("overwrite").format("noop").save()
-      finally Caches.releaseAll()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def timeNd(dir: String, planes: Int): Double =
+      timed(graft.operators.Similarity.cosineNearDupPairs(spark, dir, 4, planes))
     val nd8 = math.min(timeNd(dirBig, 8), timeNd(dirBig, 8))
     val nd11 = math.min(timeNd(dirBig, 11), timeNd(dirBig, 11))
     println(f"[probe] neardup@big planes=8 ${nd8}%.2fs vs planes=11 ${nd11}%.2fs")

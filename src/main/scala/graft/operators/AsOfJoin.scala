@@ -27,15 +27,14 @@ import graft.sources.Tables
   */
 object AsOfJoin {
 
-  /** Columns of `valueCols` must exist in `right` and be disjoint from
-    * `left`'s columns; tie columns must be unique per (key, time) on
-    * their side for full determinism. Output = every left column plus
-    * `asof_<valueCol>` for each value column. */
+  /** Columns of `valueCols` must exist in `right`; tie columns must be
+    * unique per (key, time) on their side for full determinism. Output =
+    * every left column plus `asof_<valueCol>` for each value column
+    * (value columns travel inside a struct, so they may share names with
+    * left columns). */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String, valueCols: Seq[String],
            leftTie: String, rightTie: String): DataFrame = {
-    require(valueCols.forall(v => !left.columns.contains(v)),
-      s"value columns ${valueCols.mkString(",")} must not collide with left columns")
     val leftFields = left.schema.fields
     // the right row's values travel as ONE nullable struct, so the
     // running last(ignoreNulls) picks whole right rows — a null value

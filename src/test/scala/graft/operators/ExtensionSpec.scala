@@ -171,6 +171,14 @@ class ExtensionSpec extends SparkSpec {
       // NOT tear back to the older rt=3 row's 2.0 — whole-row semantics
       (101L, Some(205L), None),
       (102L, None, None)))           // key 2 has no right rows
+    // value columns may share names with left columns (they travel
+    // inside the struct and emerge as asof_<name>)
+    val collide = AsOfJoin.asOf(
+      left.withColumnRenamed("lid", "rid"), right, "k", "t", "rt",
+      Seq("rid"), leftTie = "rid", rightTie = "rid")
+    assert(collide.columns.toSeq == Seq("k", "t", "rid", "asof_rid"))
+    assert(collide.filter($"rid" === 100L).select($"asof_rid")
+      .as[Option[Long]].head().contains(202L))
   }
 
   test("binned range join equals the naive theta join; plan is an equi-join") {

@@ -50,6 +50,7 @@ object SparkEntry {
     "q21_asof_last_purchase" -> (AsOfJoin.q21AsofLastPurchase _),
     "q22_range_ship_window" -> (RangeJoin.q22RangeShipWindow _),
     "q23_salted_event_stats" -> (Skew.q23SaltedEventStats _),
+    "q24_overlapping_order_windows" -> (RangeJoin.q24OverlappingOrderWindows _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "q21_asof_last_purchase" -> AsOfJoin.q21AsofLastPurchaseSql,
     "q22_range_ship_window" -> RangeJoin.q22RangeShipWindowSql,
     "q23_salted_event_stats" -> Skew.q23SaltedEventStatsSql,
+    "q24_overlapping_order_windows" -> RangeJoin.q24OverlappingOrderWindowsSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,

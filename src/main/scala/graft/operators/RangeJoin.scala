@@ -36,6 +36,27 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval-overlap join: every (a, b) pair whose inclusive ranges
+    * `[loA, hiA]` and `[loB, hiB]` intersect (and whose `extraKeys`
+    * match). Same binning device as [[pointInInterval]], with the
+    * FIRST-OVERLAPPING-BIN trick for dedup: a pair co-occurs in every
+    * bin their ranges share, so instead of a distinct shuffle over the
+    * output, each pair is emitted only from the bin containing
+    * `max(loA, loB)` — plain arithmetic, no extra exchange. */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+                      loA: String, hiA: String, loB: String, hiB: String,
+                      binWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val ab = a.withColumn("__bin",
+      explode(sequence(floor(col(loA) / binWidth), floor(col(hiA) / binWidth))))
+    val bb = b.withColumn("__bin",
+      explode(sequence(floor(col(loB) / binWidth), floor(col(hiB) / binWidth))))
+    ab.join(bb, extraKeys :+ "__bin")
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA))
+      .filter(col("__bin") === floor(greatest(col(loA), col(loB)) / binWidth))
+      .drop("__bin")
+  }
+
   private val DayUs = 86400L * 1000000L
 
   /** Gated query: for a 1-in-100 sample of orders, how many lineitems
@@ -65,4 +86,31 @@ object RangeJoin {
       ON pt.p >= iv.lo AND pt.p <= iv.hi
     GROUP BY o_orderkey
     ORDER BY o_orderkey"""
+
+  /** Gated query: pairs of a customer's sampled orders whose 30-day
+    * windows overlap — an interval-interval overlap join keyed by
+    * customer, binned by the window span. */
+  def q24OverlappingOrderWindows(spark: SparkSession, dir: String): DataFrame = {
+    def side(p: String) = Tables.orders(spark, dir)
+      .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_custkey"), col("o_orderkey").as(s"${p}_key"),
+        unix_micros(col("o_orderdate")).as(s"${p}_lo"),
+        (unix_micros(col("o_orderdate")) + lit(30L * DayUs)).as(s"${p}_hi"))
+    intervalOverlap(side("a"), side("b"), "a_lo", "a_hi", "b_lo", "b_hi",
+        binWidth = 30L * DayUs, extraKeys = Seq("o_custkey"))
+      .filter(col("a_key") < col("b_key"))
+      .select(col("o_custkey"), col("a_key"), col("b_key"))
+      .orderBy(col("o_custkey"), col("a_key"), col("b_key"))
+  }
+
+  val q24OverlappingOrderWindowsSql: String = s"""
+    WITH s AS (
+      SELECT o_custkey, o_orderkey AS k,
+             epoch_us(o_orderdate) AS lo,
+             epoch_us(o_orderdate) + ${30L * DayUs} AS hi
+      FROM orders WHERE o_orderkey % 5 = 0)
+    SELECT a.o_custkey, a.k AS a_key, b.k AS b_key
+    FROM s a JOIN s b USING (o_custkey)
+    WHERE a.k < b.k AND a.lo <= b.hi AND b.lo <= a.hi
+    ORDER BY o_custkey, a_key, b_key"""
 }

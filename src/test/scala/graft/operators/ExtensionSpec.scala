@@ -197,6 +197,21 @@ class ExtensionSpec extends SparkSpec {
       "binned range join must be an equi-join")
   }
 
+  test("interval-overlap join equals the naive theta join, without a dedup shuffle") {
+    val a = spark.range(0, 300).select($"id".as("a_id"),
+      ($"id" * 13 % 400).as("a_lo")).withColumn("a_hi", $"a_lo" + ($"a_id" % 60))
+    val b = spark.range(0, 300).select($"id".as("b_id"),
+      ($"id" * 7 % 400).as("b_lo")).withColumn("b_hi", $"b_lo" + ($"b_id" % 45))
+    val binned = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 25)
+      .select($"a_id", $"b_id")
+    val naive = a.join(b, $"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select($"a_id", $"b_id")
+    assert(binned.count() == naive.count(), "first-bin emission must dedupe exactly")
+    assert(naive.exceptAll(binned).count() == 0)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("salted join and salted agg equal their unsalted forms on a skewed key") {
     // 90% of rows share key 1 — the shape AQE can't always save
     val left = spark.range(0, 10000).select(

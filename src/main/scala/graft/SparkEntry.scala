@@ -51,6 +51,8 @@ object SparkEntry {
     "q22_range_ship_window" -> (RangeJoin.q22RangeShipWindow _),
     "q23_salted_event_stats" -> (Skew.q23SaltedEventStats _),
     "q24_overlapping_order_windows" -> (RangeJoin.q24OverlappingOrderWindows _),
+    "q25_event_gaps" -> (Relational.q25EventGaps _),
+    "q26_cube_region_nation" -> (Relational.q26CubeRegionNation _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -111,6 +113,8 @@ object SparkEntry {
     "q22_range_ship_window" -> RangeJoin.q22RangeShipWindowSql,
     "q23_salted_event_stats" -> Skew.q23SaltedEventStatsSql,
     "q24_overlapping_order_windows" -> RangeJoin.q24OverlappingOrderWindowsSql,
+    "q25_event_gaps" -> Relational.q25EventGapsSql,
+    "q26_cube_region_nation" -> Relational.q26CubeRegionNationSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,

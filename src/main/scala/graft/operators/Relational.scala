@@ -496,4 +496,48 @@ object Relational {
            CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
            CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
     FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** lead/lag: per-user gap between consecutive events (integer-exact
+    * micros; window partitioned by user, never global). */
+  def q25EventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(col("gap_us")).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("total_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q25EventGapsSql: String = """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id, COUNT(gap_us) AS n_gaps, MAX(gap_us) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM g GROUP BY user_id ORDER BY user_id"""
+
+  /** CUBE over (region, nation) — all four grouping combinations. */
+  def q26CubeRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir); val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val q26CubeRegionNationSql: String = """
+    SELECT r_name, n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, n_name)
+    ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
 }

@@ -59,6 +59,7 @@ object SparkEntry {
     "tx_quality_score" -> (TextAnalysis.txQualityScore _),
     "tx_fingerprint" -> (TextAnalysis.txFingerprint _),
     "tx_vocab_topk" -> (TextAnalysis.txVocabTopK _),
+    "tx_hash_sample" -> (TextAnalysis.txHashSample _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,
     "tx_fingerprint" -> TextAnalysis.txFingerprintSql,
     "tx_vocab_topk" -> TextAnalysis.txVocabTopKSql,
+    "tx_hash_sample" -> TextAnalysis.txHashSampleSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,

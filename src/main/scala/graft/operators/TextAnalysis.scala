@@ -148,6 +148,29 @@ object TextAnalysis {
     ORDER BY n_occurrences DESC, tok
     LIMIT 50"""
 
+  /** Deterministic stratified sampling — dataset curation's class
+    * balancer. Membership is `hash(salt ++ id) mod 1000 < per-class
+    * threshold`: no RNG and no seed state, so the sample is identical
+    * across runs, partitionings, and engines (oracle-exact), and any row
+    * can be re-tested for membership in O(1). Here: keep 50% of English
+    * docs and 10% of everything else. */
+  def txHashSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      Portable.hash60(concat(lit("sample:"), col("doc_id").cast("string"))), lit(1000L))
+    val keepBelow = when(col("lang") === "en", lit(500L)).otherwise(lit(100L))
+    Tables.documents(spark, dir)
+      .filter(bucket < keepBelow)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txHashSampleSql: String = s"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ((${Portable.hash60Sql("('sample:' || CAST(doc_id AS VARCHAR))")} % 1000) + 1000) % 1000
+          < CASE WHEN lang = 'en' THEN 500 ELSE 100 END
+    ORDER BY doc_id"""
+
   /** Document fingerprinting: md5 of the whitespace-normalized lowercase
     * text, plus the portable 60-bit integer fingerprint (the primitive the
     * MinHash/SimHash dedup family builds on). */

@@ -9,9 +9,18 @@ import org.apache.spark.sql.SparkSession
   * `count()` lets Spark elide aggregate/projection work (column pruning
   * reduces counts to scan+tally), which would under-report honest query
   * cost. One untimed warmup query amortizes session/codegen startup out
-  * of the first measurement, and each query is timed over two runs with
+  * of the first measurement, and each query is timed over three runs with
   * the MIN reported — single local[32] runs jitter ±20% from JIT/GC,
   * which would drown real per-query regressions.
+  *
+  * Session hygiene between queries (BENCH_r02 lesson): caches are
+  * released BLOCKING, the catalog cache is cleared, and a GC runs
+  * untimed — otherwise lazy block eviction from one query's persisted
+  * intermediates bleeds into the next query's measured wall time
+  * (unchanged q1/q13/q18 regressed 4x in r2 from exactly this).
+  *
+  * A query that throws is reported under "failed" and excluded from the
+  * timings — a fast-failing query must not read as a speedup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,21 +44,31 @@ object Bench {
     force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      // untimed inter-query hygiene: drop every cached block synchronously
+      // so this query's measurement starts from a clean storage/heap state
+      Caches.releaseAll(blocking = true)
+      spark.catalog.clearCache()
+      System.gc()
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        finally Caches.releaseAll()
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { force(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+          finally Caches.releaseAll(blocking = true)
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      name -> (if (runs.forall(_._2)) Some(runs.map(_._1).min) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val timed = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = timed.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,9 +20,15 @@ object Caches {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Unpersist every tracked relation (non-blocking) and forget them. */
-  def releaseAll(): Unit = synchronized {
-    live.foreach(_.unpersist(false))
+  /** Unpersist every tracked relation and forget them.
+    *
+    * Blocking by default: a non-blocking unpersist leaves freed blocks to
+    * be evicted lazily, and in a multi-query session (Bench/Verify) that
+    * eviction + GC bleeds into the NEXT query's measured time — BENCH_r02
+    * showed unchanged queries regressing 4x from exactly this.
+    */
+  def releaseAll(blocking: Boolean = true): Unit = synchronized {
+    live.foreach(_.unpersist(blocking))
     live.clear()
   }
 }

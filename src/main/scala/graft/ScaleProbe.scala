@@ -48,6 +48,13 @@ object ScaleProbe {
     val nd8 = math.min(timeNd(dirBig, 8), timeNd(dirBig, 8))
     val nd11 = math.min(timeNd(dirBig, 11), timeNd(dirBig, 11))
     println(f"[probe] neardup@big planes=8 ${nd8}%.2fs vs planes=11 ${nd11}%.2fs")
+    // the production entry point derives planes from the corpus count —
+    // its growth at 10× data is the number that must stay ~linear
+    def timeAuto(dir: String): Double =
+      timed(graft.operators.Similarity.cosineNearDupAuto(spark, dir))
+    val as = math.min(timeAuto(dirSmall), timeAuto(dirSmall))
+    val ab = math.min(timeAuto(dirBig), timeAuto(dirBig))
+    println(f"[probe] sim_cosine_neardup_auto small=$as%7.2fs big=$ab%7.2fs ratio=${ab / as}%5.1fx")
     spark.stop()
   }
 }

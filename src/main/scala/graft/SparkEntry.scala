@@ -65,6 +65,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
     "dd_simhash" -> (Dedup.ddSimhash _),
+    "dd_pipeline" -> (Dedup.ddPipeline _),
     // Similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteForceTopK _),
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
     "dd_simhash" -> Dedup.ddSimhashSql,
+    "dd_pipeline" -> Dedup.ddPipelineSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
     "sim_ivf_topk" -> Similarity.simIvfTopKSql,

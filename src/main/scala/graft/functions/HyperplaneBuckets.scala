@@ -15,6 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 object HyperplaneKernel {
   def compute(x: ArrayData, signs: Array[Int], tables: Int, planes: Int): ArrayData = {
     val dim = x.numElements()
+    // the stride below assumes the sign family was built for exactly this
+    // dim — a malformed embedding would otherwise read misaligned signs
+    // (wrong buckets) or run past the array; fail loudly instead
+    if (signs.length != tables * planes * dim)
+      throw new IllegalArgumentException(
+        s"embedding dim $dim does not match sign family: " +
+        s"${signs.length} signs for $tables tables x $planes planes")
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {

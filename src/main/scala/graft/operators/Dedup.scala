@@ -83,16 +83,21 @@ object Dedup {
     * shuffle in the plan at all. Persisted: every consumer re-reads this
     * relation — without the persist the md5-per-shingle pipeline
     * recomputes once per reference. */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    graft.Caches.persist(augmented(spark, dir)
+  private def shingleRowsOf(corpus: DataFrame): DataFrame =
+    graft.Caches.persist(corpus
       .select(col("doc_id"),
         explode(graft.functions.NgramHash60s.shingleHashes(
           col("text"), Portable.ShingleN, modP = Portable.P)).as("h")))
 
-  private val shingleRowsSql: String = s"""
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(augmented(spark, dir))
+
+  private def shingleRowsSqlOf(corpus: String): String = s"""
     SELECT DISTINCT doc_id, ${Portable.hashPSql("shingle")} AS h
     FROM (SELECT doc_id, unnest(${Portable.shinglesSql("text")}) AS shingle
-          FROM aug)"""
+          FROM $corpus)"""
+
+  private val shingleRowsSql: String = shingleRowsSqlOf("aug")
 
   /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5). Quadratic in shingle
     * co-occurrence — the validation baseline the LSH path is checked
@@ -151,15 +156,18 @@ object Dedup {
     * K-aggregate groupBy (the widest shuffle of the round-1 pipeline).
     * Docs with fewer than n words have no shingle set → sentinel mins →
     * filtered, matching the aggregate form which produces no group. */
-  def signatures(spark: SparkSession, dir: String): DataFrame = {
+  def signaturesOf(corpus: DataFrame): DataFrame = {
     val sig = graft.functions.MinHashSig.minhashSig(
       col("text"), Portable.ShingleN, A, B, Portable.P)
-    augmented(spark, dir)
+    corpus
       .select(col("doc_id"), sig.as("sig"))
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
       .select(col("doc_id") +:
         (0 until K).map(k => element_at(col("sig"), k + 1).as(s"mh_$k")): _*)
   }
+
+  def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesOf(augmented(spark, dir))
 
   private val signaturesSql: String = s"""
     SELECT doc_id, ${(0 until K).map(minhashColSql).mkString(",\n           ")}
@@ -170,8 +178,14 @@ object Dedup {
     * The LSH part is the 100 TB path: an equi-join on (band, band
     * signature) instead of an all-pairs comparison; the verify join then
     * touches only candidate docs. */
-  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir)
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(augmented(spark, dir))
+
+  /** The LSH near-dup stage over an arbitrary (doc_id, text) corpus —
+    * the unit [[ddMinhashLsh]] runs on the augmented corpus and
+    * [[ddPipeline]] runs on exact-dedup survivors. */
+  def minhashLshPairs(corpus: DataFrame): DataFrame = {
+    val sigs = signaturesOf(corpus)
     // band signature = concat of the R member hashes; ONE posexplode pass
     // (a per-band union would re-run the K-aggregate signature computation
     // once per band per join side), persisted for the self-join's two
@@ -188,7 +202,7 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     // exact verification on the candidate set only
-    val s = shingleRows(spark, dir)
+    val s = shingleRowsOf(corpus)
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val common = candidates
       .join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
@@ -206,14 +220,15 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val ddMinhashLshSql: String = {
+  /** CTE chain + final select of the LSH stage, over the named corpus
+    * CTE — shared verbatim by [[ddMinhashLshSql]] and [[ddPipelineSql]]
+    * so the composed oracle IS the unit oracle with a different input. */
+  private def lshTailSql(corpus: String): String = {
     val bandSelects = (0 until BANDS).map { bnd =>
       val sig = (bnd * R until (bnd + 1) * R).map(k => s"mh_$k").mkString(" || '_' || ")
       s"SELECT doc_id, $bnd AS band, $sig AS sig FROM sigs"
     }.mkString("\n      UNION ALL\n      ")
-    s"""
-    WITH aug AS ($augmentedSql),
-    s AS ($shingleRowsSql),
+    s"""s AS (${shingleRowsSqlOf(corpus)}),
     sigs AS ($signaturesSql),
     banded AS (
       $bandSelects),
@@ -236,6 +251,56 @@ object Dedup {
     WHERE CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) >= 0.5
     ORDER BY id_a, id_b"""
   }
+
+  val ddMinhashLshSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    ${lshTailSql("aug")}"""
+
+  // ------------------------------------------------ composed dedup pipeline
+
+  /** Corpus for the composed pipeline: augmented ∪ EXACT copies of docs
+    * 25..49 (doc_id + 20000, body unchanged). The augmented corpus holds
+    * no exact duplicates, so without planted copies exact-dedup-first
+    * would be a no-op and the composition untested. */
+  def pipelineCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val copies = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 25 && col("doc_id") < 50)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+    augmented(spark, dir).unionByName(copies)
+  }
+
+  /** Exact-dedup survivors: one row per distinct body, smallest doc_id
+    * kept. The groupBy shuffles (digest, doc_id) — 128-bit digests,
+    * never bodies; the left-semi join then filters the corpus by keeper
+    * id (bodies shuffled once, by id, only for rows that survive). */
+  def survivors(corpus: DataFrame): DataFrame = {
+    val keep = corpus
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    corpus.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** The production composition SCALING.md mandates: near-dup OUTPUT is
+    * quadratic in exact-duplicate cluster size (a k-fold copy cluster
+    * yields C(k,2) pairs no matter the index), so exact dedup runs FIRST
+    * and LSH near-dup sees survivors only. Survivors are persisted — the
+    * LSH stage consumes its corpus twice (signatures + shingles), and
+    * re-running the dedup digest groupBy per consumer would double the
+    * heaviest scan. */
+  def ddPipeline(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(graft.Caches.persist(survivors(pipelineCorpus(spark, dir))))
+
+  val ddPipelineSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    pipe AS (
+      SELECT doc_id, text FROM aug
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id, text FROM documents
+      WHERE doc_id >= 25 AND doc_id < 50),
+    keep AS (SELECT min(doc_id) AS doc_id FROM pipe GROUP BY md5(text)),
+    surv AS (SELECT p.doc_id, p.text FROM pipe p JOIN keep USING (doc_id)),
+    ${lshTailSql("surv")}"""
 
   // ---------------------------------------------------------------- SimHash
 

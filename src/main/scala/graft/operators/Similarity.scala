@@ -55,17 +55,21 @@ object Similarity {
 
   val MaxPlanes = (TOPK_TABLES * TOPK_PLANES) max (NEARDUP_TABLES * NEARDUP_PLANES)
 
-  /** Deterministic ±1 hyperplane weight for (plane, dim): the parity of
-    * the 60-bit MD5 prefix of "plane_dim". Materialized as Scala
-    * constants at class-load (pure function of constants). */
-  lazy val planeSigns: Array[Array[Int]] = {
+  /** Deterministic ±1 hyperplane weights for planes [0, n): plane p,
+    * dim d sign = parity of the 60-bit MD5 prefix of "p_d". Pure
+    * function of (p, d) — any prefix of a larger family is identical,
+    * so auto-scaled plane counts stay consistent with the pinned gate. */
+  def mkSigns(n: Int): Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(MaxPlanes, Dim) { (p, d) =>
+    Array.tabulate(n, Dim) { (p, d) =>
       val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15)
       if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1 else -1
     }
   }
+
+  /** The gated queries' fixed sign family, materialized once. */
+  lazy val planeSigns: Array[Array[Int]] = mkSigns(MaxPlanes)
 
   private def projectionSql(x: String, p: Int): String = {
     val signs = planeSigns(p).mkString("[", ", ", "]")
@@ -91,9 +95,10 @@ object Similarity {
     * embeddings are NOT carried through the explode (the band join
     * shuffles `tables` short rows per vector, not `tables` copies of a
     * 64-float array); candidates join the vectors back by id. */
-  private def banded(e: DataFrame, tables: Int, planes: Int): DataFrame =
+  private def banded(e: DataFrame, tables: Int, planes: Int,
+                     signs: Array[Array[Int]] = planeSigns): DataFrame =
     e.select(col("vec_id"),
-      posexplode(graft.functions.HyperplaneBuckets.buckets(col("embedding"), tables, planes, planeSigns))
+      posexplode(graft.functions.HyperplaneBuckets.buckets(col("embedding"), tables, planes, signs))
         .as(Seq("tbl", "bucket")))
 
   private def bandedSql(tables: Int, planes: Int): String =
@@ -280,16 +285,50 @@ object Similarity {
   def simCosineNearDup(spark: SparkSession, dir: String): DataFrame =
     cosineNearDupPairs(spark, dir, NEARDUP_TABLES, NEARDUP_PLANES)
 
+  /** Per-table bucket occupancy the auto-scaled config targets: small
+    * enough that in-bucket pair counts (∝ occupancy²) stay trivial,
+    * large enough that genuinely-near vectors still collide. */
+  val NEARDUP_TARGET_OCCUPANCY = 16L
+
+  /** Planes needed so expected per-table bucket occupancy n/2^planes ≈
+    * [[NEARDUP_TARGET_OCCUPANCY]]: planes = ⌈log₂(n / occupancy)⌉,
+    * floored at the gated [[NEARDUP_PLANES]]. Candidates per table grow
+    * ∝ n²/2^planes, so holding occupancy constant holds candidate
+    * density LINEAR in n — the 100 TB survival condition SCALING.md's
+    * 10× probe measures. */
+  def autoPlanes(corpusRows: Long,
+                 targetOccupancy: Long = NEARDUP_TARGET_OCCUPANCY): Int = {
+    require(corpusRows > 0, "empty corpus")
+    val needed = math.ceil(
+      math.log(corpusRows.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.max(NEARDUP_PLANES, needed)
+  }
+
+  /** Production near-dup entry point: derives the plane count from the
+    * corpus size (one cheap parquet count — row counts come from file
+    * footers, no data scan) instead of pinning a compile-time constant
+    * that per-bucket occupancy outgrows. The gated [[simCosineNearDup]]
+    * keeps the pinned (4, 8) because the DuckDB oracle mirrors the
+    * constants bit-for-bit. */
+  def cosineNearDupAuto(spark: SparkSession, dir: String,
+                        tables: Int = NEARDUP_TABLES): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    cosineNearDupPairs(spark, dir, tables, autoPlanes(n))
+  }
+
   /** Parametric form — candidate density scales with n²/2^planes, so
     * `planes` must grow ~log₂(corpus) to hold per-bucket occupancy
-    * constant (measured in SCALING.md's 10× probe). The gated query pins
-    * (4, 8) because the DuckDB oracle mirrors the constants. */
+    * constant (measured in SCALING.md's 10× probe; [[autoPlanes]] is
+    * the derivation). The gated query pins (4, 8) because the DuckDB
+    * oracle mirrors the constants. Sign families beyond the gated
+    * [[MaxPlanes]] are generated on demand — prefixes are identical. */
   def cosineNearDupPairs(spark: SparkSession, dir: String,
                          tables: Int, planes: Int): DataFrame = {
-    require(tables * planes <= MaxPlanes, s"at most $MaxPlanes planes available")
+    val signs =
+      if (tables * planes <= MaxPlanes) planeSigns else mkSigns(tables * planes)
     val e = Tables.embeddings(spark, dir)
     // persisted: both sides of the band self-join consume it
-    val bd = graft.Caches.persist(banded(e, tables, planes))
+    val bd = graft.Caches.persist(banded(e, tables, planes, signs))
     val a = bd.as("a"); val b = bd.as("b")
     val candidates = a.join(b,
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

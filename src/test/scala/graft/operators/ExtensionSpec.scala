@@ -128,6 +128,62 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("dedup pipeline: exact-first removes copy clusters, near-dup output unchanged") {
+    // planted exact copies (doc_id+20000) must all lose to their originals
+    val surv = Dedup.survivors(Dedup.pipelineCorpus(spark, sf())).cache()
+    val augN = Dedup.augmented(spark, sf()).count()
+    assert(surv.count() == augN, "every planted copy must be deduped away")
+    assert(surv.filter($"doc_id" >= 20000).count() == 0)
+    surv.unpersist(true)
+    // LSH directly on the un-deduped corpus would emit the copy pairs
+    val naive = Dedup.minhashLshPairs(Dedup.pipelineCorpus(spark, sf()))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(naive.exists(_._2 >= 20000), "un-deduped corpus must show copy pairs")
+    // the composed pipeline equals the unit LSH query on the clean corpus
+    val pipe = Dedup.ddPipeline(spark, sf()).collect().toSeq
+    val unit = Dedup.ddMinhashLsh(spark, sf()).collect().toSeq
+    assert(pipe == unit)
+    graft.Caches.releaseAll()
+  }
+
+  test("near-dup auto-scaling derives planes from corpus size") {
+    import Similarity.autoPlanes
+    // floors at the gated config, then grows log2(n) to hold per-table
+    // bucket occupancy at NEARDUP_TARGET_OCCUPANCY
+    assert(autoPlanes(100) == 8)
+    assert(autoPlanes(1L << 12) == 8)   // 4096/16 = 256 buckets -> 8
+    assert(autoPlanes(1L << 13) == 9)
+    assert(autoPlanes(1L << 30) == 26)
+    assert(autoPlanes(1L << 40) == 36)  // ~1e12-row corpus: still just 36 planes
+    // at test scale the derived count floors to the gated (4, 8), so the
+    // production entry point must return exactly the gated result
+    val auto = Similarity.cosineNearDupAuto(spark, sf("sf0.01")).collect().toSeq
+    val pinned = Similarity.simCosineNearDup(spark, sf("sf0.01")).collect().toSeq
+    assert(auto == pinned)
+    graft.Caches.releaseAll()
+  }
+
+  test("near-dup runs with a sign family beyond the gated MaxPlanes") {
+    // 4 tables x 14 planes = 56 > MaxPlanes(48): signs generate on demand
+    val pairs = Similarity.cosineNearDupPairs(spark, sf(), 4, 14)
+      .select($"cosine").as[Double].collect()
+    assert(pairs.forall(_ >= Similarity.NEARDUP_THRESHOLD))
+    graft.Caches.releaseAll()
+  }
+
+  test("bucketing kernel rejects an embedding whose dim mismatches the sign family") {
+    val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.HyperplaneBuckets.buckets(
+        $"embedding", 1, 8, Similarity.planeSigns)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("sign family")),
+      s"expected the dim-mismatch error, got: $e")
+  }
+
   test("query builders leave no cached relations behind after release") {
     Dedup.ddMinhashLsh(spark, sf()).write.mode("overwrite").format("noop").save()
     graft.Caches.releaseAll()

@@ -23,6 +23,20 @@ object PipelineApp {
         "[--streaming --checkpoint <dir>] [--positional-union] [--repartition <n>] [--show]")
       sys.exit(2)
     }
+    val spark = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    try run(spark, args).foreach(_.awaitTermination())
+    finally spark.stop()
+  }
+
+  /** Everything after session construction — the whole CLI path (arg
+    * parsing, metadata read, batch run or streaming fan-out) on a
+    * caller-owned session, so tests drive it end-to-end without main's
+    * blocking awaitTermination/spark.stop. Returns the started streaming
+    * queries (empty in batch mode). */
+  def run(spark: SparkSession, args: Array[String]): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     val metadataPath = args(0)
     def flagValue(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
@@ -33,40 +47,34 @@ object PipelineApp {
     val repartition = flagValue("--repartition").map(_.toInt)
     val show = args.contains("--show")
 
-    val spark = SparkSession.builder()
-      .appName("graft-pipeline")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    try {
-      val meta = MetadataReader.read(metadataPath)
-      val opts = PipelineRunner.Options(
-        unionMode = if (positional) SourceReader.UnionMode.Positional
-                    else SourceReader.UnionMode.ByName,
-        kafkaServer = kafka,
-        repartition = repartition)
-      if (streaming) {
-        val ckpt = checkpoint.getOrElse(
-          throw new IllegalArgumentException("--streaming requires --checkpoint <dir>"))
-        val queries = meta.dataflows.map { df =>
-          require(df.sources.size == 1,
-            s"streaming dataflow '${df.name}' must have exactly one source")
-          val s = df.sources.head
-          val schema = s.schema.map(org.apache.spark.sql.types.StructType.fromDDL)
-            .getOrElse(throw new IllegalArgumentException(
-              s"streaming source '${s.name}' requires an explicit schema"))
-          val source = StreamingPipeline.fileSource(spark, s.path, s.format, schema)
-          StreamingPipeline.runDataflow(source, df, s"$ckpt/${df.name}", kafka)
-        }
-        queries.foreach(_.awaitTermination())
-      } else {
-        meta.dataflows.foreach { df =>
-          val res = PipelineRunner.run(spark, df, opts)
-          // K3 console sink, behind a flag (the reference shows
-          // unconditionally — two extra jobs per dataflow,
-          // PipelineProcessor.scala:70,84)
-          if (show) { res.ok.show(false); res.ko.show(false) }
-        }
+    val meta = MetadataReader.read(metadataPath)
+    val opts = PipelineRunner.Options(
+      unionMode = if (positional) SourceReader.UnionMode.Positional
+                  else SourceReader.UnionMode.ByName,
+      kafkaServer = kafka,
+      repartition = repartition)
+    if (streaming) {
+      val ckpt = checkpoint.getOrElse(
+        throw new IllegalArgumentException("--streaming requires --checkpoint <dir>"))
+      meta.dataflows.map { df =>
+        require(df.sources.size == 1,
+          s"streaming dataflow '${df.name}' must have exactly one source")
+        val s = df.sources.head
+        val schema = s.schema.map(org.apache.spark.sql.types.StructType.fromDDL)
+          .getOrElse(throw new IllegalArgumentException(
+            s"streaming source '${s.name}' requires an explicit schema"))
+        val source = StreamingPipeline.fileSource(spark, s.path, s.format, schema)
+        StreamingPipeline.runDataflow(source, df, s"$ckpt/${df.name}", kafka)
       }
-    } finally spark.stop()
+    } else {
+      meta.dataflows.foreach { df =>
+        val res = PipelineRunner.run(spark, df, opts)
+        // K3 console sink, behind a flag (the reference shows
+        // unconditionally — two extra jobs per dataflow,
+        // PipelineProcessor.scala:70,84)
+        if (show) { res.ok.show(false); res.ko.show(false) }
+      }
+      Nil
+    }
   }
 }

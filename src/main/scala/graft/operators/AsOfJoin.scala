@@ -35,6 +35,9 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String, valueCols: Seq[String],
            leftTie: String, rightTie: String): DataFrame = {
+    val internal = Seq("__k", "__t", "__side", "__tie", "__rv", "__asof")
+    ReservedCols.requireAbsent(left, "asOf(left)", internal: _*)
+    ReservedCols.requireAbsent(right, "asOf(right)", internal: _*)
     val leftFields = left.schema.fields
     // the right row's values travel as ONE nullable struct, so the
     // running last(ignoreNulls) picks whole right rows — a null value

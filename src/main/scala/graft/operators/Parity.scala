@@ -129,10 +129,19 @@ object Parity {
                AND lang IS NOT NULL AND coalesce(regexp_matches(source, '^src[0-9]+$'), false))
     ORDER BY doc_id"""
 
+  /** One JVM-wide scratch dir, reused (overwrite mode) by every
+    * round-trip call and removed on JVM exit — a fresh temp dir per call
+    * would litter a long-lived cluster driver. */
+  private lazy val sinkScratch: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_sink_")
+    sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(d.toFile))
+    d.toString
+  }
+
   /** K1 — file sink round-trip: write a projection through the production
     * multi-path file sink, read it back (reference `:122-128`). */
   def k1FileSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val out = sinkScratch
     val df = Tables.nation(spark, dir)
     val sink = SinkConf("ok_with_date", "nation_copy", Seq(out), "parquet", "overwrite")
     Sinks.persist(Seq(sink), Map("ok_with_date" -> df), kafkaServer = None)

@@ -28,6 +28,8 @@ object RangeJoin {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    ReservedCols.requireAbsent(points, "pointInInterval(points)", "__bin")
+    ReservedCols.requireAbsent(intervals, "pointInInterval(intervals)", "__bin")
     val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
     val iv = intervals.withColumn("__bin",
       explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
@@ -47,6 +49,8 @@ object RangeJoin {
                       loA: String, hiA: String, loB: String, hiB: String,
                       binWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    ReservedCols.requireAbsent(a, "intervalOverlap(a)", "__bin")
+    ReservedCols.requireAbsent(b, "intervalOverlap(b)", "__bin")
     val ab = a.withColumn("__bin",
       explode(sequence(floor(col(loA) / binWidth), floor(col(hiA) / binWidth))))
     val bb = b.withColumn("__bin",

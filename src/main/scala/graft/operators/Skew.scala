@@ -29,6 +29,8 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltOn: Column, buckets: Int = 16): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    ReservedCols.requireAbsent(left, "saltedJoin(left)", "__salt")
+    ReservedCols.requireAbsent(right, "saltedJoin(right)", "__salt")
     val salted = left.withColumn("__salt", pmod(xxhash64(saltOn), lit(buckets)).cast("int"))
     val replicated = right
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
@@ -61,10 +63,12 @@ object Skew {
     * keys. `merge` must be the associative second-phase combiner of the
     * partial aggregates (sum for counts/sums, etc.). */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltOn: Column, buckets: Int,
-                partial: Seq[Column], merge: Seq[Column]): DataFrame =
+                partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    ReservedCols.requireAbsent(df, "saltedAgg", "__salt")
     df.withColumn("__salt", pmod(xxhash64(saltOn), lit(buckets)).cast("int"))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)
       .agg(merge.head, merge.tail: _*)
+  }
 }

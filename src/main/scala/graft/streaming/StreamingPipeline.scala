@@ -88,6 +88,9 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
 
   final case class NearDupCandidate(doc_id: Long, matched_with: Long, bucket: String)
+  /** Per-bucket state: the representative doc + the newest event time
+    * ever seen in the bucket (the eviction anchor). */
+  final case class BucketRep(rep: Long, newestMs: Long)
 
   /** Streaming NEAR-dup candidate detection at ingest — the stateful
     * counterpart of the batch MinHash+LSH dedup, possible in a stream
@@ -123,11 +126,11 @@ object StreamingPipeline {
     banded.groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (bkey: String, rows: Iterator[(Long, java.sql.Timestamp, String)],
-         state: GroupState[Long]) =>
+         state: GroupState[BucketRep]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
-            var rep = state.getOption
+            var rep = state.getOption.map(_.rep)
             val out = Seq.newBuilder[NearDupCandidate]
             sorted.foreach { case (id, _, _) =>
               rep match {
@@ -139,18 +142,69 @@ object StreamingPipeline {
               }
             }
             rep.foreach { r =>
-              state.update(r)
-              // armed from the newest EVENT time, not the watermark (the
-              // watermark is 0 in the first batch, which would evict the
-              // bucket the moment the real watermark appears); rows below
-              // the watermark are pre-filtered, so this is always > wm
-              state.setTimeoutTimestamp(sorted.last._2.getTime + evictAfterMs)
+              // armed from the newest event time EVER SEEN in the bucket,
+              // not this batch's max: a late-but-in-watermark batch of
+              // older rows must not shrink the eviction horizon. Never
+              // from the watermark itself (0 in the first batch, which
+              // would evict the bucket as soon as the real one appears).
+              val newest = math.max(
+                state.getOption.map(_.newestMs).getOrElse(Long.MinValue),
+                sorted.last._2.getTime)
+              state.update(BucketRep(r, newest))
+              state.setTimeoutTimestamp(newest + evictAfterMs)
             }
             out.result().iterator
           }
       }
       .toDF()
   }
+
+  /** Ingest-side shingle-hash store: every micro-batch appends the
+    * (doc_id, h) hashed-shingle relation to `storeDir` — the document
+    * store the verify stage joins candidates against. Stored hashes are
+    * 8-byte longs, never bodies (same rule as the batch dedup family). */
+  def startShingleStore(docs: DataFrame, storeDir: String,
+                        checkpointDir: String): StreamingQuery = {
+    import graft.functions.{NgramHash60s, Portable}
+    docs
+      .select(col("doc_id"),
+        explode(NgramHash60s.shingleHashes(
+          col("text"), Portable.ShingleN, modP = Portable.P)).as("h"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", storeDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
+  /** Verify stage of the streaming near-dup pipeline: candidate pairs
+    * from [[streamingNearDupCandidates]] are exact-verified per
+    * micro-batch against the shingle store with the SAME
+    * [[graft.operators.Dedup.verifyPairs]] the batch LSH dedup runs —
+    * the streaming path's output is verified pairs (id_a, id_b,
+    * jaccard), not candidates. Requires the store write
+    * ([[startShingleStore]]) to be upstream-complete for the docs a
+    * candidate references — in a production topology the store append
+    * is part of ingest and candidates are verified near-line. */
+  def startNearDupVerify(candidates: DataFrame, storeDir: String,
+                         outDir: String, checkpointDir: String,
+                         threshold: Double = 0.5): StreamingQuery =
+    candidates.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // a pair colliding in several bands arrives once per band
+          val pairs = batch.select(col("doc_id").as("id_a"),
+            col("matched_with").as("id_b")).distinct()
+          val store = batch.sparkSession.read
+            .schema("doc_id BIGINT, h BIGINT").parquet(storeDir)
+          graft.operators.Dedup.verifyPairs(pairs, store, threshold)
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
 
   /** One not-yet-closed session interval (event-time micros). */
   final case class OpenInterval(start: Long, end: Long, n: Long)

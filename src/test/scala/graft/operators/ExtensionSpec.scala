@@ -287,6 +287,52 @@ class ExtensionSpec extends SparkSpec {
       expected.exceptAll(twoPhase).count() == 0)
   }
 
+  test("simhash multi-probe banding is EXHAUSTIVE vs the all-pairs hamming<=12 set") {
+    // plain 5x12 banding measured recall 0.35 at hamming <= 12 on this
+    // corpus (differing bits spread over every chunk); the hamming-2
+    // multi-probe guarantees, by pigeonhole, that every such pair
+    // collides in some band. Assert set EQUALITY against the quadratic
+    // all-pairs baseline — the shape the production query exists to
+    // avoid, test-only.
+    val sh = Dedup.simhashes(spark, sf())
+    val a = sh.select($"doc_id".as("id_a"), $"simhash".as("sa"))
+    val b = sh.select($"doc_id".as("id_b"), $"simhash".as("sb"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .filter(expr("cast(bit_count(sa ^ sb) as int)") <= 12)
+      .select("id_a", "id_b")
+    val banded = Dedup.ddSimhash(spark, sf()).select("id_a", "id_b")
+    val nExact = exact.count()
+    val nBanded = banded.count()
+    val hit = banded.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+    graft.Caches.releaseAll()
+    assert(nExact > 0, "corpus must contain hamming<=12 pairs")
+    assert(hit == nBanded, "banded pairs must all satisfy hamming<=12")
+    assert(nBanded == nExact,
+      s"multi-probe banding must be exhaustive: banded $nBanded vs exact $nExact")
+  }
+
+  test("internal-column operators reject inputs that already use reserved names") {
+    val withSalt = spark.range(3).select($"id".as("k"), lit(0).as("__salt"))
+    val clean = spark.range(3).select($"id".as("k"), $"id".as("v"))
+    val e1 = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(withSalt, clean, Seq("k"), saltOn = $"k")
+    }
+    assert(e1.getMessage.contains("__salt"))
+    val withBin = spark.range(3).select($"id".as("p"), lit(0L).as("__bin"))
+    val iv = spark.range(3).select($"id".as("lo"), ($"id" + 1).as("hi"))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(withBin, "p", iv, "lo", "hi", binWidth = 10L)
+    }
+    assert(e2.getMessage.contains("__bin"))
+    val withK = spark.range(3).select($"id".as("t"), $"id".as("__k"))
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(withK, clean.withColumn("t", $"v"), key = "k",
+        leftTime = "t", rightTime = "t", valueCols = Seq("v"),
+        leftTie = "t", rightTie = "v")
+    }
+    assert(e3.getMessage.contains("__k"))
+  }
+
   test("exact dedup collapses identical bodies only") {
     val d = Dedup.ddExact(spark, sf())
     // no two distinct originals share a body; variants differ from sources

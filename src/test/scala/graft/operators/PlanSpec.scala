@@ -40,4 +40,41 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(q9.contains("TakeOrderedAndProject"), "q9 top-k must not global-sort")
   }
+
+  test("co-bucketed lineitem-orders join plans with no Exchange on either side") {
+    // the write-once/join-many co-partitioning SCALING.md relies on:
+    // both facts bucketed on the order key with one bucket count must
+    // sort-merge join straight off the bucketed scans
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toFile
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join planner must consider distribution
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = graft.sources.Tables.lineitem(spark, sf())
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val ord = graft.sources.Tables.orders(spark, sf())
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      val (liB, ordB) = graft.sources.Bucketing.coBucket(spark,
+        li, "li_bucketed", "l_orderkey",
+        ord, "ord_bucketed", "o_orderkey",
+        buckets = 8, basePath = tmp.getAbsolutePath)
+      val joined = liB.join(ordB, liB("l_orderkey") === ordB("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      // and the result is still correct
+      assert(joined.count() === li.count())
+      // contrast: the same join off the raw parquet scans DOES shuffle
+      val unbucketed = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(unbucketed.contains("Exchange"),
+        "sanity: the unbucketed join should plan an Exchange")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
 }

@@ -222,6 +222,46 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((2L, 1L)), s"got $pairs") // doc 3 never flagged; 1 is the rep
   }
 
+  test("streaming near-dup verify emits the exact verified pair, not candidates") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_stream_ndv_").toString
+    val store = JFiles.createTempDirectory("graft_stream_ndv_store_").toString
+    val out = JFiles.createTempDirectory("graft_stream_ndv_out_").toString
+    val ck1 = JFiles.createTempDirectory("graft_stream_ndv_ck1_").toString
+    val ck2 = JFiles.createTempDirectory("graft_stream_ndv_ck2_").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "s")
+        .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP")
+    def stream = spark.readStream.schema(schema).parquet(dir)
+    val storeQ = StreamingPipeline.startShingleStore(stream, store, ck1)
+    val verifyQ = StreamingPipeline.startNearDupVerify(
+      StreamingPipeline.streamingNearDupCandidates(stream), store, out, ck2)
+    try {
+      write(Seq((1L, base, "2024-01-01 10:00:00"),
+        (3L, "completely different words nothing shared here at all with anything",
+          "2024-01-01 10:00:30")))
+      storeQ.processAllAvailable(); verifyQ.processAllAvailable()
+      // batch 2: doc 2 = doc 1 with one word PREPENDED — a true near-dup
+      // (not an exact copy: shingle jaccard 11/12), whose signature
+      // collides with doc 1 in TWO of the four bands, so the verify join
+      // must both compute a real jaccard strictly inside (threshold, 1)
+      // and collapse the two per-band candidate rows into one pair
+      write(Seq((2L, "omega " + base, "2024-01-01 10:05:00")))
+      storeQ.processAllAvailable(); verifyQ.processAllAvailable()
+      val got = spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
+        .parquet(out).as[(Long, Long, Double)].collect()
+      assert(got.map(p => (p._1, p._2)).toSet == Set((2L, 1L)), s"got ${got.toSeq}")
+      // multi-band collisions must collapse to ONE verified row
+      assert(got.length == 1, s"pair emitted once, got ${got.toSeq}")
+      val j = got.head._3
+      assert(j >= 0.5 && j < 1.0, s"jaccard $j should reflect the one-word edit")
+    } finally { storeQ.stop(); verifyQ.stop() }
+  }
+
   test("kafka payload projection keeps the reference shape") {
     val payload = graft.sinks.Sinks.kafkaPayload(Tables.region(spark, sf()))
     assert(payload.columns.toSeq == Seq("value"))

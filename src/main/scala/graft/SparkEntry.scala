@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Parity, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,10 @@ object SparkEntry {
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
     "dd_simhash" -> (Dedup.ddSimhash _),
     "dd_pipeline" -> (Dedup.ddPipeline _),
+    "dd_incremental" -> (Dedup.ddIncremental _),
+    "dd_decontaminate" -> (Dedup.ddDecontaminate _),
+    // Profiling
+    "prof_column_stats" -> (Profiling.profColumnStats _),
     // Similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteForceTopK _),
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
@@ -128,6 +132,9 @@ object SparkEntry {
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
     "dd_simhash" -> Dedup.ddSimhashSql,
     "dd_pipeline" -> Dedup.ddPipelineSql,
+    "dd_incremental" -> Dedup.ddIncrementalSql,
+    "dd_decontaminate" -> Dedup.ddDecontaminateSql,
+    "prof_column_stats" -> Profiling.profColumnStatsSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
     "sim_ivf_topk" -> Similarity.simIvfTopKSql,

@@ -300,16 +300,118 @@ object Dedup {
   def ddPipeline(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairs(graft.Caches.persist(survivors(pipelineCorpus(spark, dir))))
 
-  val ddPipelineSql: String = s"""
-    WITH aug AS ($augmentedSql),
+  /** The `pipe` corpus CTE shared by every pipeline-composition oracle
+    * (mirrors [[pipelineCorpus]]). */
+  private val pipeSql: String = """
     pipe AS (
       SELECT doc_id, text FROM aug
       UNION ALL
       SELECT doc_id + 20000 AS doc_id, text FROM documents
-      WHERE doc_id >= 25 AND doc_id < 50),
+      WHERE doc_id >= 25 AND doc_id < 50)"""
+
+  val ddPipelineSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    $pipeSql,
     keep AS (SELECT min(doc_id) AS doc_id FROM pipe GROUP BY md5(text)),
     surv AS (SELECT p.doc_id, p.text FROM pipe p JOIN keep USING (doc_id)),
     ${lshTailSql("surv")}"""
+
+  // --------------------------------------------- incremental (batch-vs-history)
+
+  /** Incremental exact dedup — the daily-ingest shape: a small new batch
+    * arrives against a huge historical corpus, and HISTORY MUST NOT
+    * SHUFFLE. The plan scans history exactly once against the broadcast
+    * batch-digest set to extract the (tiny, ≤ |batch|) set of digests
+    * that already exist, then anti-joins the batch against that set —
+    * both joins broadcast, the only shuffle is the within-batch
+    * keep-min-doc_id groupBy over batch rows. At 100 TB of history the
+    * cost is one history scan (or far less: a production digest store is
+    * a bucketed table on `digest`, turning the probe into a pruned
+    * merge join — see [[graft.sources.Bucketing]]).
+    *
+    * Returns the batch rows that survive: not an exact copy of any
+    * history doc, and the smallest doc_id among in-batch copies. */
+  def incrementalDedup(history: DataFrame, batch: DataFrame): DataFrame = {
+    val bd = graft.Caches.persist(
+      batch.select(col("doc_id"), md5(col("text")).as("digest")))
+    val matched = history.select(md5(col("text")).as("digest"))
+      .join(broadcast(bd.select(col("digest")).distinct()), Seq("digest"), "left_semi")
+      .distinct()
+    bd.join(broadcast(matched), Seq("digest"), "left_anti")
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: history = the base corpus (doc_id < 10000), batch =
+    * the augmented variants (10xxx, near-dups but not exact copies —
+    * survive) plus the planted exact copies (20xxx — dropped). */
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = pipelineCorpus(spark, dir)
+    incrementalDedup(
+      history = corpus.filter(col("doc_id") < 10000),
+      batch = corpus.filter(col("doc_id") >= 10000))
+  }
+
+  val ddIncrementalSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    $pipeSql,
+    hist AS (SELECT DISTINCT md5(text) AS digest FROM pipe WHERE doc_id < 10000),
+    batch AS (SELECT doc_id, md5(text) AS digest FROM pipe WHERE doc_id >= 10000),
+    fresh AS (SELECT * FROM batch WHERE digest NOT IN (SELECT digest FROM hist))
+    SELECT min(doc_id) AS doc_id, digest FROM fresh
+    GROUP BY digest ORDER BY doc_id"""
+
+  // ------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination — the training-data hygiene op: drop every
+    * corpus document that shares ANY n-gram (hashed shingle) with a
+    * benchmark/eval document, so evaluation data cannot leak into
+    * training data through near-verbatim inclusion. Exact-copy matching
+    * is not enough (a contaminated doc usually embeds the benchmark text
+    * inside other content), hence n-gram overlap, the standard
+    * decontamination predicate.
+    *
+    * Scale shape: the benchmark set is small (thousands of docs) — its
+    * hashed-shingle relation BROADCASTS. One scan of the corpus explodes
+    * shingle hashes (8-byte longs, in-kernel per-doc dedup), a broadcast
+    * semi-join marks contaminated doc_ids, and a broadcast anti-join
+    * keeps the rest. No corpus shuffle at all. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchShingles = shingleRowsOf(benchmark).select(col("h")).distinct()
+    val contaminated = shingleRowsOf(corpus)
+      .join(broadcast(benchShingles), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: benchmark = base docs 25..49 (stand-in eval set);
+    * candidates = the ingest batch (doc_id ≥ 10000). Their variants
+    * (10025..10049) and exact copies (20025..20049) share shingles with
+    * the benchmark and are dropped, along with any batch doc colliding
+    * on a 4-gram of the low-entropy corpus vocabulary — all mirrored
+    * exactly by the oracle. */
+  def ddDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = pipelineCorpus(spark, dir)
+    decontaminate(
+      corpus = corpus.filter(col("doc_id") >= 10000),
+      benchmark = corpus.filter(col("doc_id") >= 25 && col("doc_id") < 50))
+  }
+
+  val ddDecontaminateSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    $pipeSql,
+    bench AS (
+      SELECT DISTINCT h FROM (${shingleRowsSqlOf(
+        "(SELECT * FROM pipe WHERE doc_id >= 25 AND doc_id < 50)")})),
+    batch AS (SELECT doc_id, text FROM pipe WHERE doc_id >= 10000),
+    bs AS (${shingleRowsSqlOf("batch")}),
+    contaminated AS (SELECT DISTINCT doc_id FROM bs JOIN bench USING (h))
+    SELECT doc_id FROM batch
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- SimHash
 
@@ -350,10 +452,13 @@ object Dedup {
     * covers the full hamming ≤ 12 pair set, so the DuckDB oracle is the
     * clean quadratic formulation rather than a banding mirror (recall
     * ≡ 1.0 is asserted against the all-pairs baseline in
-    * `ExtensionSpec`). Probe-side inflation is 79× on a 20-byte
-    * relation — linear in n, the price of exactness; the random-
-    * collision candidate rate rises 79/4096 per band, verified away by
-    * the two-long hamming check. */
+    * `ExtensionSpec`). The price of exactness: probe-side inflation is
+    * 79× on a 20-byte relation (linear in n), and random-collision
+    * candidates carry an n²·(79/4096) term per band — cheap to verify
+    * (two-long bit_count) but real; ScaleProbe measured 5.2× wall-clock
+    * at 10× data. At larger corpora shrink the radius (plain banding is
+    * already exact for hamming < 5 at zero probe cost) or re-split to
+    * fewer, wider chunks (see SCALING.md). */
   val SIM_BANDS = 5
   val SIM_BAND_BITS = 12
   val SIM_PROBE_DIST = 2

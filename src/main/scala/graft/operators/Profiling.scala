@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Column profiling — the data-quality pass every large-scale pipeline
+  * runs before and after a transformation: per-column null counts,
+  * distinct counts, and min/max.
+  *
+  * Shape: one aggregation branch PER COLUMN, unioned. Putting every
+  * column's exact COUNT(DISTINCT) into one aggregation makes Catalyst
+  * plan an Expand — the input multiplies by (distinct columns + 1)
+  * before the shuffle, measured 6.2 s vs 1.0 s at sf0.1 for the union
+  * form. Per column, a single-distinct aggregate plans WITHOUT Expand
+  * (partial agg keyed by the column, then final), each branch's parquet
+  * scan reads exactly ONE column (pruned ReadSchema), and the branches
+  * share nothing — at 100 TB the union reads the same total bytes as a
+  * single all-column scan, shuffles only per-column distinct values,
+  * and parallelizes across the cluster per branch. Exact distinct is
+  * kept because it is DuckDB-oracle-checkable; at 100 TB production
+  * swaps in `approx_count_distinct` — one narrow scan, no distinct
+  * shuffle at all, mergeable HLL sketches (see [[Sketches]]).
+  *
+  * Min/max are computed on the NATIVE type (a string min over numeric
+  * values would be wrong) and cast to string afterwards for a uniform
+  * output schema. No reference counterpart; extension surface. */
+object Profiling {
+
+  /** Profile of `cols` (must exist in `df`; restricted to types whose
+    * string rendering is engine-portable — ints, strings, dates). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    cols.map { c =>
+      df.select(col(c)).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          count_distinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _).orderBy(col("col_name"))
+  }
+
+  private val ProfCols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+
+  /** Gated query: profile four lineitem columns (bigint, int, string,
+    * date — the portable-rendering types). */
+  def profColumnStats(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.lineitem(spark, dir), ProfCols)
+
+  val profColumnStatsSql: String = ProfCols.map { c => s"""
+    SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT $c) AS n_distinct,
+           CAST(MIN($c) AS VARCHAR) AS min_value,
+           CAST(MAX($c) AS VARCHAR) AS max_value
+    FROM lineitem"""
+  }.mkString(" UNION ALL ") + " ORDER BY col_name"
+}

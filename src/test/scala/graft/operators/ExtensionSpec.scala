@@ -311,6 +311,57 @@ class ExtensionSpec extends SparkSpec {
       s"multi-probe banding must be exhaustive: banded $nBanded vs exact $nExact")
   }
 
+  test("incremental dedup drops exact copies of history, keeps near-dup variants") {
+    val inc = Dedup.ddIncremental(spark, sf())
+      .select($"doc_id").as[Long].collect().toSet
+    val variants = Dedup.pipelineCorpus(spark, sf())
+      .filter($"doc_id" >= 10000 && $"doc_id" < 20000)
+      .select($"doc_id").as[Long].collect().toSet
+    graft.Caches.releaseAll()
+    assert(inc.nonEmpty)
+    assert(inc.forall(id => id >= 10000 && id < 20000),
+      s"planted exact copies (2xxxx) must be dropped, got ${inc.filter(_ >= 20000)}")
+    assert(inc == variants, "every near-dup (not exact) variant must survive")
+  }
+
+  test("incremental dedup never shuffles the history side") {
+    val plan = Dedup.ddIncremental(spark, sf()).queryExecution.executedPlan.toString
+    graft.Caches.releaseAll()
+    // Catalyst pushes the history semi-join below the corpus union (one
+    // broadcast join per branch) — the invariant is that NO join
+    // shuffles, not the join count
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"history must join via broadcast, not a shuffle:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected broadcast semi + anti joins:\n$plan")
+  }
+
+  test("decontamination drops every batch doc sharing an n-gram with the benchmark") {
+    val kept = Dedup.ddDecontaminate(spark, sf())
+      .select($"doc_id").as[Long].collect().toSet
+    graft.Caches.releaseAll()
+    (25L until 50L).foreach { b =>
+      assert(!kept.contains(b + 20000), s"exact copy of benchmark doc $b kept")
+      assert(!kept.contains(b + 10000), s"near-dup variant of benchmark doc $b kept")
+    }
+    assert(kept.nonEmpty, "decontamination must not nuke the whole batch")
+  }
+
+  test("column profile equals per-column direct aggregation") {
+    val li = graft.sources.Tables.lineitem(spark, sf())
+    val prof = Profiling.profile(li, Seq("l_orderkey", "l_returnflag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val n = li.count()
+    val ok = li.agg(count_distinct($"l_orderkey"), min($"l_orderkey"), max($"l_orderkey"))
+      .head()
+    assert(prof("l_orderkey") == ((n, 0L, ok.getLong(0),
+      ok.getLong(1).toString, ok.getLong(2).toString)))
+    val rf = li.agg(count_distinct($"l_returnflag"), min($"l_returnflag"), max($"l_returnflag"))
+      .head()
+    assert(prof("l_returnflag") == ((n, 0L, rf.getLong(0), rf.getString(1), rf.getString(2))))
+  }
+
   test("internal-column operators reject inputs that already use reserved names") {
     val withSalt = spark.range(3).select($"id".as("k"), lit(0).as("__salt"))
     val clean = spark.range(3).select($"id".as("k"), $"id".as("v"))

@@ -77,6 +77,36 @@ object StreamingPipeline {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * a (small) static dimension, explicitly broadcast — the classic
+    * ingest-enrichment shape. The dim is read once per micro-batch off
+    * its snapshot (Spark re-plans the static side, so slowly-changing
+    * dims pick up updates between batches); the stream side never
+    * shuffles. `how` = "inner" drops unmatched rows, "left" keeps them
+    * with nulls — both stateless, so no watermark is needed. */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             how: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, how)
+
+  /** Watermarked stream-stream inner join — e.g. click ⋈ purchase per
+    * user within a bounded interval. Both sides buffer state; the TIME
+    * BOUND on the join condition plus the watermarks let Spark evict
+    * buffered rows once they can no longer match (without the bound,
+    * stream-stream state grows forever — the condition is the state-GC
+    * contract, not an optimization). Equi-keys shuffle both streams
+    * once on the key. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       watermarkDelay: String, joinWindow: String): DataFrame = {
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    val r = right.withWatermark(rightTime, watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTime) >= l(leftTime) &&
+        r(rightTime) <= l(leftTime) + expr(s"INTERVAL $joinWindow"))
+      .drop(r(key))
+  }
+
   /** Streaming dedup: drop rows whose `cols` tuple was already seen
     * within the watermark horizon — the ingest-side exact-dedup of a
     * training-data pipeline (state is bounded by the watermark, unlike

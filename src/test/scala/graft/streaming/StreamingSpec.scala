@@ -222,6 +222,63 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((2L, 1L)), s"got $pairs") // doc 3 never flagged; 1 is the rep
   }
 
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_stream_enr_").toString
+    def write(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("event_id", "nationkey").coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((1L, 0L), (2L, 3L)))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, nationkey BIGINT")
+    val dim = Tables.nation(spark, sf())
+      .select($"n_nationkey".as("nationkey"), $"n_name")
+    val enriched = StreamingPipeline.enrich(
+      spark.readStream.schema(schema).parquet(dir), dim, Seq("nationkey"))
+    val q = enriched.writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    q.processAllAvailable()
+    write(Seq((3L, 7L), (4L, 999L))) // 999 has no dim row -> left join null
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched")
+      .select($"event_id", $"n_name").as[(Long, String)].collect().toMap
+    val names = dim.as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> names(0L), 2L -> names(3L), 3L -> names(7L), 4L -> null))
+  }
+
+  test("stream-stream join pairs purchases with clicks inside the window only") {
+    import java.nio.file.{Files => JFiles}
+    val clicksDir = JFiles.createTempDirectory("graft_ss_clicks_").toString
+    val buysDir = JFiles.createTempDirectory("graft_ss_buys_").toString
+    def write(dir: String, idCol: String, tsCol: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("user_id", idCol, "s")
+        .select(col("user_id"), col(idCol), to_timestamp(col("s")).as(tsCol))
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(clicksDir, "click_id", "click_ts", Seq(
+      (1L, 100L, "2024-01-01 10:00:00"),
+      (2L, 200L, "2024-01-01 10:00:00")))
+    write(buysDir, "buy_id", "buy_ts", Seq(
+      (1L, 900L, "2024-01-01 10:20:00"),   // within 1h of click 100 -> joins
+      (2L, 901L, "2024-01-01 12:00:00")))  // 2h after click 200 -> outside window
+    val cs = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, click_id BIGINT, click_ts TIMESTAMP")
+    val bs = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, buy_id BIGINT, buy_ts TIMESTAMP")
+    val joined = StreamingPipeline.streamStreamJoin(
+      spark.readStream.schema(cs).parquet(clicksDir),
+      spark.readStream.schema(bs).parquet(buysDir),
+      key = "user_id", leftTime = "click_ts", rightTime = "buy_ts",
+      watermarkDelay = "0 seconds", joinWindow = "1 HOUR")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").start()
+    q.processAllAvailable()
+    // a second micro-batch delivers a purchase for user 2 inside the window
+    write(buysDir, "buy_id", "buy_ts", Seq((2L, 902L, "2024-01-01 10:30:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join")
+      .select($"click_id", $"buy_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 900L), (200L, 902L)), s"got $got")
+  }
+
   test("streaming near-dup verify emits the exact verified pair, not candidates") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft_stream_ndv_").toString

@@ -90,7 +90,8 @@ final case class SinkConf(
     paths: Seq[String],
     format: String,
     saveMode: String,
-    topic: Option[String] = None)
+    topic: Option[String] = None,
+    partitionBy: Seq[String] = Nil)
 
 object MetadataReader {
 
@@ -111,7 +112,8 @@ object MetadataReader {
   private[config] final case class RawAddField(name: String, function: String)
   private[config] final case class RawSink(
       input: String, name: String, paths: Seq[String],
-      format: String, saveMode: String, topic: Option[String])
+      format: String, saveMode: String, topic: Option[String],
+      partitionBy: Option[Seq[String]])
 
   private val mapper = {
     val m = new ObjectMapper() with ClassTagExtensions
@@ -150,7 +152,8 @@ object MetadataReader {
     val sinks = d.sinks.map { s =>
       require(s.paths.nonEmpty || s.topic.nonEmpty,
         s"dataflow '${d.name}', sink '${s.name}': needs at least one path or a topic")
-      SinkConf(s.input, s.name, s.paths, s.format, s.saveMode, s.topic)
+      SinkConf(s.input, s.name, s.paths, s.format, s.saveMode, s.topic,
+        s.partitionBy.getOrElse(Nil))
     }
     DataflowConf(d.name, d.sources.map(s => SourceConf(s.name, s.path, s.format, s.schema)),
       transforms, sinks)

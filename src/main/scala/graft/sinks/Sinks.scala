@@ -22,11 +22,24 @@ object Sinks {
   def kafkaPayload(df: DataFrame): DataFrame =
     df.select(to_json(struct(col("*"))).as("value"))
 
-  /** Write `df` to every configured path (reference `:122-128`). */
+  /** Write `df` to every configured path (reference `:122-128`).
+    * `sink.partitionBy` lays the output out hive-style
+    * (`col=value/...`): at 100 TB, readers filtering on the partition
+    * column scan ONLY matching directories (partition pruning — the
+    * single biggest read-cost lever for time- or source-partitioned
+    * corpora). When partitioning, repartition by the same columns first
+    * so each partition directory is written by the tasks owning its
+    * rows — otherwise every task writes a file into every directory
+    * (tasks × partitions small files). */
   def writeFiles(df: DataFrame, sink: SinkConf, repartition: Option[Int] = None): Unit = {
-    val out = repartition.fold(df)(df.repartition(_))
+    val out =
+      if (sink.partitionBy.nonEmpty)
+        repartition.fold(df.repartition(sink.partitionBy.map(col): _*))(
+          n => df.repartition(n, sink.partitionBy.map(col): _*))
+      else repartition.fold(df)(df.repartition(_))
     sink.paths.foreach { path =>
-      out.write.mode(sink.saveMode).format(sink.format.toLowerCase)
+      val w = out.write.mode(sink.saveMode).format(sink.format.toLowerCase)
+      (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
         .save(s"$path/${sink.name}")
     }
   }

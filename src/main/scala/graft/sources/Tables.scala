@@ -118,4 +118,16 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** SQL entry point: register every catalog table as a temp view (with
+    * `events` in its converted-timestamp form), so `spark.sql("SELECT …
+    * FROM lineitem …")` works against the same relations the DataFrame
+    * API reads. Views are lazy metadata — registration scans nothing,
+    * and queries through them get the identical Catalyst plans
+    * (pushdown, pruning) as the DataFrame path. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    schemas.keys.filterNot(_ == "events")
+      .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
 }

@@ -362,6 +362,23 @@ class ExtensionSpec extends SparkSpec {
     assert(prof("l_returnflag") == ((n, 0L, rf.getLong(0), rf.getString(1), rf.getString(2))))
   }
 
+  test("spark.sql over registered views equals the DataFrame formulation") {
+    graft.sources.Tables.registerViews(spark, sf())
+    val viaSql = spark.sql("""
+      SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    val viaDf = graft.sources.Tables.lineitem(spark, sf())
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+    // the view path must keep scan pruning: only 2 of 11 lineitem columns read
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>")
+      || plan.contains("ReadSchema: struct<l_returnflag:string,l_quantity:double>"),
+      s"view query must prune the scan:\n$plan")
+  }
+
   test("internal-column operators reject inputs that already use reserved names") {
     val withSalt = spark.range(3).select($"id".as("k"), lit(0).as("__salt"))
     val clean = spark.range(3).select($"id".as("k"), $"id".as("v"))

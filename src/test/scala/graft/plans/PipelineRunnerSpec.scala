@@ -101,6 +101,36 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(ko.select("name").as[String].collect().toSet == Set("Xabier", "Miguel"))
   }
 
+  test("partitioned sink lays out hive-style dirs and reads prune partitions") {
+    val out = Files.createTempDirectory("graft_part_").toString
+    val df = Seq(("ana", "lisbon"), ("bo", "porto"), ("cy", "porto"))
+      .toDF("name", "office")
+    val sink = graft.config.SinkConf("in", "people", Seq(out), "parquet",
+      "overwrite", partitionBy = Seq("office"))
+    graft.sinks.Sinks.writeFiles(df, sink)
+    val dirs = new java.io.File(s"$out/people").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("office=lisbon", "office=porto"),
+      s"expected hive-style partition dirs, got $dirs")
+    val back = spark.read.parquet(s"$out/people")
+    assert(back.count() == 3)
+    // a filter on the partition column must prune at planning time
+    val plan = back.filter($"office" === "porto")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("office"), s"partition filter not pushed:\n$plan")
+    assert(back.filter($"office" === "porto").count() == 2)
+    // and the metadata DSL carries partitionBy through parsing
+    val meta = MetadataReader.parse(s"""{
+      "dataflows": [{
+        "name": "p", "sources": [{"name": "s", "path": "x", "format": "json"}],
+        "transformations": [],
+        "sinks": [{"input": "s", "name": "o", "paths": ["$out/meta"],
+          "format": "parquet", "saveMode": "overwrite",
+          "partitionBy": ["office"]}]}]}""")
+    assert(meta.dataflows.head.sinks.head.partitionBy == Seq("office"))
+  }
+
   test("add_fields sequential semantics: later fields see earlier ones") {
     val df = Seq((2, 3)).toDF("a", "b")
     val out = AddFields(Seq(

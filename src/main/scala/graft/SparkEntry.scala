@@ -75,6 +75,7 @@ object SparkEntry {
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
     "sim_ivf_topk" -> (Similarity.simIvfTopK _),
     "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
+    "sim_quantize" -> (Similarity.simQuantize _),
     // Multimodal
     "mm_extract_features" -> (Multimodal.mmExtractFeatures _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
     "sim_ivf_topk" -> Similarity.simIvfTopKSql,
     "sim_cosine_neardup" -> Similarity.simCosineNearDupSql,
+    "sim_quantize" -> Similarity.simQuantizeSql,
     "mm_extract_features" -> Multimodal.mmExtractFeaturesSql,
     "mm_frame_sample" -> Multimodal.mmFrameSampleSql,
     "mm_resize" -> Multimodal.mmResizeSql,

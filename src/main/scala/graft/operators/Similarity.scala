@@ -364,4 +364,41 @@ object Similarity {
     FROM pairs
     WHERE cosine >= $NEARDUP_THRESHOLD
     ORDER BY id_a, id_b"""
+
+  // ---------------------------------------------------------- quantization
+
+  /** Int8 symmetric scalar quantization of the embedding column — the
+    * storage/bandwidth lever for ANN at scale: a float32 corpus shrinks
+    * 4× (q_i = round(x_i·127/scale), scale = max|x_i| per vector), with
+    * reconstruction error bounded by scale/254 per element. At 100 TB
+    * this is the difference between shipping 4 B and 1 B per dimension
+    * through every shuffle and cache tier of the ANN index build;
+    * re-ranking dequantizes only the final candidates. A narrow per-row
+    * projection — no shuffle.
+    *
+    * Determinism: both engines cast the float element to double BEFORE
+    * the multiply/divide (float-first promotion differs between
+    * engines), and both round half-away-from-zero. Zero vectors
+    * quantize to zeros (guarded — 127/0 would be NULL/NaN). */
+  def simQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("scale",
+        expr("array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("q", expr(
+        """transform(embedding, x ->
+             CASE WHEN scale = 0D THEN 0
+                  ELSE CAST(round(cast(x as double) * 127D / scale) AS INT) END)"""))
+      .select(col("vec_id"), col("scale"), col("q"))
+      .orderBy(col("vec_id"))
+
+  val simQuantizeSql: String = """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings)
+    SELECT vec_id, scale,
+           list_transform(embedding, x ->
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(round(CAST(x AS DOUBLE) * 127 / scale) AS INTEGER) END) AS q
+    FROM s ORDER BY vec_id"""
 }

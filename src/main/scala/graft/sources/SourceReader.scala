@@ -39,4 +39,38 @@ object SourceReader {
       case UnionMode.Positional => dfs.reduce(_ union _)
     }
   }
+
+  /** Malformed-record quarantine for text sources (JSON/CSV): PERMISSIVE
+    * read with a corrupt-record column, split into (good rows, quarantined
+    * raw records). The reference aborts the whole job on one bad line
+    * (schema inference + FAILFAST-equivalent defaults); at 100 TB of
+    * accumulated ingest a single truncated record must not kill the run —
+    * it must land in a quarantine relation with its raw text for triage.
+    *
+    * Both splits filter ONE persisted pass (registered in
+    * [[graft.Caches]] — caller releases); the persist is also a Spark
+    * requirement: a query referencing only the corrupt column is
+    * disallowed on the raw lazy relation. Requires an explicit schema —
+    * quarantine over an inferred schema is meaningless (inference would
+    * adapt to the malformation). */
+  def readWithQuarantine(spark: SparkSession, s: SourceConf): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val fmt = s.format.toLowerCase
+    require(fmt == "json" || fmt == "csv",
+      s"quarantine read supports json/csv, not $fmt (binary formats fail per-file, not per-record)")
+    val ddl = s.schema.getOrElse(throw new IllegalArgumentException(
+      s"source '${s.name}': quarantine read requires an explicit schema"))
+    val corrupt = "_corrupt_record"
+    val schema = StructType.fromDDL(ddl)
+      .add(corrupt, org.apache.spark.sql.types.StringType)
+    val raw = graft.Caches.persist(spark.read.format(fmt)
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .load(s.path))
+    val good = raw.filter(col(corrupt).isNull).drop(corrupt)
+    val quarantined = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_record"))
+    (good, quarantined)
+  }
 }

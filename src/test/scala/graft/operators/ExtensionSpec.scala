@@ -362,6 +362,47 @@ class ExtensionSpec extends SparkSpec {
     assert(prof("l_returnflag") == ((n, 0L, rf.getLong(0), rf.getString(1), rf.getString(2))))
   }
 
+  test("quantized embeddings reconstruct within the int8 error bound") {
+    val q = Similarity.simQuantize(spark, sf())
+    val joined = q.join(graft.sources.Tables.embeddings(spark, sf()), "vec_id")
+      .selectExpr("scale",
+        """array_max(zip_with(q, embedding,
+             (qi, x) -> abs(cast(x as double) - qi * scale / 127D))) AS max_err""")
+      .selectExpr("max(max_err / nullif(scale, 0))").as[Double].head()
+    // half-step of the 254-level grid, plus float slack
+    assert(joined <= 1.0 / 254 + 1e-9, s"reconstruction error $joined")
+    val bounds = q.selectExpr("min(array_min(q))", "max(array_max(q))")
+      .as[(Int, Int)].head()
+    assert(bounds._1 >= -127 && bounds._2 <= 127, s"int8 range violated: $bounds")
+  }
+
+  test("approx-distinct rule rewrites COUNT(DISTINCT) only when the flag is on") {
+    import graft.plans.ApproxDistinctRule
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ ApproxDistinctRule
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sf())
+      def q = li.agg(countDistinct($"l_orderkey").as("n"))
+      spark.conf.set(ApproxDistinctRule.FLAG, "true")
+      val approxPlan = q.queryExecution.optimizedPlan.toString
+      assert(approxPlan.contains("approx_count_distinct"),
+        s"flag on must rewrite to HLL:\n$approxPlan")
+      val approx = q.as[Long].head()
+      val exact = li.select($"l_orderkey").distinct().count()
+      assert(math.abs(approx - exact).toDouble / exact <= 0.1,
+        s"approx $approx vs exact $exact outside HLL error")
+      spark.conf.set(ApproxDistinctRule.FLAG, "false")
+      val exactPlan = q.queryExecution.optimizedPlan.toString
+      assert(!exactPlan.contains("approx_count_distinct"),
+        s"flag off must leave the exact aggregate:\n$exactPlan")
+      assert(q.as[Long].head() == exact)
+    } finally {
+      spark.conf.unset(ApproxDistinctRule.FLAG)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == ApproxDistinctRule)
+    }
+  }
+
   test("spark.sql over registered views equals the DataFrame formulation") {
     graft.sources.Tables.registerViews(spark, sf())
     val viaSql = spark.sql("""

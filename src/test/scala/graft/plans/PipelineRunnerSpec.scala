@@ -131,6 +131,25 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(meta.dataflows.head.sinks.head.partitionBy == Seq("office"))
   }
 
+  test("quarantine read splits malformed records from good rows") {
+    val in = Files.createTempDirectory("graft_q_in_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/mixed.json"),
+      """{"name":"ana","age":31}
+        |{"name":"bo","age":"not-a-number"}
+        |{broken json line
+        |{"name":"cy","age":28}
+        |""".stripMargin)
+    val (good, bad) = graft.sources.SourceReader.readWithQuarantine(spark,
+      graft.config.SourceConf("s", in, "json", Some("name STRING, age BIGINT")))
+    try {
+      assert(good.select($"name").as[String].collect().toSet == Set("ana", "cy"))
+      val raws = bad.select($"raw_record").as[String].collect()
+      assert(raws.length == 2, s"got ${raws.toSeq}")
+      assert(raws.exists(_.contains("not-a-number")), "type mismatch must quarantine")
+      assert(raws.exists(_.contains("broken json")), "syntax error must quarantine")
+    } finally graft.Caches.releaseAll()
+  }
+
   test("add_fields sequential semantics: later fields see earlier ones") {
     val df = Seq((2, 3)).toDF("a", "b")
     val out = AddFields(Seq(

@@ -60,6 +60,7 @@ object SparkEntry {
     "tx_fingerprint" -> (TextAnalysis.txFingerprint _),
     "tx_vocab_topk" -> (TextAnalysis.txVocabTopK _),
     "tx_hash_sample" -> (TextAnalysis.txHashSample _),
+    "tx_redact" -> (TextAnalysis.txRedact _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "tx_fingerprint" -> TextAnalysis.txFingerprintSql,
     "tx_vocab_topk" -> TextAnalysis.txVocabTopKSql,
     "tx_hash_sample" -> TextAnalysis.txHashSampleSql,
+    "tx_redact" -> TextAnalysis.txRedactSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,

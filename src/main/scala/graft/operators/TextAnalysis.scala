@@ -189,4 +189,59 @@ object TextAnalysis {
       FROM documents)
     SELECT doc_id, md5(norm) AS fp_md5, ${Portable.hash60Sql("norm")} AS fp_int60
     FROM n ORDER BY doc_id"""
+
+  /** PII patterns redacted by [[redact]] — RE2-compatible (the syntax
+    * subset Java regex and DuckDB share), applied longest-first so an
+    * email is not half-eaten by a shorter pattern. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[EMAIL]" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "[PHONE]" -> "\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -]?[0-9]{2,4}",
+    "[IP]"    -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** PII redaction — training-data hygiene's scrubber: replace every
+    * email / phone / IP occurrence with a typed placeholder token, at
+    * scan speed (chained codegen'd `regexp_replace`, zero shuffle). At
+    * 100 TB this runs fused into the same projection as the rest of the
+    * text pipeline — no extra pass. */
+  def redact(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (token, re)) =>
+      regexp_replace(acc, lit(re), lit(token))
+    }
+
+  def redactSql(x: String): String =
+    piiPatterns.foldLeft(x) { case (acc, (token, re)) =>
+      s"regexp_replace($acc, '$re', '$token', 'g')"
+    }
+
+  /** Gated query: the corpus carries no real PII (synthetic), so each
+    * doc gets a deterministic contact line appended — the redaction then
+    * has real work to do and the oracle mirrors injection + scrub. */
+  def txRedact(spark: SparkSession, dir: String): DataFrame = {
+    val contact = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com or +1 555 010 2368 at 10.0."),
+      pmod(col("doc_id"), lit(250L)).cast("string"), lit(".25"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), redact(contact).as("clean"))
+      .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+        (col("clean").contains("[EMAIL]") && col("clean").contains("[PHONE]") &&
+          col("clean").contains("[IP]") && !col("clean").contains("@") &&
+          !col("clean").contains("example.com")).as("fully_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txRedactSql: String = s"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 555 010 2368 at 10.0.'
+                  || CAST(doc_id % 250 AS VARCHAR) || '.25' AS t
+      FROM documents),
+    scrubbed AS (SELECT doc_id, ${redactSql("t")} AS clean FROM injected)
+    SELECT doc_id, md5(clean) AS clean_md5,
+           (contains(clean, '[EMAIL]') AND contains(clean, '[PHONE]')
+            AND contains(clean, '[IP]') AND NOT contains(clean, '@')
+            AND NOT contains(clean, 'example.com')) AS fully_redacted
+    FROM scrubbed
+    ORDER BY doc_id"""
 }

@@ -403,6 +403,21 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction scrubs emails, phones, and IPs; leaves clean text alone") {
+    val df = Seq(
+      "mail me at jane.doe+x@corp.example.org today",
+      "call +351 912 345 678 or ping 192.168.1.7",
+      "clean text stays untouched").toDF("text")
+    val out = df.select(TextAnalysis.redact($"text").as("t")).as[String].collect()
+    assert(out(0) == "mail me at [EMAIL] today")
+    assert(out(1) == "call [PHONE] or ping [IP]")
+    assert(out(2) == "clean text stays untouched")
+    // the gated query must report every doc fully redacted
+    val flags = TextAnalysis.txRedact(spark, sf())
+      .select($"fully_redacted").as[Boolean].collect()
+    assert(flags.nonEmpty && flags.forall(identity), "un-redacted PII survived")
+  }
+
   test("spark.sql over registered views equals the DataFrame formulation") {
     graft.sources.Tables.registerViews(spark, sf())
     val viaSql = spark.sql("""

@@ -319,6 +319,40 @@ class StreamingSpec extends SparkSpec {
     } finally { storeQ.stop(); verifyQ.stop() }
   }
 
+  test("sessionization runs on the RocksDB state store provider") {
+    // HDFS-backed (default) state lives on the executor HEAP — at 100 TB
+    // of keyed state that is an OOM; RocksDB spills state to local disk
+    // and is the production provider. Same query, same results.
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_rocks_").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("user_id", "s").select(col("user_id"), to_timestamp(col("s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((5L, "2024-01-01 10:00:00"), (5L, "2024-01-01 10:10:00")))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("user_id BIGINT, ts TIMESTAMP")
+      val q = StreamingPipeline.sessionize(spark,
+          spark.readStream.schema(schema).parquet(dir), watermarkDelay = "1 hour")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rocks_sessions").start()
+      q.processAllAvailable()
+      write(Seq((6L, "2024-01-02 12:00:00"))) // clock event closes user 5
+      q.processAllAvailable(); q.stop()
+      def us(s: String): Long = java.sql.Timestamp.valueOf(s).getTime * 1000L
+      val got = spark.table("rocks_sessions").filter($"user_id" === 5L)
+        .select($"session_start", $"session_end", $"n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"), 2L)),
+        s"got $got")
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("kafka payload projection keeps the reference shape") {
     val payload = graft.sinks.Sinks.kafkaPayload(Tables.region(spark, sf()))
     assert(payload.columns.toSeq == Seq("value"))

@@ -69,6 +69,7 @@ object SparkEntry {
     "dd_pipeline" -> (Dedup.ddPipeline _),
     "dd_incremental" -> (Dedup.ddIncremental _),
     "dd_decontaminate" -> (Dedup.ddDecontaminate _),
+    "dd_curate" -> (Dedup.ddCurate _),
     // Profiling
     "prof_column_stats" -> (Profiling.profColumnStats _),
     // Similarity search
@@ -137,6 +138,7 @@ object SparkEntry {
     "dd_pipeline" -> Dedup.ddPipelineSql,
     "dd_incremental" -> Dedup.ddIncrementalSql,
     "dd_decontaminate" -> Dedup.ddDecontaminateSql,
+    "dd_curate" -> Dedup.ddCurateSql,
     "prof_column_stats" -> Profiling.profColumnStatsSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,

@@ -229,10 +229,11 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** CTE chain + final select of the LSH stage, over the named corpus
-    * CTE — shared verbatim by [[ddMinhashLshSql]] and [[ddPipelineSql]]
-    * so the composed oracle IS the unit oracle with a different input. */
-  private def lshTailSql(corpus: String): String = {
+  /** CTE chain of the LSH stage over the named corpus CTE, ending in a
+    * `lsh_pairs` CTE — shared verbatim by [[ddMinhashLshSql]],
+    * [[ddPipelineSql]] and [[ddCurateSql]] so every composed oracle IS
+    * the unit oracle with a different input. */
+  private def lshCtesSql(corpus: String): String = {
     val bandSelects = (0 until BANDS).map { bnd =>
       val sig = (bnd * R until (bnd + 1) * R).map(k => s"mh_$k").mkString(" || '_' || ")
       s"SELECT doc_id, $bnd AS band, $sig AS sig FROM sigs"
@@ -251,15 +252,19 @@ object Dedup {
       FROM candidates c
       JOIN s sa ON sa.doc_id = c.id_a
       JOIN s sb ON sb.doc_id = c.id_b AND sb.h = sa.h
-      GROUP BY id_a, id_b)
-    SELECT id_a, id_b,
-           CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) AS jaccard
-    FROM common
-    JOIN sizes na ON na.doc_id = id_a
-    JOIN sizes nb ON nb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) >= 0.5
-    ORDER BY id_a, id_b"""
+      GROUP BY id_a, id_b),
+    lsh_pairs AS (
+      SELECT id_a, id_b,
+             CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) AS jaccard
+      FROM common
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) >= 0.5)"""
   }
+
+  private def lshTailSql(corpus: String): String = s"""${lshCtesSql(corpus)}
+    SELECT id_a, id_b, jaccard FROM lsh_pairs
+    ORDER BY id_a, id_b"""
 
   val ddMinhashLshSql: String = s"""
     WITH aug AS ($augmentedSql),
@@ -383,8 +388,6 @@ object Dedup {
       .join(broadcast(benchShingles), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
     corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** Gated query: benchmark = base docs 25..49 (stand-in eval set);
@@ -398,6 +401,8 @@ object Dedup {
     decontaminate(
       corpus = corpus.filter(col("doc_id") >= 10000),
       benchmark = corpus.filter(col("doc_id") >= 25 && col("doc_id") < 50))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
   }
 
   val ddDecontaminateSql: String = s"""
@@ -411,6 +416,68 @@ object Dedup {
     contaminated AS (SELECT DISTINCT doc_id FROM bs JOIN bench USING (h))
     SELECT doc_id FROM batch
     WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id"""
+
+  // ------------------------------------------------------ curation pipeline
+
+  /** Minimum whitespace-token count for the curation quality gate. */
+  val CurateMinWords = 20
+
+  /** The END-TO-END training-data curation pipeline — every gated family
+    * composed in production order, as one plan:
+    *
+    *  1. QUALITY GATE (token-count floor) first: a narrow projection, so
+    *     the cheapest filter runs before anything that shuffles.
+    *  2. EXACT dedup (digest groupBy): removes copy clusters BEFORE
+    *     near-dup, whose output is otherwise quadratic in cluster size.
+    *  3. DECONTAMINATION against the benchmark/eval set — broadcast-only;
+    *     note the benchmark docs themselves leave the corpus here (they
+    *     trivially share every shingle with themselves), which is exactly
+    *     eval-set removal.
+    *  4. NEAR-DUP removal: verified MinHash-LSH pairs, drop the larger
+    *     doc_id of each pair (greedy keep-first — transitive chains
+    *     collapse to their smallest id).
+    *  5. PII REDACTION over the survivors' text, fused into the final
+    *     projection.
+    *
+    * Output: (doc_id, clean_md5) of the curated corpus. The DuckDB
+    * oracle mirrors every stage, so the whole composition — not just the
+    * pieces — is hash-checked. */
+  def ddCurate(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = pipelineCorpus(spark, dir)
+    val benchmark = corpus.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+    val quality = corpus.filter(
+      size(Portable.words(col("text"))) >= CurateMinWords)
+    val clean = graft.Caches.persist(
+      decontaminate(survivors(quality), benchmark))
+    val dropIds = minhashLshPairs(clean)
+      .select(col("id_b").as("doc_id")).distinct()
+    clean.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        md5(TextAnalysis.redact(col("text"))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddCurateSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    $pipeSql,
+    q AS (
+      SELECT doc_id, text FROM pipe
+      WHERE len(string_split(text, ' ')) >= $CurateMinWords),
+    keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    surv AS (SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)),
+    bench AS (
+      SELECT DISTINCT h FROM (${shingleRowsSqlOf(
+        "(SELECT * FROM pipe WHERE doc_id >= 25 AND doc_id < 50)")})),
+    ss AS (${shingleRowsSqlOf("surv")}),
+    contaminated AS (SELECT DISTINCT doc_id FROM ss JOIN bench USING (h)),
+    cleanc AS (
+      SELECT * FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    ${lshCtesSql("cleanc")}
+    SELECT doc_id, md5(${TextAnalysis.redactSql("text")}) AS clean_md5
+    FROM cleanc
+    WHERE doc_id NOT IN (SELECT id_b FROM lsh_pairs)
     ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- SimHash

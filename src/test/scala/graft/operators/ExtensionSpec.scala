@@ -347,6 +347,30 @@ class ExtensionSpec extends SparkSpec {
     assert(kept.nonEmpty, "decontamination must not nuke the whole batch")
   }
 
+  test("curation pipeline removes copies, benchmark overlap, and near-dup variants") {
+    val curated = Dedup.ddCurate(spark, sf())
+      .select($"doc_id").as[Long].collect().toSet
+    graft.Caches.releaseAll()
+    assert(curated.nonEmpty)
+    // planted exact copies (2xxxx) die at exact dedup; benchmark docs
+    // (25..49) and anything sharing their shingles die at decontamination
+    assert(curated.forall(_ < 20000), s"exact copies survived: ${curated.filter(_ >= 20000)}")
+    assert((25L until 50L).forall(!curated.contains(_)),
+      "benchmark docs must leave the corpus during decontamination")
+    // near-dup removal drops the larger id of every pair the LSH stage
+    // VERIFIES (jaccard >= 0.5). A variant may survive alongside its
+    // original only when the pair itself is below threshold / missed by
+    // banding — i.e. exactly when it is absent from the unit LSH query's
+    // own pair set over the same document universe
+    val lshPairs = Dedup.ddMinhashLsh(spark, sf())
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    graft.Caches.releaseAll()
+    val bothSurvived = curated.filter(id => id >= 10000 && curated.contains(id - 10000))
+    val flaggedButKept = bothSurvived.filter(id => lshPairs.contains((id - 10000, id)))
+    assert(flaggedButKept.isEmpty,
+      s"LSH flagged these pairs yet both sides survived curation: $flaggedButKept")
+  }
+
   test("column profile equals per-column direct aggregation") {
     val li = graft.sources.Tables.lineitem(spark, sf())
     val prof = Profiling.profile(li, Seq("l_orderkey", "l_returnflag"))

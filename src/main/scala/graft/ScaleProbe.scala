@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
 object ScaleProbe {
   private val Probes = Seq(
     "dd_exact", "dd_minhash_lsh", "dd_simhash",
+    "dd_pipeline", "dd_incremental", "dd_decontaminate", "dd_curate",
     "sim_lsh_topk", "sim_ivf_topk", "sim_cosine_neardup", "tx_token_stats")
 
   def main(args: Array[String]): Unit = {

@@ -371,6 +371,17 @@ class ExtensionSpec extends SparkSpec {
       s"LSH flagged these pairs yet both sides survived curation: $flaggedButKept")
   }
 
+  test("column profile counts nulls (lineitem has none — use planted data)") {
+    val df = Seq(
+      (Some("a"), Some(1L)), (None, Some(2L)), (Some("a"), None), (None, None))
+      .toDF("s", "n")
+    val prof = Profiling.profile(df, Seq("s", "n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(prof("s") == ((4L, 2L, 1L, "a", "a")))
+    assert(prof("n") == ((4L, 2L, 2L, "1", "2")))
+  }
+
   test("column profile equals per-column direct aggregation") {
     val li = graft.sources.Tables.lineitem(spark, sf())
     val prof = Profiling.profile(li, Seq("l_orderkey", "l_returnflag"))

@@ -131,6 +131,27 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(meta.dataflows.head.sinks.head.partitionBy == Seq("office"))
   }
 
+  test("csv source reads through the format registry with explicit schema") {
+    val in = Files.createTempDirectory("graft_csv_in_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/people.csv"),
+      "ana,31,lisbon\nbo,44,porto\n")
+    val df = graft.sources.SourceReader.readOne(spark,
+      graft.config.SourceConf("s", in, "csv", Some("name STRING, age BIGINT, office STRING")))
+    assert(df.schema.fieldNames.toSeq == Seq("name", "age", "office"))
+    assert(df.orderBy($"name").as[(String, Long, String)].collect().toSeq ==
+      Seq(("ana", 31L, "lisbon"), ("bo", 44L, "porto")))
+    // and a csv source unions by name with a json source (schema drift safe)
+    val jin = Files.createTempDirectory("graft_csv_jin_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$jin/p.json"),
+      """{"name":"cy","office":"faro"}""" + "\n")
+    val both = graft.sources.SourceReader.read(spark, Seq(
+      graft.config.SourceConf("c", in, "csv", Some("name STRING, age BIGINT, office STRING")),
+      graft.config.SourceConf("j", jin, "json", Some("name STRING, office STRING"))))
+    assert(both.count() == 3)
+    assert(both.filter($"name" === "cy").select($"age").head().isNullAt(0),
+      "missing csv column must null-fill for the json source")
+  }
+
   test("quarantine read splits malformed records from good rows") {
     val in = Files.createTempDirectory("graft_q_in_").toString
     Files.writeString(java.nio.file.Paths.get(s"$in/mixed.json"),

@@ -66,6 +66,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
     "dd_simhash" -> (Dedup.ddSimhash _),
+    "dd_simhash_r4" -> (Dedup.ddSimhashR4 _),
     "dd_pipeline" -> (Dedup.ddPipeline _),
     "dd_incremental" -> (Dedup.ddIncremental _),
     "dd_decontaminate" -> (Dedup.ddDecontaminate _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
     "dd_simhash" -> Dedup.ddSimhashSql,
+    "dd_simhash_r4" -> Dedup.ddSimhashR4Sql,
     "dd_pipeline" -> Dedup.ddPipelineSql,
     "dd_incremental" -> Dedup.ddIncrementalSql,
     "dd_decontaminate" -> Dedup.ddDecontaminateSql,

@@ -530,23 +530,28 @@ object Dedup {
   val SIM_BAND_BITS = 12
   val SIM_PROBE_DIST = 2
 
-  /** XOR masks enumerating the hamming ≤ [[SIM_PROBE_DIST]] neighborhood
-    * of a 12-bit chunk (79 masks; distinct masks give distinct probes,
-    * so no within-band double-count). */
-  private val simProbeMasks: Seq[Long] = {
+  /** XOR masks enumerating the hamming ≤ `dist` neighborhood of a
+    * 12-bit chunk (dist 0 → 1 mask, 1 → 13, 2 → 79; distinct masks give
+    * distinct probes, so no within-band double-count). */
+  private def probeMasks(dist: Int): Seq[Long] = {
+    require(dist >= 0 && dist <= SIM_PROBE_DIST, s"probe distance $dist unsupported")
     val singles = (0 until SIM_BAND_BITS).map(1L << _).map(_.toLong)
     val doubles = for {
       i <- 0 until SIM_BAND_BITS; j <- i + 1 until SIM_BAND_BITS
     } yield (1L << i) | (1L << j)
-    0L +: (singles ++ doubles)
+    0L +: (Seq(singles, doubles).take(dist).flatten)
   }
 
-  /** SimHash near-dup pairs: EXACTLY the pairs at Hamming distance ≤ 12
-    * of the 60-bit signatures; candidate generation by 5×12-bit banding
-    * with hamming-2 multi-probe (see above — exhaustive by pigeonhole).
-    * Shuffle cost O(docs·SIM_BANDS·79) over a narrow relation, never
-    * O(docs²). */
-  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+  /** EXACTLY the signature pairs at Hamming distance ≤ `radius`, by
+    * 5×12-bit banding with hamming-⌊radius/5⌋ multi-probe — exhaustive
+    * by pigeonhole for any radius (< 5 needs zero probes, ≤ 9 one-bit
+    * probes ×13, ≤ 14 two-bit probes ×79). The RADIUS IS THE COST KNOB:
+    * the random-candidate term is n²·(probes/2^12) per band, so
+    * tightening the radius at bigger corpora (or re-splitting to wider
+    * chunks) holds candidate density — see SCALING.md. Shuffle cost
+    * O(docs·SIM_BANDS·probes) over a narrow relation, never O(docs²). */
+  def simhashPairs(spark: SparkSession, dir: String, radius: Int): DataFrame = {
+    val masks = probeMasks(radius / SIM_BANDS)
     val chunks = (0 until SIM_BANDS).map(bnd =>
       shiftright(col("simhash"), bnd * SIM_BAND_BITS)
         .bitwiseAND(lit((1L << SIM_BAND_BITS) - 1)))
@@ -555,26 +560,37 @@ object Dedup {
     val banded = graft.Caches.persist(simhashes(spark, dir)
       .select(col("doc_id"), col("simhash"),
         posexplode(array(chunks: _*)).as(Seq("band", "chunk"))))
-    // probe side: every chunk value within hamming SIM_PROBE_DIST
+    // probe side: every chunk value within hamming ⌊radius/5⌋
     val probed = banded.select(col("doc_id"), col("simhash"), col("band"),
-      explode(array(simProbeMasks.map(m =>
+      explode(array(masks.map(m =>
         col("chunk").bitwiseXOR(lit(m))): _*)).as("chunk"))
     val a = probed.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming",
         expr("cast(bit_count(a.simhash ^ b.simhash) as int)"))
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= radius)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("hamming"))
       .distinct() // a pair can collide in several (band, probe) cells
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Multi-probe banding is recall-exhaustive at hamming ≤ 12, so the
-    * oracle states the SEMANTICS (all pairs within hamming 12), not the
-    * plan — DuckDB's quadratic join and Spark's probed equi-join must
-    * produce identical pair sets. */
-  val ddSimhashSql: String = s"""
+  /** Gated: the loose radius (12) — two-bit probes. */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir, radius = 12)
+
+  /** Gated: the tight radius (4) — plain banding, ZERO probe inflation
+    * (pigeonhole: 4 differing bits cannot touch all 5 chunks). The
+    * config a 100× corpus runs when the loose radius's n² random-
+    * candidate term bites. */
+  def ddSimhashR4(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, dir, radius = 4)
+
+  /** Multi-probe banding is recall-exhaustive at the given radius, so
+    * the oracle states the SEMANTICS (all pairs within hamming radius),
+    * not the plan — DuckDB's quadratic join and Spark's probed
+    * equi-join must produce identical pair sets. */
+  private def simhashPairsSql(radius: Int): String = s"""
     WITH aug AS ($augmentedSql),
     toks AS (
       SELECT doc_id, ${Portable.hash60Sql("tok")} AS h
@@ -584,6 +600,9 @@ object Dedup {
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM sh a JOIN sh b
       ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= $radius
     ORDER BY id_a, id_b"""
+
+  val ddSimhashSql: String = simhashPairsSql(12)
+  val ddSimhashR4Sql: String = simhashPairsSql(4)
 }

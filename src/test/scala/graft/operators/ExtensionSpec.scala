@@ -309,6 +309,13 @@ class ExtensionSpec extends SparkSpec {
     assert(hit == nBanded, "banded pairs must all satisfy hamming<=12")
     assert(nBanded == nExact,
       s"multi-probe banding must be exhaustive: banded $nBanded vs exact $nExact")
+    // the tight radius is exhaustive with ZERO probes (pigeonhole at r<5)
+    val exact4 = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .filter(expr("cast(bit_count(sa ^ sb) as int)") <= 4).count()
+    val banded4 = Dedup.ddSimhashR4(spark, sf()).count()
+    graft.Caches.releaseAll()
+    assert(banded4 == exact4,
+      s"plain banding must be exhaustive at radius 4: $banded4 vs $exact4")
   }
 
   test("incremental dedup drops exact copies of history, keeps near-dup variants") {

@@ -50,6 +50,9 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       val runs = (1 to 3).map { _ =>
+        // elapsed captured BEFORE the inter-run release: the blocking
+        // unpersist is hygiene, not query work, and must not inflate
+        // cache-heavy queries' timings
         val t0 = System.nanoTime()
         val ok =
           try { force(fn(spark, sfDir)); true }
@@ -57,8 +60,9 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-          finally Caches.releaseAll(blocking = true)
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        Caches.releaseAll(blocking = true)
+        (elapsed, ok)
       }
       name -> (if (runs.forall(_._2)) Some(runs.map(_._1).min) else None)
     }

@@ -56,13 +56,19 @@ object PipelineApp {
     if (streaming) {
       val ckpt = checkpoint.getOrElse(
         throw new IllegalArgumentException("--streaming requires --checkpoint <dir>"))
-      meta.dataflows.map { df =>
+      // validate EVERY dataflow before starting ANY query: a failure on
+      // dataflow N after dataflow 1..N-1 started would leave running,
+      // checkpointed queries the caller has no handle to stop
+      val validated = meta.dataflows.map { df =>
         require(df.sources.size == 1,
           s"streaming dataflow '${df.name}' must have exactly one source")
         val s = df.sources.head
         val schema = s.schema.map(org.apache.spark.sql.types.StructType.fromDDL)
           .getOrElse(throw new IllegalArgumentException(
             s"streaming source '${s.name}' requires an explicit schema"))
+        (df, s, schema)
+      }
+      validated.map { case (df, s, schema) =>
         val source = StreamingPipeline.fileSource(spark, s.path, s.format, schema)
         StreamingPipeline.runDataflow(source, df, s"$ckpt/${df.name}", kafka)
       }

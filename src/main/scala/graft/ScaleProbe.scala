@@ -27,10 +27,14 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     def timed(df: => org.apache.spark.sql.DataFrame): Double = {
+      // release happens OUTSIDE the measured window — a blocking
+      // unpersist of ~N× more blocks at the big corpus would otherwise
+      // inflate exactly the growth ratios this probe exists to measure
       val t0 = System.nanoTime()
-      try df.write.mode("overwrite").format("noop").save()
-      finally Caches.releaseAll()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally Caches.releaseAll()
     }
     def time(name: String, dir: String): Double =
       timed(SparkEntry.queries(name)(spark, dir))

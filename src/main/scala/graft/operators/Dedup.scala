@@ -387,7 +387,12 @@ object Dedup {
     val contaminated = shingleRowsOf(corpus)
       .join(broadcast(benchShingles), Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
-    corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // NO broadcast hint on the contaminated set: it is bounded by the
+    // CORPUS, not the benchmark — widely-syndicated benchmark text (the
+    // common real contamination mode) can mark a large id set, and a
+    // forced broadcast would OOM the driver. AQE broadcasts it when it
+    // is actually small and shuffles otherwise.
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   /** Gated query: benchmark = base docs 25..49 (stand-in eval set);
@@ -434,9 +439,13 @@ object Dedup {
     *     note the benchmark docs themselves leave the corpus here (they
     *     trivially share every shingle with themselves), which is exactly
     *     eval-set removal.
-    *  4. NEAR-DUP removal: verified MinHash-LSH pairs, drop the larger
-    *     doc_id of each pair (greedy keep-first — transitive chains
-    *     collapse to their smallest id).
+    *  4. NEAR-DUP removal: verified MinHash-LSH pairs, drop EVERY doc
+    *     that appears as the larger side of any verified pair. Slightly
+    *     more aggressive than sequential greedy keep-first on chains —
+    *     for pairs (a,b),(b,c) with no (a,c), greedy would keep c once
+    *     b is gone, this drops both b and c. The set-based form is the
+    *     one that distributes (no sequential pass over pairs), and
+    *     over-removal is the safe direction for training data.
     *  5. PII REDACTION over the survivors' text, fused into the final
     *     projection.
     *
@@ -450,9 +459,11 @@ object Dedup {
       size(Portable.words(col("text"))) >= CurateMinWords)
     val clean = graft.Caches.persist(
       decontaminate(survivors(quality), benchmark))
+    // no broadcast hint: the drop set scales with near-dup density, not
+    // a fixed small relation — AQE decides (see decontaminate)
     val dropIds = minhashLshPairs(clean)
       .select(col("id_b").as("doc_id")).distinct()
-    clean.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+    clean.join(dropIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         md5(TextAnalysis.redact(col("text"))).as("clean_md5"))
       .orderBy(col("doc_id"))

@@ -309,8 +309,9 @@ class StreamingSpec extends SparkSpec {
       // and collapse the two per-band candidate rows into one pair
       write(Seq((2L, "omega " + base, "2024-01-01 10:05:00")))
       storeQ.processAllAvailable(); verifyQ.processAllAvailable()
-      val got = spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
-        .parquet(out).as[(Long, Long, Double)].collect()
+      // output is batch=<id>-partitioned (idempotent per-batch overwrite)
+      val got = spark.read.parquet(out)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
       assert(got.map(p => (p._1, p._2)).toSet == Set((2L, 1L)), s"got ${got.toSeq}")
       // multi-band collisions must collapse to ONE verified row
       assert(got.length == 1, s"pair emitted once, got ${got.toSeq}")

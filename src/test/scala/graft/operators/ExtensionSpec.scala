@@ -460,6 +460,21 @@ class ExtensionSpec extends SparkSpec {
     assert(flags.nonEmpty && flags.forall(identity), "un-redacted PII survived")
   }
 
+  test("native session_window equals the lag-based q19 sessionization") {
+    // prefer-builtins check: Spark's session_window (gap-close semantics
+    // differ only at EXACTLY-gap boundaries, absent in this data) must
+    // reproduce the windowed-lag formulation the oracle checks
+    val sw = graft.sources.Tables.events(spark, sf())
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("sw_sessions"), sum($"n").as("sw_events"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val q19 = Relational.q19UserSessions(spark, sf())
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sw == q19)
+  }
+
   test("spark.sql over registered views equals the DataFrame formulation") {
     graft.sources.Tables.registerViews(spark, sf())
     val viaSql = spark.sql("""

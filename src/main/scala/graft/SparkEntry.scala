@@ -53,6 +53,7 @@ object SparkEntry {
     "q24_overlapping_order_windows" -> (RangeJoin.q24OverlappingOrderWindows _),
     "q25_event_gaps" -> (Relational.q25EventGaps _),
     "q26_cube_region_nation" -> (Relational.q26CubeRegionNation _),
+    "q27_order_line_arrays" -> (Relational.q27OrderLineArrays _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "q24_overlapping_order_windows" -> RangeJoin.q24OverlappingOrderWindowsSql,
     "q25_event_gaps" -> Relational.q25EventGapsSql,
     "q26_cube_region_nation" -> Relational.q26CubeRegionNationSql,
+    "q27_order_line_arrays" -> Relational.q27OrderLineArraysSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,

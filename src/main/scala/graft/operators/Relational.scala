@@ -540,4 +540,28 @@ object Relational {
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY CUBE (r_name, n_name)
     ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+
+  /** Array aggregation, DETERMINISTICALLY: `collect_list`'s element
+    * order is whatever the distributed reduction produced — at 1000
+    * executors it differs run to run, which both breaks the oracle
+    * compare and makes any downstream consumer of the array
+    * order-sensitive by accident. `sort_array` on the aggregated result
+    * pins it; per-group arrays stay bounded (lines per order ≤ 7) so no
+    * unbounded-group blowup. */
+  def q27OrderLineArrays(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(pmod(col("l_orderkey"), lit(1000)) === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("line_numbers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_orderkey"))
+
+  val q27OrderLineArraysSql: String = """
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS line_numbers,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey % 1000 = 0
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey"""
 }

@@ -13,7 +13,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * DuckDB oracle ([[Portable.cosineSql]]). */
 object CosineKernel {
   def compute(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail loudly on a truncated/corrupt embedding — silently folding
+    // over min(len) would rank the corrupt vector with a plausible
+    // cosine (and diverge from the fixed-dim oracle formulation)
+    require(y.numElements() == n,
+      s"embedding length mismatch: $n vs ${y.numElements()}")
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {

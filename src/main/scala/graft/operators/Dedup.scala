@@ -104,18 +104,29 @@ object Dedup {
     * against, not the 100 TB path. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val s = shingleRows(spark, dir)
-    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = s.as("a"); val b = s.as("b")
     val common = a.join(b, col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
+    jaccardFinalize(common, s, threshold = 0.5)
+  }
+
+  /** Shared jaccard finalize: join per-doc shingle counts onto an
+    * (id_a, id_b, n_common) relation, compute jaccard, threshold, and
+    * order — ONE definition of the jaccard arithmetic for the exact
+    * baseline, the LSH verify, and the streaming verify (a change to
+    * the formula applied to one copy would silently diverge the
+    * baseline from the paths it validates). */
+  private def jaccardFinalize(common: DataFrame, s: DataFrame,
+                              threshold: Double): DataFrame = {
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     common
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -212,21 +223,13 @@ object Dedup {
     * ([[graft.streaming.StreamingPipeline.startNearDupVerify]]). */
   def verifyPairs(candidates: DataFrame, s: DataFrame,
                   threshold: Double = 0.5): DataFrame = {
-    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val common = candidates
       .join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
       .join(s.withColumnRenamed("doc_id", "id_b").withColumnRenamed("h", "h_b"), "id_b")
       .filter(col("h") === col("h_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+    jaccardFinalize(common, s, threshold)
   }
 
   /** CTE chain of the LSH stage over the named corpus CTE, ending in a

@@ -52,7 +52,10 @@ object Multimodal {
       // parsed header; deterministic so the oracle can replicate
       val width = 16L * (1L + n % 64L)
       val height = 16L * (1L + n % 48L)
-      val frames = n / FrameBytes + 1L
+      // ceil(n / FrameBytes): `n/FB + 1` over-counted by one whenever n
+      // was an exact multiple — disagreeing with mmFrameSample's frame
+      // enumeration for the same payload
+      val frames = if (n == 0L) 0L else (n - 1L) / FrameBytes + 1L
       val head = if (row.payload.isEmpty) "" else new String(row.payload, 0, 1, "UTF-8")
       MediaFeatures(row.doc_id, row.kind, n, frames, width, height, head)
     }
@@ -76,7 +79,8 @@ object Multimodal {
     SELECT doc_id,
            ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
            octet_length(encode(text)) AS n_bytes,
-           octet_length(encode(text)) // 256 + 1 AS n_frames,
+           CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                ELSE (octet_length(encode(text)) - 1) // 256 + 1 END AS n_frames,
            16 * (1 + octet_length(encode(text)) % 64) AS width,
            16 * (1 + octet_length(encode(text)) % 48) AS height,
            substring(text, 1, 1) AS head_char
@@ -139,6 +143,10 @@ object Multimodal {
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(3)) === 2) // the "video" rows
+      // an empty payload has NO frames; without this guard Spark's
+      // truncating `div` emits frame 0 while DuckDB's flooring `//`
+      // emits none — a latent oracle divergence
+      .filter(length(col("text")) > 0)
     docs
       .withColumn("last_frame", expr(s"cast((length(text) - 1) div $FrameBytes as bigint)"))
       .select(col("doc_id"), col("text"),
@@ -155,6 +163,6 @@ object Multimodal {
            md5(substring(text, (frame_idx * $FrameBytes + 1)::INT, $FrameBytes)) AS frame_digest
     FROM (
       SELECT doc_id, text, unnest(range(0, (length(text) - 1) // $FrameBytes + 1)) AS frame_idx
-      FROM documents WHERE doc_id % 3 = 2)
+      FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0)
     ORDER BY doc_id, frame_idx"""
 }

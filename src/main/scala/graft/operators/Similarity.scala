@@ -217,9 +217,11 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("centroid_id"))
-    val sim = e.crossJoin(broadcast(cent))
+    // persisted: the corpus × codebook distance pass (the dominant cost)
+    // feeds BOTH the assignment and the probe branches
+    val sim = graft.Caches.persist(e.crossJoin(broadcast(cent))
       .withColumn("csim", Portable.cosine(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(wCell))
+      .withColumn("rn", row_number().over(wCell)))
     val assign = sim.filter(col("rn") === 1)
       .select(col("vec_id").as("neighbor_id"), col("centroid_id").as("cid"))
     val probes = sim.filter(col("vec_id") < QuerySetSize && col("rn") <= IVF_NPROBE)
@@ -301,6 +303,11 @@ object Similarity {
     require(corpusRows > 0, "empty corpus")
     val needed = math.ceil(
       math.log(corpusRows.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    // bucket ids pack one bit per plane into an Int — beyond 32 planes
+    // `1 << i` wraps and planes alias silently. Fail loudly: at that
+    // corpus size raise the target occupancy (and table count) instead.
+    require(needed <= 32,
+      s"autoPlanes($corpusRows) needs $needed planes > 32 — raise targetOccupancy/tables")
     math.max(NEARDUP_PLANES, needed)
   }
 

@@ -58,13 +58,17 @@ object TextAnalysis {
     FROM documents ORDER BY doc_id"""
 
   /** Stopword-profile language ID: score each language's profile regex,
-    * argmax with a fixed alphabetical tie-break. */
+    * argmax with a fixed alphabetical tie-break; 'und' when NO profile
+    * matched at all (m = 0 — without the guard the argmax chain would
+    * label every out-of-profile document with the alphabetically first
+    * language, since some score always equals a zero max). */
   def txLangId(spark: SparkSession, dir: String): DataFrame = {
     val scores = langProfiles.map { case (l, re) => scoreCol(re).as(s"s_$l") }
     val m = greatest(langProfiles.map { case (l, _) => col(s"s_$l") }: _*)
-    val predicted = langProfiles.foldRight(lit("und")) { case ((l, _), elze) =>
-      when(col(s"s_$l") === col("m"), lit(l)).otherwise(elze)
-    }
+    val predicted = when(col("m") === 0, lit("und")).otherwise(
+      langProfiles.foldRight(lit("und")) { case ((l, _), elze) =>
+        when(col(s"s_$l") === col("m"), lit(l)).otherwise(elze)
+      })
     Tables.documents(spark, dir)
       .select(col("doc_id") +: col("lang").as("actual") +: scores: _*)
       .withColumn("m", m)
@@ -76,7 +80,8 @@ object TextAnalysis {
   val txLangIdSql: String = {
     val scoreDefs = langProfiles.map { case (l, re) => s"${scoreSql(re)} AS s_$l" }.mkString(",\n           ")
     val m = langProfiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
-    val caseChain = langProfiles.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    val caseChain = ("WHEN m = 0 THEN 'und'" +:
+      langProfiles.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }).mkString(" ")
     s"""
     WITH s AS (
       SELECT doc_id, lang AS actual,

@@ -154,7 +154,11 @@ class ExtensionSpec extends SparkSpec {
     assert(autoPlanes(1L << 12) == 8)   // 4096/16 = 256 buckets -> 8
     assert(autoPlanes(1L << 13) == 9)
     assert(autoPlanes(1L << 30) == 26)
-    assert(autoPlanes(1L << 40) == 36)  // ~1e12-row corpus: still just 36 planes
+    assert(autoPlanes(1L << 36) == 32)  // the int-bucket ceiling: 16·2^32 rows
+    // beyond 32 planes the 1-bit-per-plane Int packing would alias
+    // silently — the derivation must fail loudly instead
+    val e = intercept[IllegalArgumentException] { autoPlanes(1L << 40) }
+    assert(e.getMessage.contains("32"))
     // at test scale the derived count floors to the gated (4, 8), so the
     // production entry point must return exactly the gated result
     val auto = Similarity.cosineNearDupAuto(spark, sf("sf0.01")).collect().toSeq

@@ -40,8 +40,14 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // untimed JVM/codegen warmup
-    force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    // untimed JVM/codegen warmup — failure here must not abort the run
+    // before the JSON contract line prints (the query re-runs timed
+    // below and lands in `failed` if genuinely broken)
+    try force(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
+    finally Caches.releaseAll(blocking = true)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // untimed inter-query hygiene: drop every cached block synchronously

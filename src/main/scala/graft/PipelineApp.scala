@@ -39,7 +39,14 @@ object PipelineApp {
   def run(spark: SparkSession, args: Array[String]): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
     val metadataPath = args(0)
     def flagValue(name: String): Option[String] =
-      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }.map { v =>
+        // a flag left without its value would silently consume the NEXT
+        // flag token (e.g. `--kafka --repartition 8` → broker
+        // "--repartition"); fail arg parsing instead
+        require(!v.startsWith("--"),
+          s"$name requires a value, got flag '$v'")
+        v
+      }
     val kafka = flagValue("--kafka")
     val streaming = args.contains("--streaming")
     val checkpoint = flagValue("--checkpoint")
@@ -56,6 +63,10 @@ object PipelineApp {
     if (streaming) {
       val ckpt = checkpoint.getOrElse(
         throw new IllegalArgumentException("--streaming requires --checkpoint <dir>"))
+      // batch-only flags must not be silently ignored in streaming mode
+      require(!positional,
+        "--positional-union applies to batch mode (streaming dataflows have one source)")
+      require(!show, "--show applies to batch mode (streaming output goes to sinks)")
       // validate EVERY dataflow before starting ANY query: a failure on
       // dataflow N after dataflow 1..N-1 started would leave running,
       // checkpointed queries the caller has no handle to stop
@@ -70,7 +81,8 @@ object PipelineApp {
       }
       validated.map { case (df, s, schema) =>
         val source = StreamingPipeline.fileSource(spark, s.path, s.format, schema)
-        StreamingPipeline.runDataflow(source, df, s"$ckpt/${df.name}", kafka)
+        StreamingPipeline.runDataflow(source, df, s"$ckpt/${df.name}", kafka,
+          repartition = repartition)
       }
     } else {
       meta.dataflows.foreach { df =>

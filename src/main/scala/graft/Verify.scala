@@ -20,6 +20,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a STALE result from a previous run in the same outDir would
+        // make the driver's compare validate outdated output and mask
+        // this failure as a PASS — remove it so the gate records a
+        // missing result instead
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name"))
       }
       finally Caches.releaseAll()
     }

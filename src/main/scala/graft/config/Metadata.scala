@@ -131,31 +131,39 @@ object MetadataReader {
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Jackson leaves a MISSING field of a non-Option Seq/object type as
+    * null — a raw `.map`/`.nonEmpty` on it would surface as a bare NPE
+    * instead of the descriptive parse-time error this module promises. */
+  private def orNil[A](xs: Seq[A]): Seq[A] = Option(xs).getOrElse(Nil)
+
   private def validateDataflow(d: RawDataflow): DataflowConf = {
-    require(d.sources.nonEmpty, s"dataflow '${d.name}': at least one source required")
-    val transforms = d.transformations.map { t =>
+    require(orNil(d.sources).nonEmpty, s"dataflow '${d.name}': at least one source required")
+    val transforms = orNil(d.transformations).map { t =>
+      val params = Option(t.params).getOrElse(throw new IllegalArgumentException(
+        s"dataflow '${d.name}', transformation '${t.name}': params object required"))
       t.`type` match {
         case "add_fields" =>
-          val fs = t.params.addFields.getOrElse(throw new IllegalArgumentException(
+          val fs = params.addFields.getOrElse(throw new IllegalArgumentException(
             s"dataflow '${d.name}', transformation '${t.name}': add_fields requires params.addFields"))
-          AddFieldsConf(t.name, t.params.input, fs.map(f => FieldDef(f.name, f.function)))
+          AddFieldsConf(t.name, params.input, fs.map(f => FieldDef(f.name, f.function)))
         case "validate_fields" =>
-          val vs = t.params.validations.getOrElse(throw new IllegalArgumentException(
+          val vs = params.validations.getOrElse(throw new IllegalArgumentException(
             s"dataflow '${d.name}', transformation '${t.name}': validate_fields requires params.validations"))
-          ValidateFieldsConf(t.name, t.params.input,
-            vs.map(v => FieldRules(v.field, v.validations.map(ValidationRule.parse))))
+          ValidateFieldsConf(t.name, params.input,
+            vs.map(v => FieldRules(v.field, orNil(v.validations).map(ValidationRule.parse))))
         case other => throw new IllegalArgumentException(
           s"dataflow '${d.name}', transformation '${t.name}': unknown type '$other' " +
           "(supported: add_fields, validate_fields)")
       }
     }
-    val sinks = d.sinks.map { s =>
-      require(s.paths.nonEmpty || s.topic.nonEmpty,
+    val sinks = orNil(d.sinks).map { s =>
+      require(orNil(s.paths).nonEmpty || s.topic.nonEmpty,
         s"dataflow '${d.name}', sink '${s.name}': needs at least one path or a topic")
-      SinkConf(s.input, s.name, s.paths, s.format, s.saveMode, s.topic,
+      SinkConf(s.input, s.name, orNil(s.paths), s.format, s.saveMode, s.topic,
         s.partitionBy.getOrElse(Nil))
     }
-    DataflowConf(d.name, d.sources.map(s => SourceConf(s.name, s.path, s.format, s.schema)),
+    DataflowConf(d.name,
+      orNil(d.sources).map(s => SourceConf(s.name, s.path, s.format, s.schema)),
       transforms, sinks)
   }
 }

@@ -31,13 +31,21 @@ object PipelineRunner {
     def ko: DataFrame = split.ko
   }
 
+  /** The transform wiring shared by the batch AND streaming runners —
+    * one definition of the add_fields-before-validation ordering
+    * contract (computed columns appear on both OK and KO splits, like
+    * the reference's hardcoded wiring), so the two entry points cannot
+    * silently diverge on the same metadata document. */
+  def stages(df: DataflowConf): (Seq[FieldDef], Seq[FieldRules]) = (
+    df.transformations.collect { case a: AddFieldsConf => a.fields }.flatten,
+    df.transformations.collect { case v: ValidateFieldsConf => v.rules }.flatten)
+
   /** Build the OK/KO plans for one dataflow (no actions triggered). */
   def plan(spark: SparkSession, df: DataflowConf,
            opts: Options = Options()): DataflowResult = {
     val source = SourceReader.read(spark, df.sources, opts.unionMode)
-    val fields = df.transformations.collect { case a: AddFieldsConf => a.fields }.flatten
+    val (fields, rules) = stages(df)
     val withFields = AddFields(fields)(source)
-    val rules = df.transformations.collect { case v: ValidateFieldsConf => v.rules }.flatten
     val split =
       if (opts.referenceCompatSplit) ValidationSplit.splitReferenceCompat(withFields, rules)
       else ValidationSplit.split(withFields, rules)

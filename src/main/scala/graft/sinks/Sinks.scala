@@ -31,16 +31,25 @@ object Sinks {
     * so each partition directory is written by the tasks owning its
     * rows — otherwise every task writes a file into every directory
     * (tasks × partitions small files). */
-  def writeFiles(df: DataFrame, sink: SinkConf, repartition: Option[Int] = None): Unit = {
+  def writeFiles(df: DataFrame, sink: SinkConf, repartition: Option[Int] = None,
+                 batchSubdir: Option[Long] = None): Unit = {
     val out =
       if (sink.partitionBy.nonEmpty)
         repartition.fold(df.repartition(sink.partitionBy.map(col): _*))(
           n => df.repartition(n, sink.partitionBy.map(col): _*))
       else repartition.fold(df)(df.repartition(_))
     sink.paths.foreach { path =>
-      val w = out.write.mode(sink.saveMode).format(sink.format.toLowerCase)
+      // streaming fan-out: each micro-batch owns a batch=<id> subdir and
+      // OVERWRITES it, so a crash-replayed batch rewrites its own output
+      // instead of duplicating (append) or wiping prior batches
+      // (overwrite) — the idempotent per-batch recipe. Batch mode writes
+      // the flat reference layout with the configured save mode.
+      val target = batchSubdir.fold(s"$path/${sink.name}")(
+        b => s"$path/${sink.name}/batch=$b")
+      val mode = if (batchSubdir.isDefined) "overwrite" else sink.saveMode
+      val w = out.write.mode(mode).format(sink.format.toLowerCase)
       (if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w)
-        .save(s"$path/${sink.name}")
+        .save(target)
     }
   }
 
@@ -60,12 +69,19 @@ object Sinks {
               kafkaServer: Option[String],
               defaultTopics: Map[String, String] = Map(
                 "ok_with_date" -> "pipeline-ok", "validation_ko" -> "pipeline-ko"),
-              repartition: Option[Int] = None): Unit =
+              repartition: Option[Int] = None,
+              batchSubdir: Option[Long] = None): Unit =
     sinks.foreach { sink =>
       val df = splits.getOrElse(sink.input, throw new IllegalArgumentException(
         s"sink '${sink.name}' references unknown input '${sink.input}' " +
         s"(available: ${splits.keys.mkString(", ")})"))
-      writeFiles(df, sink, repartition)
+      // a topic-only sink with no broker configured would write nowhere
+      // and raise nothing — the data silently vanishes; fail fast instead
+      if (sink.paths.isEmpty && kafkaServer.isEmpty)
+        throw new IllegalArgumentException(
+          s"sink '${sink.name}' has no file paths and no Kafka server is " +
+          "configured — its output would be silently dropped")
+      writeFiles(df, sink, repartition, batchSubdir)
       kafkaServer.foreach { ks =>
         val topic = sink.topic.orElse(defaultTopics.get(sink.input))
           .getOrElse(throw new IllegalArgumentException(

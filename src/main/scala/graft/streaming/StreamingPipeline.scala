@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
-import graft.config.{DataflowConf, AddFieldsConf, ValidateFieldsConf}
+import graft.config.DataflowConf
 import graft.operators.{AddFields, ValidationSplit}
 import graft.sinks.Sinks
 
@@ -46,9 +46,11 @@ object StreamingPipeline {
     * Returns the started query (caller awaits/stops). */
   def runDataflow(source: DataFrame, conf: DataflowConf,
                   checkpointDir: String,
-                  kafkaServer: Option[String] = None): StreamingQuery = {
-    val fields = conf.transformations.collect { case a: AddFieldsConf => a.fields }.flatten
-    val rules = conf.transformations.collect { case v: ValidateFieldsConf => v.rules }.flatten
+                  kafkaServer: Option[String] = None,
+                  repartition: Option[Int] = None): StreamingQuery = {
+    // SAME wiring as the batch runner — one definition of the
+    // add_fields-before-validation contract
+    val (fields, rules) = graft.plans.PipelineRunner.stages(conf)
     val transformed = AddFields(fields)(source)
     transformed.writeStream
       .outputMode(OutputMode.Append)
@@ -57,7 +59,11 @@ object StreamingPipeline {
         val split = ValidationSplit.split(batch, rules)
         try {
           val splits = Map("ok_with_date" -> split.ok, "validation_ko" -> split.ko)
-          Sinks.persist(conf.sinks, splits, kafkaServer)
+          // batchSubdir: each micro-batch overwrites its own batch=<id>
+          // dir — idempotent under crash-replay (the configured batch
+          // saveMode would either wipe prior batches or duplicate rows)
+          Sinks.persist(conf.sinks, splits, kafkaServer,
+            repartition = repartition, batchSubdir = Some(batchId))
         } finally split.unpersist()
       }
       .start()

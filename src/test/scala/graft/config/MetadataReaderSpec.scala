@@ -56,6 +56,22 @@ class MetadataReaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("frobnicate"))
   }
 
+  test("missing params/paths fail with descriptive errors, not NPEs") {
+    val noParams = """{"dataflows": [{
+      "name": "d", "sources": [{"name": "s", "path": "p", "format": "json"}],
+      "transformations": [{"name": "t", "type": "add_fields"}],
+      "sinks": []}]}"""
+    val e1 = intercept[IllegalArgumentException](MetadataReader.parse(noParams))
+    assert(e1.getMessage.contains("params"))
+    val noPaths = """{"dataflows": [{
+      "name": "d", "sources": [{"name": "s", "path": "p", "format": "json"}],
+      "transformations": [],
+      "sinks": [{"input": "ok_with_date", "name": "k", "format": "json",
+                 "saveMode": "append"}]}]}"""
+    val e2 = intercept[IllegalArgumentException](MetadataReader.parse(noPaths))
+    assert(e2.getMessage.contains("path or a topic"))
+  }
+
   test("parses extension rules with arguments") {
     assert(ValidationRule.parse("minLength:42") == MinLength(42))
     assert(ValidationRule.parse("matchesRegex:^a+$") == MatchesRegex("^a+$"))

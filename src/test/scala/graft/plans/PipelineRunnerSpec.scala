@@ -171,6 +171,16 @@ class PipelineRunnerSpec extends SparkSpec {
     } finally graft.Caches.releaseAll()
   }
 
+  test("a topic-only sink with no Kafka server fails fast instead of dropping data") {
+    val sink = graft.config.SinkConf("ok_with_date", "k", Seq.empty, "json",
+      "append", topic = Some("t"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sinks.Sinks.persist(Seq(sink),
+        Map("ok_with_date" -> Seq(1).toDF("x")), kafkaServer = None)
+    }
+    assert(e.getMessage.contains("silently dropped"))
+  }
+
   test("add_fields sequential semantics: later fields see earlier ones") {
     val df = Seq((2, 3)).toDF("a", "b")
     val out = AddFields(Seq(

@@ -53,7 +53,9 @@ object SparkEntry {
     "q24_overlapping_order_windows" -> (RangeJoin.q24OverlappingOrderWindows _),
     "q25_event_gaps" -> (Relational.q25EventGaps _),
     "q26_cube_region_nation" -> (Relational.q26CubeRegionNation _),
-    "q27_order_line_arrays" -> (Relational.q27OrderLineArrays _),
+    // gated form csv-encodes the array column (driver comparator can't
+    // hash numpy arrays); q27OrderLineArrays / simQuantize return real arrays
+    "q27_order_line_arrays" -> (Relational.q27OrderLineArraysGated _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -79,7 +81,7 @@ object SparkEntry {
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
     "sim_ivf_topk" -> (Similarity.simIvfTopK _),
     "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
-    "sim_quantize" -> (Similarity.simQuantize _),
+    "sim_quantize" -> (Similarity.simQuantizeGated _),
     // Multimodal
     "mm_extract_features" -> (Multimodal.mmExtractFeatures _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),

@@ -556,9 +556,20 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_orderkey"))
 
+  /** Gated form of [[q27OrderLineArrays]]: the driver's oracle
+    * comparator hashes cells through pandas, and array cells arrive as
+    * numpy arrays — unhashable, so the compare errors out. Encode the
+    * array as a comma-joined string (stable because the array is
+    * already deterministically sorted); the DuckDB SQL mirrors the
+    * encoding. The array-returning form stays the real API. */
+  def q27OrderLineArraysGated(spark: SparkSession, dir: String): DataFrame =
+    q27OrderLineArrays(spark, dir)
+      .withColumn("line_numbers",
+        array_join(transform(col("line_numbers"), _.cast("string")), ","))
+
   val q27OrderLineArraysSql: String = """
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_orderkey % 1000 = 0

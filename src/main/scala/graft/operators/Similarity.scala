@@ -398,14 +398,23 @@ object Similarity {
       .select(col("vec_id"), col("scale"), col("q"))
       .orderBy(col("vec_id"))
 
+  /** Gated form of [[simQuantize]]: the driver's comparator hashes
+    * cells through pandas and numpy-array cells are unhashable, so the
+    * gated projection comma-joins the int8 codes into a string (order
+    * is the vector's element order — deterministic). The
+    * array-returning form stays the real API for downstream ANN. */
+  def simQuantizeGated(spark: SparkSession, dir: String): DataFrame =
+    simQuantize(spark, dir)
+      .withColumn("q", array_join(transform(col("q"), _.cast("string")), ","))
+
   val simQuantizeSql: String = """
     WITH s AS (
       SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
       FROM embeddings)
     SELECT vec_id, scale,
-           list_transform(embedding, x ->
+           array_to_string(list_transform(embedding, x ->
              CASE WHEN scale = 0 THEN 0
-                  ELSE CAST(round(CAST(x AS DOUBLE) * 127 / scale) AS INTEGER) END) AS q
+                  ELSE CAST(round(CAST(x AS DOUBLE) * 127 / scale) AS INTEGER) END), ',') AS q
     FROM s ORDER BY vec_id"""
 }

@@ -219,10 +219,19 @@ object StreamingPipeline {
     * micro-batch against the shingle store with the SAME
     * [[graft.operators.Dedup.verifyPairs]] the batch LSH dedup runs —
     * the streaming path's output is verified pairs (id_a, id_b,
-    * jaccard), not candidates. Requires the store write
-    * ([[startShingleStore]]) to be upstream-complete for the docs a
-    * candidate references — in a production topology the store append
-    * is part of ingest and candidates are verified near-line.
+    * jaccard), not candidates.
+    *
+    * The store write ([[startShingleStore]]) is an INDEPENDENT query:
+    * nothing guarantees a candidate's docs have committed to the store
+    * when the verify batch runs. `verifyPairs`'s inner joins would
+    * silently drop such a candidate while the checkpoint commits — a
+    * permanent loss. So each batch splits candidates by store
+    * completeness: pairs with BOTH doc ids present are verified now;
+    * the rest land in a `_pending/batch=<id>` backlog relation
+    * (underscore-prefixed, so readers of `outDir` never see it as a
+    * partition) that [[verifyPending]] retries once the store catches
+    * up. Both writes overwrite their own batch partition, so a
+    * replayed batch retracts a stale pending set instead of appending.
     *
     * Failure semantics: output is written to a `batch=<id>` partition
     * dir in OVERWRITE mode, so a micro-batch replayed after a crash
@@ -245,15 +254,57 @@ object StreamingPipeline {
         if (!batch.isEmpty) {
           // a pair colliding in several bands arrives once per band
           val pairs = batch.select(col("doc_id").as("id_a"),
-            col("matched_with").as("id_b")).distinct()
+            col("matched_with").as("id_b")).distinct().persist()
           val store = batch.sparkSession.read
             .schema("doc_id BIGINT, h BIGINT").parquet(storeDir)
-            .distinct()
-          graft.operators.Dedup.verifyPairs(pairs, store, threshold)
-            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+            .distinct().persist()
+          try {
+            val ids = store.select(col("doc_id")).distinct()
+            val idsA = ids.withColumnRenamed("doc_id", "id_a")
+            val idsB = ids.withColumnRenamed("doc_id", "id_b")
+            val ready = pairs
+              .join(idsA, Seq("id_a"), "left_semi")
+              .join(idsB, Seq("id_b"), "left_semi")
+            val pending = pairs.join(idsA, Seq("id_a"), "left_anti")
+              .union(pairs.join(idsB, Seq("id_b"), "left_anti"))
+              .distinct()
+            graft.operators.Dedup.verifyPairs(ready, store, threshold)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+            pending.write.mode("overwrite")
+              .parquet(s"$outDir/$PendingDirName/batch=$batchId")
+          } finally { pairs.unpersist(); store.unpersist() }
         }
       }
       .start()
+
+  /** Backlog subdir of [[startNearDupVerify]]'s output. Underscore
+    * prefix = hidden to Hadoop file listing, so reading `outDir` for
+    * verified pairs never picks the backlog up as data. */
+  val PendingDirName: String = "_pending"
+
+  /** The not-yet-verifiable backlog written by [[startNearDupVerify]]
+    * (candidates whose docs had not committed to the shingle store when
+    * their micro-batch ran). Empty batch partitions carry no files, so
+    * the schema is supplied rather than inferred. */
+  def pendingCandidates(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.schema("id_a BIGINT, id_b BIGINT")
+      .parquet(s"$outDir/$PendingDirName")
+      .select(col("id_a"), col("id_b")).distinct()
+
+  /** Retry entry point for the pending backlog: re-verify it against
+    * the CURRENT shingle store, returning the pairs that are now
+    * verifiable (same jaccard arithmetic as the live path — shared
+    * [[graft.operators.Dedup.verifyPairs]]). Pairs whose docs are
+    * still absent stay in the backlog (this job emits, it does not
+    * compact; a replayed micro-batch rewrites its own backlog
+    * partition). Run it as a periodic batch sweep behind ingest. */
+  def verifyPending(spark: SparkSession, storeDir: String, outDir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val store = spark.read.schema("doc_id BIGINT, h BIGINT")
+      .parquet(storeDir).distinct()
+    graft.operators.Dedup.verifyPairs(
+      pendingCandidates(spark, outDir), store, threshold)
+  }
 
   /** One not-yet-closed session interval (event-time micros). */
   final case class OpenInterval(start: Long, end: Long, n: Long)

@@ -320,6 +320,55 @@ class StreamingSpec extends SparkSpec {
     } finally { storeQ.stop(); verifyQ.stop() }
   }
 
+  test("near-dup verify parks store-lagged candidates as pending; retry verifies them") {
+    // the shingle store is an INDEPENDENT query — when it lags the
+    // candidate stream, the verify batch must not silently drop the
+    // candidate (the checkpoint would commit and the pair be lost
+    // forever); it parks it in the _pending backlog for a retry sweep
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_ndv_lag_").toString
+    val store = JFiles.createTempDirectory("graft_ndv_lag_store_").toString
+    val out = JFiles.createTempDirectory("graft_ndv_lag_out_").toString
+    val ck1 = JFiles.createTempDirectory("graft_ndv_lag_ck1_").toString
+    val ck2 = JFiles.createTempDirectory("graft_ndv_lag_ck2_").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "s")
+        .select(col("doc_id"), col("text"), to_timestamp(col("s")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP")
+    def stream = spark.readStream.schema(schema).parquet(dir)
+    val storeQ = StreamingPipeline.startShingleStore(stream, store, ck1)
+    val verifyQ = StreamingPipeline.startNearDupVerify(
+      StreamingPipeline.streamingNearDupCandidates(stream), store, out, ck2)
+    try {
+      write(Seq((1L, base, "2024-01-01 10:00:00")))
+      storeQ.processAllAvailable(); verifyQ.processAllAvailable()
+      // STOP the store query (it runs continuously — processAllAvailable
+      // only blocks, it doesn't gate), then deliver doc 2, a near-dup of
+      // doc 1: the verify batch runs against a store missing doc 2
+      storeQ.stop()
+      write(Seq((2L, "omega " + base, "2024-01-01 10:05:00")))
+      verifyQ.processAllAvailable()
+      val pend = StreamingPipeline.pendingCandidates(spark, out)
+        .as[(Long, Long)].collect().toSet
+      assert(pend == Set((2L, 1L)), s"pending should hold the lagged pair, got $pend")
+      val verifiedEarly = spark.read
+        .schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE").parquet(out)
+      assert(verifiedEarly.isEmpty, "nothing is verifiable before the store catches up")
+      // store restarts from its checkpoint and catches up; the retry
+      // sweep then verifies the parked pair
+      val storeQ2 = StreamingPipeline.startShingleStore(stream, store, ck1)
+      try storeQ2.processAllAvailable() finally storeQ2.stop()
+      val retried = StreamingPipeline.verifyPending(spark, store, out)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+      assert(retried.map(p => (p._1, p._2)).toSet == Set((2L, 1L)), s"got ${retried.toSeq}")
+      val j = retried.head._3
+      assert(j >= 0.5 && j < 1.0, s"jaccard $j should reflect the one-word edit")
+    } finally { storeQ.stop(); verifyQ.stop() }
+  }
+
   test("sessionization runs on the RocksDB state store provider") {
     // HDFS-backed (default) state lives on the executor HEAP — at 100 TB
     // of keyed state that is an OOM; RocksDB spills state to local disk

@@ -24,9 +24,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                type(v).__name__ == "ndarray" else v)
+            # do NOT tuple-ize list/ndarray cells: the driver's harness
+            # can't hash them (sort_values -> "unhashable type"), so the
+            # local gate must fail the same way. Gated queries encode
+            # arrays as strings (array_join / array_to_string).
+            for v in df[c].head(5):
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    raise TypeError(
+                        f"array-valued cell in column {c!r}: the driver's "
+                        "comparator cannot hash these; csv-encode the gated "
+                        "projection")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -49,7 +56,11 @@ def main():
         if not files:
             results[name] = "NO-OUTPUT"
             continue
-        got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        except TypeError as e:
+            results[name] = f"ARRAY-CELL: {e}"
+            continue
         if name not in oracle:
             results[name] = f"rows-only ({len(got)} rows)"
             continue

@@ -64,6 +64,8 @@ object SparkEntry {
     "tx_vocab_topk" -> (TextAnalysis.txVocabTopK _),
     "tx_hash_sample" -> (TextAnalysis.txHashSample _),
     "tx_redact" -> (TextAnalysis.txRedact _),
+    "tx_repetition" -> (TextAnalysis.txRepetition _),
+    "tx_split_assign" -> (TextAnalysis.txSplitAssign _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -74,6 +76,7 @@ object SparkEntry {
     "dd_incremental" -> (Dedup.ddIncremental _),
     "dd_decontaminate" -> (Dedup.ddDecontaminate _),
     "dd_curate" -> (Dedup.ddCurate _),
+    "dd_cluster" -> (Dedup.ddCluster _),
     // Profiling
     "prof_column_stats" -> (Profiling.profColumnStats _),
     // Similarity search
@@ -82,6 +85,7 @@ object SparkEntry {
     "sim_ivf_topk" -> (Similarity.simIvfTopK _),
     "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
     "sim_quantize" -> (Similarity.simQuantizeGated _),
+    "sim_semantic_dedup" -> (Similarity.simSemanticDedup _),
     // Multimodal
     "mm_extract_features" -> (Multimodal.mmExtractFeatures _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
@@ -136,6 +140,8 @@ object SparkEntry {
     "tx_vocab_topk" -> TextAnalysis.txVocabTopKSql,
     "tx_hash_sample" -> TextAnalysis.txHashSampleSql,
     "tx_redact" -> TextAnalysis.txRedactSql,
+    "tx_repetition" -> TextAnalysis.txRepetitionSql,
+    "tx_split_assign" -> TextAnalysis.txSplitAssignSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
@@ -145,12 +151,14 @@ object SparkEntry {
     "dd_incremental" -> Dedup.ddIncrementalSql,
     "dd_decontaminate" -> Dedup.ddDecontaminateSql,
     "dd_curate" -> Dedup.ddCurateSql,
+    "dd_cluster" -> Dedup.ddClusterSql,
     "prof_column_stats" -> Profiling.profColumnStatsSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
     "sim_ivf_topk" -> Similarity.simIvfTopKSql,
     "sim_cosine_neardup" -> Similarity.simCosineNearDupSql,
     "sim_quantize" -> Similarity.simQuantizeSql,
+    "sim_semantic_dedup" -> Similarity.simSemanticDedupSql,
     "mm_extract_features" -> Multimodal.mmExtractFeaturesSql,
     "mm_frame_sample" -> Multimodal.mmFrameSampleSql,
     "mm_resize" -> Multimodal.mmResizeSql,

@@ -619,4 +619,42 @@ object Dedup {
 
   val ddSimhashSql: String = simhashPairsSql(12)
   val ddSimhashR4Sql: String = simhashPairsSql(4)
+
+  // ------------------------------------------------------ dedup clustering
+
+  /** Duplicate GROUPS, not pairs: connected components over the
+    * LSH-verified near-dup pairs ([[ddMinhashLsh]]), labeling every
+    * clustered doc with the min doc_id of its component
+    * ([[Cluster.connectedComponents]]). This is the step that makes
+    * dedup deletion correct: with pairs (a,b) and (b,c) but not (a,c),
+    * pair-wise deletion keeps two of the three docs — component-wise
+    * keeps exactly one representative per group. Output: one row per
+    * doc that appears in any verified pair. */
+  def ddCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(augmented(spark, dir))
+    Cluster.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle states the SEMANTICS (min reachable id in the undirected
+    * pair graph) via a recursive transitive closure — quadratic in
+    * component size, fine for an oracle; the engine's label propagation
+    * must land on identical labels. */
+  val ddClusterSql: String = s"""
+    WITH RECURSIVE aug AS ($augmentedSql),
+    ${lshCtesSql("aug")},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    labels AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""
 }

@@ -353,8 +353,10 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val simCosineNearDupSql: String = s"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  /** CTE chain ending in the thresholded `nd_pairs` relation — shared
+    * by [[simCosineNearDupSql]] and [[simSemanticDedupSql]] so the
+    * composed oracle IS the unit oracle with a clustering tail. */
+  private val neardupCtesSql: String = s"""e AS (SELECT vec_id, embedding FROM embeddings),
     banded AS (
       ${bandedSql(NEARDUP_TABLES, NEARDUP_PLANES)}),
     cand AS (
@@ -366,11 +368,51 @@ object Similarity {
              ${Portable.cosineSql("ea.embedding", "eb.embedding", Dim)} AS cosine
       FROM cand
       JOIN e ea ON ea.vec_id = id_a
-      JOIN e eb ON eb.vec_id = id_b)
-    SELECT id_a, id_b, cosine
-    FROM pairs
-    WHERE cosine >= $NEARDUP_THRESHOLD
+      JOIN e eb ON eb.vec_id = id_b),
+    nd_pairs AS (
+      SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= $NEARDUP_THRESHOLD)"""
+
+  val simCosineNearDupSql: String = s"""
+    WITH $neardupCtesSql
+    SELECT id_a, id_b, cosine FROM nd_pairs
     ORDER BY id_a, id_b"""
+
+  // ------------------------------------------------------- semantic dedup
+
+  /** SemDeDup-shaped embedding dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cosine near-dup pairs → connected components
+    * ([[graft.operators.Cluster.connectedComponents]]) → ONE kept
+    * representative per semantic cluster. `keep` marks the
+    * representative — min vec_id, deterministic; a production run would
+    * rank by a quality score instead, same plan shape. Pair-wise
+    * deletion under-deletes on chains (a~b, b~c, a≁c); component-wise
+    * keeps exactly one. Output: one row per vector in any near-dup
+    * pair; untouched vectors are implicitly kept. */
+  def simSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = cosineNearDupPairs(spark, dir, NEARDUP_TABLES, NEARDUP_PLANES)
+    Cluster.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val simSemanticDedupSql: String = s"""
+    WITH RECURSIVE $neardupCtesSql,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM nd_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+    labels AS (
+      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src)
+    SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
+    FROM labels ORDER BY vec_id"""
 
   // ---------------------------------------------------------- quantization
 

@@ -235,6 +235,113 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Non-distinct word n-gram list — [[Portable.shingles]] WITHOUT the
+    * dedup: repetition signals need multiplicities (a doc that repeats
+    * one 2-gram fifty times has one distinct shingle but a 1.0
+    * repetition fraction). */
+  private def ngramList(c: Column, n: Int): Column = {
+    val w = Portable.words(c)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+  }
+
+  /** Per-doc repetition stats for one n: top-n-gram fraction (count of
+    * the most frequent n-gram over total n-grams) and duplicate-n-gram
+    * fraction (n-gram occurrences whose gram appears more than once,
+    * over total). One (doc_id, gram) shuffle per n; group cardinality
+    * is bounded by doc length, so no skew blowup. */
+  private def repStats(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(ngramList(col("text"), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        (max(col("cnt")).cast("double") / sum(col("cnt"))).as(s"top${n}_frac"),
+        (coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).cast("double")
+          / sum(col("cnt"))).as(s"dup${n}_frac"))
+
+  /** Repetition quality signals (the Gopher rules family — Rae et al.
+    * 2021 §A1.1 filter repetitious documents by exactly these
+    * fractions): a document dominated by one repeated n-gram, or with
+    * most of its n-gram mass duplicated, is boilerplate/spam and gets
+    * filtered before training. Left-join keeps docs too short to have
+    * n-grams (fractions 0.0) instead of silently dropping them. */
+  def txRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"))
+      .join(repStats(docs, 2), Seq("doc_id"), "left")
+      .join(repStats(docs, 3), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("dup2_frac"), lit(0.0)).as("dup2_frac"),
+        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
+        coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def repStatsSql(n: Int): String = {
+    val gram = (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+    s"""g$n AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - ${n - 2}), i -> $gram)) AS g
+      FROM w WHERE len(ws) >= $n),
+    c$n AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g$n GROUP BY doc_id, g),
+    s$n AS (
+      SELECT doc_id,
+             CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top${n}_frac,
+             CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt > 1), 0) AS DOUBLE)
+               / SUM(cnt) AS dup${n}_frac
+      FROM c$n GROUP BY doc_id)"""
+  }
+
+  val txRepetitionSql: String = s"""
+    WITH w AS (SELECT doc_id, ${Portable.wordsSql("text")} AS ws FROM documents),
+    ${repStatsSql(2)},
+    ${repStatsSql(3)}
+    SELECT d.doc_id,
+           COALESCE(top2_frac, 0.0) AS top2_frac,
+           COALESCE(dup2_frac, 0.0) AS dup2_frac,
+           COALESCE(top3_frac, 0.0) AS top3_frac,
+           COALESCE(dup3_frac, 0.0) AS dup3_frac
+    FROM documents d
+    LEFT JOIN s2 USING (doc_id)
+    LEFT JOIN s3 USING (doc_id)
+    ORDER BY d.doc_id"""
+
+  /** Deterministic train/val/test assignment, hashed on the CONTENT
+    * fingerprint rather than the doc id: exact duplicates (and any doc
+    * re-ingested under a new id) land in the same split, so dedup
+    * misses cannot leak training text into eval. 80/10/10 by hash
+    * bucket; membership is re-derivable per row in O(1) with no RNG,
+    * seed state, or global sort — the same property as
+    * [[txHashSample]]. */
+  def txSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), lit("\\s+"), lit(" "))
+    val bucket = pmod(
+      Portable.hash60(concat(lit("split:"), md5(norm))), lit(100L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txSplitAssignSql: String = s"""
+    WITH n AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             ((${Portable.hash60Sql("('split:' || fp)")} % 100) + 100) % 100 AS bucket
+      FROM n)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id"""
+
   val txRedactSql: String = s"""
     WITH injected AS (
       SELECT doc_id,

@@ -63,9 +63,12 @@ object Cluster {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    // Lazy checkpoints: labelSum is the action that materializes each
+    // round's blocks, so a round costs ONE job (compute + cache + sum)
+    // instead of an eager-checkpoint job plus the aggregate.
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .head().getDecimal(0)
@@ -79,7 +82,7 @@ object Cluster {
         .select(col("dst").as("id"), col("cluster_id"))
       val next = labels.select(col("id"), col("cluster_id")).union(prop)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

@@ -247,12 +247,13 @@ object TextAnalysis {
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
   }
 
-  /** Per-doc repetition stats for one n: top-n-gram fraction (count of
-    * the most frequent n-gram over total n-grams) and duplicate-n-gram
-    * fraction (n-gram occurrences whose gram appears more than once,
-    * over total). One (doc_id, gram) shuffle per n; group cardinality
-    * is bounded by doc length, so no skew blowup. */
-  private def repStats(docs: DataFrame, n: Int): DataFrame =
+  /** Relational reference form of the repetition stats for one n:
+    * explode grams, groupBy (doc_id, gram), groupBy doc_id. Kept (and
+    * fuzz-compared in PropertySpec) as the executable spec for the
+    * per-row [[graft.functions.RepetitionStats]] kernel the gated query
+    * actually runs — the exploded form shuffles ~2× the corpus token
+    * count per n, the kernel shuffles nothing. */
+  private[operators] def repStats(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(ngramList(col("text"), n)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
@@ -265,18 +266,20 @@ object TextAnalysis {
     * 2021 §A1.1 filter repetitious documents by exactly these
     * fractions): a document dominated by one repeated n-gram, or with
     * most of its n-gram mass duplicated, is boilerplate/spam and gets
-    * filtered before training. Left-join keeps docs too short to have
-    * n-grams (fractions 0.0) instead of silently dropping them. */
+    * filtered before training. Computed by the codegen'd per-row
+    * [[graft.functions.RepetitionStats]] kernel — a narrow projection
+    * with no explode and no shuffle; docs too short for n-grams get
+    * fractions 0.0 from the kernel, matching the relational reference's
+    * left-join + coalesce. */
   def txRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    docs.select(col("doc_id"))
-      .join(repStats(docs, 2), Seq("doc_id"), "left")
-      .join(repStats(docs, 3), Seq("doc_id"), "left")
+    val r = graft.functions.RepetitionStats.repetitionStats(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), r.as("r"))
       .select(col("doc_id"),
-        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
-        coalesce(col("dup2_frac"), lit(0.0)).as("dup2_frac"),
-        coalesce(col("top3_frac"), lit(0.0)).as("top3_frac"),
-        coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
+        element_at(col("r"), 1).as("top2_frac"),
+        element_at(col("r"), 2).as("dup2_frac"),
+        element_at(col("r"), 3).as("top3_frac"),
+        element_at(col("r"), 4).as("dup3_frac"))
       .orderBy(col("doc_id"))
   }
 

@@ -114,6 +114,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ texts: per-row repetition kernel equals the exploded relational form") {
+    val genWord = Gen.oneOf(Gen.const(""), Gen.oneOf("a", "b", "c"),
+      Gen.alphaNumStr.map(_.take(6)), Gen.oneOf("é", "漢字"))
+    val genText = Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, genWord))
+      .map(_.mkString(" "))
+    (1L to 10L).foreach { seed =>
+      val texts = Gen.listOfN(30, genText)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val docs = texts.toDF("doc_id", "text")
+      val viaKernel = docs
+        .select($"doc_id", graft.functions.RepetitionStats.repetitionStats($"text").as("r"))
+        .as[(Long, Seq[Double])].collect().toMap
+      val rel2 = TextAnalysis.repStats(docs, 2).as[(Long, Double, Double)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val rel3 = TextAnalysis.repStats(docs, 3).as[(Long, Double, Double)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      texts.foreach { case (id, _) =>
+        val k = viaKernel(id)
+        val (t2, d2) = rel2.getOrElse(id, (0.0, 0.0))
+        val (t3, d3) = rel3.getOrElse(id, (0.0, 0.0))
+        assert(k == Seq(t2, d2, t3, d3), s"seed=$seed doc=$id kernel $k vs rel ${Seq(t2, d2, t3, d3)}")
+      }
+    }
+  }
+
   test("sketch estimates stay within advertised error of exact answers") {
     val approx = Sketches.skApproxStats(spark, sf("sf0.01"))
       .select($"l_returnflag", $"approx_orders", $"approx_parts").as[(String, Long, Long)]

@@ -66,6 +66,7 @@ object SparkEntry {
     "tx_redact" -> (TextAnalysis.txRedact _),
     "tx_repetition" -> (TextAnalysis.txRepetition _),
     "tx_split_assign" -> (TextAnalysis.txSplitAssign _),
+    "tx_stratified_sample" -> (TextAnalysis.txStratifiedSample _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "dd_decontaminate" -> (Dedup.ddDecontaminate _),
     "dd_curate" -> (Dedup.ddCurate _),
     "dd_cluster" -> (Dedup.ddCluster _),
+    "dd_span_dedup" -> (Dedup.ddSpanDedup _),
     // Profiling
     "prof_column_stats" -> (Profiling.profColumnStats _),
     // Similarity search
@@ -142,6 +144,7 @@ object SparkEntry {
     "tx_redact" -> TextAnalysis.txRedactSql,
     "tx_repetition" -> TextAnalysis.txRepetitionSql,
     "tx_split_assign" -> TextAnalysis.txSplitAssignSql,
+    "tx_stratified_sample" -> TextAnalysis.txStratifiedSampleSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
@@ -152,6 +155,7 @@ object SparkEntry {
     "dd_decontaminate" -> Dedup.ddDecontaminateSql,
     "dd_curate" -> Dedup.ddCurateSql,
     "dd_cluster" -> Dedup.ddClusterSql,
+    "dd_span_dedup" -> Dedup.ddSpanDedupSql,
     "prof_column_stats" -> Profiling.profColumnStatsSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,

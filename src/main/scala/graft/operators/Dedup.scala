@@ -657,4 +657,75 @@ object Dedup {
       SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
       FROM reach GROUP BY src)
     SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""
+
+  // --------------------------------------------------------- span dedup
+
+  /** Span width for the gated query. Real text at 100 TB wants wider
+    * spans (C4 removes three-SENTENCE spans); the synthetic corpus has a
+    * ~30-word vocabulary, so 3-word blocks are the narrowest width where
+    * cross-doc collisions actually occur (30³ combinations vs ~10⁴
+    * corpus blocks) while wider blocks collide never — the knob, not
+    * the algorithm, is corpus-dependent. */
+  val SPAN_W = 3
+
+  /** C4-style span-level dedup (Raffel et al. 2020 §2.2 discard any
+    * three-sentence span occurring more than once in the corpus),
+    * adapted to word blocks: cut each doc into non-overlapping W-word
+    * blocks, count every block's occurrences across the WHOLE corpus,
+    * drop blocks occurring more than once (both copies — boilerplate,
+    * not content), and reassemble each doc from its kept blocks in
+    * order. Unlike doc-level dedup this rewrites documents, removing
+    * repeated boilerplate embedded in otherwise-unique pages.
+    *
+    * Scale shape: the block relation is ~tokens/W rows; the occurrence
+    * count is one hash-partitioned aggregate with map-side combine, the
+    * dup check is an equi-join on the block string, and reassembly is a
+    * per-doc collect_list whose size is bounded by doc length. Nothing
+    * is quadratic and nothing is driver-side. */
+  def spanDedup(docs: DataFrame, w: Int): DataFrame = {
+    val ws = Portable.words(col("text"))
+    val nblocks = ceil(size(ws).cast("double") / w).cast("int")
+    val blocks = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), nblocks - 1),
+          i => struct(i.as("pos"),
+            array_join(slice(ws, i * w + 1, lit(w)), " ").as("blk")))).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"), col("b.blk").as("blk"))
+    val counts = blocks.groupBy(col("blk"))
+      .agg(count(lit(1)).as("cnt"))
+    blocks.join(counts, Seq("blk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(
+          array_join(transform(
+            array_sort(collect_list(
+              when(col("cnt") === 1, struct(col("pos"), col("blk"))))),
+            s => s.getField("blk")), " "),
+          lit("")).as("clean_text"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  def ddSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedup(augmented(spark, dir), SPAN_W)
+
+  val ddSpanDedupSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    wsplit AS (SELECT doc_id, ${Portable.wordsSql("text")} AS ws FROM aug),
+    pos AS (
+      SELECT doc_id, ws,
+             unnest(range(0, CAST(ceil(len(ws) / $SPAN_W.0) AS BIGINT))) AS pos
+      FROM wsplit),
+    b AS (
+      SELECT doc_id, pos,
+             array_to_string(ws[(pos * $SPAN_W + 1):(pos * $SPAN_W + $SPAN_W)], ' ') AS blk
+      FROM pos),
+    c AS (SELECT blk, COUNT(*) AS cnt FROM b GROUP BY blk)
+    SELECT b.doc_id,
+           COALESCE(string_agg(CASE WHEN cnt = 1 THEN blk END, ' ' ORDER BY pos), '')
+             AS clean_text,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_removed
+    FROM b JOIN c USING (blk)
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id"""
 }

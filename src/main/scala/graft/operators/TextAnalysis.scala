@@ -345,6 +345,44 @@ object TextAnalysis {
                 ELSE 'test' END AS split
     FROM b ORDER BY doc_id"""
 
+  /** Stratified rebalancing sample: equalize language strata down to the
+    * smallest stratum. Two passes — (1) per-stratum counts (5-row
+    * aggregate), (2) per-stratum keep-permille = ⌊min_count·1000/count⌋
+    * broadcast-joined back onto the corpus and applied as a
+    * deterministic content-independent hash filter. This is the domain
+    * mixing op of a training-data pipeline: rates are DERIVED FROM THE
+    * DATA (unlike [[txHashSample]]'s fixed config rates), and the plan
+    * is one tiny aggregate + one broadcast join + a narrow filter — no
+    * corpus shuffle, no RNG state, re-runnable to the same sample. */
+  def txStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // unpartitioned window is fine HERE: it runs over the per-stratum
+    // aggregate (strata-count rows), never the corpus
+    val target = min(col("n"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val rates = counts
+      .select(col("lang"),
+        floor(target * 1000.0 / col("n")).cast("long").as("permille"))
+    val bucket = pmod(
+      Portable.hash60(concat(lit("strat:"), col("doc_id").cast("string"))), lit(1000L))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(bucket < col("permille"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txStratifiedSampleSql: String = s"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT MIN(n) AS target FROM c),
+    r AS (SELECT lang, CAST(floor(target * 1000.0 / n) AS BIGINT) AS permille
+          FROM c, t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE ((${Portable.hash60Sql("('strat:' || CAST(doc_id AS VARCHAR))")} % 1000) + 1000) % 1000
+          < permille
+    ORDER BY d.doc_id"""
+
   val txRedactSql: String = s"""
     WITH injected AS (
       SELECT doc_id,

@@ -38,11 +38,42 @@ class ClusterSpec extends SparkSpec {
     assert(Seq(30L, 31L, 32L).forall(got(_) == 30L))
   }
 
+  test("stratified sample equalizes strata and is deterministic") {
+    val a = TextAnalysis.txStratifiedSample(spark, sf())
+      .as[(Long, String)].collect()
+    val b = TextAnalysis.txStratifiedSample(spark, sf())
+      .as[(Long, String)].collect()
+    assert(a.sameElements(b), "hash sampling must be re-runnable bit-identically")
+    val perLang = a.groupBy(_._2).view.mapValues(_.length)
+    val (lo, hi) = (perLang.values.min, perLang.values.max)
+    // every stratum is sampled toward the smallest; permille flooring and
+    // hash granularity leave bounded spread, not the raw 3x lang skew
+    assert(hi <= lo * 2, s"strata should be near-equal after rebalance: $perLang")
+  }
+
   test("clustering leaves no cached relations after release") {
     Dedup.ddCluster(spark, sf()).write.mode("overwrite").format("noop").save()
     graft.Caches.releaseAll()
     assert(spark.sharedState.cacheManager.isEmpty,
       "CacheManager should be empty after Caches.releaseAll()")
+  }
+
+  test("span dedup removes exactly the cross-corpus repeated blocks") {
+    // doc 1/2 share block "a b c"; doc 3 repeats "x y z" within itself;
+    // doc 4 is unique; doc 5 is shorter than one block (partial tail)
+    val docs = Seq(
+      (1L, "a b c p q r"), (2L, "a b c s t u"),
+      (3L, "x y z m m m x y z"), (4L, "only unique words here ok yes"),
+      (5L, "hi")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> ("p q r", 1L),              // shared "a b c" block dropped
+      2L -> ("s t u", 1L),
+      3L -> ("m m m", 2L),              // within-doc repeat dropped twice
+      4L -> ("only unique words here ok yes", 0L),
+      5L -> ("hi", 0L)))                // partial tail block is a block
   }
 
   test("semantic dedup keeps exactly one representative per cluster") {

@@ -12,7 +12,9 @@ object ScaleProbe {
   private val Probes = Seq(
     "dd_exact", "dd_minhash_lsh", "dd_simhash",
     "dd_pipeline", "dd_incremental", "dd_decontaminate", "dd_curate",
-    "sim_lsh_topk", "sim_ivf_topk", "sim_cosine_neardup", "tx_token_stats")
+    "dd_cluster", "dd_span_dedup",
+    "sim_lsh_topk", "sim_ivf_topk", "sim_cosine_neardup",
+    "sim_semantic_dedup", "tx_token_stats", "tx_repetition")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args

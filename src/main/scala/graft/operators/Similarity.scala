@@ -215,6 +215,13 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val cent = e.filter(col("vec_id") < IVF_CENTROIDS)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    ivfTopKWith(e, cent)
+  }
+
+  /** IVF search against an arbitrary (centroid_id, ce) codebook — the
+    * common body of the gated stand-in-codebook query and the trained
+    * variant. */
+  def ivfTopKWith(e: DataFrame, cent: DataFrame): DataFrame = {
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("centroid_id"))
     // persisted: the corpus × codebook distance pass (the dominant cost)
@@ -242,6 +249,65 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Lloyd's k-means trainer for the IVF codebook, in DataFrame ops:
+    * init = first k corpus vectors (deterministic), then per iteration
+    * (1) assign every vector to its max-cosine centroid — one corpus
+    * pass against the broadcast k-row codebook, (2) recompute each
+    * centroid as the element-wise mean of its cell, via [[Dim]] `avg`
+    * aggregate columns (map-side partial aggregation; NO posexplode —
+    * exploding would shuffle corpus×[[Dim]] rows where this shuffles
+    * k×[[Dim]] doubles per map partition). Empty cells keep their
+    * previous centroid. Each iteration ends in a lazy localCheckpoint
+    * so the plan stays constant-size across iterations (same lineage
+    * argument as [[Cluster.connectedComponents]]). Centroids stay
+    * distributed end-to-end; k and iters are small constants, the
+    * corpus is never collected. */
+  def trainIvfCodebook(e: DataFrame, k: Int = IVF_CENTROIDS,
+                       iters: Int = 3): DataFrame = {
+    val meanCols = (1 to Dim).map(i =>
+      avg(element_at(col("embedding"), i)).cast("float"))
+    var cent = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("ce"))
+      .localCheckpoint(false)
+    var it = 0
+    while (it < iters) {
+      val means = assignCells(e, cent)
+        .groupBy(col("centroid_id"))
+        .agg(array(meanCols: _*).as("mce"))
+      cent = cent.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("mce"), col("ce")).as("ce"))
+        .localCheckpoint(false)
+      it += 1
+    }
+    cent
+  }
+
+  /** (vec_id, embedding, centroid_id, csim) — every vector labeled with
+    * its max-cosine centroid. */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("csim", Portable.cosine(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"), col("csim"))
+  }
+
+  /** Mean cosine distance (1 − cosine) of every vector to its assigned
+    * centroid — the k-means objective the trainer must not increase. */
+  def ivfObjective(e: DataFrame, cent: DataFrame): Double =
+    assignCells(e, cent).agg(avg(lit(1.0) - col("csim"))).head().getDouble(0)
+
+  /** IVF search over a TRAINED codebook — same plan shape and recall
+    * contract as the gated [[simIvfTopK]], tighter cells. Not gated: a
+    * k-means fixpoint has no closed-form SQL oracle; correctness is the
+    * objective-descent + recall-floor tests in `ExtensionSpec`. */
+  def simIvfTopKTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    ivfTopKWith(e, trainIvfCodebook(e))
   }
 
   val simIvfTopKSql: String = s"""
@@ -391,6 +457,21 @@ object Similarity {
     * pair; untouched vectors are implicitly kept. */
   def simSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val pairs = cosineNearDupPairs(spark, dir, NEARDUP_TABLES, NEARDUP_PLANES)
+    Cluster.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Production semantic dedup: near-dup pairs with corpus-derived plane
+    * count ([[autoPlanes]]) feeding the same clustering tail. The gated
+    * [[simSemanticDedup]] keeps the pinned (4, 8) because the oracle
+    * mirrors the constants; this is the 100 TB entry point (the 10×
+    * probe measures the pinned form at ~3.5× — the fixed-plane law —
+    * and the auto form's underlying pair stage at ~2.8×). */
+  def semanticDedupAuto(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = cosineNearDupAuto(spark, dir)
     Cluster.connectedComponents(
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       .select(col("id").as("vec_id"), col("cluster_id"),

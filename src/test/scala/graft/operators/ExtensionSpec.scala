@@ -114,6 +114,29 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.85, s"IVF ANN recall@5 $recall below 0.85 floor")
   }
 
+  test("k-means codebook: objective descends, training is deterministic, recall holds") {
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.01"))
+    val standIn = e.filter($"vec_id" < Similarity.IVF_CENTROIDS)
+      .select($"vec_id".cast("int").as("centroid_id"), $"embedding".as("ce"))
+    val objs = (0 to 3).map(i =>
+      Similarity.ivfObjective(e, Similarity.trainIvfCodebook(e, iters = i)))
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"k-means objective increased: $objs")
+    }
+    assert(objs.last < Similarity.ivfObjective(e, standIn),
+      "trained codebook should beat the first-k stand-in")
+    val c1 = Similarity.trainIvfCodebook(e).as[(Int, Seq[Float])].collect().toMap
+    val c2 = Similarity.trainIvfCodebook(e).as[(Int, Seq[Float])].collect().toMap
+    assert(c1 == c2, "training must be deterministic")
+    val bf = Similarity.simBruteForceTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.simIvfTopKTrained(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.85, s"trained-IVF recall@5 $recall below 0.85 floor")
+    graft.Caches.releaseAll()
+  }
+
   test("banded near-dup plans contain no all-pairs join") {
     // the 100 TB criterion: candidate generation must be an equi-join on
     // band keys, never a nested-loop/cartesian pair scan

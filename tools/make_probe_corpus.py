@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Build the N-fold probe corpus graft.ScaleProbe compares against.
+
+Replicates sf0.1 documents N times with PER-REPLICA TOKEN MUTATION
+(every word in replica i>0 gets a replica-specific suffix) so replicas
+are NOT near-duplicates of each other — a naive N-fold copy plants
+N-doc duplicate clusters whose C(N,2) output pairs would dominate every
+near-dup timing quadratically for reasons that have nothing to do with
+the index. Embeddings are N-fold FRESH seeded-random vectors for the
+same reason. Usage:
+
+    python3 tools/make_probe_corpus.py [N] [outdir]
+
+defaults: N=10, outdir=/tmp/sfbig. Then:
+
+    sbt -batch "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/sfbig"
+"""
+import sys
+
+import duckdb
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
+SRC = "/root/testdata/sf0.1"
+
+import os
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+con.sql(f"""
+COPY (
+  SELECT doc_id + i * 1000000 AS doc_id,
+         CASE WHEN i = 0 THEN text
+              ELSE array_to_string(
+                list_transform(string_split(text, ' '),
+                               w -> w || '_' || chr(CAST(97 + i AS INTEGER))), ' ')
+         END AS text,
+         lang, source, n_chars
+  FROM '{SRC}/documents.parquet', range({N}) t(i)
+  ORDER BY doc_id
+) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+""")
+
+# fresh deterministic vectors: element e of vec v hashes (v, e) into
+# [-0.5, 0.5) — same distribution family as the source's random floats,
+# no duplicate vectors across replicas
+con.sql("SELECT setseed(0.42)")
+con.sql(f"""
+COPY (
+  SELECT vec_id + i * 1000000 AS vec_id,
+         CASE WHEN i = 0 THEN embedding
+              ELSE list_transform(range(1, 65), e ->
+                CAST((hash(vec_id * 64 + e + i * 131071) % 1000000)
+                     / 1000000.0 - 0.5 AS FLOAT))
+         END AS embedding,
+         label
+  FROM '{SRC}/embeddings.parquet', range({N}) t(i)
+  ORDER BY vec_id
+) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("documents", "embeddings"):
+    n = con.execute(f"SELECT COUNT(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+    print(f"{OUT}/{t}.parquet: {n} rows")

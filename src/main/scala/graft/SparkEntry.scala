@@ -67,6 +67,8 @@ object SparkEntry {
     "tx_repetition" -> (TextAnalysis.txRepetition _),
     "tx_split_assign" -> (TextAnalysis.txSplitAssign _),
     "tx_stratified_sample" -> (TextAnalysis.txStratifiedSample _),
+    "tx_word_freq" -> (TextAnalysis.txWordFreq _),
+    "tx_epoch_mix" -> (TextAnalysis.txEpochMix _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -145,6 +147,8 @@ object SparkEntry {
     "tx_repetition" -> TextAnalysis.txRepetitionSql,
     "tx_split_assign" -> TextAnalysis.txSplitAssignSql,
     "tx_stratified_sample" -> TextAnalysis.txStratifiedSampleSql,
+    "tx_word_freq" -> TextAnalysis.txWordFreqSql,
+    "tx_epoch_mix" -> TextAnalysis.txEpochMixSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,

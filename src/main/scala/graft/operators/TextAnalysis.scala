@@ -383,6 +383,109 @@ object TextAnalysis {
           < permille
     ORDER BY d.doc_id"""
 
+  /** Words with corpus count below this are "rare" — an absolute floor
+    * (hapax/dis-legomena style), deliberately not relative to corpus
+    * size: a relative threshold would need a global scalar joined onto
+    * every row, and absolute rarity is what n-gram-LM-adjacent quality
+    * filters actually use. */
+  val RARE_MIN_COUNT = 3L
+
+  /** Corpus-frequency quality signals per doc: average corpus count of
+    * the doc's tokens (boilerplate docs score high — their words are
+    * everywhere) and the fraction of token occurrences that are corpus-
+    * rare (garbage/OCR noise scores high). The LM-free stand-in for a
+    * CCNet-style perplexity filter, and deliberately transcendental-free:
+    * all aggregation happens on exact integers (counts of counts), with
+    * ONE double division at the end — a float sum over words would be
+    * accumulation-order-dependent and break the bit-exact oracle.
+    *
+    * Scale shape: vocab count (shuffle by word, map-side combine),
+    * occurrence⋈vocab equi-join (AQE-decided; a capped top-K vocab
+    * broadcast is the 100 TB variant), per-doc integer aggregate. */
+  def txWordFreq(spark: SparkSession, dir: String): DataFrame =
+    wordFreq(Tables.documents(spark, dir))
+
+  def wordFreq(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    words.join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("sum_cnt"), count(lit(1)).as("n_words"),
+        sum(when(col("cnt") < RARE_MIN_COUNT, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"),
+        (col("sum_cnt").cast("double") / col("n_words")).as("avg_word_count"),
+        (col("n_rare").cast("double") / col("n_words")).as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txWordFreqSql: String = s"""
+    WITH words AS (
+      SELECT doc_id, unnest(${Portable.wordsSql("text")}) AS w FROM documents),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+             COUNT(*) AS n_words,
+             CAST(COALESCE(SUM(CASE WHEN cnt < $RARE_MIN_COUNT THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_rare
+      FROM words JOIN vocab USING (w) GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(sum_cnt AS DOUBLE) / n_words AS avg_word_count,
+           CAST(n_rare AS DOUBLE) / n_words AS rare_frac
+    FROM perdoc ORDER BY doc_id"""
+
+  /** Per-language fractional epoch weights for the gated mix — the
+    * LLaMA-style data-mixing recipe: upsample low-resource strata by a
+    * non-integer factor. */
+  val EPOCH_WEIGHTS: Seq[(String, Double)] =
+    Seq("en" -> 1.0, "es" -> 1.5, "fr" -> 2.0, "de" -> 1.25, "zh" -> 1.75)
+
+  /** Fractional-epoch oversampling: each doc is emitted
+    * ⌊w⌋ (+1 with probability frac(w), decided by a deterministic
+    * content-independent hash) times, where w is its stratum's epoch
+    * weight. This is how training mixes upsample domains: weight 1.75
+    * means every doc appears once, 75% of docs twice per epoch — with
+    * no RNG state, the same doc always gets the same copy count.
+    * copy_idx makes output rows distinct for downstream shuffles.
+    * Weights < 1 subsume downsampling (some docs get 0 copies). */
+  def txEpochMix(spark: SparkSession, dir: String): DataFrame = {
+    val weight = EPOCH_WEIGHTS.tail.foldLeft(
+      when(col("lang") === EPOCH_WEIGHTS.head._1, EPOCH_WEIGHTS.head._2)) {
+      case (acc, (l, w)) => acc.when(col("lang") === l, w)
+    }.otherwise(1.0)
+    val bucket = pmod(
+      Portable.hash60(concat(lit("epoch:"), col("doc_id").cast("string"))), lit(1000L))
+    val copies = (floor(weight) +
+      when(bucket < ((weight - floor(weight)) * 1000).cast("long"), 1L)
+        .otherwise(0L)).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), copies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
+  val txEpochMixSql: String = {
+    val caseW = EPOCH_WEIGHTS.map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+      .mkString(" ")
+    s"""
+    WITH wts AS (
+      SELECT doc_id, lang, CASE $caseW ELSE 1.0 END AS w,
+             ((${Portable.hash60Sql("('epoch:' || CAST(doc_id AS VARCHAR))")} % 1000)
+              + 1000) % 1000 AS bucket
+      FROM documents),
+    copies AS (
+      SELECT doc_id, lang,
+             CAST(floor(w) + CASE WHEN bucket < CAST((w - floor(w)) * 1000 AS BIGINT)
+                                  THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      FROM wts)
+    SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_idx
+    FROM copies WHERE n_copies > 0
+    ORDER BY doc_id, copy_idx"""
+  }
+
   val txRedactSql: String = s"""
     WITH injected AS (
       SELECT doc_id,

@@ -43,8 +43,10 @@ import org.apache.spark.sql.functions._
 object Cluster {
 
   /** Hard round cap — `require`-failed rather than silently returning
-    * unconverged labels (fail-loudly convention). 64 rounds covers a
-    * diameter-64 chain, far beyond any real near-dup graph. */
+    * unconverged labels (fail-loudly convention). Sum-based convergence
+    * needs diameter+1 observations (one extra round to SEE the fixed
+    * sum), so 64 rounds covers chains up to diameter 63 — far beyond
+    * any real near-dup graph. */
   val MaxRounds = 64
 
   /** (id, cluster_id) for every vertex of `edges` (columns src, dst);
@@ -73,6 +75,9 @@ object Cluster {
       df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .head().getDecimal(0)
     var prevSum = labelSum(labels)
+    // empty edge set (a clean corpus is legal input): sum over zero rows
+    // is null — return the empty label frame instead of NPE-ing below
+    if (prevSum == null) return labels
     var rounds = 0
     var converged = false
     while (!converged) {

@@ -683,13 +683,19 @@ object Dedup {
     * per-doc collect_list whose size is bounded by doc length. Nothing
     * is quadratic and nothing is driver-side. */
   def spanDedup(docs: DataFrame, w: Int): DataFrame = {
-    val ws = Portable.words(col("text"))
+    // the split is materialized as a column FIRST: transform/slice are
+    // interpreted higher-order functions with no subexpression hoisting,
+    // so an inline split(text) inside the lambda would re-split the
+    // whole doc per block — O(words²/W) per doc
+    val ws = col("ws")
     val nblocks = ceil(size(ws).cast("double") / w).cast("int")
-    val blocks = docs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), nblocks - 1),
-          i => struct(i.as("pos"),
-            array_join(slice(ws, i * w + 1, lit(w)), " ").as("blk")))).as("b"))
-      .select(col("doc_id"), col("b.pos").as("pos"), col("b.blk").as("blk"))
+    val blocks = graft.Caches.persist(
+      docs.withColumn("ws", Portable.words(col("text")))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), nblocks - 1),
+            i => struct(i.as("pos"),
+              array_join(slice(ws, i * w + 1, lit(w)), " ").as("blk")))).as("b"))
+        .select(col("doc_id"), col("b.pos").as("pos"), col("b.blk").as("blk")))
     val counts = blocks.groupBy(col("blk"))
       .agg(count(lit(1)).as("cnt"))
     blocks.join(counts, Seq("blk"))

@@ -255,25 +255,34 @@ object Similarity {
     * init = first k corpus vectors (deterministic), then per iteration
     * (1) assign every vector to its max-cosine centroid — one corpus
     * pass against the broadcast k-row codebook, (2) recompute each
-    * centroid as the element-wise mean of its cell, via [[Dim]] `avg`
-    * aggregate columns (map-side partial aggregation; NO posexplode —
-    * exploding would shuffle corpus×[[Dim]] rows where this shuffles
-    * k×[[Dim]] doubles per map partition). Empty cells keep their
-    * previous centroid. Each iteration ends in a lazy localCheckpoint
+    * centroid as the element-wise mean of its cell's UNIT-NORMALIZED
+    * members (spherical k-means: the mean of raw vectors optimizes
+    * euclidean distortion, and one large-norm member could drag the
+    * centroid where the cosine objective INCREASES — the mean-direction
+    * update is the one that monotonically improves mean cosine), via
+    * [[Dim]] `avg` aggregate columns (map-side partial aggregation; NO
+    * posexplode — exploding would shuffle corpus×[[Dim]] rows where
+    * this shuffles k×[[Dim]] doubles per map partition). Empty cells
+    * keep their previous centroid. Each iteration ends in a lazy localCheckpoint
     * so the plan stays constant-size across iterations (same lineage
     * argument as [[Cluster.connectedComponents]]). Centroids stay
     * distributed end-to-end; k and iters are small constants, the
     * corpus is never collected. */
   def trainIvfCodebook(e: DataFrame, k: Int = IVF_CENTROIDS,
                        iters: Int = 3): DataFrame = {
+    // hoisted to a column so the 64-term norm evaluates once per row,
+    // not once per avg column
+    val norm = sqrt((1 to Dim).map(i =>
+      pow(element_at(col("embedding"), i).cast("double"), 2)).reduce(_ + _))
     val meanCols = (1 to Dim).map(i =>
-      avg(element_at(col("embedding"), i)).cast("float"))
+      avg(element_at(col("embedding"), i) / col("nrm")).cast("float"))
     var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("ce"))
       .localCheckpoint(false)
     var it = 0
     while (it < iters) {
       val means = assignCells(e, cent)
+        .withColumn("nrm", norm)
         .groupBy(col("centroid_id"))
         .agg(array(meanCols: _*).as("mce"))
       cent = cent.join(means, Seq("centroid_id"), "left")

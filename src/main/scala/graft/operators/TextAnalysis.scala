@@ -179,8 +179,18 @@ object TextAnalysis {
   /** Document fingerprinting: md5 of the whitespace-normalized lowercase
     * text, plus the portable 60-bit integer fingerprint (the primitive the
     * MinHash/SimHash dedup family builds on). */
+  /** Whitespace-normalized lowercase body — THE canonical content
+    * identity every content-keyed operator must share (fingerprinting,
+    * split assignment): a drift between two private copies would
+    * silently break the exact-dup-lands-in-same-split guarantee. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(c), lit("\\s+"), lit(" "))
+
+  def normTextSql(x: String): String =
+    s"regexp_replace(lower($x), '\\s+', ' ', 'g')"
+
   def txFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(lower(col("text")), lit("\\s+"), lit(" "))
+    val norm = normText(col("text"))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         md5(norm).as("fp_md5"),
@@ -190,7 +200,7 @@ object TextAnalysis {
 
   val txFingerprintSql: String = s"""
     WITH n AS (
-      SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+      SELECT doc_id, ${normTextSql("text")} AS norm
       FROM documents)
     SELECT doc_id, md5(norm) AS fp_md5, ${Portable.hash60Sql("norm")} AS fp_int60
     FROM n ORDER BY doc_id"""
@@ -320,7 +330,7 @@ object TextAnalysis {
     * seed state, or global sort — the same property as
     * [[txHashSample]]. */
   def txSplitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(lower(col("text")), lit("\\s+"), lit(" "))
+    val norm = normText(col("text"))
     val bucket = pmod(
       Portable.hash60(concat(lit("split:"), md5(norm))), lit(100L))
     Tables.documents(spark, dir)
@@ -333,7 +343,7 @@ object TextAnalysis {
   val txSplitAssignSql: String = s"""
     WITH n AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+             md5(${normTextSql("text")}) AS fp
       FROM documents),
     b AS (
       SELECT doc_id,
@@ -406,8 +416,10 @@ object TextAnalysis {
     wordFreq(Tables.documents(spark, dir))
 
   def wordFreq(docs: DataFrame): DataFrame = {
-    val words = docs
-      .select(col("doc_id"), explode(Portable.words(col("text"))).as("w"))
+    // persisted: the scan+explode pass feeds both the vocab aggregate
+    // and the join probe side
+    val words = graft.Caches.persist(docs
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("w")))
     val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     words.join(vocab, Seq("w"))
       .groupBy(col("doc_id"))
@@ -441,6 +453,18 @@ object TextAnalysis {
   val EPOCH_WEIGHTS: Seq[(String, Double)] =
     Seq("en" -> 1.0, "es" -> 1.5, "fr" -> 2.0, "de" -> 1.25, "zh" -> 1.75)
 
+  /** Per-lang (base copies, extra-copy permille) as INTEGER constants,
+    * derived once driver-side: computing frac(w)·1000 inside each
+    * engine would compare Spark's truncating double→long cast against
+    * DuckDB's rounding DECIMAL→BIGINT cast — exact for the pinned
+    * weights but a latent gate-breaker for any weight whose frac·1000
+    * is not float-exact (e.g. 1.9995). Integer literals cannot
+    * disagree. */
+  private val epochPermille: Seq[(String, Long, Long)] =
+    EPOCH_WEIGHTS.map { case (l, w) =>
+      (l, math.floor(w).toLong, math.round((w - math.floor(w)) * 1000))
+    }
+
   /** Fractional-epoch oversampling: each doc is emitted
     * ⌊w⌋ (+1 with probability frac(w), decided by a deterministic
     * content-independent hash) times, where w is its stratum's epoch
@@ -450,15 +474,15 @@ object TextAnalysis {
     * copy_idx makes output rows distinct for downstream shuffles.
     * Weights < 1 subsume downsampling (some docs get 0 copies). */
   def txEpochMix(spark: SparkSession, dir: String): DataFrame = {
-    val weight = EPOCH_WEIGHTS.tail.foldLeft(
-      when(col("lang") === EPOCH_WEIGHTS.head._1, EPOCH_WEIGHTS.head._2)) {
-      case (acc, (l, w)) => acc.when(col("lang") === l, w)
-    }.otherwise(1.0)
+    def byLang(f: ((String, Long, Long)) => Long, dflt: Long): Column =
+      epochPermille.tail.foldLeft(
+        when(col("lang") === epochPermille.head._1, f(epochPermille.head))) {
+        case (acc, t) => acc.when(col("lang") === t._1, f(t))
+      }.otherwise(dflt)
     val bucket = pmod(
       Portable.hash60(concat(lit("epoch:"), col("doc_id").cast("string"))), lit(1000L))
-    val copies = (floor(weight) +
-      when(bucket < ((weight - floor(weight)) * 1000).cast("long"), 1L)
-        .otherwise(0L)).cast("long")
+    val copies = byLang(_._2, 1L) +
+      when(bucket < byLang(_._3, 0L), 1L).otherwise(0L)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), copies.as("n_copies"))
       .filter(col("n_copies") > 0)
@@ -468,18 +492,21 @@ object TextAnalysis {
   }
 
   val txEpochMixSql: String = {
-    val caseW = EPOCH_WEIGHTS.map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+    val caseBase = epochPermille.map { case (l, b, _) => s"WHEN lang = '$l' THEN $b" }
+      .mkString(" ")
+    val casePm = epochPermille.map { case (l, _, p) => s"WHEN lang = '$l' THEN $p" }
       .mkString(" ")
     s"""
     WITH wts AS (
-      SELECT doc_id, lang, CASE $caseW ELSE 1.0 END AS w,
+      SELECT doc_id, lang,
+             CAST(CASE $caseBase ELSE 1 END AS BIGINT) AS base,
+             CAST(CASE $casePm ELSE 0 END AS BIGINT) AS pm,
              ((${Portable.hash60Sql("('epoch:' || CAST(doc_id AS VARCHAR))")} % 1000)
               + 1000) % 1000 AS bucket
       FROM documents),
     copies AS (
       SELECT doc_id, lang,
-             CAST(floor(w) + CASE WHEN bucket < CAST((w - floor(w)) * 1000 AS BIGINT)
-                                  THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+             base + CASE WHEN bucket < pm THEN 1 ELSE 0 END AS n_copies
       FROM wts)
     SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_idx
     FROM copies WHERE n_copies > 0

@@ -24,6 +24,11 @@ class ClusterSpec extends SparkSpec {
     assert(cc(Seq((2L, 1L), (2L, 3L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("empty edge set yields an empty label frame, not an NPE") {
+    // legal input: a clean corpus produces zero verified pairs
+    assert(cc(Seq.empty[(Long, Long)]) == Map.empty[Long, Long])
+  }
+
   test("disjoint components keep distinct labels") {
     val got = cc(Seq((1L, 2L), (10L, 11L), (11L, 12L), (20L, 21L)))
     assert(got == Map(1L -> 1L, 2L -> 1L,

@@ -56,6 +56,8 @@ object SparkEntry {
     // gated form csv-encodes the array column (driver comparator can't
     // hash numpy arrays); q27OrderLineArrays / simQuantize return real arrays
     "q27_order_line_arrays" -> (Relational.q27OrderLineArraysGated _),
+    "q28_group_quantiles" -> (Relational.q28GroupQuantiles _),
+    "q29_above_customer_avg" -> (Relational.q29AboveCustomerAvg _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -137,6 +139,8 @@ object SparkEntry {
     "q25_event_gaps" -> Relational.q25EventGapsSql,
     "q26_cube_region_nation" -> Relational.q26CubeRegionNationSql,
     "q27_order_line_arrays" -> Relational.q27OrderLineArraysSql,
+    "q28_group_quantiles" -> Relational.q28GroupQuantilesSql,
+    "q29_above_customer_avg" -> Relational.q29AboveCustomerAvgSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,

@@ -575,4 +575,58 @@ object Relational {
     WHERE l_orderkey % 1000 = 0
     GROUP BY l_orderkey
     ORDER BY l_orderkey"""
+
+  /** Exact per-group quantiles (median / p95) — the continuous
+    * (interpolating) definition: rank p·(n−1), linear blend of the two
+    * bracketing sorted values, identical in Spark's `percentile` and
+    * DuckDB's `quantile_cont`; the blend is ONE deterministic double
+    * expression over 2-decimal inputs, so the bit-exact compare holds.
+    * Exact group quantiles buffer each group's values
+    * (ObjectHashAggregate, no partial reduction of the sorted state) —
+    * fine for bounded groups like the 3 return flags; at 100 TB with
+    * big groups the swap is `approx_percentile` (mergeable KLL-style
+    * sketch, same call shape), the same exact→approx trade
+    * `sk_approx_stats` records for distinct counts. */
+  def q28GroupQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.95)).as("p95_qty"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("median_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q28GroupQuantilesSql: String = """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.95) AS p95_qty,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
+  /** Correlated scalar subquery, through the `spark.sql` entry point
+    * (SURVEY §2.5 exercises `expr()` strings; this exercises full-query
+    * SQL): orders strictly above their own customer's average order
+    * value. Catalyst DECORRELATES the per-row subquery into one
+    * aggregate + join — `.explain` shows no per-row re-execution, the
+    * plan is the same two-shuffle aggregate⋈join a hand-written
+    * DataFrame version would produce. The avg is decimal-exact then one
+    * double division (the file-header float convention). */
+  def q29AboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(q29AboveCustomerAvgSql)
+  }
+
+  val q29AboveCustomerAvgSql: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*)
+      FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey"""
 }

@@ -74,11 +74,18 @@ object Bench {
     }
     val timed = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
-    val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision, not the double's full 12 digits: the
+    // driver keeps only the last ~2000 chars of output, and rounds 1-4
+    // all recorded "parsed": null because the full-precision line
+    // (~2.2 KB) was truncated mid-JSON in that tail. 3 decimals keeps
+    // the whole line under the buffer; sub-ms digits are pure jitter
+    // at local[32] anyway.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -285,25 +285,103 @@ object StreamingPipeline {
   /** The not-yet-verifiable backlog written by [[startNearDupVerify]]
     * (candidates whose docs had not committed to the shingle store when
     * their micro-batch ran). Empty batch partitions carry no files, so
-    * the schema is supplied rather than inferred. */
-  def pendingCandidates(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.schema("id_a BIGINT, id_b BIGINT")
-      .parquet(s"$outDir/$PendingDirName")
-      .select(col("id_a"), col("id_b")).distinct()
+    * the schema is supplied rather than inferred — but the supplied
+    * schema only covers empty-but-PRESENT partitions: before the first
+    * non-empty micro-batch writes, the `_pending` dir itself does not
+    * exist and the read would fail PATH_NOT_FOUND, so a sweep scheduled
+    * ahead of ingest gets an empty frame instead. */
+  def pendingCandidates(spark: SparkSession, outDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/$PendingDirName")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType.fromDDL("id_a BIGINT, id_b BIGINT"))
+    else
+      spark.read.schema("id_a BIGINT, id_b BIGINT")
+        .parquet(s"$outDir/$PendingDirName")
+        .select(col("id_a"), col("id_b")).distinct()
+  }
 
   /** Retry entry point for the pending backlog: re-verify it against
     * the CURRENT shingle store, returning the pairs that are now
     * verifiable (same jaccard arithmetic as the live path — shared
-    * [[graft.operators.Dedup.verifyPairs]]). Pairs whose docs are
-    * still absent stay in the backlog (this job emits, it does not
-    * compact; a replayed micro-batch rewrites its own backlog
-    * partition). Run it as a periodic batch sweep behind ingest. */
+    * [[graft.operators.Dedup.verifyPairs]]). This variant only EMITS —
+    * it does not touch the backlog, so repeated calls re-emit the same
+    * pairs; the production sweep is [[verifyPendingAndCompact]], which
+    * also persists its output and retires resolved pairs. */
   def verifyPending(spark: SparkSession, storeDir: String, outDir: String,
                     threshold: Double = 0.5): DataFrame = {
     val store = spark.read.schema("doc_id BIGINT, h BIGINT")
       .parquet(storeDir).distinct()
     graft.operators.Dedup.verifyPairs(
       pendingCandidates(spark, outDir), store, threshold)
+  }
+
+  /** The production backlog sweep: verify what is NOW verifiable,
+    * persist the newly-verified pairs into the same `batch=<id>` output
+    * layout the live path writes (partition `batch=sweep-<k>`), and
+    * REWRITE the backlog minus every resolved pair. Resolved = both doc
+    * ids present in the store — whether or not the pair clears the
+    * jaccard threshold (a verifiable non-duplicate is a settled no, not
+    * a retry). Pairs whose docs have still not arrived stay parked, so
+    * the backlog shrinks monotonically and repeated sweeps never
+    * re-emit earlier sweeps' results; downstream reads of `outDir`
+    * stay dedup-free with no cross-sweep reconciliation.
+    *
+    * Crash safety: newly-verified pairs are anti-joined against the
+    * pairs already in `outDir` BEFORE writing, so a sweep replayed
+    * after dying between its output write and its backlog rewrite
+    * writes an empty delta instead of duplicating output. The backlog
+    * rewrite itself is write-to-staging then swap — the staging write
+    * is the action that drains the old backlog files, so the delete
+    * never races the read. Run sweeps while the verify stream is
+    * quiesced (between micro-batches): a live `_pending/batch=<id>`
+    * write concurrent with the swap is not coordinated. */
+  def verifyPendingAndCompact(spark: SparkSession, storeDir: String,
+                              outDir: String,
+                              threshold: Double = 0.5): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val outPath = new Path(outDir)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pending = pendingCandidates(spark, outDir).persist()
+    val store = spark.read.schema("doc_id BIGINT, h BIGINT")
+      .parquet(storeDir).distinct().persist()
+    try {
+      val ids = store.select(col("doc_id")).distinct()
+      val idsA = ids.withColumnRenamed("doc_id", "id_a")
+      val idsB = ids.withColumnRenamed("doc_id", "id_b")
+      val ready = pending
+        .join(idsA, Seq("id_a"), "left_semi")
+        .join(idsB, Seq("id_b"), "left_semi")
+      val still = pending.join(idsA, Seq("id_a"), "left_anti")
+        .union(pending.join(idsB, Seq("id_b"), "left_anti"))
+        .distinct()
+      val already = spark.read
+        .schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
+        .parquet(outDir).select(col("id_a"), col("id_b"))
+      val fresh = graft.operators.Dedup.verifyPairs(ready, store, threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .join(already, Seq("id_a", "id_b"), "left_anti")
+      val sweepDir = Iterator.from(0)
+        .map(i => new Path(outPath, s"batch=sweep-$i"))
+        .find(p => !fs.exists(p)).get
+      val wrote = !fresh.isEmpty
+      if (wrote) fresh.write.mode("overwrite").parquet(sweepDir.toString)
+      // backlog swap: the staging write EXECUTES the read of the old
+      // backlog files; only then is the live dir replaced
+      val staging = new Path(outPath, s"${PendingDirName}_staging")
+      fs.delete(staging, true)
+      still.write.mode("overwrite").parquet(staging.toString)
+      val live = new Path(outPath, PendingDirName)
+      fs.delete(live, true)
+      fs.rename(staging, live)
+      if (wrote)
+        spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
+          .parquet(sweepDir.toString)
+      else
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType.fromDDL("id_a BIGINT, id_b BIGINT, jaccard DOUBLE"))
+    } finally { pending.unpersist(); store.unpersist() }
   }
 
   /** One not-yet-closed session interval (event-time micros). */

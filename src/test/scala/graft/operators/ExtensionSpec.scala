@@ -127,7 +127,19 @@ class ExtensionSpec extends SparkSpec {
       "trained codebook should beat the first-k stand-in")
     val c1 = Similarity.trainIvfCodebook(e).as[(Int, Seq[Float])].collect().toMap
     val c2 = Similarity.trainIvfCodebook(e).as[(Int, Seq[Float])].collect().toMap
-    assert(c1 == c2, "training must be deterministic")
+    // element-wise within epsilon, not exact Map equality: float avg
+    // aggregation order is stable under fixed local partitioning but can
+    // shift with partition counts / AQE, and that must not read as
+    // nondeterministic training
+    assert(c1.keySet == c2.keySet, "training must yield the same centroid ids")
+    c1.foreach { case (cid, v1) =>
+      val v2 = c2(cid)
+      assert(v1.size == v2.size, s"centroid $cid dim mismatch")
+      v1.zip(v2).zipWithIndex.foreach { case ((a, b), d) =>
+        assert(math.abs(a - b) <= 1e-5f,
+          s"centroid $cid dim $d differs beyond epsilon: $a vs $b")
+      }
+    }
     val bf = Similarity.simBruteForceTopK(spark, sf("sf0.01"))
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val ivf = Similarity.simIvfTopKTrained(spark, sf("sf0.01"))

@@ -366,7 +366,38 @@ class StreamingSpec extends SparkSpec {
       assert(retried.map(p => (p._1, p._2)).toSet == Set((2L, 1L)), s"got ${retried.toSeq}")
       val j = retried.head._3
       assert(j >= 0.5 && j < 1.0, s"jaccard $j should reflect the one-word edit")
+
+      // the COMPACTING sweep: persists the verified pair into the
+      // batch=<id> output layout and retires it from the backlog, so
+      // downstream reads need no cross-sweep dedup
+      val swept = StreamingPipeline.verifyPendingAndCompact(spark, store, out)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(swept == Set((2L, 1L)), s"sweep should emit the parked pair, got $swept")
+      val persisted = spark.read
+        .schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE").parquet(out)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      assert(persisted.toSeq == Seq((2L, 1L)),
+        s"outDir should hold the swept pair exactly once, got ${persisted.toSeq}")
+      assert(StreamingPipeline.pendingCandidates(spark, out).isEmpty,
+        "backlog should be empty after compaction")
+      // a second sweep is a no-op: nothing re-emitted, no duplicate rows
+      assert(StreamingPipeline.verifyPendingAndCompact(spark, store, out).isEmpty,
+        "second sweep must not re-emit")
+      val after = spark.read
+        .schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE").parquet(out)
+      assert(after.count() == 1, "second sweep must not duplicate output rows")
     } finally { storeQ.stop(); verifyQ.stop() }
+  }
+
+  test("pendingCandidates before any backlog write returns an empty frame") {
+    // _pending does not exist until the first non-empty micro-batch
+    // writes it — a sweep scheduled ahead of ingest must see an empty
+    // backlog, not PATH_NOT_FOUND
+    import java.nio.file.{Files => JFiles}
+    val out = JFiles.createTempDirectory("graft_ndv_empty_out_").toString
+    val pend = StreamingPipeline.pendingCandidates(spark, out)
+    assert(pend.isEmpty, "no backlog dir should read as an empty backlog")
+    assert(pend.columns.toSeq == Seq("id_a", "id_b"))
   }
 
   test("sessionization runs on the RocksDB state store provider") {

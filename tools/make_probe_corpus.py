@@ -28,9 +28,15 @@ import os
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
 
+# Replica id offset must clear the source id range — a hardcoded 1M
+# would silently collide ids (planting exact duplicates this script
+# exists to avoid) on any corpus with ids >= 1M.
+doc_off = con.execute(f"SELECT max(doc_id) + 1 FROM '{SRC}/documents.parquet'").fetchone()[0]
+vec_off = con.execute(f"SELECT max(vec_id) + 1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+
 con.sql(f"""
 COPY (
-  SELECT doc_id + i * 1000000 AS doc_id,
+  SELECT doc_id + i * {doc_off} AS doc_id,
          CASE WHEN i = 0 THEN text
               ELSE array_to_string(
                 list_transform(string_split(text, ' '),
@@ -48,7 +54,7 @@ COPY (
 con.sql("SELECT setseed(0.42)")
 con.sql(f"""
 COPY (
-  SELECT vec_id + i * 1000000 AS vec_id,
+  SELECT vec_id + i * {vec_off} AS vec_id,
          CASE WHEN i = 0 THEN embedding
               ELSE list_transform(range(1, 65), e ->
                 CAST((hash(vec_id * 64 + e + i * 131071) % 1000000)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Multimodal, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Dedup, Multimodal, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,9 @@ object SparkEntry {
     "q27_order_line_arrays" -> (Relational.q27OrderLineArraysGated _),
     "q28_group_quantiles" -> (Relational.q28GroupQuantiles _),
     "q29_above_customer_avg" -> (Relational.q29AboveCustomerAvg _),
+    "q30_bloom_prejoin" -> (BloomJoin.q30BloomPrejoin _),
+    // Incremental maintenance
+    "cdc_merge_orders" -> (Cdc.cdcMergeOrders _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -96,6 +99,7 @@ object SparkEntry {
     "mm_extract_features" -> (Multimodal.mmExtractFeatures _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
     "mm_resize" -> (Multimodal.mmResize _),
+    "mm_audio_segments" -> (Multimodal.mmAudioSegments _),
     // Sketches — no oracleSql entry (estimates are impl-specific): the
     // driver records the weaker rows-only check; accuracy bounds vs the
     // exact answers are asserted in PropertySpec
@@ -141,6 +145,8 @@ object SparkEntry {
     "q27_order_line_arrays" -> Relational.q27OrderLineArraysSql,
     "q28_group_quantiles" -> Relational.q28GroupQuantilesSql,
     "q29_above_customer_avg" -> Relational.q29AboveCustomerAvgSql,
+    "q30_bloom_prejoin" -> BloomJoin.q30BloomPrejoinSql,
+    "cdc_merge_orders" -> Cdc.cdcMergeOrdersSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,
@@ -174,5 +180,6 @@ object SparkEntry {
     "mm_extract_features" -> Multimodal.mmExtractFeaturesSql,
     "mm_frame_sample" -> Multimodal.mmFrameSampleSql,
     "mm_resize" -> Multimodal.mmResizeSql,
+    "mm_audio_segments" -> Multimodal.mmAudioSegmentsSql,
   )
 }

@@ -165,4 +165,45 @@ object Multimodal {
       SELECT doc_id, text, unnest(range(0, (length(text) - 1) // $FrameBytes + 1)) AS frame_idx
       FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0)
     ORDER BY doc_id, frame_idx"""
+
+  /** Audio segmentation window: [[SegBytes]]-byte windows every
+    * [[HopBytes]] bytes — 25% overlap, the speech-model chunking shape
+    * (overlap so no acoustic event is lost on a boundary). A real
+    * pipeline would window SAMPLES after decode; the byte-window stands
+    * in with the same plumbing. */
+  val SegBytes = 512
+  val HopBytes = 384
+
+  /** Segment the "audio" rows into overlapping fixed windows: each
+    * window start (0, hop, 2·hop, … < n) becomes a
+    * (doc_id, seg_idx, seg_len, seg_digest) row via a generator explode —
+    * tail windows are short, empty payloads yield no windows. Same
+    * scale contract as [[mmFrameSample]]: the explode is a generator
+    * inside the scan stage (no shuffle until a consumer asks), and
+    * per-segment work would run inside `mapPartitions` with
+    * per-partition codec init in a real deployment. */
+  def mmAudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 1) // the "audio" rows
+      .filter(length(col("text")) > 0)
+    docs
+      .withColumn("last_seg", expr(s"cast((length(text) - 1) div $HopBytes as bigint)"))
+      .select(col("doc_id"), col("text"), col("last_seg"),
+        explode(sequence(lit(0L), col("last_seg"))).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        least(lit(SegBytes.toLong),
+          length(col("text")).cast("long") - col("seg_idx") * HopBytes).as("seg_len"),
+        md5(col("text").substr((col("seg_idx") * HopBytes + 1).cast("int"),
+          lit(SegBytes))).as("seg_digest"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+
+  val mmAudioSegmentsSql: String = s"""
+    SELECT doc_id, seg_idx,
+           least($SegBytes, length(text) - seg_idx * $HopBytes) AS seg_len,
+           md5(substring(text, (seg_idx * $HopBytes + 1)::INT, $SegBytes)) AS seg_digest
+    FROM (
+      SELECT doc_id, text, unnest(range(0, (length(text) - 1) // $HopBytes + 1)) AS seg_idx
+      FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0)
+    ORDER BY doc_id, seg_idx"""
 }

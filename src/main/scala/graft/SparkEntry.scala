@@ -61,6 +61,7 @@ object SparkEntry {
     "q30_bloom_prejoin" -> (BloomJoin.q30BloomPrejoin _),
     // Incremental maintenance
     "cdc_merge_orders" -> (Cdc.cdcMergeOrders _),
+    "cdc_scd2_orders" -> (Cdc.cdcScd2Orders _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "q29_above_customer_avg" -> Relational.q29AboveCustomerAvgSql,
     "q30_bloom_prejoin" -> BloomJoin.q30BloomPrejoinSql,
     "cdc_merge_orders" -> Cdc.cdcMergeOrdersSql,
+    "cdc_scd2_orders" -> Cdc.cdcScd2OrdersSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,

@@ -32,8 +32,29 @@ import graft.sources.Tables
   */
 object BloomJoin {
 
+  /** [[pruneFactKeys]] with `expectedItems` derived from `dim.count()`.
+    *
+    * A pinned capacity is a scale landmine: a filter sized for 1M keys
+    * holding 45M (sf100's filtered orders) saturates — every bit set,
+    * fpp → 1 — and the prune silently degrades to a no-op (correct, but
+    * paying a full dim pass for nothing). The count is one extra pass
+    * over the DIM only (for an unfiltered parquet relation it is
+    * answered from file footers without a data scan; for a filtered one
+    * it is a pushed-filter scan of the small side) — trivially cheap
+    * next to the fact-shuffle volume the correctly-sized prune removes,
+    * and the same corpus-derived-constant posture as
+    * [[Similarity.cosineNearDupAuto]]'s `autoPlanes`. */
+  def pruneFactKeysAuto(fact: DataFrame, factKey: String,
+                        dim: DataFrame, dimKey: String,
+                        fpp: Double = 0.01): DataFrame =
+    pruneFactKeys(fact, factKey, dim, dimKey,
+      expectedItems = math.max(dim.count(), 1L), fpp = fpp)
+
   /** Fact rows whose `factKey` might be in `dim.dimKey` (integral keys).
-    * `expectedItems`/`fpp` size the filter: bits ≈ -n·ln(fpp)/ln²2. */
+    * `expectedItems`/`fpp` size the filter: bits ≈ -n·ln(fpp)/ln²2.
+    * Prefer [[pruneFactKeysAuto]] unless the caller already knows the
+    * key cardinality (e.g. from table stats) — an undersized filter
+    * saturates and stops pruning. */
   def pruneFactKeys(fact: DataFrame, factKey: String,
                     dim: DataFrame, dimKey: String,
                     expectedItems: Long, fpp: Double): DataFrame = {
@@ -53,14 +74,17 @@ object BloomJoin {
     * join — identical results prove the prune is transparent (false
     * positives die in the exact join). The dim filter keeps ~a third of
     * orders: selective enough that the prune pays, populated enough that
-    * the bloom is exercised at every test scale. */
+    * the bloom is exercised at every test scale. Auto-sized (the oracle
+    * is capacity-independent, so nothing pins the constant): the filter
+    * tracks the dim cardinality at any scale factor instead of
+    * saturating past a pinned capacity. */
   def q30BloomPrejoin(spark: SparkSession, dir: String): DataFrame = {
     val dim = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderpriority"))
-    val fact = pruneFactKeys(
+    val fact = pruneFactKeysAuto(
       Tables.lineitem(spark, dir), "l_orderkey",
-      dim, "o_orderkey", expectedItems = 1000000L, fpp = 0.01)
+      dim, "o_orderkey", fpp = 0.01)
     fact.join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(

@@ -41,6 +41,29 @@ class BloomJoinSpec extends SparkSpec {
       s"false-positive leakage $leaked too high ($nPruned pruned, $nTrue true)")
   }
 
+  test("auto-sizing holds fpp under dim growth where a pinned capacity saturates") {
+    // dim keys [0, n), fact keys [0, 20n) -> 19n true non-matchers; grow
+    // the dim 10x and check the AUTO-sized filter's false-positive rate
+    // stays within 2x the requested fpp at both sizes, while a filter
+    // pinned at the small capacity saturates on the big dim
+    val fpp = 0.01
+    def leakRate(dimN: Long, expected: Option[Long]): Double = {
+      val dim = spark.range(dimN).select(col("id").as("k"))
+      val fact = spark.range(20L * dimN).select(col("id").as("k"))
+      val pruned = expected match {
+        case Some(n) => BloomJoin.pruneFactKeys(fact, "k", dim, "k", n, fpp)
+        case None    => BloomJoin.pruneFactKeysAuto(fact, "k", dim, "k", fpp)
+      }
+      (pruned.count() - dimN).toDouble / (19L * dimN)
+    }
+    assert(leakRate(20000L, None) <= 2 * fpp, "auto-sized filter leaks at base size")
+    assert(leakRate(200000L, None) <= 2 * fpp, "auto-sized filter leaks at 10x size")
+    // sanity that the failure mode the auto path removes is real: a
+    // capacity pinned 100x under the key count saturates toward fpp ~ 1
+    assert(leakRate(200000L, Some(2000L)) > 0.5,
+      "undersized filter should saturate (else this test proves nothing)")
+  }
+
   test("gated q30 equals the plain join and keeps the probe in codegen") {
     val withBloom = BloomJoin.q30BloomPrejoin(spark, sf())
     val dim = Tables.orders(spark, sf())

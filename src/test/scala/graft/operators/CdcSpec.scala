@@ -55,6 +55,55 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("strict mode fails loudly on (key, seq) ties; lenient mode does not") {
+    val tied = Seq(
+      Change(2, "b1", 1, "U"), Change(2, "b2", 1, "U")).toDF()
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(snap, tied, Seq("k"), strict = true)
+    }
+    assert(e.getMessage.contains("tied"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Cdc.applyChangelogScd2(snap, tied, Seq("k"), strict = true)
+    }
+    // lenient mode keeps the old pick-one behavior (one row for key 2)
+    assert(Cdc.applyChangelog(snap, tied, Seq("k"))
+      .filter(col("k") === 2).count() == 1)
+  }
+
+  test("scd2: versions chain per key, one current row max, deletes close history") {
+    val changes = Seq(
+      Change(2, "b1", 1, "U"), Change(2, "b2", 2, "U"), // two versions + closed snapshot row
+      Change(3, "c1", 1, "U"), Change(3, "c1", 2, "D"), // history ends deleted: no current
+      Change(4, "d", 1, "I")                            // insert: one open version
+    ).toDF()
+    val hist = Cdc.applyChangelogScd2(snap, changes, Seq("k"), strict = true)
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Option[Long], Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3.getOrElse(Long.MinValue)))
+    assert(hist.toSeq == Seq(
+      (1L, "a", None, None, true),            // untouched passthrough
+      (2L, "b", None, Some(1L), false),       // snapshot row closed at first change
+      (2L, "b1", Some(1L), Some(2L), false),  // superseded by seq 2
+      (2L, "b2", Some(2L), None, true),       // open current version
+      (3L, "c", None, Some(1L), false),
+      (3L, "c1", Some(1L), Some(2L), false),  // closed by the delete, which emits no row
+      (4L, "d", Some(1L), None, true)
+    ), s"got ${hist.toSeq}")
+  }
+
+  test("scd2 current rows reconstruct exactly the applyChangelog snapshot") {
+    // the two operators must agree: filtering SCD2 history to is_current
+    // and dropping the validity columns IS the merged snapshot
+    val o = graft.sources.Tables.orders(spark, sf())
+    val changes = Cdc.syntheticOrdersChangelog(o)
+    val fromScd2 = Cdc.applyChangelogScd2(o, changes, Seq("o_orderkey"))
+      .filter(col("is_current"))
+      .drop("valid_from", "valid_to", "is_current")
+    val merged = Cdc.applyChangelog(o, changes, Seq("o_orderkey"))
+    assert(fromScd2.exceptAll(merged).isEmpty && merged.exceptAll(fromScd2).isEmpty,
+      "SCD2 current slice diverges from the merge result")
+  }
+
   test("cdc gated query: inserts land under offset keys, deletes shrink the snapshot") {
     val merged = Cdc.cdcMergeOrders(spark, sf())
     val o = graft.sources.Tables.orders(spark, sf())

@@ -21,6 +21,7 @@ object SparkEntry {
     // SURVEY §2 parity operators (through the production pipeline code)
     "s1_scan_prune_filter" -> (Parity.s1ScanPruneFilter _),
     "s2_union_by_name"     -> (Parity.s2UnionByName _),
+    "s3_quarantine_split"  -> (Parity.s3QuarantineSplit _),
     "p1_add_fields"        -> (Parity.p1AddFields _),
     "p2_kafka_payload"     -> (Parity.p2KafkaPayload _),
     "f_validate_ok"        -> (Parity.fValidateOk _),
@@ -93,6 +94,10 @@ object SparkEntry {
     "sim_bruteforce_topk" -> (Similarity.simBruteForceTopK _),
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
     "sim_ivf_topk" -> (Similarity.simIvfTopK _),
+    // no oracleSql entry (a k-means fixpoint has no closed-form SQL):
+    // driver records rows-only; recall@5 >= 0.85 vs brute force and
+    // objective descent are asserted in ExtensionSpec
+    "sim_ivf_trained" -> (Similarity.simIvfTopKTrained _),
     "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
     "sim_quantize" -> (Similarity.simQuantizeGated _),
     "sim_semantic_dedup" -> (Similarity.simSemanticDedup _),
@@ -112,6 +117,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "s1_scan_prune_filter" -> Parity.s1Sql,
     "s2_union_by_name"     -> Parity.s2Sql,
+    "s3_quarantine_split"  -> Parity.s3Sql,
     "p1_add_fields"        -> Parity.p1Sql,
     "p2_kafka_payload"     -> Parity.p2Sql,
     "f_validate_ok"        -> Parity.fValidateOkSql,

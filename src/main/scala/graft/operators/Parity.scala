@@ -55,6 +55,57 @@ object Parity {
     FROM supplier
     ORDER BY c_custkey NULLS LAST, s_suppkey NULLS LAST"""
 
+  /** Fixed absolute path for the quarantine gate's mixed fixture: the
+    * oracle SQL is a static string, so the path must be known at compile
+    * time, shared between the Spark read and DuckDB's `read_csv`. */
+  val QuarantineFixturePath = "/tmp/graft_fixtures/quarantine_mixed.csv"
+  val QuarantineSchemaDdl = "id BIGINT, name STRING, val DOUBLE"
+
+  /** Deterministic mixed clean/corrupt CSV: 80 clean rows and 20 corrupt
+    * lines (every 5th), cycling the four malformation arms a 100 TB
+    * ingest actually sees — unparseable key, missing column, bad
+    * numeric, extra column. Rewritten (same bytes) on every call so the
+    * gate never compares against a stale fixture. CSV rather than JSON:
+    * DuckDB's `read_csv` is core (no extension-load risk in the
+    * driver's offline sandbox) and its `ignore_errors` skip set matches
+    * Spark's PERMISSIVE corrupt set on these arms, which the gate
+    * hash-proves. */
+  def writeQuarantineFixture(): Unit = {
+    val lines = (0 until 100).map { i =>
+      if (i % 5 == 4) (i / 5) % 4 match {
+        case 0 => s"bad$i,doc_$i,1.5"
+        case 1 => s"$i,doc_$i"
+        case 2 => s"$i,doc_$i,notadouble"
+        case 3 => s"$i,doc_$i,1.0,extra"
+      }
+      else s"$i,doc_$i,${i * 0.25}"
+    }
+    val p = java.nio.file.Paths.get(QuarantineFixturePath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, lines.mkString("", "\n", "\n"))
+  }
+
+  /** S3b — malformed-record quarantine gate: the clean split of the
+    * mixed fixture through the production [[SourceReader.readWithQuarantine]]
+    * PERMISSIVE read. The oracle reads the same file with DuckDB
+    * `read_csv(..., ignore_errors := true)` — hash-equality proves the
+    * two engines agree on which records are clean. The quarantine-side
+    * count (20) is asserted in `PipelineRunnerSpec`. */
+  def s3QuarantineSplit(spark: SparkSession, dir: String): DataFrame = {
+    writeQuarantineFixture()
+    val src = SourceConf("mixed", QuarantineFixturePath, "csv",
+      Some(QuarantineSchemaDdl))
+    val (good, _) = SourceReader.readWithQuarantine(spark, src)
+    good.orderBy(col("id"))
+  }
+
+  val s3Sql: String = s"""
+    SELECT id, name, val
+    FROM read_csv('$QuarantineFixturePath',
+      columns = {'id': 'BIGINT', 'name': 'VARCHAR', 'val': 'DOUBLE'},
+      header = false, ignore_errors = true)
+    ORDER BY id"""
+
   /** P1 — add_fields: computed columns from Spark SQL expression strings,
     * run through the production AddFields operator (reference
     * `PipelineProcessor.scala:89-103`). */

@@ -311,9 +311,10 @@ object Similarity {
     assignCells(e, cent).agg(avg(lit(1.0) - col("csim"))).head().getDouble(0)
 
   /** IVF search over a TRAINED codebook — same plan shape and recall
-    * contract as the gated [[simIvfTopK]], tighter cells. Not gated: a
-    * k-means fixpoint has no closed-form SQL oracle; correctness is the
-    * objective-descent + recall-floor tests in `ExtensionSpec`. */
+    * contract as [[simIvfTopK]], tighter cells. Gated rows-only (like
+    * the sketches): a k-means fixpoint has no closed-form SQL oracle;
+    * correctness is the objective-descent + recall-floor tests in
+    * `ExtensionSpec`. */
   def simIvfTopKTrained(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     ivfTopKWith(e, trainIvfCodebook(e))

@@ -171,6 +171,23 @@ class PipelineRunnerSpec extends SparkSpec {
     } finally graft.Caches.releaseAll()
   }
 
+  test("gated quarantine fixture splits 80 clean / 20 quarantined") {
+    graft.operators.Parity.writeQuarantineFixture()
+    val (good, bad) = graft.sources.SourceReader.readWithQuarantine(spark,
+      graft.config.SourceConf("mixed", graft.operators.Parity.QuarantineFixturePath,
+        "csv", Some(graft.operators.Parity.QuarantineSchemaDdl)))
+    try {
+      assert(good.count() == 80, "clean split must keep the 80 well-formed rows")
+      assert(bad.count() == 20, "all four malformation arms must quarantine")
+      // every corrupt arm is represented in the raw records
+      val raws = bad.select($"raw_record").as[String].collect()
+      assert(raws.exists(_.startsWith("bad")), "unparseable key arm missing")
+      assert(raws.exists(_.split(",").length == 2), "missing-column arm missing")
+      assert(raws.exists(_.endsWith("notadouble")), "bad-numeric arm missing")
+      assert(raws.exists(_.endsWith(",extra")), "extra-column arm missing")
+    } finally graft.Caches.releaseAll()
+  }
+
   test("a topic-only sink with no Kafka server fails fast instead of dropping data") {
     val sink = graft.config.SinkConf("ok_with_date", "k", Seq.empty, "json",
       "append", topic = Some("t"))

@@ -95,7 +95,7 @@ object Similarity {
     * embeddings are NOT carried through the explode (the band join
     * shuffles `tables` short rows per vector, not `tables` copies of a
     * 64-float array); candidates join the vectors back by id. */
-  private def banded(e: DataFrame, tables: Int, planes: Int,
+  private[operators] def banded(e: DataFrame, tables: Int, planes: Int,
                      signs: Array[Array[Int]] = planeSigns): DataFrame =
     e.select(col("vec_id"),
       posexplode(graft.functions.HyperplaneBuckets.buckets(col("embedding"), tables, planes, signs))
@@ -418,6 +418,14 @@ object Similarity {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+    verifyCandidatePairs(e, candidates)
+  }
+
+  /** Exact-cosine verification tail shared by the band self-join and the
+    * persisted-index probe: join the embeddings back to the candidate
+    * (id_a, id_b) pairs by id, keep cosine ≥ [[NEARDUP_THRESHOLD]]. */
+  private[operators] def verifyCandidatePairs(e: DataFrame,
+                                              candidates: DataFrame): DataFrame = {
     val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     candidates

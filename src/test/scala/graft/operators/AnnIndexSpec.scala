@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Persisted-LSH-index invariants: the bucketed self-join must be
+  * Exchange-free (the whole point of paying the bucketed write), probes
+  * must not shuffle the index side, and results must be bit-identical to
+  * the in-query banding operator. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def withIndex[A](f: org.apache.spark.sql.DataFrame => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_idx").toFile
+    try {
+      val e = Tables.embeddings(spark, sf())
+      f(AnnIndex.buildNearDupIndex(spark, e, "ann_idx_test",
+        tmp.getAbsolutePath, buckets = 8))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_idx_test")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
+
+  test("index self-join plans with no Exchange on either side") {
+    withIndex { idx =>
+      val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        // disable broadcast so the planner must consider distribution —
+        // at real index sizes neither side broadcasts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = AnnIndex.bandSelfJoin(idx).queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+        assert(!plan.contains("Exchange"),
+          s"bucketed index self-join must not shuffle either side:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
+  test("probe broadcasts the query bands and never shuffles the index side") {
+    withIndex { idx =>
+      val q = Tables.embeddings(spark, sf())
+        .filter(col("vec_id") < Similarity.QuerySetSize)
+      val cand = AnnIndex.probeBands(idx, AnnIndex.queryBands(q))
+      // distinct adds its own candidate-sized shuffle downstream (on the
+      // pair columns — fine); a shuffle of the INDEX would show up as an
+      // exchange hash-partitioned on band_key
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"probe must plan a broadcast hash join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(band_key"),
+        s"index side of the probe must not shuffle:\n$plan")
+    }
+  }
+
+  test("pairs through the index are bit-identical to the in-query operator") {
+    withIndex { idx =>
+      val fromIndex = AnnIndex.nearDupPairsFromIndex(spark, idx, sf())
+        .collect().toSeq
+      val inQuery = Similarity.cosineNearDupPairs(spark, sf(),
+          Similarity.NEARDUP_TABLES, Similarity.NEARDUP_PLANES)
+        .collect().toSeq
+      graft.Caches.releaseAll()
+      assert(fromIndex == inQuery,
+        s"index path diverges: ${fromIndex.size} vs ${inQuery.size} pairs")
+    }
+  }
+
+  test("probe candidates equal the in-query band join's query slice") {
+    withIndex { idx =>
+      val e = Tables.embeddings(spark, sf())
+      val q = e.filter(col("vec_id") < Similarity.QuerySetSize)
+      val probed = AnnIndex.probeBands(idx, AnnIndex.queryBands(q))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+        .collect().toSet
+      // reference: same-bucket collisions computed straight off the
+      // banding (query side restricted, either join side may hold the query)
+      val bd = Similarity.banded(e, Similarity.NEARDUP_TABLES,
+        Similarity.NEARDUP_PLANES)
+      val a = bd.as("a"); val b = bd.as("b")
+      val ref = a.join(b,
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+        .filter(col("a.vec_id") < Similarity.QuerySetSize)
+        .select(col("a.vec_id"), col("b.vec_id"))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+        .collect().toSet
+      assert(probed == ref, s"probe candidates diverge: ${probed.size} vs ${ref.size}")
+    }
+  }
+}

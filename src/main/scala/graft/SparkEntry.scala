@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BloomJoin, Cdc, Dedup, Multimodal, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Dedup, Multimodal, Pack, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -76,6 +76,7 @@ object SparkEntry {
     "tx_stratified_sample" -> (TextAnalysis.txStratifiedSample _),
     "tx_word_freq" -> (TextAnalysis.txWordFreq _),
     "tx_epoch_mix" -> (TextAnalysis.txEpochMix _),
+    "tx_pack_sequences" -> (Pack.txPackSequences _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "dd_decontaminate" -> (Dedup.ddDecontaminate _),
     "dd_curate" -> (Dedup.ddCurate _),
     "dd_cluster" -> (Dedup.ddCluster _),
+    "dd_cluster_altstar" -> (Dedup.ddClusterAltstar _),
     "dd_span_dedup" -> (Dedup.ddSpanDedup _),
     // Profiling
     "prof_column_stats" -> (Profiling.profColumnStats _),
@@ -167,6 +169,7 @@ object SparkEntry {
     "tx_stratified_sample" -> TextAnalysis.txStratifiedSampleSql,
     "tx_word_freq" -> TextAnalysis.txWordFreqSql,
     "tx_epoch_mix" -> TextAnalysis.txEpochMixSql,
+    "tx_pack_sequences" -> Pack.txPackSequencesSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
@@ -177,6 +180,7 @@ object SparkEntry {
     "dd_decontaminate" -> Dedup.ddDecontaminateSql,
     "dd_curate" -> Dedup.ddCurateSql,
     "dd_cluster" -> Dedup.ddClusterSql,
+    "dd_cluster_altstar" -> Dedup.ddClusterSql,
     "dd_span_dedup" -> Dedup.ddSpanDedupSql,
     "prof_column_stats" -> Profiling.profColumnStatsSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,

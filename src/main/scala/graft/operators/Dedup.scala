@@ -638,6 +638,18 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Same clustering through [[Cluster.connectedComponentsAlternating]]
+    * (large-star/small-star contraction) — gated against the SAME oracle
+    * as [[ddCluster]], so the driver's hash compare proves the two CC
+    * algorithms land on identical labels, not just "both plausible". */
+  def ddClusterAltstar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(augmented(spark, dir))
+    Cluster.connectedComponentsAlternating(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The oracle states the SEMANTICS (min reachable id in the undirected
     * pair graph) via a recursive transitive closure — quadratic in
     * component size, fine for an oracle; the engine's label propagation

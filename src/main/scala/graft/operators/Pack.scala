@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Training-sequence packing: concatenate documents in a deterministic
+  * order and chunk the stream into fixed token-budget sequences (the
+  * standard GPT-style pretraining layout — every sequence except the
+  * last is exactly `budget` tokens; documents straddle boundaries
+  * rather than leaving pad waste). The operator assigns each document
+  * its position in that layout without materializing the concatenation:
+  * everything derives from the EXCLUSIVE cumulative token count.
+  *
+  * The cumsum is the scale problem: the naive form is one global window
+  * (`Window.orderBy(key)`) which Spark executes on a SINGLE partition —
+  * the whole corpus through one task, a non-starter at 100 TB. This
+  * implementation is the classic two-phase prefix sum instead:
+  *
+  *   1. bucket rows by a monotone function of the order key
+  *      (`width_bucket` over the key's min/max — one footer-cheap
+  *      min/max aggregate; uniform buckets are right for dense ids,
+  *      quantile boundaries are the skew-robust swap-in);
+  *   2. per-bucket totals (tiny: `buckets` rows) → exclusive bucket
+  *      offsets via a window over that TINY frame (single-partition is
+  *      correct there — 32 rows, not 100 TB);
+  *   3. broadcast the offsets back and finish with a window
+  *      PARTITIONED by bucket — each task scans one bucket's rows,
+  *      nothing funnels through one partition.
+  *
+  * Reference scope note: the reference engine has no packing operator
+  * (its surface is config-driven scan/validate/sink —
+  * `/root/reference/src/main/scala/com/pipeline/PipelineProcessor.scala`);
+  * this belongs to the training-data extension pack alongside
+  * [[TextAnalysis]] epoch mixing and split assignment. */
+object Pack {
+
+  /** Buckets for the two-phase cumsum. At local[32]/sf0.1 this matches
+    * the shuffle-partition count; at cluster scale raise it with the
+    * core count — correctness is bucket-count-independent (asserted in
+    * PackSpec), only balance changes. */
+  val CumsumBuckets = 32
+
+  /** Token budget per packed sequence for the gated query. Real
+    * pretraining uses the model context (2k-8k); the synthetic docs
+    * run ~40-60 tokens, so 512 yields ~10 docs/sequence with straddles
+    * actually occurring at sf0.01 — the knob, not the algorithm, is
+    * corpus-dependent. */
+  val GateBudget = 512L
+
+  /** Adds `cum_excl` — the exclusive running sum of `weightCol` in
+    * `orderCol` order (first row 0) — without a global single-partition
+    * window. `orderCol` must be numeric and unique; `weightCol`
+    * non-negative. Empty input passes through (no min/max to bucket). */
+  def exclusiveCumsum(df: DataFrame, orderCol: String, weightCol: String,
+      buckets: Int = CumsumBuckets): DataFrame = {
+    val bounds = df.agg(min(col(orderCol)), max(col(orderCol))).head()
+    if (bounds.isNullAt(0)) return df.withColumn("cum_excl", lit(0L))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // width_bucket is monotone in the key, so bucket order == key order;
+    // hi+1 keeps the max key inside bucket `buckets` (no overflow bucket)
+    val bucketed = df.withColumn("__bkt",
+      expr(s"width_bucket($orderCol, ${lo}L, ${hi + 1}L, $buckets)"))
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col(weightCol)).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val inBucket = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), "__bkt")
+      .withColumn("cum_excl",
+        col("__off") + coalesce(sum(col(weightCol)).over(inBucket), lit(0L)))
+      .drop("__bkt", "__off")
+  }
+
+  /** Packs rows into `budget`-sized sequences by `orderCol` order:
+    * adds `cum_excl` plus
+    *   - `seq_id`     — sequence holding the row's FIRST token,
+    *   - `seq_offset` — position of that token within the sequence,
+    *   - `n_splits`   — boundaries the row straddles (0 = fits whole;
+    *                    zero-weight rows straddle nothing by definition).
+    */
+  def packByOrder(df: DataFrame, orderCol: String, weightCol: String,
+      budget: Long, buckets: Int = CumsumBuckets): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = col(weightCol)
+    exclusiveCumsum(df, orderCol, weightCol, buckets)
+      .withColumn("seq_id", expr(s"cum_excl div ${budget}L"))
+      .withColumn("seq_offset", col("cum_excl") % budget)
+      .withColumn("n_splits",
+        when(w === 0L, 0L).otherwise(
+          expr(s"(cum_excl + $weightCol - 1L) div ${budget}L") - col("seq_id")))
+  }
+
+  /** Gated query: pack `documents` by doc_id order at [[GateBudget]]
+    * tokens, token count = the BPE-ish alnum-run count whose DuckDB
+    * parity is already proven by tx_token_stats. */
+  def txPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("n_tokens"))
+    packByOrder(toks, "doc_id", "n_tokens", GateBudget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_excl"),
+        col("seq_id"), col("seq_offset"), col("n_splits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same semantics as one global window cumsum — the oracle states the
+    * layout law directly; the engine must land on identical positions
+    * through the two-phase path. */
+  val txPackSequencesSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             -- DuckDB SUM(BIGINT) is HUGEINT -> pandas float64; pin BIGINT
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+      FROM toks)
+    SELECT doc_id, n_tokens, cum_excl,
+           cum_excl // ${GateBudget} AS seq_id,
+           cum_excl % ${GateBudget} AS seq_offset,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE (cum_excl + n_tokens - 1) // ${GateBudget} - cum_excl // ${GateBudget}
+           END AS n_splits
+    FROM c ORDER BY doc_id"""
+}

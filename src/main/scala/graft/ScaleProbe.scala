@@ -14,7 +14,8 @@ object ScaleProbe {
     "dd_pipeline", "dd_incremental", "dd_decontaminate", "dd_curate",
     "dd_cluster", "dd_span_dedup",
     "sim_lsh_topk", "sim_ivf_topk", "sim_cosine_neardup",
-    "sim_semantic_dedup", "tx_token_stats", "tx_repetition")
+    "sim_semantic_dedup", "tx_token_stats", "tx_repetition",
+    "tx_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args

@@ -61,8 +61,38 @@ object Pack {
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     // width_bucket is monotone in the key, so bucket order == key order;
     // hi+1 keeps the max key inside bucket `buckets` (no overflow bucket)
-    val bucketed = df.withColumn("__bkt",
-      expr(s"width_bucket($orderCol, ${lo}L, ${hi + 1}L, $buckets)"))
+    cumsumOverBuckets(df.withColumn("__bkt",
+      expr(s"width_bucket($orderCol, ${lo}L, ${hi + 1}L, $buckets)")),
+      orderCol, weightCol)
+  }
+
+  /** Skew-robust variant: bucket boundaries from `approxQuantile`
+    * instead of a uniform min/max split. Uniform buckets collapse when
+    * keys cluster (one bucket holds the corpus and the per-bucket window
+    * degenerates toward the single-partition scan this operator exists
+    * to avoid); quantile boundaries equalize ROW counts per bucket no
+    * matter the key distribution. The output is identical either way —
+    * ANY monotone bucketing yields the same cumsum (the PackSpec law
+    * test runs both variants against the naive global window) — so the
+    * choice is purely a balance knob: uniform is one cheap min/max
+    * aggregate, quantile is a GK-sketch pass. Boundary assignment is a
+    * codegen'd `when`-chain (buckets-1 comparisons/row), monotone even
+    * with duplicate boundaries. */
+  def exclusiveCumsumSkewed(df: DataFrame, orderCol: String, weightCol: String,
+      buckets: Int = CumsumBuckets): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val qs = df.stat.approxQuantile(orderCol, probs, 0.001)
+    if (qs.isEmpty) return df.withColumn("cum_excl", lit(0L))
+    val bkt = qs.distinct.sorted.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col(orderCol).cast("double") >= lit(b), 1).otherwise(0)
+    }
+    cumsumOverBuckets(df.withColumn("__bkt", bkt), orderCol, weightCol)
+  }
+
+  /** Phases 2+3 shared by both bucketings: tiny per-bucket offsets →
+    * broadcast back → bucket-partitioned in-bucket window. */
+  private def cumsumOverBuckets(bucketed: DataFrame, orderCol: String,
+      weightCol: String): DataFrame = {
     val offsets = bucketed.groupBy(col("__bkt"))
       .agg(sum(col(weightCol)).as("__tot"))
       .withColumn("__off",

@@ -55,6 +55,43 @@ class PackSpec extends SparkSpec {
   test("empty input yields an empty packing, not a crash") {
     val empty = Seq.empty[(Long, Long)].toDF("k", "w")
     assert(Pack.packByOrder(empty, "k", "w", 512L).count() == 0L)
+    assert(Pack.exclusiveCumsumSkewed(empty, "k", "w").count() == 0L)
+  }
+
+  test("property: both bucketings obey the cumsum law on skewed random corpora") {
+    // plain ScalaCheck under fixed seeds (PropertySpec convention — no
+    // scalatest-plus bridge offline). Keys deliberately SKEWED: 90% of
+    // rows cluster in a 100-wide band, the rest spread over ±10^9 incl.
+    // negatives — the distribution that collapses uniform width_bucket
+    // into one hot bucket and exists to exercise the quantile variant.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genRow = for {
+      clustered <- Gen.prob(0.9)
+      k <- if (clustered) Gen.choose(5_000_000L, 5_000_100L)
+           else Gen.choose(-1_000_000_000L, 1_000_000_000L)
+      w <- Gen.frequency(5 -> Gen.choose(0L, 100L), 1 -> Gen.const(0L))
+    } yield (k, w)
+    Seq(11L, 42L, 777L).foreach { seed =>
+      val rows = Gen.listOfN(300, genRow)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+        .distinctBy(_._1) // unique-key precondition
+      val df = rows.toDF("k", "w")
+      val naive = df.withColumn("cum_excl",
+          coalesce(sum($"w").over(Window.orderBy($"k")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"k", $"cum_excl").as[(Long, Long)].collect().toMap
+      val uniform = Pack.exclusiveCumsum(df, "k", "w")
+        .select($"k", $"cum_excl").as[(Long, Long)].collect().toMap
+      val skewed = Pack.exclusiveCumsumSkewed(df, "k", "w")
+        .select($"k", $"cum_excl").as[(Long, Long)].collect().toMap
+      assert(uniform == naive, s"uniform bucketing diverges at seed=$seed")
+      assert(skewed == naive, s"quantile bucketing diverges at seed=$seed")
+      // conservation: last row's cum_excl + weight == total mass
+      val total = rows.map(_._2).sum
+      val last = rows.maxBy(_._1)
+      assert(naive(last._1) + last._2 == total, s"mass not conserved at seed=$seed")
+    }
   }
 
   test("the corpus-side window is partitioned; only the tiny offsets window is global") {

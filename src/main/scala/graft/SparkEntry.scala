@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BloomJoin, Cdc, Dedup, Multimodal, Pack, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Dedup, HeavyHitters, Incremental, Multimodal, Pack, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +63,7 @@ object SparkEntry {
     // Incremental maintenance
     "cdc_merge_orders" -> (Cdc.cdcMergeOrders _),
     "cdc_scd2_orders" -> (Cdc.cdcScd2Orders _),
+    "agg_incremental_orders" -> (Incremental.aggIncrementalOrders _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -77,6 +78,8 @@ object SparkEntry {
     "tx_word_freq" -> (TextAnalysis.txWordFreq _),
     "tx_epoch_mix" -> (TextAnalysis.txEpochMix _),
     "tx_pack_sequences" -> (Pack.txPackSequences _),
+    "tx_chunk_overlap" -> (TextAnalysis.txChunkOverlap _),
+    "tx_heavy_hitters" -> (HeavyHitters.txHeavyHitters _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -157,6 +160,7 @@ object SparkEntry {
     "q30_bloom_prejoin" -> BloomJoin.q30BloomPrejoinSql,
     "cdc_merge_orders" -> Cdc.cdcMergeOrdersSql,
     "cdc_scd2_orders" -> Cdc.cdcScd2OrdersSql,
+    "agg_incremental_orders" -> Incremental.aggIncrementalOrdersSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,
@@ -170,6 +174,8 @@ object SparkEntry {
     "tx_word_freq" -> TextAnalysis.txWordFreqSql,
     "tx_epoch_mix" -> TextAnalysis.txEpochMixSql,
     "tx_pack_sequences" -> Pack.txPackSequencesSql,
+    "tx_chunk_overlap" -> TextAnalysis.txChunkOverlapSql,
+    "tx_heavy_hitters" -> HeavyHitters.txHeavyHittersSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Exact heavy hitters without a full-vocabulary shuffle.
+  *
+  * The naive plan — `groupBy(word).count.filter(cnt > T)` — shuffles ONE
+  * ROW PER DISTINCT WORD; at 100 TB the long tail (typos, ids, URLs —
+  * easily billions of distinct tokens) dominates the exchange even though
+  * none of it can possibly be a heavy hitter. This operator runs the
+  * classic two-pass candidate/verify shape instead (same posture as the
+  * LSH families in [[Dedup]]/[[Similarity]]):
+  *
+  *   pass 1 — per-partition Misra-Gries summaries of capacity C, merged
+  *     with `treeAggregate` (MG summaries are mergeable with the same
+  *     error bound — Agarwal et al., "Mergeable Summaries", PODS'12).
+  *     Zero shuffles; the driver receives one <= C-entry map. Any word
+  *     with true frequency > N/(C+1) is guaranteed present.
+  *   pass 2 — exact counts of the candidates only: the corpus is
+  *     re-scanned, filtered to the broadcast candidate set BEFORE the
+  *     aggregation, so the shuffle carries at most C words' partials.
+  *
+  * With C chosen so that N/(C+1) <= the report threshold T, the result is
+  * EXACT (bit-identical to the naive plan / the DuckDB oracle) — the
+  * sketch only prunes, it never decides.
+  *
+  * The reference has no frequency operator at all; its closest surface is
+  * `expr()`-admitted aggregates (reference `PipelineProcessor.scala:69-77`).
+  */
+object HeavyHitters {
+
+  /** Misra-Gries summary: capacity-bounded count map. Mutable within a
+    * partition fold; merge adds pointwise then re-compresses. */
+  private[operators] final class MGSummary(val capacity: Int) extends Serializable {
+    val counts = new scala.collection.mutable.HashMap[String, Long]
+    var total = 0L
+
+    def add(w: String): this.type = {
+      total += 1
+      counts.update(w, counts.getOrElse(w, 0L) + 1L)
+      if (counts.size > capacity) compress()
+      this
+    }
+
+    /** Drop the smallest counter's weight from every entry — each such
+      * event removes >= capacity+1 total weight, so any single key loses
+      * at most N/(capacity+1) across the whole stream. */
+    private def compress(): Unit = {
+      val m = counts.valuesIterator.min
+      val dead = counts.iterator.collect { case (k, c) if c <= m => k }.toList
+      dead.foreach(counts -= _)
+      counts.mapValuesInPlace((_, c) => c - m)
+    }
+
+    def merge(o: MGSummary): this.type = {
+      total += o.total
+      o.counts.foreach { case (k, c) => counts.update(k, counts.getOrElse(k, 0L) + c) }
+      if (counts.size > capacity) {
+        // subtract the (capacity+1)-th largest count from all, keep positive
+        val cut = counts.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+        val dead = counts.iterator.collect { case (k, c) if c <= cut => k }.toList
+        dead.foreach(counts -= _)
+        counts.mapValuesInPlace((_, c) => c - cut)
+      }
+      this
+    }
+  }
+
+  /** Exact (word, cnt) for every word with cnt > total/thresholdDenom.
+    * `capacity` must be >= thresholdDenom for exactness (asserted). */
+  def heavyHitters(docs: DataFrame, textCol: String, thresholdDenom: Long,
+                   capacity: Int): DataFrame = {
+    require(capacity >= thresholdDenom,
+      s"capacity $capacity < 1/threshold $thresholdDenom: sketch error could cross the report bar")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(Portable.words(col(textCol))).as("w"))
+
+    // pass 1: shuffle-free candidate discovery (one <= capacity map on the driver)
+    val summary = words.as[String].rdd.treeAggregate(new MGSummary(capacity))(
+      (s, w) => s.add(w), (a, b) => a.merge(b))
+    val threshold = summary.total / thresholdDenom
+    val candidates = summary.counts.keys.toSeq
+
+    // pass 2: exact verify — only candidate words reach the exchange
+    words.filter(col("w").isInCollection(candidates))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > threshold)
+      .orderBy(col("w"))
+  }
+
+  /** Gate pins denom=1000, capacity=4000 (error <= N/4001 < N/1000). */
+  def txHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.documents(spark, dir), "text",
+      thresholdDenom = 1000L, capacity = 4000)
+
+  val txHeavyHittersSql: String = s"""
+    WITH words AS (
+      SELECT unnest(${Portable.wordsSql("text")}) AS w FROM documents),
+    t AS (SELECT COUNT(*) AS n FROM words)
+    SELECT w, COUNT(*) AS cnt
+    FROM words GROUP BY w
+    HAVING COUNT(*) > (SELECT n // 1000 FROM t)
+    ORDER BY w"""
+}

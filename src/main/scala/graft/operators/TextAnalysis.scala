@@ -527,4 +527,60 @@ object TextAnalysis {
             AND NOT contains(clean, 'example.com')) AS fully_redacted
     FROM scrubbed
     ORDER BY doc_id"""
+
+  /** Sliding-window chunk geometry: 64-word chunks, stride 48 (16-word
+    * overlap) — the shape RAG/embedding pipelines feed to a context-
+    * bounded encoder. Pinned so the gated query is deterministic; the
+    * operator takes arbitrary (width, stride). */
+  val CHUNK_WORDS = 64
+  val CHUNK_STRIDE = 48
+
+  /** Overlapping document chunking: each doc explodes into ⌈n/stride⌉
+    * word-window chunks tagged (chunk_idx, chunk_start, n_chunk_words).
+    *
+    * Scale shape: one codegen'd projection + one generator — zero
+    * shuffles, so at 100 TB this runs at scan speed and output
+    * partitioning inherits the input's (each chunk stays on its doc's
+    * partition — exactly what a downstream per-chunk embedding pass
+    * wants). The overlap factor bounds output size at
+    * width/stride × input bytes (4/3 here), not quadratic.
+    */
+  def chunkOverlap(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    docs
+      .select(col("doc_id"), Portable.words(col("text")).as("words"))
+      .select(col("doc_id"), col("words"),
+        posexplode(sequence(lit(1), greatest(size(col("words")), lit(1)),
+          lit(stride))).as(Seq("chunk_idx", "chunk_start")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        col("chunk_start").cast("int").as("chunk_start"),
+        size(slice(col("words"), col("chunk_start"), lit(width)))
+          .as("n_chunk_words"),
+        concat_ws(" ", slice(col("words"), col("chunk_start"), lit(width)))
+          .as("chunk_text"))
+  }
+
+  def txChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlap(Tables.documents(spark, dir), CHUNK_WORDS, CHUNK_STRIDE)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val txChunkOverlapSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, ${Portable.wordsSql("text")} AS words FROM documents),
+    c AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words), 1), $CHUNK_STRIDE))
+               AS chunk_start
+      FROM d)
+    SELECT doc_id,
+           CAST((chunk_start - 1) // $CHUNK_STRIDE AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           CAST(len(words[chunk_start : chunk_start + ${CHUNK_WORDS - 1}]) AS INT)
+             AS n_chunk_words,
+           array_to_string(words[chunk_start : chunk_start + ${CHUNK_WORDS - 1}], ' ')
+             AS chunk_text
+    FROM c
+    ORDER BY doc_id, chunk_idx"""
 }

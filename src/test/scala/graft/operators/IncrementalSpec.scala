@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def full(dir: String) = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    Incremental.finalizeStats(Incremental.orderPartials(orders))
+      .orderBy($"o_custkey")
+  }
+
+  test("partials + delta merge is bit-equal to the full recompute at any split") {
+    val want = full(sf()).collect().toSeq
+    Seq("1996-06-15", "1999-01-01", "2002-01-01", "1990-01-01").foreach { split =>
+      val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+      val history = orders.filter($"o_orderdate" < lit(split).cast("timestamp"))
+      val delta = orders.filter($"o_orderdate" >= lit(split).cast("timestamp"))
+      val got = Incremental.finalizeStats(
+        Incremental.mergeDelta(Incremental.orderPartials(history), delta))
+        .orderBy($"o_custkey").collect().toSeq
+      assert(got == want, s"divergence at split=$split")
+    }
+  }
+
+  test("merge reads ONLY the stored partial table on the history side") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val split = lit("1999-01-01").cast("timestamp")
+    val store = Files.createTempDirectory("partials").toString
+    Incremental.orderPartials(orders.filter($"o_orderdate" < split))
+      .write.mode("overwrite").parquet(store)
+
+    val merged = Incremental.mergeDelta(
+      spark.read.parquet(store), orders.filter($"o_orderdate" >= split))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("partials"), s"history partial store must be scanned:\n$plan")
+    assert("orders\\.parquet".r.findAllIn(plan).size == 1,
+      s"raw orders must be scanned exactly once (the delta):\n$plan")
+
+    val got = Incremental.finalizeStats(merged).orderBy($"o_custkey").collect().toSeq
+    assert(got == full(sf()).collect().toSeq)
+  }
+
+  test("empty delta leaves the rollup unchanged") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val none = orders.filter(lit(false))
+    val got = Incremental.finalizeStats(
+      Incremental.mergeDelta(Incremental.orderPartials(orders), none))
+      .orderBy($"o_custkey").collect().toSeq
+    assert(got == full(sf()).collect().toSeq)
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BloomJoin, Cdc, Dedup, HeavyHitters, Incremental, Multimodal, Pack, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Dedup, HeavyHitters, Incremental, Layout, Multimodal, Pack, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,8 @@ object SparkEntry {
     "cdc_merge_orders" -> (Cdc.cdcMergeOrders _),
     "cdc_scd2_orders" -> (Cdc.cdcScd2Orders _),
     "agg_incremental_orders" -> (Incremental.aggIncrementalOrders _),
+    // Write-path layout
+    "layout_zorder" -> (Layout.layoutZorder _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -161,6 +163,7 @@ object SparkEntry {
     "cdc_merge_orders" -> Cdc.cdcMergeOrdersSql,
     "cdc_scd2_orders" -> Cdc.cdcScd2OrdersSql,
     "agg_incremental_orders" -> Incremental.aggIncrementalOrdersSql,
+    "layout_zorder" -> Layout.layoutZorderSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,

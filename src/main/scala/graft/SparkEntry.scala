@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BloomJoin, Cdc, Dedup, HeavyHitters, Incremental, Layout, Multimodal, Pack, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, HeavyHitters, Incremental, Layout, Multimodal, Pack, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,8 +64,9 @@ object SparkEntry {
     "cdc_merge_orders" -> (Cdc.cdcMergeOrders _),
     "cdc_scd2_orders" -> (Cdc.cdcScd2Orders _),
     "agg_incremental_orders" -> (Incremental.aggIncrementalOrders _),
-    // Write-path layout
+    // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
+    "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -82,6 +83,7 @@ object SparkEntry {
     "tx_pack_sequences" -> (Pack.txPackSequences _),
     "tx_chunk_overlap" -> (TextAnalysis.txChunkOverlap _),
     "tx_heavy_hitters" -> (HeavyHitters.txHeavyHitters _),
+    "tx_length_pctile" -> (TextAnalysis.txLengthPctile _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -95,6 +97,7 @@ object SparkEntry {
     "dd_cluster" -> (Dedup.ddCluster _),
     "dd_cluster_altstar" -> (Dedup.ddClusterAltstar _),
     "dd_span_dedup" -> (Dedup.ddSpanDedup _),
+    "dd_contamination" -> (Dedup.ddContamination _),
     // Profiling
     "prof_column_stats" -> (Profiling.profColumnStats _),
     // Similarity search
@@ -164,6 +167,7 @@ object SparkEntry {
     "cdc_scd2_orders" -> Cdc.cdcScd2OrdersSql,
     "agg_incremental_orders" -> Incremental.aggIncrementalOrdersSql,
     "layout_zorder" -> Layout.layoutZorderSql,
+    "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,
@@ -179,6 +183,7 @@ object SparkEntry {
     "tx_pack_sequences" -> Pack.txPackSequencesSql,
     "tx_chunk_overlap" -> TextAnalysis.txChunkOverlapSql,
     "tx_heavy_hitters" -> HeavyHitters.txHeavyHittersSql,
+    "tx_length_pctile" -> TextAnalysis.txLengthPctileSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
@@ -191,6 +196,7 @@ object SparkEntry {
     "dd_cluster" -> Dedup.ddClusterSql,
     "dd_cluster_altstar" -> Dedup.ddClusterSql,
     "dd_span_dedup" -> Dedup.ddSpanDedupSql,
+    "dd_contamination" -> Dedup.ddContaminationSql,
     "prof_column_stats" -> Profiling.profColumnStatsSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,

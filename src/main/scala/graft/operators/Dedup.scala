@@ -426,6 +426,54 @@ object Dedup {
     WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     ORDER BY doc_id"""
 
+  /** GRADED contamination: per doc, the fraction of its distinct shingle
+    * hashes that appear in the benchmark set — the report a release
+    * review wants ("how contaminated, by how much") where
+    * [[decontaminate]] is the binary drop. Same scale shape: benchmark
+    * shingles broadcast, corpus shingles left-join them without
+    * shuffling (the per-doc aggregate shuffles only (doc_id, two
+    * longs)). Docs shorter than the shingle width have no shingles and
+    * no row — they cannot be n-gram-contaminated. */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchShingles = shingleRowsOf(benchmark).select(col("h")).distinct()
+      .withColumn("hit", lit(1L))
+    shingleRowsOf(corpus)
+      .join(broadcast(benchShingles), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
+  /** Gated query: same corpus/benchmark split as [[ddDecontaminate]],
+    * scored instead of dropped. */
+  def ddContamination(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = pipelineCorpus(spark, dir)
+    contaminationScore(
+      corpus = corpus.filter(col("doc_id") >= 10000),
+      benchmark = corpus.filter(col("doc_id") >= 25 && col("doc_id") < 50))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddContaminationSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    $pipeSql,
+    bench AS (
+      SELECT DISTINCT h FROM (${shingleRowsSqlOf(
+        "(SELECT * FROM pipe WHERE doc_id >= 25 AND doc_id < 50)")})),
+    batch AS (SELECT doc_id, text FROM pipe WHERE doc_id >= 10000),
+    bs AS (${shingleRowsSqlOf("batch")})
+    SELECT bs.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COALESCE(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_hit,
+           CAST(COALESCE(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS DOUBLE) / COUNT(*) AS contamination
+    FROM bs LEFT JOIN bench b ON bs.h = b.h
+    GROUP BY bs.doc_id
+    ORDER BY bs.doc_id"""
+
   // ------------------------------------------------------ curation pipeline
 
   /** Minimum whitespace-token count for the curation quality gate. */

@@ -566,6 +566,51 @@ object TextAnalysis {
     chunkOverlap(Tables.documents(spark, dir), CHUNK_WORDS, CHUNK_STRIDE)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Per-stratum percent rank of document length — the curriculum /
+    * length-balancing signal (train short-to-long, or cap per-length
+    * mass). NOT computed with a corpus-wide window: `percent_rank()
+    * OVER (PARTITION BY lang ...)` would funnel the whole corpus
+    * through one reducer per language (5 languages = 5 hot reducers at
+    * 100 TB). Instead the rank relation is built on the per-(lang,
+    * length) AGGREGATE — thousands of rows regardless of corpus size —
+    * and broadcast back onto the corpus: one map-side-combined groupBy,
+    * one tiny window, two broadcast joins, no corpus-wide shuffle. The
+    * oracle is the textbook window formulation, proving the distributed
+    * decomposition value-identical (percent_rank = strictly-below count
+    * / (group size - 1)). */
+  def txLengthPctile(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(Portable.words(col("text"))).as("n_words"))
+    val freq = lens.groupBy(col("lang"), col("n_words"))
+      .agg(count(lit(1)).as("cnt"))
+    val below = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_words"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = freq
+      .withColumn("n_below", coalesce(sum(col("cnt")).over(below), lit(0L)))
+    val totals = freq.groupBy(col("lang")).agg(sum(col("cnt")).as("n_g"))
+    lens
+      .join(broadcast(ranks.select(col("lang"), col("n_words"), col("n_below"))),
+        Seq("lang", "n_words"))
+      .join(broadcast(totals), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        when(col("n_g") === 1, lit(0.0))
+          .otherwise(col("n_below").cast("double") / (col("n_g") - 1))
+          .as("len_pctile"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txLengthPctileSql: String = s"""
+    WITH lens AS (
+      SELECT doc_id, lang,
+             CAST(len(${Portable.wordsSql("text")}) AS INT) AS n_words
+      FROM documents)
+    SELECT doc_id, lang, n_words,
+           percent_rank() OVER (PARTITION BY lang ORDER BY n_words) AS len_pctile
+    FROM lens
+    ORDER BY doc_id"""
+
   val txChunkOverlapSql: String = s"""
     WITH d AS (
       SELECT doc_id, ${Portable.wordsSql("text")} AS words FROM documents),

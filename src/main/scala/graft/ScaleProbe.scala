@@ -15,7 +15,8 @@ object ScaleProbe {
     "dd_cluster", "dd_span_dedup",
     "sim_lsh_topk", "sim_ivf_topk", "sim_cosine_neardup",
     "sim_semantic_dedup", "tx_token_stats", "tx_repetition",
-    "tx_pack_sequences")
+    "tx_pack_sequences", "tx_chunk_overlap", "tx_heavy_hitters",
+    "tx_length_pctile", "dd_contamination")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args

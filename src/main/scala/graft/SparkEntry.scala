@@ -84,6 +84,7 @@ object SparkEntry {
     "tx_chunk_overlap" -> (TextAnalysis.txChunkOverlap _),
     "tx_heavy_hitters" -> (HeavyHitters.txHeavyHitters _),
     "tx_length_pctile" -> (TextAnalysis.txLengthPctile _),
+    "tx_token_budget_mix" -> (TextAnalysis.txTokenBudgetMix _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -184,6 +185,7 @@ object SparkEntry {
     "tx_chunk_overlap" -> TextAnalysis.txChunkOverlapSql,
     "tx_heavy_hitters" -> HeavyHitters.txHeavyHittersSql,
     "tx_length_pctile" -> TextAnalysis.txLengthPctileSql,
+    "tx_token_budget_mix" -> TextAnalysis.txTokenBudgetMixSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,

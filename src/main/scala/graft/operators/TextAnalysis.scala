@@ -528,6 +528,67 @@ object TextAnalysis {
     FROM scrubbed
     ORDER BY doc_id"""
 
+  /** Target mix shares (permille, sum 1000) for the token-budget mix —
+    * the "rebalance the corpus toward low-resource strata" recipe
+    * expressed as explicit budget shares rather than epoch multipliers. */
+  val BUDGET_SHARES: Seq[(String, Long)] =
+    Seq("en" -> 200L, "es" -> 300L, "fr" -> 150L, "de" -> 150L, "zh" -> 200L)
+
+  /** Token-budget mixing: given a global token budget (here total/4) and
+    * per-stratum target shares, derive each stratum's keep rate
+    * rate = min(1, share·budget / stratum_tokens) and hash-sample docs
+    * at that rate — how a training mix downsamples over-represented
+    * languages to hit a token target. All arithmetic is integer
+    * (permille rates, `div` floors) so Spark and the oracle agree
+    * bit-for-bit; the sampling hash is the same content-independent
+    * doc_id hash family as [[txEpochMix]]/[[txStratifiedSample]].
+    *
+    * Scale shape: one map-side-combined groupBy builds the per-lang
+    * token counts (5 rows), the rate relation is broadcast back, and
+    * the corpus passes once through a codegen'd filter — no corpus
+    * shuffle, same posture as the other sampling ops. */
+  def txTokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(Portable.words(col("text"))).cast("long").as("n_words"))
+    val counts = lens.groupBy(col("lang")).agg(sum(col("n_words")).as("toks"))
+    val totals = counts.agg(sum(col("toks")).as("total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("alloc", expr("(total DIV 4) * "
+        + "CASE " + BUDGET_SHARES.map { case (l, pm) =>
+            s"WHEN lang = '$l' THEN ${pm}L" }.mkString(" ") + " END DIV 1000"))
+      .withColumn("rate_pm", least(lit(1000L), expr("alloc * 1000 DIV toks")))
+      .select(col("lang"), col("rate_pm"))
+    val bucket = pmod(
+      Portable.hash60(concat(lit("budget:"), col("doc_id").cast("string"))),
+      lit(1000L))
+    lens.join(broadcast(rates), Seq("lang"))
+      .filter(bucket < col("rate_pm"))
+      .select(col("doc_id"), col("lang"), col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txTokenBudgetMixSql: String = {
+    val vals = BUDGET_SHARES.map { case (l, pm) => s"('$l', $pm)" }.mkString(", ")
+    s"""
+    WITH lens AS (
+      SELECT doc_id, lang,
+             CAST(len(${Portable.wordsSql("text")}) AS BIGINT) AS n_words
+      FROM documents),
+    c AS (SELECT lang, CAST(SUM(n_words) AS BIGINT) AS toks FROM lens GROUP BY lang),
+    t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM c),
+    w AS (SELECT * FROM (VALUES $vals) AS v(lang, pm)),
+    r AS (SELECT c.lang,
+                 LEAST(1000, (((t.total // 4) * w.pm // 1000) * 1000) // c.toks)
+                   AS rate_pm
+          FROM c JOIN w USING (lang) CROSS JOIN t)
+    SELECT lens.doc_id, lens.lang, lens.n_words
+    FROM lens JOIN r USING (lang)
+    WHERE ((${Portable.hash60Sql("('budget:' || CAST(doc_id AS VARCHAR))")} % 1000)
+           + 1000) % 1000 < r.rate_pm
+    ORDER BY lens.doc_id"""
+  }
+
   /** Sliding-window chunk geometry: 64-word chunks, stride 48 (16-word
     * overlap) — the shape RAG/embedding pipelines feed to a context-
     * bounded encoder. Pinned so the gated query is deterministic; the

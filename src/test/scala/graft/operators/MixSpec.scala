@@ -32,6 +32,34 @@ class MixSpec extends SparkSpec {
     }
   }
 
+  test("token-budget mix: realized stratum tokens track share*budget; rates capped") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val tokensByLang = docs
+      .groupBy($"lang").agg(sum(size(split($"text", " "))).as("toks"))
+      .as[(String, Long)].collect().toMap
+    val total = tokensByLang.values.sum
+    val budget = total / 4
+    val kept = TextAnalysis.txTokenBudgetMix(spark, sf("sf0.01"))
+      .groupBy($"lang").agg(sum($"n_words").as("kept_toks"))
+      .as[(String, Long)].collect().toMap
+    TextAnalysis.BUDGET_SHARES.foreach { case (lang, pm) =>
+      val alloc = math.min(budget * pm / 1000, tokensByLang(lang))
+      val got = kept.getOrElse(lang, 0L).toDouble
+      // hash sampling over ~60-220-doc strata: ±~2σ of doc-level
+      // Bernoulli noise is ~±40% of small targets, so the spec asserts
+      // the LAW loosely (exact bit-equivalence is the DuckDB oracle's
+      // job, not this test's)
+      assert(math.abs(got - alloc) <= 0.45 * alloc + 100,
+        s"$lang kept $got tokens vs target $alloc")
+      assert(got <= tokensByLang(lang).toDouble)
+    }
+    // global: the mix lands near the budget, never above total
+    val keptTotal = kept.values.sum.toDouble
+    assert(math.abs(keptTotal - budget) < 0.2 * budget,
+      s"kept $keptTotal vs budget $budget")
+  }
+
   test("epoch mix is deterministic across runs") {
     val a = TextAnalysis.txEpochMix(spark, sf("sf0.01")).as[(Long, String, Long)].collect()
     val b = TextAnalysis.txEpochMix(spark, sf("sf0.01")).as[(Long, String, Long)].collect()

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, HeavyHitters, Incremental, Layout, Multimodal, Pack, Parity, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, HeavyHitters, Incremental, Layout, Multimodal, Pack, Parity, PartitionedWrite, Profiling, RangeJoin, Relational, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,6 +67,7 @@ object SparkEntry {
     // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
     "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
+    "k4_partition_prune" -> (PartitionedWrite.k4PartitionPrune _),
     // Text analysis
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "dd_contamination" -> (Dedup.ddContamination _),
     // Profiling
     "prof_column_stats" -> (Profiling.profColumnStats _),
+    "prof_skew_report" -> (Profiling.profSkewReport _),
     // Similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteForceTopK _),
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
@@ -169,6 +171,7 @@ object SparkEntry {
     "agg_incremental_orders" -> Incremental.aggIncrementalOrdersSql,
     "layout_zorder" -> Layout.layoutZorderSql,
     "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
+    "k4_partition_prune" -> PartitionedWrite.k4PartitionPruneSql,
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,
@@ -200,6 +203,7 @@ object SparkEntry {
     "dd_span_dedup" -> Dedup.ddSpanDedupSql,
     "dd_contamination" -> Dedup.ddContaminationSql,
     "prof_column_stats" -> Profiling.profColumnStatsSql,
+    "prof_skew_report" -> Profiling.profSkewReportSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
     "sim_ivf_topk" -> Similarity.simIvfTopKSql,

@@ -58,4 +58,45 @@ object Profiling {
            CAST(MAX($c) AS VARCHAR) AS max_value
     FROM lineitem"""
   }.mkString(" UNION ALL ") + " ORDER BY col_name"
+
+  /** Join-key skew diagnosis: the report that decides whether a key
+    * needs [[Skew]]'s salting or can rely on AQE's skew-join split.
+    * Per-key counts are map-side combined (the only corpus-sized
+    * shuffle carries (key, partial-count)); the distribution stats then
+    * run over |distinct keys| rows. Exact percentiles keep the oracle
+    * checkable — at 100 TB swap `percentile` for `approx_percentile`
+    * (same plan shape, sketch-mergeable). top_share >> 1/n_keys is the
+    * salting signal. */
+  def skewStats(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"),
+        max(col("cnt")).as("max_cnt"),
+        percentile(col("cnt"), lit(0.5)).as("p50_cnt"),
+        percentile(col("cnt"), lit(0.99)).as("p99_cnt"))
+      .select(lit(keyCol).as("key_col"), col("n_keys"), col("total_rows"),
+        col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+        (col("max_cnt").cast("double") / col("total_rows")).as("top_share"))
+
+  /** Gated query: skew report over the three hot join keys. */
+  def profSkewReport(spark: SparkSession, dir: String): DataFrame =
+    Seq(
+      skewStats(Tables.events(spark, dir), "user_id"),
+      skewStats(Tables.lineitem(spark, dir), "l_partkey"),
+      skewStats(Tables.orders(spark, dir), "o_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("key_col"))
+
+  val profSkewReportSql: String = Seq(
+    ("events", "user_id"), ("lineitem", "l_partkey"), ("orders", "o_custkey"))
+    .map { case (t, c) => s"""
+    SELECT '$c' AS key_col,
+           COUNT(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           quantile_cont(cnt, 0.5) AS p50_cnt,
+           quantile_cont(cnt, 0.99) AS p99_cnt,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_share
+    FROM (SELECT $c, COUNT(*) AS cnt FROM $t GROUP BY $c)"""
+    }.mkString(" UNION ALL ") + " ORDER BY key_col"
 }

@@ -552,8 +552,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         size(Portable.words(col("text"))).cast("long").as("n_words"))
     val counts = lens.groupBy(col("lang")).agg(sum(col("n_words")).as("toks"))
-    val totals = counts.agg(sum(col("toks")).as("total"))
-    val rates = counts.crossJoin(broadcast(totals))
+    // unpartitioned window over the 5-row PER-STRATUM AGGREGATE (the
+    // txStratifiedSample pattern), never the corpus
+    val rates = counts
+      .withColumn("total", sum(col("toks"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("alloc", expr("(total DIV 4) * "
         + "CASE " + BUDGET_SHARES.map { case (l, pm) =>
             s"WHEN lang = '$l' THEN ${pm}L" }.mkString(" ") + " END DIV 1000"))

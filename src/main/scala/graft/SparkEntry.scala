@@ -86,6 +86,7 @@ object SparkEntry {
     "tx_heavy_hitters" -> (HeavyHitters.txHeavyHitters _),
     "tx_length_pctile" -> (TextAnalysis.txLengthPctile _),
     "tx_token_budget_mix" -> (TextAnalysis.txTokenBudgetMix _),
+    "tx_weighted_sample" -> (TextAnalysis.txWeightedSample _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -189,6 +190,7 @@ object SparkEntry {
     "tx_heavy_hitters" -> HeavyHitters.txHeavyHittersSql,
     "tx_length_pctile" -> TextAnalysis.txLengthPctileSql,
     "tx_token_budget_mix" -> TextAnalysis.txTokenBudgetMixSql,
+    "tx_weighted_sample" -> TextAnalysis.txWeightedSampleSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,

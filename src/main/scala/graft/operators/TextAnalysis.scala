@@ -692,4 +692,60 @@ object TextAnalysis {
              AS chunk_text
     FROM c
     ORDER BY doc_id, chunk_idx"""
+
+  /** Target sample size for the gated PPS sample. */
+  val PpsTargetK = 128L
+
+  /** Probability-proportional-to-size systematic sampling — the weighted
+    * sampler for token-budgeted corpus curation ("sample ~k docs with
+    * inclusion probability ∝ weight"). The classic float formulation
+    * (Efraimidis–Spirakis keys u^(1/w)) needs `pow`/`ln`, which are not
+    * bit-stable across engines; systematic PPS is the integer-exact
+    * equivalent: lay the docs on a line of cumulative weight, drop a
+    * tick every `step = total/k` units, keep each doc once per tick
+    * inside its weight interval (`n_picks` ≥ 2 ⟺ w > step, the
+    * certainty stratum). No RNG, re-checkable per row in O(1), and
+    * inclusion probability is exactly min(1, w/step) by construction.
+    *
+    * Scale shape: one map-side-combined total, then the same two-phase
+    * prefix sum as [[Pack.exclusiveCumsum]] — no corpus-wide
+    * single-partition window anywhere. The only driver value is the
+    * scalar total. */
+  def ppsSystematic(df: DataFrame, orderCol: String, weightCol: String,
+      k: Long, buckets: Int = Pack.CumsumBuckets): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val row = df.agg(sum(col(weightCol))).head()
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val step = math.max(1L, total / k)
+    Pack.exclusiveCumsum(df, orderCol, weightCol, buckets)
+      .withColumn("n_picks",
+        expr(s"(cum_excl + $weightCol) div ${step}L - cum_excl div ${step}L"))
+      .filter(col("n_picks") > 0)
+  }
+
+  /** Gated query: PPS-sample ~[[PpsTargetK]] documents by `n_chars`
+    * weight in doc_id order. */
+  def txWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    ppsSystematic(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", PpsTargetK)
+      .select(col("doc_id"), col("n_chars"), col("n_picks"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle states the same layout law through one global window. */
+  val txWeightedSampleSql: String = s"""
+    WITH w AS (SELECT doc_id, n_chars FROM documents),
+    s AS (SELECT GREATEST(CAST(1 AS BIGINT),
+                 CAST(SUM(n_chars) AS BIGINT) // $PpsTargetK) AS step FROM w),
+    c AS (
+      SELECT doc_id, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+      FROM w)
+    SELECT doc_id, n_chars, n_picks FROM (
+      SELECT doc_id, n_chars,
+             (cum_excl + n_chars) // step - cum_excl // step AS n_picks
+      FROM c, s)
+    WHERE n_picks > 0
+    ORDER BY doc_id"""
 }

@@ -109,4 +109,40 @@ class PackSpec extends SparkSpec {
     val partitioned = plan.collect { case w: WindowExec if w.partitionSpec.nonEmpty => w }
     assert(partitioned.nonEmpty, "the corpus cumsum window must be bucket-partitioned")
   }
+
+  test("PPS systematic sample: tick law, certainty stratum, pick-count mass") {
+    val df = rows.toDF("k", "w") // total weight 2059
+    val k = 4L
+    val step = 2059L / k // 514
+    val got = TextAnalysis.ppsSystematic(df, "k", "w", k)
+      .select($"k", $"w", $"n_picks").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // every doc with w >= step is ALWAYS kept (certainty stratum)
+    rows.filter(_._2 >= step).foreach { case (key, _) =>
+      assert(got.contains(key), s"certainty-stratum doc k=$key missing") }
+    // zero-weight docs can never be picked
+    rows.filter(_._2 == 0L).foreach { case (key, _) =>
+      assert(!got.contains(key), s"zero-weight doc k=$key sampled") }
+    // total picks == number of ticks on the closed weight line
+    assert(got.values.map(_._2).sum == 2059L / step, "tick mass off")
+    // n_picks >= 2 only when w > step
+    got.foreach { case (key, (w, n)) =>
+      assert(n == 1 || w > step, s"doc k=$key picked $n times with w=$w") }
+  }
+
+  test("PPS sample is invariant to the cumsum bucketing") {
+    val df = rows.toDF("k", "w")
+    val base = TextAnalysis.ppsSystematic(df, "k", "w", 4L, buckets = 1)
+      .select($"k", $"n_picks").as[(Long, Long)].collect().toMap
+    Seq(5, 32).foreach { b =>
+      val got = TextAnalysis.ppsSystematic(df, "k", "w", 4L, buckets = b)
+        .select($"k", $"n_picks").as[(Long, Long)].collect().toMap
+      assert(got == base, s"divergence at buckets=$b")
+    }
+  }
+
+  test("PPS sample on an empty corpus is empty, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("k", "w")
+    assert(TextAnalysis.ppsSystematic(empty, "k", "w", 4L).count() == 0L)
+  }
 }

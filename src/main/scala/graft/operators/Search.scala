@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Lexical search over the documents table: inverted-index build and
+  * BM25 ranked retrieval — the retrieval half of a training-data
+  * pipeline (dedup mining, contamination lookups, corpus QA all start
+  * from "find the documents containing/scoring highest for X").
+  *
+  * Scale shape:
+  *   - The index build is one explode → two map-side-combined
+  *     aggregations keyed by term. The posting LIST is capped at
+  *     [[PostingsCap]] ids per term — an uncapped `collect_list` over a
+  *     stopword's posting would materialize a corpus-sized array in one
+  *     aggregation buffer at 100 TB. df/tf totals stay exact over ALL
+  *     occurrences; only the sample list is capped. Hot-term skew is
+  *     the [[HeavyHitters]] report's job to surface (and a stoplist
+  *     derived from it is the standard fix).
+  *   - BM25 scoring never materializes a dense doc×term matrix: the
+  *     exploded token relation is filtered to the query's terms FIRST
+  *     (predicate on the scan), conditional-aggregated per doc to one
+  *     row of per-term tfs, and the global stats (N, avg length, per
+  *     -term df) ride in on a broadcast of two single-row aggregates.
+  *     Top-k is orderBy+limit — `TakeOrderedAndProject`, per-partition
+  *     heaps, no global sort.
+  *
+  * Determinism: BM25 needs `ln`, which is NOT bit-stable across engines
+  * (unlike `sqrt`, libm's log is only near-correctly-rounded — see
+  * [[Portable]]'s no-transcendentals rule). The gated output therefore
+  * carries ONLY integer columns (rank, doc_id, lengths, tfs): a rank
+  * flip between engines would need two docs whose exact rational scores
+  * differ by < 1 ulp yet are unequal — impossible with small-integer
+  * tf/df/len inputs whose distinct score gaps are ≥ ~1e-9 — and exact
+  * rational TIES are broken by doc_id on both sides. The float score
+  * itself is asserted against an independent Scala recomputation in
+  * SearchSpec instead.
+  *
+  * Summation-order note: per-doc scores add a FIXED left-to-right chain
+  * of per-term contributions (tf conditional-aggregated to columns
+  * first), never a float `sum()` over rows whose partial order Spark
+  * does not define. The only float aggregate feeding the score is
+  * `avg(n_words)` — exact because integer-valued doubles add exactly
+  * below 2^53 tokens (~9e15; a 100 TB corpus holds ~2e13).
+  *
+  * Reference scope note: no search surface in the reference engine
+  * (`/root/reference/src/main/scala/com/pipeline/PipelineProcessor.scala`
+  * is scan/validate/sink); extension pack alongside [[TextAnalysis]]. */
+object Search {
+
+  /** Posting-list sample cap per term in the gated index. */
+  val PostingsCap = 10
+
+  /** BM25 constants (the standard Robertson defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Fixed gated query: one rare term ("dup", df≈5% — high idf) plus
+    * two common ones, exercising the idf spread. */
+  val QueryTerms: Seq[String] = Seq("dup", "vector", "join")
+
+  val SearchTopN = 10
+
+  /** (term, doc_id, tf) — the exploded, per-doc aggregated token
+    * relation both operators start from. Empty tokens (split artifacts
+    * of empty text) are dropped. */
+  private def termDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Inverted index: per term, exact document frequency and total
+    * occurrence count, plus the first [[PostingsCap]] doc ids (ascending)
+    * as a csv sample of the posting list. */
+  def txInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    termDocs(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        concat_ws(",", sort_array(collect_list(
+          when(col("rn") <= PostingsCap, col("doc_id"))))).as("top_docs"))
+      .orderBy(col("term"))
+  }
+
+  val txInvertedIndexSql: String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(${Portable.wordsSql("text")}) AS term FROM documents),
+    td AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM tok
+      WHERE term <> '' GROUP BY term, doc_id)
+    SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+           array_to_string(list_slice(list(doc_id ORDER BY doc_id),
+             1, $PostingsCap), ',') AS top_docs
+    FROM td GROUP BY term ORDER BY term"""
+
+  /** BM25 score column for one term's tf column, in a FIXED arithmetic
+    * shape shared with the SQL oracle and the SearchSpec recomputation:
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (Lucene's non-negative
+    * form), tf saturation with [[K1]]/[[B]] length normalization. */
+  private def contrib(tf: org.apache.spark.sql.Column, nDocs: Long,
+      df: Long, avgLen: Double): org.apache.spark.sql.Column = {
+    val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    val denom = tf.cast("double") +
+      lit(K1) * (lit(1.0) - lit(B) + lit(B) * col("n_words") / lit(avgLen))
+    lit(idf) * (tf.cast("double") * lit(K1 + 1.0)) / denom
+  }
+
+  /** BM25 top-[[SearchTopN]] for [[QueryTerms]]. Output is integer-only
+    * (see object doc); per-term tfs ride along for inspectability.
+    *
+    * The four global stats (N, avg length, per-term dfs) are pulled to
+    * the driver as SCALARS from two tiny aggregates — the same
+    * driver/executor split as the k-means objective — and fold into the
+    * scoring expression as literals, keeping the corpus-side plan free
+    * of even a broadcast nested-loop stats join. */
+  def txBm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lens = docs.select(col("doc_id"),
+      size(Portable.words(col("text"))).as("n_words"))
+    val qtd = termDocs(spark, dir).filter(col("term").isin(QueryTerms: _*))
+    // one row per matched doc: tf per query term as fixed columns
+    val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf_$i") }
+    val tfs = qtd.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      avg(col("n_words")).as("avg_len")).head()
+    val (nDocs, avgLen) = (stats.getLong(0), stats.getDouble(1))
+    val dfByTerm = qtd.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val score = QueryTerms.zipWithIndex
+      .map { case (t, i) =>
+        contrib(col(s"tf_$i"), nDocs, dfByTerm.getOrElse(t, 0L), avgLen) }
+      .reduce(_ + _) // fixed left-to-right chain, no row-order dependence
+    val ranked = tfs
+      .join(lens, "doc_id")
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(SearchTopN)
+    // rank over the already-limited TopN rows — a 10-row window, not a
+    // corpus-wide one
+    ranked
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(Seq(col("rank"), col("doc_id"), col("n_words")) ++
+        QueryTerms.indices.map(i => col(s"tf_$i")): _*)
+      .orderBy(col("rank"))
+  }
+
+  val txBm25TopKSql: String = {
+    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"COALESCE(SUM(CASE WHEN term = '$t' THEN tf END), 0) AS tf_$i" }
+      .mkString(",\n             ")
+    val dfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"COALESCE(SUM(CASE WHEN term = '$t' THEN df END), 0) AS df_$i" }
+      .mkString(",\n             ")
+    // ::DOUBLE pins the idf ratio to double division (DuckDB would
+    // otherwise route the +0.5 arithmetic through DECIMAL); the sums
+    // themselves are integer+0.5, exact in either representation
+    val scoreSql = QueryTerms.indices.map { i =>
+      s"""(ln(1.0 + ((n_docs - df_$i + 0.5)::DOUBLE) / ((df_$i + 0.5)::DOUBLE))
+         * (tf_$i * ${K1 + 1.0}) / (tf_$i + $K1 * (1.0 - $B + $B * n_words / avg_len)))"""
+    }.mkString(" + ")
+    s"""
+    WITH lens AS (
+      SELECT doc_id, CAST(len(${Portable.wordsSql("text")}) AS INT) AS n_words
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(${Portable.wordsSql("text")}) AS term FROM documents),
+    td AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM tok
+      WHERE term IN ($termList) GROUP BY term, doc_id),
+    tfs AS (
+      SELECT doc_id,
+             $tfCols
+      FROM td GROUP BY doc_id),
+    corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(n_words) AS avg_len FROM lens),
+    dfs AS (
+      SELECT $dfCols
+      FROM (SELECT term, COUNT(*) AS df FROM td GROUP BY term)),
+    ranked AS (
+      SELECT tfs.doc_id, lens.n_words,
+             ${QueryTerms.indices.map(i => s"tf_$i").mkString(", ")},
+             ($scoreSql) AS score
+      FROM tfs JOIN lens ON tfs.doc_id = lens.doc_id, corpus, dfs
+      ORDER BY score DESC, tfs.doc_id LIMIT $SearchTopN)
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+           doc_id, n_words,
+           ${QueryTerms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")}
+    FROM ranked ORDER BY rank"""
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, HeavyHitters, Incremental, Layout, Multimodal, Pack, Parity, PartitionedWrite, Profiling, RangeJoin, Relational, Search, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, HeavyHitters, Incremental, Layout, Multimodal, Pack, Parity, PartitionedWrite, Pq, Profiling, RangeJoin, Relational, Search, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -115,6 +115,10 @@ object SparkEntry {
     // driver records rows-only; recall@5 >= 0.85 vs brute force and
     // objective descent are asserted in ExtensionSpec
     "sim_ivf_trained" -> (Similarity.simIvfTopKTrained _),
+    // no oracleSql entry (the PQ argmin encode over float distances has
+    // no ulp-stable SQL twin): driver records rows-only; encode laws and
+    // the recall@5 floor vs brute force are asserted in PqSpec
+    "sim_pq_topk" -> (Pq.simPqTopK _),
     "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
     "sim_quantize" -> (Similarity.simQuantizeGated _),
     "sim_semantic_dedup" -> (Similarity.simSemanticDedup _),

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encode laws: codes in range, codebook vectors self-encode") {
+    val e = Tables.embeddings(spark, sf())
+    val cb = Pq.codebook(e)
+    assert(cb.length == Pq.M && cb.forall(_.length == Pq.K) &&
+      cb.forall(_.forall(_.length == Pq.SubDim)))
+    val codes = Pq.encode(e, cb)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(cs =>
+      cs.length == Pq.M && cs.forall(c => c >= 0 && c < Pq.K)))
+    // vector c IS centroid c of every subspace -> exact self-encode
+    (0L until Pq.K.toLong).foreach { c =>
+      assert(codes(c) == Seq.fill(Pq.M)(c.toInt),
+        s"codebook vector $c should self-encode, got ${codes(c)}")
+    }
+  }
+
+  test("ADC approximates unit-sphere distance: table lookup == recomputed partial") {
+    val e = Tables.embeddings(spark, sf())
+    val cb = Pq.codebook(e)
+    val tabs = Pq.queryTables(e, cb)
+    assert(tabs.length == Similarity.QuerySetSize)
+    // spot-recompute table entries against the definition
+    val q0 = e.filter($"vec_id" === 0).select($"embedding")
+      .as[Seq[Float]].head().toArray
+    val n0 = math.sqrt(q0.map(x => x.toDouble * x).sum)
+    (0 until Pq.M).foreach { m =>
+      (0 until Pq.K).foreach { c =>
+        val expect = (0 until Pq.SubDim).map { d =>
+          val diff = q0(m * Pq.SubDim + d) / n0 - cb(m)(c)(d)
+          diff * diff
+        }.sum
+        assert(math.abs(tabs(0)(m)(c) - expect) < 1e-12)
+      }
+    }
+  }
+
+  test("PQ ANN recall@5 vs brute force meets the floor") {
+    val bf = Similarity.simBruteForceTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Pq.simPqTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect pq).size.toDouble / bf.size
+    info(s"PQ recall@5 at sf0.01 = $recall")
+    assert(recall >= 0.85, s"PQ ANN recall@5 $recall below floor")
+  }
+
+  test("scored scan carries no join: tables fold in as literals") {
+    val e = Tables.embeddings(spark, sf())
+    val plan = Pq.simPqTopK(spark, sf()).queryExecution.executedPlan.toString
+    // the only joins are the candidate re-rank joins AFTER the window;
+    // specifically no cartesian/BNLJ anywhere
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

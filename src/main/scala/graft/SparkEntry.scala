@@ -107,6 +107,7 @@ object SparkEntry {
     "prof_column_stats" -> (Profiling.profColumnStats _),
     "prof_skew_report" -> (Profiling.profSkewReport _),
     "prof_dataset_diff" -> (Diff.profDatasetDiff _),
+    "prof_drift_report" -> (Profiling.profDriftReport _),
     // Similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteForceTopK _),
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
@@ -216,6 +217,7 @@ object SparkEntry {
     "prof_column_stats" -> Profiling.profColumnStatsSql,
     "prof_skew_report" -> Profiling.profSkewReportSql,
     "prof_dataset_diff" -> Diff.profDatasetDiffSql,
+    "prof_drift_report" -> Profiling.profDriftReportSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
     "sim_ivf_topk" -> Similarity.simIvfTopKSql,

@@ -99,4 +99,91 @@ object Profiling {
            CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_share
     FROM (SELECT $c, COUNT(*) AS cnt FROM $t GROUP BY $c)"""
     }.mkString(" UNION ALL ") + " ORDER BY key_col"
+
+  /** Slice boundary for the gated drift report: first vs second half of
+    * the events month. */
+  val DriftSplit = "2024-01-15 00:00:00"
+
+  /** Categorical-distribution drift between two slices of the same
+    * stream — the monitor that catches "the upstream mix shifted"
+    * before a model trains on it. Per category: counts and shares in
+    * ppm (integer-exact: share = n·1e6 div total — no float division
+    * anywhere), absolute share delta, plus a `__tvd__` summary row
+    * carrying the total variation distance (½·Σ|Δshare|, THE standard
+    * distribution-shift metric) in the same ppm units.
+    *
+    * Scale shape: each slice collapses to |categories| rows via one
+    * map-side-combined groupBy before anything joins — the full-outer
+    * category join and the TVD fold run on frames the size of the
+    * category vocabulary, never the stream. Slice totals ride along as
+    * window-free aggregates OVER that tiny frame (a 2-row shuffle),
+    * not driver round-trips, so the report is a single lazy plan.
+    * Null-safe: a NULL category is one category (joined with <=>). */
+  def categoryDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    // renamed keys keep the full-outer join unambiguous even when both
+    // slices are filters of the SAME DataFrame (a self-join by lineage)
+    val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("n_a"))
+      .withColumnRenamed(keyCol, "__ka")
+    val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
+      .withColumnRenamed(keyCol, "__kb")
+    val j = ca.join(cb, col("__ka") <=> col("__kb"), "full_outer")
+      .select(
+        coalesce(col("__ka").cast("string"), col("__kb").cast("string")).as("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // global windows over the |categories|-row frame — tiny by contract
+    val shares = j
+      .withColumn("share_ppm_a",
+        expr("n_a * 1000000L div sum(n_a) over ()"))
+      .withColumn("share_ppm_b",
+        expr("n_b * 1000000L div sum(n_b) over ()"))
+      .withColumn("delta_ppm", abs(col("share_ppm_a") - col("share_ppm_b")))
+    val tvd = shares
+      .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"),
+        expr("sum(delta_ppm) div 2").as("delta_ppm"))
+      .select(lit("__tvd__").as("category"), col("n_a"), col("n_b"),
+        lit(1000000L).as("share_ppm_a"), lit(1000000L).as("share_ppm_b"),
+        col("delta_ppm"))
+    shares.unionByName(tvd).orderBy(col("category"))
+  }
+
+  /** Gated query: event-type mix drift across [[DriftSplit]]. */
+  def profDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    categoryDrift(
+      e.filter(col("ts") < lit(DriftSplit).cast("timestamp")),
+      e.filter(col("ts") >= lit(DriftSplit).cast("timestamp")),
+      "event_type")
+  }
+
+  val profDriftReportSql: String = s"""
+    WITH ca AS (
+      SELECT event_type, COUNT(*) AS n_a FROM events
+      WHERE ts < TIMESTAMP '$DriftSplit' GROUP BY event_type),
+    cb AS (
+      SELECT event_type, COUNT(*) AS n_b FROM events
+      WHERE ts >= TIMESTAMP '$DriftSplit' GROUP BY event_type),
+    j AS (
+      SELECT COALESCE(CAST(ca.event_type AS VARCHAR),
+                      CAST(cb.event_type AS VARCHAR)) AS category,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb
+        ON ca.event_type IS NOT DISTINCT FROM cb.event_type),
+    shares AS (
+      SELECT category, n_a, n_b,
+             n_a * 1000000 // SUM(n_a) OVER () AS share_ppm_a,
+             n_b * 1000000 // SUM(n_b) OVER () AS share_ppm_b
+      FROM j),
+    d AS (
+      SELECT category, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(share_ppm_a AS BIGINT) AS share_ppm_a,
+             CAST(share_ppm_b AS BIGINT) AS share_ppm_b,
+             CAST(abs(share_ppm_a - share_ppm_b) AS BIGINT) AS delta_ppm
+      FROM shares)
+    SELECT * FROM d
+    UNION ALL
+    SELECT '__tvd__', CAST(SUM(n_a) AS BIGINT), CAST(SUM(n_b) AS BIGINT),
+           1000000, 1000000, CAST(SUM(delta_ppm) // 2 AS BIGINT)
+    FROM d
+    ORDER BY category"""
 }

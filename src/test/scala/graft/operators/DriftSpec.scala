@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drift(a: Seq[Option[String]], b: Seq[Option[String]])
+      : Map[String, (Long, Long, Long, Long, Long)] =
+    Profiling.categoryDrift(a.toDF("k"), b.toDF("k"), "k")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+
+  test("shares are exact integer ppm and TVD halves the L1 delta") {
+    val got = drift(
+      a = Seq(Some("x"), Some("x"), Some("x"), Some("y")),
+      b = Seq(Some("x"), Some("y"), Some("y"), Some("y")))
+    // a: x 750000, y 250000; b: x 250000, y 750000; deltas 500000 each
+    assert(got("x") == (3L, 1L, 750000L, 250000L, 500000L))
+    assert(got("y") == (1L, 3L, 250000L, 750000L, 500000L))
+    assert(got("__tvd__") == (4L, 4L, 1000000L, 1000000L, 500000L))
+  }
+
+  test("categories unique to one slice read as full drift mass") {
+    val got = drift(
+      a = Seq(Some("only-a"), Some("both")),
+      b = Seq(Some("both"), Some("only-b")))
+    assert(got("only-a") == (1L, 0L, 500000L, 0L, 500000L))
+    assert(got("only-b") == (0L, 1L, 0L, 500000L, 500000L))
+    assert(got("__tvd__")._5 == 500000L)
+  }
+
+  test("a NULL category is one category, not a dropped row") {
+    val got = drift(
+      a = Seq(None, Some("x")),
+      b = Seq(None, None, Some("x"), Some("x")))
+    assert(got(null) == (1L, 2L, 500000L, 500000L, 0L))
+    assert(got("__tvd__")._5 == 0L)
+  }
+
+  test("identical slices yield zero TVD; gated report covers all event types") {
+    val e = Seq(Some("p"), Some("q"), Some("q"))
+    assert(drift(e, e)("__tvd__")._5 == 0L)
+    val gated = Profiling.profDriftReport(spark, sf())
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val cats = gated.map(_._1).toSet
+    assert(cats == Set("click", "error", "purchase", "signup", "view", "__tvd__"))
+    val tvd = gated.find(_._1 == "__tvd__").get
+    // both halves non-empty and masses conserved
+    assert(tvd._2 > 0 && tvd._3 > 0)
+    assert(gated.filter(_._1 != "__tvd__").map(_._2).sum == tvd._2)
+    assert(gated.filter(_._1 != "__tvd__").map(_._3).sum == tvd._3)
+  }
+}

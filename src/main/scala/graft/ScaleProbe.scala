@@ -16,7 +16,9 @@ object ScaleProbe {
     "sim_lsh_topk", "sim_ivf_topk", "sim_cosine_neardup",
     "sim_semantic_dedup", "tx_token_stats", "tx_repetition",
     "tx_pack_sequences", "tx_chunk_overlap", "tx_heavy_hitters",
-    "tx_length_pctile", "dd_contamination")
+    "tx_length_pctile", "dd_contamination",
+    "tx_weighted_sample", "tx_inverted_index", "tx_bm25_topk",
+    "sim_pq_topk")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args

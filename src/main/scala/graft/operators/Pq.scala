@@ -70,33 +70,14 @@ object Pq {
   }
 
   /** Adds `codes` (array<int>, length [[M]]) — the PQ encoding of the
-    * unit-normalized `embedding`. Ties in the argmin break to the
-    * lowest centroid index (array_position returns the FIRST match). */
-  def encode(e: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
-    val normSq = (1 to Similarity.Dim)
-      .map(i => element_at(col("embedding"), i).cast("double"))
-      .map(x => x * x).reduce(_ + _)
-    // per-subspace distance arrays as separate projections: keeps each
-    // codegen'd expression tree at K×SubDim terms instead of M×K×SubDim
-    val withDists = (0 until M).foldLeft(e.withColumn("nrm", sqrt(normSq))) {
-      (df, m) =>
-        val dists = (0 until K).map { c =>
-          (0 until SubDim).map { d =>
-            val x = element_at(col("embedding"), m * SubDim + d + 1)
-              .cast("double") / col("nrm")
-            val diff = x - lit(cb(m)(c)(d))
-            diff * diff
-          }.reduce(_ + _)
-        }
-        df.withColumn(s"__pqd_$m", array(dists: _*))
-    }
-    withDists
-      .withColumn("codes", array((0 until M).map { m =>
-        (array_position(col(s"__pqd_$m"), array_min(col(s"__pqd_$m"))) - 1)
-          .cast("int")
-      }: _*))
-      .drop("nrm" +: (0 until M).map(m => s"__pqd_$m"): _*)
-  }
+    * unit-normalized `embedding`, through the codegen'd
+    * [[graft.functions.PqEncode]] kernel (the equivalent
+    * `element_at`-tree form costs M×K×SubDim expression nodes — ~4 s of
+    * fixed planning+codegen per run at ANY corpus size, measured).
+    * Ties in the argmin break to the lowest centroid index. */
+  def encode(e: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame =
+    e.withColumn("codes",
+      graft.functions.PqKernels.encode(col("embedding"), M, SubDim, K, cb))
 
   /** ADC tables for the first [[Similarity.QuerySetSize]] vectors:
     * table(q)(m)(c) = ‖query_q subvector m − centroid c‖². */
@@ -124,15 +105,10 @@ object Pq {
     val e = Tables.embeddings(spark, dir)
     val cb = codebook(e)
     val tabs = queryTables(e, cb)
-    val adcCols = tabs.indices.map { q =>
-      (0 until M).map { m =>
-        element_at(typedlit(tabs(q)(m).toSeq),
-          element_at(col("codes"), m + 1) + 1)
-      }.reduce(_ + _)
-    }
     val scored = encode(e, cb)
       .select(col("vec_id"),
-        posexplode(array(adcCols: _*)).as(Seq("query_id", "adc")))
+        posexplode(graft.functions.PqKernels.adc(
+          col("codes"), tabs.length, M, K, tabs)).as(Seq("query_id", "adc")))
       .filter(col("vec_id") =!= col("query_id"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"))

@@ -384,6 +384,66 @@ object StreamingPipeline {
     } finally { pending.unpersist(); store.unpersist() }
   }
 
+  /** Streaming half of the mix-drift monitor: watermarked per-window
+    * category counts in append mode — each emitted row is a CLOSED
+    * window's final count, so the downstream drift analysis never sees
+    * a partial window. The stream shuffles only (window, category)
+    * partial counts (map-side combined); state is watermark-bounded.
+    * The categorical-share / TVD law itself is batch [[mixDrift]] over
+    * the sink — chaining it INTO the streaming agg would need a second
+    * stateful aggregation per window, and the per-window analysis frame
+    * is |categories| rows, not stream-sized, so there is nothing to
+    * gain from streaming it. */
+  def mixCounts(events: DataFrame, categoryCol: String = "event_type",
+                watermark: String = "10 minutes",
+                window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col(categoryCol).as("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("category"), col("n"))
+
+  /** Batch drift analysis over [[mixCounts]]'s closed-window sink vs a
+    * static baseline distribution `(category, base_ppm)` — the same
+    * integer-ppm / total-variation-distance law as
+    * [[graft.operators.Profiling.categoryDrift]]. Per (window,
+    * category): count, share_ppm, base_ppm, |delta|; plus one
+    * `__tvd__` row per window. Baseline categories missing from a
+    * window still contribute their full drift mass (the window×baseline
+    * grid is built explicitly — both sides are tiny: closed windows ×
+    * category vocabulary, never the stream). */
+  def mixDrift(closed: DataFrame, baseline: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    // renamed grid columns keep the full-outer join unambiguous (the
+    // grid derives from `closed` — a self-join by lineage)
+    val grid = closed.select(col("w_start").as("__gw")).distinct()
+      .crossJoin(broadcast(baseline.select(col("category").as("__gc"))))
+    val full = grid
+      .join(closed.select(col("w_start"), col("category"), col("n")),
+        col("__gw") === col("w_start") && col("__gc") === col("category"),
+        "full_outer")
+      .select(
+        coalesce(col("w_start"), col("__gw")).as("w_start"),
+        coalesce(col("category"), col("__gc")).as("category"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val totals = full.groupBy(col("w_start")).agg(sum(col("n")).as("__tot"))
+    val shares = full
+      .join(broadcast(totals), "w_start")
+      .withColumn("share_ppm", expr("n * 1000000L div __tot"))
+      .join(broadcast(baseline), Seq("category"), "left")
+      .withColumn("base_ppm", coalesce(col("base_ppm"), lit(0L)))
+      .withColumn("delta_ppm", abs(col("share_ppm") - col("base_ppm")))
+      .select(col("w_start"), col("category"), col("n"),
+        col("share_ppm"), col("base_ppm"), col("delta_ppm"))
+    val tvd = shares.groupBy(col("w_start"))
+      .agg(sum(col("n")).as("n"),
+        expr("sum(delta_ppm) div 2").as("delta_ppm"))
+      .select(col("w_start"), lit("__tvd__").as("category"), col("n"),
+        lit(1000000L).as("share_ppm"), lit(1000000L).as("base_ppm"),
+        col("delta_ppm"))
+    shares.unionByName(tvd).orderBy(col("w_start"), col("category"))
+  }
+
   /** One not-yet-closed session interval (event-time micros). */
   final case class OpenInterval(start: Long, end: Long, n: Long)
   final case class SessionsState(open: List[OpenInterval])

@@ -440,4 +440,58 @@ class StreamingSpec extends SparkSpec {
     val v = payload.orderBy("value").as[String].head()
     assert(v.startsWith("""{"r_regionkey":"""))
   }
+
+  test("streaming mix-drift monitor: closed-window counts + batch TVD law") {
+    val dir = eventsDir
+    val stream = spark.readStream.schema(Tables.events(spark, sf()).schema).parquet(dir)
+    val q = StreamingPipeline.mixCounts(stream, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mix_counts").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("mix_counts")
+    assert(closed.count() > 0, "no closed windows emitted")
+    // emitted per-window counts match the batch groupBy exactly
+    val batch = Tables.events(spark, sf())
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"),
+        col("event_type").as("category"))
+      .agg(count(lit(1)).as("n_batch"))
+    assert(closed.join(batch, Seq("w_start", "category"))
+      .filter(col("n") =!= col("n_batch")).count() == 0)
+    // baseline = the overall event-type mix in exact ppm
+    val total = Tables.events(spark, sf()).count()
+    val baseline = Tables.events(spark, sf())
+      .groupBy(col("event_type").as("category"))
+      .agg(expr(s"count(1) * 1000000L div ${total}L").as("base_ppm"))
+    val drift = StreamingPipeline.mixDrift(closed, baseline)
+    val rows = drift.as[(java.sql.Timestamp, String, Long, Long, Long, Long)]
+      .collect()
+    val byWin = rows.groupBy(_._1)
+    byWin.foreach { case (w, rs) =>
+      val cats = rs.filter(_._2 != "__tvd__")
+      // integer shares: sum within (1e6 - |cats|, 1e6]
+      val shareSum = cats.map(_._4).sum
+      assert(shareSum <= 1000000L && shareSum > 1000000L - cats.length,
+        s"window $w share sum $shareSum")
+      // exactly one TVD row, bounded, and == half the L1 delta
+      val tvd = rs.filter(_._2 == "__tvd__")
+      assert(tvd.length == 1)
+      assert(tvd.head._6 == cats.map(_._6).sum / 2)
+      assert(tvd.head._6 >= 0 && tvd.head._6 <= 1000000L)
+    }
+    // a category missing from some window must still carry drift mass:
+    // synthesize a window lacking one baseline category
+    val partial = closed.filter(col("category") =!= "error")
+    // windows with ONLY error events vanish from the filtered sink — the
+    // grid can restore a category, not a window nothing was emitted for
+    val winsLeft = partial.select($"w_start").distinct().count()
+    val d2 = StreamingPipeline.mixDrift(partial, baseline)
+    val missing = d2.filter(col("category") === "error")
+    assert(missing.count() == winsLeft, "grid must restore missing categories")
+    assert(missing.filter(col("n") =!= 0).count() == 0)
+    val baseErr = baseline.filter(col("category") === "error")
+      .select(col("base_ppm")).as[Long].head()
+    assert(missing.filter(col("delta_ppm") === col("base_ppm")).count() == winsLeft
+      && missing.select(max(col("base_ppm"))).as[Long].head() == baseErr)
+    spark.sql("DROP TABLE IF EXISTS mix_counts")
+  }
 }

@@ -120,6 +120,7 @@ object SparkEntry {
     // no ulp-stable SQL twin): driver records rows-only; encode laws and
     // the recall@5 floor vs brute force are asserted in PqSpec
     "sim_pq_topk" -> (Pq.simPqTopK _),
+    "sim_ivf_pq_topk" -> (Pq.simIvfPqTopK _),
     "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
     "sim_quantize" -> (Similarity.simQuantizeGated _),
     "sim_semantic_dedup" -> (Similarity.simSemanticDedup _),

@@ -99,6 +99,79 @@ object Pq {
     }
   }
 
+  /** Probed-cell ADC candidates per query for the IVF+PQ composition —
+    * deeper than the flat scan's [[Candidates]] is unnecessary: the
+    * cell filter has already discarded ~3/4 of the corpus. */
+  val IvfPqCandidates = 100
+
+  /** IVF+PQ — the composition production ANN actually deploys at scale
+    * (FAISS's IVFADC): the coarse [[Similarity.IVF_CENTROIDS]]-cell
+    * quantizer prunes the corpus to [[Similarity.IVF_NPROBE]] probed
+    * cells per query, and PQ codes score ONLY the survivors — the two
+    * index structures multiply: cells cut the scan ~(nprobe/cells)×,
+    * codes make each surviving distance eval M lookups over a 32×
+    * smaller table. Exact cosine re-ranks the ADC top-[[IvfPqCandidates]]
+    * as always (candidates-then-verify). No residual encoding (classic
+    * IVFADC encodes x − centroid; with a 16-cell coarse layer the
+    * residual win is marginal and the plain-code variant keeps the
+    * SAME code table servable by both the flat scan and this path —
+    * one index, two query plans).
+    *
+    * Gated rows-only next to `sim_pq_topk`; recall floor in PqSpec. */
+  def simIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cb = codebook(e)
+    val tabs = queryTables(e, cb)
+    val cent = e.filter(col("vec_id") < Similarity.IVF_CENTROIDS)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    // one corpus × codebook pass feeds assignment; probes reuse its
+    // query rows (same persisted-scan trade as Similarity.ivfTopKWith)
+    val assigned = graft.Caches.persist(
+      Similarity.assignCells(e, cent)
+        .withColumn("codes",
+          graft.functions.PqKernels.encode(col("embedding"), M, SubDim, K, cb))
+        .select(col("vec_id"), col("centroid_id"), col("codes")))
+    val probes = e.filter(col("vec_id") < Similarity.QuerySetSize)
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", Portable.cosine(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("rn") <= Similarity.IVF_NPROBE)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("cid"))
+    val scored = broadcast(probes)
+      .join(assigned.withColumnRenamed("centroid_id", "cid"), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", element_at(
+        graft.functions.PqKernels.adc(col("codes"), tabs.length, M, K, tabs),
+        col("query_id").cast("int") + 1))
+      .select(col("query_id"), col("vec_id"), col("adc"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    val candidates = scored
+      .withColumn("crn", row_number().over(wAdc))
+      .filter(col("crn") <= IvfPqCandidates)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    rerank(e, candidates)
+  }
+
+  /** Exact-cosine re-rank of (query_id, neighbor_id) candidates — the
+    * shared verify tail of both PQ query plans. */
+  private def rerank(e: DataFrame, candidates: DataFrame): DataFrame = {
+    val qe = e.filter(col("vec_id") < Similarity.QuerySetSize)
+      .select(col("vec_id").cast("long").as("query_id"), col("embedding").as("qe"))
+    val ne = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(qe), "query_id")
+      .join(ne, "neighbor_id")
+      .withColumn("cosine", Portable.cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Similarity.TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** PQ-ADC top-k: encode the corpus, score every query against the
     * codes in one pass, exact-cosine re-rank the top-[[Candidates]]. */
   def simPqTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -116,19 +189,6 @@ object Pq {
       .withColumn("crn", row_number().over(wAdc))
       .filter(col("crn") <= Candidates)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    val qe = e.filter(col("vec_id") < Similarity.QuerySetSize)
-      .select(col("vec_id").cast("int").as("query_id"), col("embedding").as("qe"))
-    val ne = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates
-      .join(broadcast(qe), "query_id")
-      .join(ne, "neighbor_id")
-      .withColumn("cosine", Portable.cosine(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= Similarity.TopK)
-      .select(col("query_id").cast("long").as("query_id"), col("rank"),
-        col("neighbor_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    rerank(e, candidates)
   }
 }

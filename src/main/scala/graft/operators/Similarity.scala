@@ -295,7 +295,7 @@ object Similarity {
 
   /** (vec_id, embedding, centroid_id, csim) — every vector labeled with
     * its max-cosine centroid. */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[operators] def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("centroid_id"))
     e.crossJoin(broadcast(cent))

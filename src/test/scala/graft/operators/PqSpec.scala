@@ -54,6 +54,21 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.85, s"PQ ANN recall@5 $recall below floor")
   }
 
+  test("IVF+PQ recall@5 vs brute force meets the floor") {
+    val bf = Similarity.simBruteForceTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Pq.simIvfPqTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    graft.Caches.releaseAll()
+    val recall = (bf intersect ivfpq).size.toDouble / bf.size
+    info(s"IVF+PQ recall@5 at sf0.01 = $recall")
+    assert(recall >= 0.8, s"IVF+PQ recall@5 $recall below floor")
+    // the cell prune can only LOSE candidates vs the flat PQ scan at
+    // equal depth; with the deeper IvfPqCandidates cut it must still
+    // return full result sets
+    assert(ivfpq.size == bf.size, "result sets must be TopK per query")
+  }
+
   test("scored scan carries no join: tables fold in as literals") {
     val e = Tables.embeddings(spark, sf())
     val plan = Pq.simPqTopK(spark, sf()).queryExecution.executedPlan.toString

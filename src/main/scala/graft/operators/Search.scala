@@ -106,7 +106,7 @@ object Search {
     * shape shared with the SQL oracle and the SearchSpec recomputation:
     * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (Lucene's non-negative
     * form), tf saturation with [[K1]]/[[B]] length normalization. */
-  private def contrib(tf: org.apache.spark.sql.Column, nDocs: Long,
+  private[operators] def bm25Contrib(tf: org.apache.spark.sql.Column, nDocs: Long,
       df: Long, avgLen: Double): org.apache.spark.sql.Column = {
     val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
     val denom = tf.cast("double") +
@@ -138,7 +138,7 @@ object Search {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val score = QueryTerms.zipWithIndex
       .map { case (t, i) =>
-        contrib(col(s"tf_$i"), nDocs, dfByTerm.getOrElse(t, 0L), avgLen) }
+        bm25Contrib(col(s"tf_$i"), nDocs, dfByTerm.getOrElse(t, 0L), avgLen) }
       .reduce(_ + _) // fixed left-to-right chain, no row-order dependence
     val ranked = tfs
       .join(lens, "doc_id")

@@ -108,6 +108,7 @@ object SparkEntry {
     "prof_skew_report" -> (Profiling.profSkewReport _),
     "prof_dataset_diff" -> (Diff.profDatasetDiff _),
     "prof_drift_report" -> (Profiling.profDriftReport _),
+    "prof_corpus_card" -> (Profiling.profCorpusCard _),
     // Similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteForceTopK _),
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
@@ -219,6 +220,7 @@ object SparkEntry {
     "prof_skew_report" -> Profiling.profSkewReportSql,
     "prof_dataset_diff" -> Diff.profDatasetDiffSql,
     "prof_drift_report" -> Profiling.profDriftReportSql,
+    "prof_corpus_card" -> Profiling.profCorpusCardSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
     "sim_ivf_topk" -> Similarity.simIvfTopKSql,

@@ -100,6 +100,68 @@ object Profiling {
     FROM (SELECT $c, COUNT(*) AS cnt FROM $t GROUP BY $c)"""
     }.mkString(" UNION ALL ") + " ORDER BY key_col"
 
+  /** Corpus card — the one-stop dataset report a training-data release
+    * ships with: volume, token mass, language mix, exact-duplicate rate,
+    * and a length-floor quality count, as (metric, value) BIGINT rows.
+    *
+    * Shape: independent aggregate branches unioned (the [[profile]]
+    * argument — each branch's scan prunes to exactly the columns it
+    * needs and plans its own map-side-combined aggregation; no Expand,
+    * no shared shuffle). The duplicate count reuses THE canonical
+    * content identity ([[TextAnalysis.normText]] md5) so the card's
+    * dup rate is definitionally consistent with [[Dedup.ddExact]]'s
+    * keep-set. Everything is a count — integer-exact, hash-exact. */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val words = size(graft.functions.Portable.words(col("text")))
+    val branches = Seq(
+      docs.agg(count(lit(1)).as("value"))
+        .select(lit("n_docs").as("metric"), col("value")),
+      docs.agg(sum(words.cast("long")).as("value"))
+        .select(lit("total_words").as("metric"), col("value")),
+      docs.agg(sum(regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long"))
+          .as("value"))
+        .select(lit("total_tokens").as("metric"), col("value")),
+      docs.agg(sum(col("n_chars")).as("value"))
+        .select(lit("total_chars").as("metric"), col("value")),
+      docs.agg(count_distinct(col("lang")).as("value"))
+        .select(lit("n_langs").as("metric"), col("value")),
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("value"))
+        .select(concat(lit("docs_lang_"), col("lang")).as("metric"), col("value")),
+      docs.agg((count(lit(1)) -
+          count_distinct(md5(TextAnalysis.normText(col("text"))))).as("value"))
+        .select(lit("n_exact_dup_docs").as("metric"), col("value")),
+      docs.filter(words >= 20).agg(count(lit(1)).as("value"))
+        .select(lit("n_docs_ge20_words").as("metric"), col("value")))
+    branches.reduce(_ unionByName _).orderBy(col("metric"))
+  }
+
+  /** Gated query: the card over the documents table. */
+  def profCorpusCard(spark: SparkSession, dir: String): DataFrame =
+    corpusCard(Tables.documents(spark, dir))
+
+  val profCorpusCardSql: String = s"""
+    SELECT 'n_docs' AS metric, COUNT(*) AS value FROM documents
+    UNION ALL
+    SELECT 'total_words', CAST(SUM(len(${graft.functions.Portable.wordsSql("text")})) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'total_tokens', CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_langs', COUNT(DISTINCT lang) FROM documents
+    UNION ALL
+    SELECT 'docs_lang_' || lang, COUNT(*) FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'n_exact_dup_docs',
+           COUNT(*) - COUNT(DISTINCT md5(${TextAnalysis.normTextSql("text")}))
+    FROM documents
+    UNION ALL
+    SELECT 'n_docs_ge20_words', COUNT(*) FROM documents
+    WHERE len(${graft.functions.Portable.wordsSql("text")}) >= 20
+    ORDER BY metric"""
+
   /** Slice boundary for the gated drift report: first vs second half of
     * the events month. */
   val DriftSplit = "2024-01-15 00:00:00"

@@ -38,6 +38,24 @@ class DriftSpec extends SparkSpec {
     assert(got("__tvd__")._5 == 0L)
   }
 
+  test("corpus card: metrics consistent with each other and the dedup keep-set") {
+    val card = Profiling.profCorpusCard(spark, sf())
+      .as[(String, Long)].collect().toMap
+    assert(card("n_docs") > 0)
+    assert(card("total_tokens") <= card("total_words") * 4,
+      "alnum runs per word should be bounded")
+    assert(card("n_docs_ge20_words") <= card("n_docs"))
+    assert(card.keys.count(_.startsWith("docs_lang_")) == card("n_langs"))
+    assert(card.filter(_._1.startsWith("docs_lang_")).values.sum == card("n_docs"))
+    // dup count against an independent recomputation of the canonical
+    // content identity (ddExact gates the AUGMENTED corpus, so its keep
+    // count is not directly comparable)
+    val texts = graft.sources.Tables.documents(spark, sf())
+      .select($"text").as[String].collect()
+      .map(_.toLowerCase.replaceAll("\\s+", " "))
+    assert(card("n_exact_dup_docs") == texts.length - texts.distinct.length)
+  }
+
   test("identical slices yield zero TVD; gated report covers all event types") {
     val e = Seq(Some("p"), Some("q"), Some("q"))
     assert(drift(e, e)("__tvd__")._5 == 0L)

@@ -98,6 +98,32 @@ object AnnIndex {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
 
+  /** Incremental index maintenance — the reason the scaladoc above can
+    * say a corpus append "touches only the appended partition's
+    * vectors": band ONLY the new vectors and append their rows to the
+    * bucketed table. Spark's bucketed append hashes the new rows into
+    * the existing bucket layout (same bucket count + column → one new
+    * file per touched bucket, no rewrite of prior files), so every
+    * Exchange-free join property of the index survives the append —
+    * asserted in AnnIndexSpec, along with append+build ≡ full-build
+    * equivalence. Caller contract: `newVectors` ids are disjoint from
+    * the indexed ids (same contract as [[Dedup.ddIncremental]]'s
+    * batch-vs-history split). */
+  def appendVectors(spark: SparkSession, newVectors: DataFrame, table: String,
+                    tables: Int = Similarity.NEARDUP_TABLES,
+                    planes: Int = Similarity.NEARDUP_PLANES,
+                    buckets: Int = 32): DataFrame = {
+    val signs =
+      if (tables * planes <= Similarity.MaxPlanes) Similarity.planeSigns
+      else Similarity.mkSigns(tables * planes)
+    Similarity.banded(newVectors, tables, planes, signs)
+      .select(col("vec_id"), bandKey(planes))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "band_key").sortBy("band_key")
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
   /** Band rows for an ad-hoc query batch, computed with the index's own
     * sign family so probe collisions match build collisions. */
   def queryBands(q: DataFrame,

@@ -88,4 +88,42 @@ class AnnIndexSpec extends SparkSpec {
       assert(probed == ref, s"probe candidates diverge: ${probed.size} vs ${ref.size}")
     }
   }
+
+  test("incremental append: build(half)+append(rest) ≡ full build, still Exchange-free") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_append").toFile
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val e = Tables.embeddings(spark, sf())
+      val half = e.filter(col("vec_id") % 2 === 0)
+      val rest = e.filter(col("vec_id") % 2 =!= 0)
+      AnnIndex.buildNearDupIndex(spark, half, "ann_idx_inc",
+        tmp.getAbsolutePath, buckets = 8)
+      val idx = AnnIndex.appendVectors(spark, rest, "ann_idx_inc", buckets = 8)
+      // candidate pairs identical to a from-scratch full build
+      val tmp2 = java.nio.file.Files.createTempDirectory("graft_ann_full").toFile
+      try {
+        val full = AnnIndex.buildNearDupIndex(spark, e, "ann_idx_full",
+          tmp2.getAbsolutePath, buckets = 8)
+        val gotPairs = AnnIndex.nearDupCandidates(idx)
+          .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+          .collect().toSet
+        val fullPairs = AnnIndex.nearDupCandidates(full)
+          .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+          .collect().toSet
+        assert(gotPairs == fullPairs, "append-built index diverges from full build")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS ann_idx_full")
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp2)
+      }
+      // the bucketed-join property survives the append
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = AnnIndex.bandSelfJoin(idx).queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"appended index must still self-join without an Exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS ann_idx_inc")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
 }

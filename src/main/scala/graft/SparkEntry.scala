@@ -87,6 +87,7 @@ object SparkEntry {
     "tx_length_pctile" -> (TextAnalysis.txLengthPctile _),
     "tx_token_budget_mix" -> (TextAnalysis.txTokenBudgetMix _),
     "tx_weighted_sample" -> (TextAnalysis.txWeightedSample _),
+    "tx_surprisal" -> (TextAnalysis.txSurprisal _),
     "tx_inverted_index" -> (Search.txInvertedIndex _),
     "tx_bm25_topk" -> (Search.txBm25TopK _),
     // Dedup family
@@ -201,6 +202,7 @@ object SparkEntry {
     "tx_length_pctile" -> TextAnalysis.txLengthPctileSql,
     "tx_token_budget_mix" -> TextAnalysis.txTokenBudgetMixSql,
     "tx_weighted_sample" -> TextAnalysis.txWeightedSampleSql,
+    "tx_surprisal" -> TextAnalysis.txSurprisalSql,
     "tx_inverted_index" -> Search.txInvertedIndexSql,
     "tx_bm25_topk" -> Search.txBm25TopKSql,
     "dd_exact" -> Dedup.ddExactSql,

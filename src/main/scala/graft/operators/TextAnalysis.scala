@@ -447,6 +447,57 @@ object TextAnalysis {
            CAST(n_rare AS DOUBLE) / n_words AS rare_frac
     FROM perdoc ORDER BY doc_id"""
 
+  /** Unigram surprisal quality score — the information-theoretic twin
+    * of [[wordFreq]]: each word's surprisal is −log₂ p(word) under the
+    * corpus unigram LM, quantized to WHOLE BITS as
+    * `floor(log₂(total/cnt)) = length(bin(total div cnt)) − 1` — an
+    * integer bit count computed from the binary rendering, so the
+    * entire score pipeline is transcendental-free and hash-exact (the
+    * same reason BM25's gated output is rank-only: libm `log` has no
+    * cross-engine bit contract, integer bit-length does). Per doc:
+    * total surprisal bits and the mean in millibits (integer div).
+    * High mean = rare-word-heavy (OCR noise, gibberish); low =
+    * boilerplate. The whole-bit floor loses < 1 bit/word of resolution
+    * — irrelevant for a quality FILTER whose thresholds are themselves
+    * heuristic, and what it buys is a score two engines agree on to
+    * the last digit.
+    *
+    * Scale shape: identical to [[wordFreq]] (vocab shuffle + equi-join
+    * + per-doc integer aggregate); the corpus total is one driver
+    * scalar. */
+  def surprisal(docs: DataFrame): DataFrame = {
+    val words = graft.Caches.persist(docs
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("w")))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = words.count()
+    val bits = length(bin(expr(s"${total}L div cnt"))) - 1
+    words.join(vocab.withColumn("bits", bits.cast("long")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_words"), col("sum_bits"),
+        expr("sum_bits * 1000L div n_words").as("mean_millibits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: surprisal scores over the documents table. */
+  def txSurprisal(spark: SparkSession, dir: String): DataFrame =
+    surprisal(Tables.documents(spark, dir))
+
+  val txSurprisalSql: String = s"""
+    WITH words AS (
+      SELECT doc_id, unnest(${Portable.wordsSql("text")}) AS w FROM documents),
+    tot AS (SELECT COUNT(*) AS total FROM words),
+    vocab AS (
+      SELECT w, CAST(length(bin(total // COUNT(*))) - 1 AS BIGINT) AS bits
+      FROM words, tot GROUP BY w, total),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_words,
+             CAST(SUM(bits) AS BIGINT) AS sum_bits
+      FROM words JOIN vocab USING (w) GROUP BY doc_id)
+    SELECT doc_id, n_words, sum_bits,
+           sum_bits * 1000 // n_words AS mean_millibits
+    FROM perdoc ORDER BY doc_id"""
+
   /** Per-language fractional epoch weights for the gated mix — the
     * LLaMA-style data-mixing recipe: upsample low-resource strata by a
     * non-integer factor. */

@@ -140,6 +140,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("surprisal: whole-bit law matches an independent Scala recomputation") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val got = TextAnalysis.surprisal(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    graft.Caches.releaseAll()
+    val corpus = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1) }
+    val counts = corpus.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong)
+    val total = counts.values.sum
+    def bits(cnt: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(total / cnt)
+    corpus.foreach { case (id, ws) =>
+      val sumBits = ws.map(w => bits(counts(w))).sum
+      val expect = (ws.length.toLong, sumBits, sumBits * 1000 / ws.length)
+      assert(got(id) == expect, s"doc $id")
+    }
+    // boilerplate-vs-rare ordering: an all-stopword doc must score below
+    // the corpus mean if any rare words exist (sanity of the signal)
+    assert(got.values.map(_._3).toSet.size > 1, "score must discriminate")
+  }
+
   test("sketch estimates stay within advertised error of exact answers") {
     val approx = Sketches.skApproxStats(spark, sf("sf0.01"))
       .select($"l_returnflag", $"approx_orders", $"approx_parts").as[(String, Long, Long)]

@@ -52,6 +52,28 @@ final case class ValidateFieldsConf(
     input: Option[String],
     rules: Seq[FieldRules]) extends TransformConf
 
+/** Extension transforms beyond the reference DSL (which stops at
+  * add_fields/validate_fields — SURVEY §2.6). Both apply to the OK
+  * split AFTER validation, in declaration order: curation acts on rows
+  * that passed the contract, and KO rows keep their original shape for
+  * triage. */
+final case class DeduplicateConf(
+    name: String,
+    input: Option[String],
+    /** Identity columns: one surviving row per distinct tuple. */
+    columns: Seq[String],
+    /** Tie-break: survivor = MIN(keepBy) within the group (determinism
+      * contract; None = arbitrary-but-stable first row per partition
+      * order, which is NOT reproducible across runs — parse requires
+      * it). */
+    keepBy: String) extends TransformConf
+final case class FilterConf(
+    name: String,
+    input: Option[String],
+    /** Any boolean Spark SQL expression (same surface as add_fields'
+      * `function`). */
+    expr: String) extends TransformConf
+
 /** A computed column: `function` is any Spark SQL expression string (the
   * reference's entire scalar-function surface, `PipelineProcessor.scala:99`). */
 final case class FieldDef(name: String, function: String)
@@ -107,7 +129,10 @@ object MetadataReader {
   private[config] final case class RawParams(
       input: Option[String],
       validations: Option[Seq[RawValidation]],
-      addFields: Option[Seq[RawAddField]])
+      addFields: Option[Seq[RawAddField]],
+      columns: Option[Seq[String]] = None,
+      keepBy: Option[String] = None,
+      expr: Option[String] = None)
   private[config] final case class RawValidation(field: String, validations: Seq[String])
   private[config] final case class RawAddField(name: String, function: String)
   private[config] final case class RawSink(
@@ -151,9 +176,32 @@ object MetadataReader {
             s"dataflow '${d.name}', transformation '${t.name}': validate_fields requires params.validations"))
           ValidateFieldsConf(t.name, params.input,
             vs.map(v => FieldRules(v.field, orNil(v.validations).map(ValidationRule.parse))))
+        case "deduplicate" =>
+          val cols = params.columns.filter(_.nonEmpty).getOrElse(
+            throw new IllegalArgumentException(
+              s"dataflow '${d.name}', transformation '${t.name}': " +
+              "deduplicate requires non-empty params.columns"))
+          val keepBy = params.keepBy.getOrElse(throw new IllegalArgumentException(
+            s"dataflow '${d.name}', transformation '${t.name}': deduplicate " +
+            "requires params.keepBy (the deterministic survivor tie-break)"))
+          DeduplicateConf(t.name, params.input, cols, keepBy)
+        case "filter_expr" =>
+          val e = params.expr.filter(_.trim.nonEmpty).getOrElse(
+            throw new IllegalArgumentException(
+              s"dataflow '${d.name}', transformation '${t.name}': " +
+              "filter_expr requires params.expr"))
+          // parse-time syntax check — a typo should fail HERE with the
+          // dataflow context, not at job submit inside Catalyst (Spark
+          // 4's functions.expr defers parsing to analysis, so invoke
+          // the parser directly)
+          try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(e)
+          catch { case ex: Exception => throw new IllegalArgumentException(
+            s"dataflow '${d.name}', transformation '${t.name}': " +
+            s"unparseable filter expression '$e': ${ex.getMessage}") }
+          FilterConf(t.name, params.input, e)
         case other => throw new IllegalArgumentException(
           s"dataflow '${d.name}', transformation '${t.name}': unknown type '$other' " +
-          "(supported: add_fields, validate_fields)")
+          "(supported: add_fields, validate_fields, deduplicate, filter_expr)")
       }
     }
     val sinks = orNil(d.sinks).map { s =>

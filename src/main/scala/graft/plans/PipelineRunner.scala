@@ -40,6 +40,37 @@ object PipelineRunner {
     df.transformations.collect { case a: AddFieldsConf => a.fields }.flatten,
     df.transformations.collect { case v: ValidateFieldsConf => v.rules }.flatten)
 
+  /** Post-validation curation stages (extension DSL): applied to the OK
+    * split in declaration order — rows that failed the contract keep
+    * their original shape for triage, rows that passed get curated. */
+  def postStages(df: DataflowConf): Seq[TransformConf] =
+    df.transformations.collect {
+      case t: DeduplicateConf => t
+      case t: FilterConf => t
+    }
+
+  /** Applies one curation stage. Deduplicate keeps the MIN(`keepBy`)
+    * row per identity tuple (a window keyed on the identity columns —
+    * shuffles once on the dedup key; survivors are deterministic, which
+    * `dropDuplicates`' arbitrary-row contract is not). In a streaming
+    * `foreachBatch` context this applies PER MICRO-BATCH; cross-batch
+    * dedup is [[graft.streaming.StreamingPipeline.dedupeWithinWatermark]]'s
+    * job (state must be watermark-bounded, not config-implied). */
+  def applyPost(df: DataFrame, stages: Seq[TransformConf]): DataFrame =
+    stages.foldLeft(df) {
+      case (d, DeduplicateConf(_, _, cols, keepBy)) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(cols.map(org.apache.spark.sql.functions.col): _*)
+          .orderBy(org.apache.spark.sql.functions.col(keepBy))
+        d.withColumn("__dedup_rn",
+            org.apache.spark.sql.functions.row_number().over(w))
+          .filter(org.apache.spark.sql.functions.col("__dedup_rn") === 1)
+          .drop("__dedup_rn")
+      case (d, FilterConf(_, _, e)) =>
+        d.filter(org.apache.spark.sql.functions.expr(e))
+      case (d, _) => d
+    }
+
   /** Build the OK/KO plans for one dataflow (no actions triggered). */
   def plan(spark: SparkSession, df: DataflowConf,
            opts: Options = Options()): DataflowResult = {
@@ -49,7 +80,11 @@ object PipelineRunner {
     val split =
       if (opts.referenceCompatSplit) ValidationSplit.splitReferenceCompat(withFields, rules)
       else ValidationSplit.split(withFields, rules)
-    DataflowResult(df.name, split)
+    val post = postStages(df)
+    val curated =
+      if (post.isEmpty) split
+      else split.copy(ok = applyPost(split.ok, post))
+    DataflowResult(df.name, curated)
   }
 
   /** Run one dataflow end-to-end: plan, persist to all sinks, unpersist. */

@@ -51,6 +51,7 @@ object StreamingPipeline {
     // SAME wiring as the batch runner — one definition of the
     // add_fields-before-validation contract
     val (fields, rules) = graft.plans.PipelineRunner.stages(conf)
+    val post = graft.plans.PipelineRunner.postStages(conf)
     val transformed = AddFields(fields)(source)
     transformed.writeStream
       .outputMode(OutputMode.Append)
@@ -58,7 +59,10 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val split = ValidationSplit.split(batch, rules)
         try {
-          val splits = Map("ok_with_date" -> split.ok, "validation_ko" -> split.ko)
+          // curation stages apply PER MICRO-BATCH (see applyPost doc);
+          // cross-batch dedup is dedupeWithinWatermark's job
+          val okCurated = graft.plans.PipelineRunner.applyPost(split.ok, post)
+          val splits = Map("ok_with_date" -> okCurated, "validation_ko" -> split.ko)
           // batchSubdir: each micro-batch overwrites its own batch=<id>
           // dir — idempotent under crash-replay (the configured batch
           // saveMode would either wipe prior batches or duplicate rows)

@@ -72,6 +72,30 @@ class MetadataReaderSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("path or a topic"))
   }
 
+  test("parses extension curation transforms; rejects malformed ones") {
+    val good = """{"dataflows": [{
+      "name": "d", "sources": [{"name": "s", "path": "p", "format": "json"}],
+      "transformations": [
+        {"name": "dd", "type": "deduplicate",
+         "params": {"columns": ["name", "office"], "keepBy": "age"}},
+        {"name": "grown", "type": "filter_expr",
+         "params": {"expr": "age >= 18"}}],
+      "sinks": []}]}"""
+    val conf = MetadataReader.parse(good).dataflows.head
+    assert(conf.transformations == Seq(
+      DeduplicateConf("dd", None, Seq("name", "office"), "age"),
+      FilterConf("grown", None, "age >= 18")))
+    val noKeep = good.replace(""", "keepBy": "age"""", "")
+    assert(intercept[IllegalArgumentException](MetadataReader.parse(noKeep))
+      .getMessage.contains("keepBy"))
+    val noCols = good.replace(""""columns": ["name", "office"], """, "")
+    assert(intercept[IllegalArgumentException](MetadataReader.parse(noCols))
+      .getMessage.contains("columns"))
+    val badExpr = good.replace("age >= 18", "age >>>= (")
+    assert(intercept[IllegalArgumentException](MetadataReader.parse(badExpr))
+      .getMessage.contains("unparseable filter expression"))
+  }
+
   test("parses extension rules with arguments") {
     assert(ValidationRule.parse("minLength:42") == MinLength(42))
     assert(ValidationRule.parse("matchesRegex:^a+$") == MatchesRegex("^a+$"))

@@ -205,4 +205,38 @@ class PipelineRunnerSpec extends SparkSpec {
       FieldDef("s2", "s * s")))(df)
     assert(out.select("s2").as[Int].head() == 25)
   }
+
+  test("curation transforms: OK split deduped deterministically and filtered; KO untouched") {
+    val in = Files.createTempDirectory("graft_curate_in_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/batch.json"),
+      """{"name":"Ana","age":40,"office":"RIO"}
+        |{"name":"Ana","age":28,"office":"RIO"}
+        |{"name":"Ana","age":35,"office":"LIS"}
+        |{"name":"Kid","age":9,"office":"RIO"}
+        |{"name":"Bad","age":50,"office":""}
+        |""".stripMargin)
+    val conf = MetadataReader.parse(s"""{
+      "dataflows": [{
+        "name": "curated",
+        "sources": [{"name": "in", "path": "$in/*", "format": "json",
+                     "schema": "name STRING, age BIGINT, office STRING"}],
+        "transformations": [
+          {"name": "validation", "type": "validate_fields",
+           "params": {"validations": [{"field": "office", "validations": ["notEmpty"]}]}},
+          {"name": "dedup", "type": "deduplicate",
+           "params": {"columns": ["name", "office"], "keepBy": "age"}},
+          {"name": "adults", "type": "filter_expr", "params": {"expr": "age >= 18"}}
+        ],
+        "sinks": []
+      }]}""").dataflows.head
+    val res = PipelineRunner.plan(spark, conf)
+    try {
+      val ok = res.ok.select($"name", $"age", $"office")
+        .as[(String, Long, String)].collect().toSet
+      // (Ana,RIO): min(age)=28 survives; (Ana,LIS) kept; Kid filtered out
+      assert(ok == Set(("Ana", 28L, "RIO"), ("Ana", 35L, "LIS")))
+      // KO keeps the failing row untouched by curation
+      assert(res.ko.select($"name").as[String].collect().toSeq == Seq("Bad"))
+    } finally res.split.unpersist()
+  }
 }

@@ -40,7 +40,8 @@ class StreamingSpec extends SparkSpec {
              {"field": "office", "validations": ["notEmpty"]},
              {"field": "age", "validations": ["notNull"]}]}},
           {"name": "stamp", "type": "add_fields",
-           "params": {"addFields": [{"name": "dt", "function": "current_timestamp"}]}}
+           "params": {"addFields": [{"name": "dt", "function": "current_timestamp"}]}},
+          {"name": "adults", "type": "filter_expr", "params": {"expr": "age >= 30"}}
         ],
         "sinks": [
           {"input": "ok_with_date", "name": "ok", "paths": ["$out/ok"],
@@ -59,7 +60,9 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val ok = spark.read.json(s"$out/ok/ok")
-    assert(ok.select("name").as[String].collect().toSet == Set("Fran", "Ana"))
+    // Ana (28) passes validation but the filter_expr curation stage
+    // (age >= 30) drops her per micro-batch; Fran (31) survives
+    assert(ok.select("name").as[String].collect().toSet == Set("Fran"))
     assert(ok.columns.contains("dt"))
     val ko = spark.read.json(s"$out/ko/ko")
     assert(ko.select("name").as[String].collect().toSet == Set("Xabier", "Miguel"))

@@ -45,6 +45,23 @@ case class ZOrder60(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  /** Integral inputs only, enforced at ANALYSIS time: the codegen path
+    * casts with `(long)$x`, which would silently TRUNCATE a float/double
+    * child while the interpreted path threw — the key would then depend
+    * on whether whole-stage codegen kicked in, breaking the layout-key
+    * stability contract. Rejecting fractional types up front keeps the
+    * two paths bit-identical by construction. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"zorder needs integral inputs, got (${left.dataType}, ${right.dataType})")
+  }
+
   override def nullSafeEval(x: Any, y: Any): Any = {
     def asLong(v: Any): Long = v match {
       case l: Long => l

@@ -38,6 +38,15 @@ object AnnIndex {
   private def bandKey(planes: Int) =
     (col("tbl") * (1 << planes) + col("bucket")).as("band_key")
 
+  /** THE sign family for a (tables, planes) config — factored so build,
+    * append, and query-probe banding can never desynchronize (a drift
+    * between any two would silently break probe↔build collisions). The
+    * shared gated family is a prefix of any larger derived one, so
+    * mixed configs still agree on their common planes. */
+  private def signsFor(tables: Int, planes: Int): Array[Array[Int]] =
+    if (tables * planes <= Similarity.MaxPlanes) Similarity.planeSigns
+    else Similarity.mkSigns(tables * planes)
+
   /** Build the band index for `e` (vec_id, embedding) and persist it as
     * bucketed table `table` under `basePath`. Returns the catalog-backed
     * relation. `buckets` sizes the parallel unit of every subsequent
@@ -48,9 +57,7 @@ object AnnIndex {
                         tables: Int = Similarity.NEARDUP_TABLES,
                         planes: Int = Similarity.NEARDUP_PLANES,
                         buckets: Int = 32): DataFrame = {
-    val signs =
-      if (tables * planes <= Similarity.MaxPlanes) Similarity.planeSigns
-      else Similarity.mkSigns(tables * planes)
+    val signs = signsFor(tables, planes)
     val bd = Similarity.banded(e, tables, planes, signs)
       .select(col("vec_id"), bandKey(planes))
     Bucketing.writeBucketed(bd, table, "band_key", buckets,
@@ -108,14 +115,16 @@ object AnnIndex {
     * asserted in AnnIndexSpec, along with append+build ≡ full-build
     * equivalence. Caller contract: `newVectors` ids are disjoint from
     * the indexed ids (same contract as [[Dedup.ddIncremental]]'s
-    * batch-vs-history split). */
+    * batch-vs-history split), and (tables, planes, buckets) MUST match
+    * the build's — a bucket-count mismatch errors in the catalog, but a
+    * banding mismatch would silently mix sign families (old and new
+    * rows colliding under different geometries); production wraps both
+    * calls behind one config object. */
   def appendVectors(spark: SparkSession, newVectors: DataFrame, table: String,
                     tables: Int = Similarity.NEARDUP_TABLES,
                     planes: Int = Similarity.NEARDUP_PLANES,
                     buckets: Int = 32): DataFrame = {
-    val signs =
-      if (tables * planes <= Similarity.MaxPlanes) Similarity.planeSigns
-      else Similarity.mkSigns(tables * planes)
+    val signs = signsFor(tables, planes)
     Similarity.banded(newVectors, tables, planes, signs)
       .select(col("vec_id"), bandKey(planes))
       .write.mode("append").format("parquet")
@@ -129,9 +138,7 @@ object AnnIndex {
   def queryBands(q: DataFrame,
                  tables: Int = Similarity.NEARDUP_TABLES,
                  planes: Int = Similarity.NEARDUP_PLANES): DataFrame = {
-    val signs =
-      if (tables * planes <= Similarity.MaxPlanes) Similarity.planeSigns
-      else Similarity.mkSigns(tables * planes)
+    val signs = signsFor(tables, planes)
     Similarity.banded(q, tables, planes, signs)
       .select(col("vec_id"), bandKey(planes))
   }

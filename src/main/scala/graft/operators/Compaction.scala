@@ -32,14 +32,23 @@ import graft.sources.Tables
   */
 object Compaction {
 
-  /** Total bytes of the data files under a directory (driver-side
-    * listing; no Spark job). */
+  /** Total bytes of the data files under a directory, RECURSIVE
+    * (driver-side listing; no Spark job). Recursion matters: a
+    * hive-partitioned layout ([[PartitionedWrite]] — the exact
+    * small-files case compaction exists to clean up) holds its data
+    * files inside `col=value/` subdirectories, and a top-level-only
+    * listing would size the whole tree at 0 bytes and coalesce the
+    * table into a single giant file. */
   def dataBytes(spark: SparkSession, dir: String): Long = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).iterator
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .map(_.getLen).sum
+    def walk(path: Path): Long =
+      fs.listStatus(path).iterator.map { s =>
+        if (s.getPath.getName.startsWith("_")) 0L
+        else if (s.isFile) s.getLen
+        else walk(s.getPath)
+      }.sum
+    walk(p)
   }
 
   /** Number of output files for a byte total: ceil(bytes/target), >= 1. */

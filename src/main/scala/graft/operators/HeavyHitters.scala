@@ -52,6 +52,10 @@ object HeavyHitters {
       * encoder/RDD boundary crossing per DOCUMENT instead of per token
       * — measured 7.7× faster on the 10× probe corpus (6.4 s → 0.8 s). */
     def addDoc(text: String): this.type = {
+      // null-tolerant like the relational plan this replaces (Spark's
+      // split returns null for null input and explode skips it); the
+      // scale-path rewrite must not turn a tolerated row into a job kill
+      if (text == null) return this
       val ws = text.split(" ", -1)
       var i = 0
       while (i < ws.length) { add(ws(i)); i += 1 }

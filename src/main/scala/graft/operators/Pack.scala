@@ -56,7 +56,11 @@ object Pack {
     * non-negative. Empty input passes through (no min/max to bucket). */
   def exclusiveCumsum(df: DataFrame, orderCol: String, weightCol: String,
       buckets: Int = CumsumBuckets): DataFrame = {
-    val bounds = df.agg(min(col(orderCol)), max(col(orderCol))).head()
+    // cast-to-long in the aggregate, not Row.getLong — getLong does not
+    // widen, so an Int/Short order column would ClassCastException here
+    // while the skewed variant accepted it
+    val bounds = df.agg(min(col(orderCol).cast("long")),
+      max(col(orderCol).cast("long"))).head()
     if (bounds.isNullAt(0)) return df.withColumn("cum_excl", lit(0L))
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     // width_bucket is monotone in the key, so bucket order == key order;
@@ -81,6 +85,11 @@ object Pack {
   def exclusiveCumsumSkewed(df: DataFrame, orderCol: String, weightCol: String,
       buckets: Int = CumsumBuckets): DataFrame = {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // buckets=1 yields zero quantile probes by construction — that is a
+    // single-bucket cumsum, not an empty input; conflating the two (an
+    // empty `qs` guard alone) would return cum_excl=0 for EVERY row
+    if (probs.isEmpty)
+      return cumsumOverBuckets(df.withColumn("__bkt", lit(1)), orderCol, weightCol)
     val qs = df.stat.approxQuantile(orderCol, probs, 0.001)
     if (qs.isEmpty) return df.withColumn("cum_excl", lit(0L))
     val bkt = qs.distinct.sorted.foldLeft(lit(1)) { (acc, b) =>

@@ -83,10 +83,18 @@ object Pq {
     * table(q)(m)(c) = ‖query_q subvector m − centroid c‖². */
   def queryTables(e: DataFrame, cb: Array[Array[Array[Double]]])
       : Array[Array[Array[Double]]] = {
-    val qs = e.filter(col("vec_id") < Similarity.QuerySetSize)
+    val rows = e.filter(col("vec_id") < Similarity.QuerySetSize)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-      .sortBy(_._1).map(_._2)
+      .sortBy(_._1)
+    // downstream plumbing equates table position q with vec_id q (the
+    // posexplode pos, element_at(adc, query_id+1), and the self-match
+    // filter all rely on it) — a gap in the id range would silently
+    // misattribute scores, so demand density like codebook() does
+    require(rows.map(_._1).toSeq == (0L until Similarity.QuerySetSize.toLong),
+      s"query vec_ids must be dense 0..${Similarity.QuerySetSize - 1}, " +
+      s"got ${rows.map(_._1).mkString(",")}")
+    val qs = rows.map(_._2)
     val unit = qs.map { v =>
       val n = math.sqrt(v.map(x => x.toDouble * x).sum)
       v.map(_ / n)

@@ -124,9 +124,13 @@ object Search {
     * of even a broadcast nested-loop stats join. */
   def txBm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val lens = docs.select(col("doc_id"),
-      size(Portable.words(col("text"))).as("n_words"))
-    val qtd = termDocs(spark, dir).filter(col("term").isin(QueryTerms: _*))
+    // persisted: lens feeds the stats scalar AND the ranked join; qtd
+    // feeds the df collect AND the per-doc tf aggregate — unpersisted,
+    // each consumer would re-tokenize the corpus (3× redundant passes)
+    val lens = graft.Caches.persist(docs.select(col("doc_id"),
+      size(Portable.words(col("text"))).as("n_words")))
+    val qtd = graft.Caches.persist(
+      termDocs(spark, dir).filter(col("term").isin(QueryTerms: _*)))
     // one row per matched doc: tf per query term as fixed columns
     val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
       coalesce(sum(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf_$i") }

@@ -57,7 +57,9 @@ object SearchIndex {
   def bm25TopKFromIndex(postings: DataFrame, lens: DataFrame,
       terms: Seq[String], topN: Int = Search.SearchTopN): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    val qtd = postings.filter(col("term").isin(terms: _*))
+    // persisted: the filtered postings feed the df collect AND the
+    // per-doc tf aggregate (tiny: Σ df(query terms) rows)
+    val qtd = graft.Caches.persist(postings.filter(col("term").isin(terms: _*)))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       coalesce(sum(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf_$i") }
     val tfs = qtd.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)

@@ -52,16 +52,23 @@ object PipelineRunner {
   /** Applies one curation stage. Deduplicate keeps the MIN(`keepBy`)
     * row per identity tuple (a window keyed on the identity columns —
     * shuffles once on the dedup key; survivors are deterministic, which
-    * `dropDuplicates`' arbitrary-row contract is not). In a streaming
-    * `foreachBatch` context this applies PER MICRO-BATCH; cross-batch
-    * dedup is [[graft.streaming.StreamingPipeline.dedupeWithinWatermark]]'s
+    * `dropDuplicates`' arbitrary-row contract is not). Ties ON `keepBy`
+    * fall through to every remaining column in schema order — without
+    * that secondary sort, two rows equal on (identity, keepBy) but
+    * differing elsewhere would be picked by partition-internal row
+    * order, which varies run to run. In a streaming `foreachBatch`
+    * context this applies PER MICRO-BATCH; cross-batch dedup is
+    * [[graft.streaming.StreamingPipeline.dedupeWithinWatermark]]'s
     * job (state must be watermark-bounded, not config-implied). */
   def applyPost(df: DataFrame, stages: Seq[TransformConf]): DataFrame =
     stages.foldLeft(df) {
       case (d, DeduplicateConf(_, _, cols, keepBy)) =>
+        val tieBreak = d.columns.toSeq
+          .filterNot(c => cols.contains(c) || c == keepBy)
+          .map(org.apache.spark.sql.functions.col)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(cols.map(org.apache.spark.sql.functions.col): _*)
-          .orderBy(org.apache.spark.sql.functions.col(keepBy))
+          .orderBy(org.apache.spark.sql.functions.col(keepBy) +: tieBreak: _*)
         d.withColumn("__dedup_rn",
             org.apache.spark.sql.functions.row_number().over(w))
           .filter(org.apache.spark.sql.functions.col("__dedup_rn") === 1)

@@ -55,4 +55,27 @@ class CompactionSpec extends SparkSpec {
     assert(Compaction.targetFileCount(1000L, 128) == 8)
     intercept[IllegalArgumentException](Compaction.targetFileCount(1L, 0L))
   }
+
+  test("dataBytes recurses into hive-partitioned subdirectories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_hive_").toString
+    graft.sources.Tables.supplier(spark, sf())
+      .withColumn("part", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("s_suppkey"),
+        org.apache.spark.sql.functions.lit(3)))
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val sized = Compaction.dataBytes(spark, dir)
+    assert(sized > 0, "partitioned layout must not size at 0 bytes")
+    // equal to the sum of all nested part-files
+    // skip "_" markers AND "."-hidden .crc checksums (Hadoop's
+    // ChecksumFileSystem hides the latter from listStatus)
+    val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .filter { f =>
+        val n = f.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    assert(sized == walked)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

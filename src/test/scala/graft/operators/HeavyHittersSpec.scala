@@ -49,4 +49,12 @@ class HeavyHittersSpec extends SparkSpec {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(HeavyHitters.heavyHitters(docs, "text", 10L, 100).count() == 0L)
   }
+
+  test("a null text row is tolerated, matching the relational plan") {
+    val docs = Seq((1L, "a a b"), (2L, null), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = HeavyHitters.heavyHitters(docs, "text", 3L, 100)
+      .as[(String, Long)].collect().toMap
+    assert(got("a") == 3L)
+  }
 }

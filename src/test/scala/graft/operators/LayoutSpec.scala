@@ -68,4 +68,14 @@ class LayoutSpec extends SparkSpec {
     assert(unsorted == 0, "every output partition must be sorted by z")
     assert(clustered.count() == li.count())
   }
+
+  test("fractional zorder inputs are rejected at analysis, not truncated") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1.5, 2L)).toDF("x", "y")
+    val e = intercept[Exception](
+      df.select(graft.functions.ZOrder60.zorder(col("x"), col("y"))).collect())
+    assert(e.getMessage.toLowerCase.contains("integral")
+      || e.getMessage.contains("DATATYPE_MISMATCH"),
+      s"unexpected error: ${e.getMessage}")
+  }
 }

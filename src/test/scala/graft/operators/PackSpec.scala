@@ -56,6 +56,14 @@ class PackSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("k", "w")
     assert(Pack.packByOrder(empty, "k", "w", 512L).count() == 0L)
     assert(Pack.exclusiveCumsumSkewed(empty, "k", "w").count() == 0L)
+    assert(Pack.exclusiveCumsumSkewed(empty, "k", "w", buckets = 1).count() == 0L)
+  }
+
+  test("int-typed order column widens instead of ClassCastException") {
+    val df = Seq((3, 10L), (8, 500L), (100, 5L)).toDF("k", "w")
+    val got = Pack.exclusiveCumsum(df, "k", "w")
+      .select($"k", $"cum_excl").as[(Int, Long)].collect().toMap
+    assert(got == Map(3 -> 0L, 8 -> 10L, 100 -> 510L))
   }
 
   test("property: both bucketings obey the cumsum law on skewed random corpora") {
@@ -87,6 +95,11 @@ class PackSpec extends SparkSpec {
         .select($"k", $"cum_excl").as[(Long, Long)].collect().toMap
       assert(uniform == naive, s"uniform bucketing diverges at seed=$seed")
       assert(skewed == naive, s"quantile bucketing diverges at seed=$seed")
+      // buckets=1 regression: zero quantile probes is a single-bucket
+      // cumsum, NOT an empty input (the empty-qs guard once zeroed it)
+      val oneBucket = Pack.exclusiveCumsumSkewed(df, "k", "w", buckets = 1)
+        .select($"k", $"cum_excl").as[(Long, Long)].collect().toMap
+      assert(oneBucket == naive, s"skewed buckets=1 diverges at seed=$seed")
       // conservation: last row's cum_excl + weight == total mass
       val total = rows.map(_._2).sum
       val last = rows.maxBy(_._1)

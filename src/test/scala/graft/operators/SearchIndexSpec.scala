@@ -15,6 +15,7 @@ class SearchIndexSpec extends SparkSpec {
         "sidx", tmp.getAbsolutePath, buckets = 8)
       f(postings, lens)
     } finally {
+      graft.Caches.releaseAll()
       spark.sql("DROP TABLE IF EXISTS sidx_postings")
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
     }

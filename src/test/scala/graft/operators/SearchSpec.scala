@@ -35,6 +35,7 @@ class SearchSpec extends SparkSpec {
   test("BM25 top-k: ranking matches an independent Scala recomputation") {
     val got = Search.txBm25TopK(spark, sf())
       .select($"rank", $"doc_id").as[(Int, Long)].collect()
+    graft.Caches.releaseAll()
     // reference BM25 over the collected corpus
     val n = corpus.length.toLong
     val avgLen = corpus.map(_._2.length.toLong).sum.toDouble / n

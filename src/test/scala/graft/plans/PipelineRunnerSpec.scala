@@ -239,4 +239,20 @@ class PipelineRunnerSpec extends SparkSpec {
       assert(res.ko.select($"name").as[String].collect().toSeq == Seq("Bad"))
     } finally res.split.unpersist()
   }
+
+  test("deduplicate survivor is deterministic even on keepBy ties") {
+    import graft.config.DeduplicateConf
+    val rows = Seq(
+      ("Ana", "RIO", 28L, "zeta"), ("Ana", "RIO", 28L, "alpha"),
+      ("Ana", "RIO", 28L, "mid"))
+    // repartition shuffles arrival order; the survivor must not care
+    val df = rows.toDF("name", "office", "age", "tag").repartition(4)
+    val got = (1 to 3).map { _ =>
+      PipelineRunner.applyPost(df,
+          Seq(DeduplicateConf("dd", None, Seq("name", "office"), "age")))
+        .select($"tag").as[String].collect().toSeq
+    }
+    assert(got.toSet.size == 1, s"nondeterministic survivors: $got")
+    assert(got.head == Seq("alpha"), "tie must break to the column-order minimum")
+  }
 }

@@ -112,6 +112,7 @@ object SparkEntry {
     "prof_corpus_card" -> (Profiling.profCorpusCard _),
     // Similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteForceTopK _),
+    "sim_prefix_topk" -> (Similarity.simPrefixTopK _),
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
     "sim_ivf_topk" -> (Similarity.simIvfTopK _),
     // no oracleSql entry (a k-means fixpoint has no closed-form SQL):
@@ -224,6 +225,7 @@ object SparkEntry {
     "prof_drift_report" -> Profiling.profDriftReportSql,
     "prof_corpus_card" -> Profiling.profCorpusCardSql,
     "sim_bruteforce_topk" -> Similarity.simBruteForceTopKSql,
+    "sim_prefix_topk" -> Similarity.simPrefixTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
     "sim_ivf_topk" -> Similarity.simIvfTopKSql,
     "sim_cosine_neardup" -> Similarity.simCosineNearDupSql,

@@ -137,6 +137,68 @@ object Similarity {
     FROM ranked WHERE rank <= $TopK
     ORDER BY query_id, rank"""
 
+  /** Matryoshka prefix dims for the coarse filter pass. */
+  val PREFIX_DIM = 16
+  /** Coarse-pass candidates per query before the full-dim re-rank. */
+  val PREFIX_CANDIDATES = 50
+
+  /** Matryoshka-style prefix search (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022): rank candidates by cosine
+    * over only the FIRST [[PREFIX_DIM]] dimensions (MRL-trained
+    * embeddings front-load information, so a prefix is itself a valid
+    * coarse embedding), keep [[PREFIX_CANDIDATES]] per query, re-rank
+    * exactly at full width. The coarse pass reads/computes 1/4 of the
+    * vector bytes — at 100 TB the prefix slice is the column you can
+    * afford to scan hot (or store separately), the full vectors are
+    * only fetched for candidates. Unlike PQ this needs no codebook and
+    * stays EXACT-oracle-able: both passes are the same sequential
+    * double folds every `sim_*` oracle already mirrors. On the
+    * synthetic (non-MRL, angularly uniform) corpus the prefix is an
+    * unusually WEAK coarse signal — the honest hard case; the recall
+    * floor in ExtensionSpec is set accordingly and the semantics gate
+    * is the hash-exact oracle, not recall. */
+  def simPrefixTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val wCoarse = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(cand, col("query_id") =!= col("neighbor_id"))
+      .withColumn("pcos", Portable.cosine(
+        slice(col("qe"), 1, PREFIX_DIM), slice(col("ne"), 1, PREFIX_DIM)))
+      .withColumn("crn", row_number().over(wCoarse))
+      .filter(col("crn") <= PREFIX_CANDIDATES)
+      .withColumn("cosine", Portable.cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simPrefixTopKSql: String = s"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${Portable.cosineSql("q.embedding", "c.embedding", PREFIX_DIM)} AS pcos,
+             ${Portable.cosineSql("q.embedding", "c.embedding", Dim)} AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < $QuerySetSize),
+    coarse AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY pcos DESC, neighbor_id) AS crn
+      FROM pairs),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM coarse WHERE crn <= $PREFIX_CANDIDATES)
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= $TopK
+    ORDER BY query_id, rank"""
+
   /** Multi-table LSH ANN: same output shape as brute force, but neighbors
     * only searched within the union of the query's buckets across
     * [[TOPK_TABLES]] tables. */

@@ -69,6 +69,27 @@ class PqSpec extends SparkSpec {
     assert(ivfpq.size == bf.size, "result sets must be TopK per query")
   }
 
+  test("Matryoshka prefix search: recall floor and full-rank agreement on survivors") {
+    val bf = Similarity.simBruteForceTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pf = Similarity.simPrefixTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    val recall = (bf intersect pf.map(t => (t._1, t._2)).toSet).size.toDouble / bf.size
+    info(s"prefix-search recall@5 at sf0.01 = $recall")
+    // the synthetic corpus is NOT MRL-trained (prefix carries 1/4 of a
+    // uniform signal), so the floor is modest; the semantics gate is the
+    // hash-exact oracle, this pins the coarse pass stays useful at all
+    assert(recall >= 0.3, s"prefix recall@5 $recall below floor")
+    // survivors must carry the TRUE full-dim cosine (re-rank is exact)
+    val full = Similarity.simBruteForceTopK(spark, sf("sf0.01"))
+    val trueCos = full.select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    pf.foreach { case (q, n, c) =>
+      trueCos.get((q, n)).foreach(exp => assert(c == exp, s"cosine drift at ($q,$n)")) }
+  }
+
   test("scored scan carries no join: tables fold in as literals") {
     val e = Tables.embeddings(spark, sf())
     val plan = Pq.simPqTopK(spark, sf()).queryExecution.executedPlan.toString

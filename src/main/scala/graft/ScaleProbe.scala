@@ -18,7 +18,8 @@ object ScaleProbe {
     "tx_pack_sequences", "tx_chunk_overlap", "tx_heavy_hitters",
     "tx_length_pctile", "dd_contamination",
     "tx_weighted_sample", "tx_inverted_index", "tx_bm25_topk",
-    "sim_pq_topk")
+    "sim_pq_topk", "sim_ivf_pq_topk", "sim_prefix_topk",
+    "tx_surprisal", "prof_corpus_card")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args

@@ -147,6 +147,58 @@ object Dedup {
     WHERE CAST(n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - n_common) >= 0.5
     ORDER BY id_a, id_b"""
 
+  /** Containment near-dup — the ASYMMETRIC companion to
+    * [[ddNgramJaccard]]: containment(A,B) = |A∩B| / min(|A|,|B|)
+    * catches a short document quoted wholesale inside a long one, which
+    * Jaccard structurally misses (the union in its denominator is
+    * dominated by the long side — a 50-shingle doc fully contained in a
+    * 500-shingle doc scores jaccard 0.1 but containment 1.0). This is
+    * the quote/subset detector curation pipelines run NEXT TO the
+    * symmetric near-dup pass (Broder's containment measure). Same
+    * declared-quadratic oracle-anchor role as the Jaccard form: the
+    * scale path reuses the MinHash/LSH candidate machinery and swaps
+    * this formula into the verify stage. */
+  def ddContainment(spark: SparkSession, dir: String): DataFrame = {
+    val s = shingleRows(spark, dir)
+    val a = s.as("a"); val b = s.as("b")
+    val common = a.join(b, col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_shingles", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_shingles", "nb"), "id_b")
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Pairs whose smaller side is ≥ 80% contained in the other. */
+  val ContainmentThreshold = 0.8
+
+  val ddContainmentSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    s AS ($shingleRowsSql),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM s GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / least(na.n_shingles, nb.n_shingles)
+             AS containment
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / least(na.n_shingles, nb.n_shingles)
+          >= $ContainmentThreshold
+    ORDER BY id_a, id_b"""
+
   // ---------------------------------------------------------- MinHash + LSH
 
   /** K hash permutations mh_k(h) = (a_k·h + b_k) mod P over the portable

@@ -20,6 +20,30 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${pairs.size} of ${exact.size})")
   }
 
+  test("containment flags every planted subset pair at exactly 1.0") {
+    // a variant's 4-gram shingles are a strict subset of its source's
+    // (dropping leading words removes shingles, never invents one), so
+    // containment(min side) must be exactly 1.0 for every planted pair
+    val got = Dedup.ddContainment(spark, sf())
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val planted = graft.sources.Tables.documents(spark, sf())
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter { case (id, t) => id < 25 && t.split(" ", -1).length > 10 }
+      .map(_._1)
+    assert(planted.nonEmpty, "augmented corpus must plant variant pairs")
+    planted.foreach { id =>
+      assert(got.get((id, id + 10000)).contains(1.0),
+        s"planted subset pair ($id, ${id + 10000}) missing or != 1.0")
+    }
+    // asymmetry law on everything reported: containment >= jaccard always
+    val jac = Dedup.ddNgramJaccard(spark, sf())
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    jac.foreach { case (pair, j) =>
+      got.get(pair).foreach(c => assert(c >= j, s"containment < jaccard at $pair")) }
+  }
+
   test("hash kernels equal the pure built-in formulation") {
     // NgramHash60s (byte-slice md5, in-kernel mod-P dedup) vs the
     // composed split/concat_ws/array_distinct/md5/conv/pmod chain —

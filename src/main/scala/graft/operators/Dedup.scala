@@ -555,7 +555,10 @@ object Dedup {
     * Output: (doc_id, clean_md5) of the curated corpus. The DuckDB
     * oracle mirrors every stage, so the whole composition — not just the
     * pieces — is hash-checked. */
-  def ddCurate(spark: SparkSession, dir: String): DataFrame = {
+  /** The curated corpus with its REDACTED text — the shared tail of the
+    * curation chain, projected two ways: [[ddCurate]] hashes it for the
+    * gate, [[ddCuratePack]] carries it on into split+pack. */
+  def curatedDocs(spark: SparkSession, dir: String): DataFrame = {
     val corpus = pipelineCorpus(spark, dir)
     val benchmark = corpus.filter(col("doc_id") >= 25 && col("doc_id") < 50)
     val quality = corpus.filter(
@@ -568,9 +571,13 @@ object Dedup {
       .select(col("id_b").as("doc_id")).distinct()
     clean.join(dropIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
-        md5(TextAnalysis.redact(col("text"))).as("clean_md5"))
-      .orderBy(col("doc_id"))
+        TextAnalysis.redact(col("text")).as("clean_text"))
   }
+
+  def ddCurate(spark: SparkSession, dir: String): DataFrame =
+    curatedDocs(spark, dir)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
 
   val ddCurateSql: String = s"""
     WITH aug AS ($augmentedSql),
@@ -593,6 +600,75 @@ object Dedup {
     FROM cleanc
     WHERE doc_id NOT IN (SELECT id_b FROM lsh_pairs)
     ORDER BY doc_id"""
+
+  /** END-TO-END training-data pipeline, hash-checked as ONE oracle:
+    * quality gate → exact dedup → decontamination → LSH near-dup
+    * removal → PII redaction ([[curatedDocs]]) → content-fingerprint
+    * split assignment (the [[TextAnalysis.txSplitAssign]] law, applied
+    * to the REDACTED text) → GPT-style sequence packing of the train
+    * split ([[Pack.packByOrder]], two-phase cumsum). The output is the
+    * artifact a trainer actually consumes: every train document's
+    * packed position. One hash compare proves the entire DAG — seven
+    * stages across three operator families — lands byte-identically
+    * where the declarative oracle says it must. */
+  def ddCuratePack(spark: SparkSession, dir: String): DataFrame = {
+    val curated = curatedDocs(spark, dir)
+    val bucket = pmod(Portable.hash60(
+      concat(lit("split:"), md5(TextAnalysis.normText(col("clean_text"))))), lit(100L))
+    val train = curated
+      .filter(bucket < 80)
+      .select(col("doc_id"),
+        regexp_count(col("clean_text"), lit("[A-Za-z0-9]+"))
+          .cast("long").as("n_tokens"))
+    Pack.packByOrder(train, "doc_id", "n_tokens", Pack.GateBudget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_excl"),
+        col("seq_id"), col("seq_offset"), col("n_splits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddCuratePackSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    $pipeSql,
+    q AS (
+      SELECT doc_id, text FROM pipe
+      WHERE len(string_split(text, ' ')) >= $CurateMinWords),
+    keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    surv AS (SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)),
+    bench AS (
+      SELECT DISTINCT h FROM (${shingleRowsSqlOf(
+        "(SELECT * FROM pipe WHERE doc_id >= 25 AND doc_id < 50)")})),
+    ss AS (${shingleRowsSqlOf("surv")}),
+    contaminated AS (SELECT DISTINCT doc_id FROM ss JOIN bench USING (h)),
+    cleanc AS (
+      SELECT * FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    ${lshCtesSql("cleanc")},
+    curated AS (
+      SELECT doc_id, ${TextAnalysis.redactSql("text")} AS clean_text
+      FROM cleanc
+      WHERE doc_id NOT IN (SELECT id_b FROM lsh_pairs)),
+    train AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS n_tokens
+      FROM curated
+      WHERE ((${Portable.hash60Sql(
+        s"('split:' || md5(${TextAnalysis.normTextSql("clean_text")}))")}
+              % 100) + 100) % 100 < 80),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_excl
+      FROM train)
+    SELECT doc_id, n_tokens, cum_excl,
+           cum_excl // ${Pack.GateBudget} AS seq_id,
+           cum_excl % ${Pack.GateBudget} AS seq_offset,
+           CASE WHEN n_tokens = 0 THEN 0
+                ELSE (cum_excl + n_tokens - 1) // ${Pack.GateBudget}
+                     - cum_excl // ${Pack.GateBudget}
+           END AS n_splits
+    FROM c ORDER BY doc_id"""
 
   // ---------------------------------------------------------------- SimHash
 

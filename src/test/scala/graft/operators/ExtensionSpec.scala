@@ -44,6 +44,30 @@ class ExtensionSpec extends SparkSpec {
       got.get(pair).foreach(c => assert(c >= j, s"containment < jaccard at $pair")) }
   }
 
+  test("curate→split→pack composition: ids from curation, layout obeys the pack law") {
+    val packed = Dedup.ddCuratePack(spark, sf())
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    graft.Caches.releaseAll()
+    val curatedIds = Dedup.ddCurate(spark, sf())
+      .select($"doc_id").as[Long].collect().toSet
+    graft.Caches.releaseAll()
+    assert(packed.nonEmpty, "train split must be non-empty")
+    // packed docs are exactly a subset of the curated corpus (the train
+    // split), and roughly the 80% the split law promises
+    val packedIds = packed.map(_._1).toSet
+    assert(packedIds.subsetOf(curatedIds))
+    val frac = packedIds.size.toDouble / curatedIds.size
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac far from 80%")
+    // pack layout law: exclusive cumsum is consistent and offsets bounded
+    packed.sortBy(_._1).foldLeft(0L) { case (cum, (_, n, cumGot, seq, off, spl)) =>
+      assert(cumGot == cum, "cumsum drift")
+      assert(seq == cum / graft.operators.Pack.GateBudget)
+      assert(off == cum % graft.operators.Pack.GateBudget)
+      assert(spl >= 0)
+      cum + n
+    }
+  }
+
   test("hash kernels equal the pure built-in formulation") {
     // NgramHash60s (byte-slice md5, in-kernel mod-P dedup) vs the
     // composed split/concat_ws/array_distinct/md5/conv/pmod chain —

@@ -140,6 +140,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ edit scripts: snapshot diff statuses are exactly the applied edits") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genRow = for {
+      a <- Gen.option(Gen.oneOf("", "x", "y", "a|0", "<null>"))
+      b <- Gen.option(Gen.oneOf("", "0|b", "z"))
+    } yield (a, b)
+    Seq(7L, 99L, 2024L).foreach { seed =>
+      val n = 60
+      val base = Gen.listOfN(n, genRow).pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      // known edit script: remove k%5==0, change k%7==1 (set a to a
+      // sentinel no generator emits), add fresh keys k+1000 for k%11==3
+      val v2 = base.filter(_._1 % 5 != 0).map {
+        case (k, _, b) if k % 7 == 1 => (k, Some("EDITED"), b)
+        case r => r
+      } ++ base.filter(_._1 % 11 == 3).map { case (k, a, b) => (k + 1000, a, b) }
+      val got = Diff.snapshotDiff(
+          base.toDF("k", "a", "b"), v2.toDF("k", "a", "b"),
+          Seq("k"), Seq(col("a"), col("b")))
+        .select($"k", $"status").as[(Long, String)].collect().toMap
+      base.foreach { case (k, a, _) =>
+        val expect =
+          if (k % 5 == 0) "removed"
+          // a change to the SAME value (a already "EDITED" is impossible
+          // by generator; but k%7==1 rows whose a was already equal
+          // would be unchanged — generator never emits EDITED)
+          else if (k % 7 == 1 && !a.contains("EDITED")) "changed"
+          else "unchanged"
+        assert(got(k) == expect, s"seed=$seed key=$k")
+      }
+      base.filter(_._1 % 11 == 3).foreach { case (k, _, _) =>
+        assert(got(k + 1000) == "added", s"seed=$seed added key ${k + 1000}")
+      }
+    }
+  }
+
+  test("∀ weighted corpora: PPS tick mass and certainty stratum hold") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genW = Gen.frequency(
+      6 -> Gen.choose(1L, 50L), 2 -> Gen.const(0L), 1 -> Gen.choose(500L, 2000L))
+    Seq(13L, 556L, 9090L).foreach { seed =>
+      val rows = Gen.listOfN(120, genW).pureApply(Gen.Parameters.default, Seed(seed))
+        .zipWithIndex.map { case (w, i) => (i.toLong * 3 + 1, w) } // gappy keys
+      val total = rows.map(_._2).sum
+      val k = 8L
+      val step = math.max(1L, total / k)
+      val got = TextAnalysis.ppsSystematic(rows.toDF("k", "w"), "k", "w", k)
+        .select($"k", $"n_picks").as[(Long, Long)].collect().toMap
+      // tick mass: total picks == floor(total/step)
+      assert(got.values.sum == total / step, s"seed=$seed tick mass")
+      // certainty stratum always sampled; zero weights never
+      rows.foreach { case (key, w) =>
+        if (w >= step) assert(got.contains(key), s"seed=$seed certainty key=$key")
+        if (w == 0L) assert(!got.contains(key), s"seed=$seed zero-weight key=$key")
+      }
+    }
+  }
+
   test("surprisal: whole-bit law matches an independent Scala recomputation") {
     val docs = graft.sources.Tables.documents(spark, sf())
     val got = TextAnalysis.surprisal(docs)

@@ -388,6 +388,51 @@ object StreamingPipeline {
     } finally { pending.unpersist(); store.unpersist() }
   }
 
+  /** Streaming materialized rollup — [[graft.operators.Incremental]]'s
+    * partial-aggregate store maintained by the stream itself: each
+    * micro-batch folds into the prior store version and writes
+    * `v=<batchId>/` (the whole store is |distinct keys| partial rows,
+    * so a version is kilobytes per million keys — rewriting it per
+    * batch is cheap; the raw history is NEVER rescanned). Crash-safe by
+    * the same argument as the batch-dir file sinks: a replayed batch
+    * re-reads the immutable prior version (the max version below its
+    * own id) and overwrites only `v=<its-id>`, so checkpoint +
+    * idempotent versioned write = effective exactly-once. Readers pick
+    * the newest complete version via [[latestPartials]] and finalize
+    * with [[graft.operators.Incremental.finalizeStats]]. */
+  def startIncrementalAggStore(orders: DataFrame, storeDir: String,
+                               checkpointDir: String): StreamingQuery =
+    orders.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = latestPartials(spark, storeDir, beforeVersion = batchId)
+        graft.operators.Incremental.mergeDelta(prior, batch)
+          .write.mode("overwrite").parquet(s"$storeDir/v=$batchId")
+      }
+      .start()
+
+  /** Newest store version strictly below `beforeVersion` (replay
+    * isolation: a re-run of batch b must not read b's own partial
+    * output); empty partials when no version exists yet. */
+  def latestPartials(spark: SparkSession, storeDir: String,
+                     beforeVersion: Long = Long.MaxValue): DataFrame = {
+    val base = new java.io.File(storeDir)
+    val versions = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(_ < beforeVersion)
+    if (versions.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType.fromDDL(
+          // matches orderPartials' output type (sum over DECIMAL(18,2)
+          // widens to 28,2); later merges widen further and parquet
+          // versions are self-describing, so drift is harmless
+          "o_custkey BIGINT, n_orders BIGINT, total_dec DECIMAL(28,2)"))
+    else spark.read.parquet(s"$storeDir/v=${versions.max}")
+  }
+
   /** Streaming half of the mix-drift monitor: watermarked per-window
     * category counts in append mode — each emitted row is a CLOSED
     * window's final count, so the downstream drift analysis never sees

@@ -444,6 +444,40 @@ class StreamingSpec extends SparkSpec {
     assert(v.startsWith("""{"r_regionkey":"""))
   }
 
+  test("streaming incremental agg store equals the flat recompute; survives restart") {
+    val in = Files.createTempDirectory("graft_incstore_in_").toString
+    val store = Files.createTempDirectory("graft_incstore_").toString
+    val ckpt = Files.createTempDirectory("graft_incstore_ckpt_").toString
+    val orders = Tables.orders(spark, sf())
+    val half1 = orders.filter($"o_orderkey" % 2 === 0)
+    val half2 = orders.filter($"o_orderkey" % 2 =!= 0)
+    half1.write.mode("overwrite").parquet(in)
+    def startQ() = StreamingPipeline.startIncrementalAggStore(
+      spark.readStream.schema(orders.schema).parquet(in), store, ckpt)
+    val q = startQ()
+    q.processAllAvailable(); q.stop()
+    // flat recompute over what has streamed so far
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Incremental.finalizeStats(
+        graft.operators.Incremental.orderPartials(df))
+        .as[(Long, Long, Double, Double)].collect().toSet
+    val got1 = graft.operators.Incremental.finalizeStats(
+        StreamingPipeline.latestPartials(spark, store))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got1 == statsOf(half1), "store after batch 1 diverges from recompute")
+    // restart from the checkpoint, stream the second half
+    half2.write.mode("append").parquet(in)
+    val q2 = startQ()
+    q2.processAllAvailable(); q2.stop()
+    val got2 = graft.operators.Incremental.finalizeStats(
+        StreamingPipeline.latestPartials(spark, store))
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got2 == statsOf(orders), "store after restart diverges from full recompute")
+    // replay isolation: re-merging version v reads only versions < v
+    val empty = StreamingPipeline.latestPartials(spark, store, beforeVersion = 0L)
+    assert(empty.count() == 0, "beforeVersion=0 must see an empty store")
+  }
+
   test("streaming mix-drift monitor: closed-window counts + batch TVD law") {
     val dir = eventsDir
     val stream = spark.readStream.schema(Tables.events(spark, sf()).schema).parquet(dir)

@@ -19,7 +19,7 @@ object ScaleProbe {
     "tx_length_pctile", "dd_contamination",
     "tx_weighted_sample", "tx_inverted_index", "tx_bm25_topk",
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_prefix_topk",
-    "tx_surprisal", "prof_corpus_card")
+    "tx_surprisal", "prof_corpus_card", "dd_containment", "dd_curate_pack")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args

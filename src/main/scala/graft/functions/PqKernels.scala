@@ -32,6 +32,11 @@ object PqKernel {
       nrmSq += v * v
       d += 1
     }
+    // fail loudly: a zero-norm row would make every distance NaN and
+    // the argmin would silently collapse to centroid 0
+    if (nrmSq == 0.0)
+      throw new IllegalArgumentException(
+        "cannot PQ-encode a zero embedding (zero norm)")
     val nrm = math.sqrt(nrmSq)
     val out = new Array[Int](m)
     var s = 0

@@ -157,6 +157,11 @@ object Cluster {
         // counts equal + hashes equal -> exact confirm (one-direction
         // exceptAll suffices when row counts match and rows are distinct)
         if (cur == prev) converged = next.exceptAll(e).isEmpty
+        // the superseded round's checkpoint blocks are dead once `next`
+        // is materialized (checksum above forced it) AND the confirm
+        // compare ran — without the unpersist, MaxRounds edge-set copies
+        // pin executor storage until the nondeterministic ContextCleaner
+        e.unpersist()
         prev = cur
         e = next
         rounds += 1

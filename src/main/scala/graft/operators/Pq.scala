@@ -54,6 +54,17 @@ object Pq {
     * the knob is corpus-dependent, the plan is not. */
   val Candidates = 150
 
+  /** Unit-normalize, failing LOUDLY on a zero vector: an unguarded
+    * 0-norm division would turn every distance NaN, and NaN argmins
+    * silently collapse all codes to centroid 0 — the ranking would then
+    * be pure vec_id tie-break with no error anywhere (the same
+    * fail-don't-degrade posture as the density requires below). */
+  private def unitOf(v: Array[Float]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    require(n > 0, "cannot unit-normalize a zero embedding")
+    v.map(_ / n)
+  }
+
   /** codebook(m)(c)(d): dim d of subspace m of normalized corpus vector
     * c — collected once (K×Dim floats, driver-tiny). */
   def codebook(e: DataFrame): Array[Array[Array[Double]]] = {
@@ -62,11 +73,7 @@ object Pq {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1).map(_._2)
     require(first.length == K, s"corpus smaller than the $K-vector codebook")
-    val unit = first.map { v =>
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      v.map(_ / n)
-    }
-    Array.tabulate(M, K, SubDim)((m, c, d) => unit(c)(m * SubDim + d))
+    Array.tabulate(M, K, SubDim)((m, c, d) => unitOf(first(c))(m * SubDim + d))
   }
 
   /** Adds `codes` (array<int>, length [[M]]) — the PQ encoding of the
@@ -94,11 +101,7 @@ object Pq {
     require(rows.map(_._1).toSeq == (0L until Similarity.QuerySetSize.toLong),
       s"query vec_ids must be dense 0..${Similarity.QuerySetSize - 1}, " +
       s"got ${rows.map(_._1).mkString(",")}")
-    val qs = rows.map(_._2)
-    val unit = qs.map { v =>
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-      v.map(_ / n)
-    }
+    val unit = rows.map(r => unitOf(r._2))
     Array.tabulate(unit.length, M, K) { (q, m, c) =>
       (0 until SubDim).map { d =>
         val diff = unit(q)(m * SubDim + d) - cb(m)(c)(d)

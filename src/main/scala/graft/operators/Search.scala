@@ -66,30 +66,40 @@ object Search {
   val SearchTopN = 10
 
   /** (term, doc_id, tf) — the exploded, per-doc aggregated token
-    * relation both operators start from. Empty tokens (split artifacts
-    * of empty text) are dropped. */
-  private def termDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * relation both the in-query operators and [[SearchIndex.buildIndex]]
+    * start from (ONE definition of tokenization — a drift would break
+    * the index-probe ≡ from-scratch bit-identity SearchIndexSpec
+    * asserts). Empty tokens (split artifacts of empty text) are
+    * dropped. */
+  def termDocs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(Portable.words(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
+  private def termDocs(spark: SparkSession, dir: String): DataFrame =
+    termDocs(Tables.documents(spark, dir))
+
   /** Inverted index: per term, exact document frequency and total
     * occurrence count, plus the first [[PostingsCap]] doc ids (ascending)
-    * as a csv sample of the posting list. */
-  def txInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
-    termDocs(spark, dir)
-      .withColumn("rn", row_number().over(w))
+    * as a csv sample of the posting list. The sample comes from the
+    * bounded-state [[graft.functions.MinKAgg]] kernel — O(k) aggregation
+    * state per term with map-side partial merge, so a hot term's full
+    * posting never funnels through one task (the `row_number` window
+    * formulation this replaced sorted each term's ENTIRE posting in a
+    * single window partition — exactly the hot-reducer the cap exists
+    * to avoid). */
+  def txInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    termDocs(Tables.documents(spark, dir))
       .groupBy(col("term"))
       .agg(
         count(lit(1)).as("df"),
         sum(col("tf")).as("tf_total"),
-        concat_ws(",", sort_array(collect_list(
-          when(col("rn") <= PostingsCap, col("doc_id"))))).as("top_docs"))
+        concat_ws(",",
+          graft.functions.MinKAgg.minK(col("doc_id"), PostingsCap))
+          .as("top_docs"))
       .orderBy(col("term"))
-  }
 
   val txInvertedIndexSql: String = s"""
     WITH tok AS (
@@ -130,9 +140,20 @@ object Search {
     val lens = graft.Caches.persist(docs.select(col("doc_id"),
       size(Portable.words(col("text"))).as("n_words")))
     val qtd = graft.Caches.persist(
-      termDocs(spark, dir).filter(col("term").isin(QueryTerms: _*)))
+      termDocs(docs).filter(col("term").isin(QueryTerms: _*)))
+    bm25Rank(qtd, lens, QueryTerms, SearchTopN)
+  }
+
+  /** THE BM25 ranking tail — shared by the in-query operator and
+    * [[SearchIndex.bm25TopKFromIndex]], so a scoring change can never
+    * diverge the gated query from the index probe. `qtd` must already
+    * be filtered to `terms` (and persisted by the caller — it is read
+    * twice: df collect + tf aggregate); `lens` is (doc_id, n_words). */
+  private[operators] def bm25Rank(qtd: DataFrame, lens: DataFrame,
+      terms: Seq[String], topN: Int): DataFrame = {
+    require(terms.nonEmpty, "empty query")
     // one row per matched doc: tf per query term as fixed columns
-    val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
       coalesce(sum(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf_$i") }
     val tfs = qtd.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
     val stats = lens.agg(count(lit(1)).as("n_docs"),
@@ -140,7 +161,7 @@ object Search {
     val (nDocs, avgLen) = (stats.getLong(0), stats.getDouble(1))
     val dfByTerm = qtd.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val score = QueryTerms.zipWithIndex
+    val score = terms.zipWithIndex
       .map { case (t, i) =>
         bm25Contrib(col(s"tf_$i"), nDocs, dfByTerm.getOrElse(t, 0L), avgLen) }
       .reduce(_ + _) // fixed left-to-right chain, no row-order dependence
@@ -148,14 +169,14 @@ object Search {
       .join(lens, "doc_id")
       .withColumn("score", score)
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(SearchTopN)
-    // rank over the already-limited TopN rows — a 10-row window, not a
+      .limit(topN)
+    // rank over the already-limited topN rows — a 10-row window, not a
     // corpus-wide one
     ranked
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
       .select(Seq(col("rank"), col("doc_id"), col("n_words")) ++
-        QueryTerms.indices.map(i => col(s"tf_$i")): _*)
+        terms.indices.map(i => col(s"tf_$i")): _*)
       .orderBy(col("rank"))
   }
 

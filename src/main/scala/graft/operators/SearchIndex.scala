@@ -36,12 +36,7 @@ object SearchIndex {
     * catalog-backed relations. */
   def buildIndex(spark: SparkSession, docs: DataFrame, name: String,
                  basePath: String, buckets: Int = 32): (DataFrame, DataFrame) = {
-    val td = docs
-      .select(col("doc_id"),
-        explode(graft.functions.Portable.words(col("text"))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    val td = Search.termDocs(docs)
     Bucketing.writeBucketed(td, s"${name}_postings", "term", buckets,
       Some(s"$basePath/${name}_postings"))
     val lens = docs.select(col("doc_id"),
@@ -56,33 +51,11 @@ object SearchIndex {
     * corpus explode: the postings scan reads only `terms`' rows. */
   def bm25TopKFromIndex(postings: DataFrame, lens: DataFrame,
       terms: Seq[String], topN: Int = Search.SearchTopN): DataFrame = {
-    require(terms.nonEmpty, "empty query")
     // persisted: the filtered postings feed the df collect AND the
-    // per-doc tf aggregate (tiny: Σ df(query terms) rows)
+    // per-doc tf aggregate (tiny: Σ df(query terms) rows); the scoring
+    // tail is Search.bm25Rank — ONE definition, so the probe can never
+    // diverge from the gated from-scratch query
     val qtd = graft.Caches.persist(postings.filter(col("term").isin(terms: _*)))
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      coalesce(sum(when(col("term") === t, col("tf"))), lit(0L)).as(s"tf_$i") }
-    val tfs = qtd.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
-      avg(col("n_words")).as("avg_len")).head()
-    val (nDocs, avgLen) = (stats.getLong(0), stats.getDouble(1))
-    val dfByTerm = qtd.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val score = terms.zipWithIndex
-      .map { case (t, i) =>
-        Search.bm25Contrib(col(s"tf_$i"), nDocs, dfByTerm.getOrElse(t, 0L), avgLen) }
-      .reduce(_ + _)
-    val ranked = tfs
-      .join(lens, "doc_id")
-      .withColumn("score", score)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(topN)
-    ranked
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("doc_id"))))
-      .select(Seq(col("rank"), col("doc_id"), col("n_words")) ++
-        terms.indices.map(i => col(s"tf_$i")): _*)
-      .orderBy(col("rank"))
+    Search.bm25Rank(qtd, lens, terms, topN)
   }
 }

@@ -664,6 +664,11 @@ object TextAnalysis {
     require(width > 0 && stride > 0 && stride <= width,
       s"need 0 < stride <= width, got width=$width stride=$stride")
     docs
+      // null texts are dropped, not chunked: size(null words) = -1 under
+      // the legacy semantics, and greatest(-1, 1) would fabricate one
+      // empty chunk the DuckDB oracle (NULL string_split -> no rows)
+      // never emits — the explicit filter keeps both engines agreeing
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), Portable.words(col("text")).as("words"))
       .select(col("doc_id"), col("words"),
         posexplode(sequence(lit(1), greatest(size(col("words")), lit(1)),
@@ -728,7 +733,8 @@ object TextAnalysis {
 
   val txChunkOverlapSql: String = s"""
     WITH d AS (
-      SELECT doc_id, ${Portable.wordsSql("text")} AS words FROM documents),
+      SELECT doc_id, ${Portable.wordsSql("text")} AS words FROM documents
+      WHERE text IS NOT NULL),
     c AS (
       SELECT doc_id, words,
              unnest(generate_series(1, greatest(len(words), 1), $CHUNK_STRIDE))
@@ -765,7 +771,10 @@ object TextAnalysis {
   def ppsSystematic(df: DataFrame, orderCol: String, weightCol: String,
       k: Long, buckets: Int = Pack.CumsumBuckets): DataFrame = {
     require(k > 0, s"sample size must be positive, got $k")
-    val row = df.agg(sum(col(weightCol))).head()
+    // cast the SUM, not Row.getLong — getLong does not widen, so an
+    // int-typed weight column would ClassCastException (the same trap
+    // Pack.exclusiveCumsum documents); weights are integral by contract
+    val row = df.agg(sum(col(weightCol)).cast("long")).head()
     val total = if (row.isNullAt(0)) 0L else row.getLong(0)
     val step = math.max(1L, total / k)
     Pack.exclusiveCumsum(df, orderCol, weightCol, buckets)

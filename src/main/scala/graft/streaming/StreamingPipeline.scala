@@ -455,7 +455,12 @@ object StreamingPipeline {
   /** Batch drift analysis over [[mixCounts]]'s closed-window sink vs a
     * static baseline distribution `(category, base_ppm)` — the same
     * integer-ppm / total-variation-distance law as
-    * [[graft.operators.Profiling.categoryDrift]]. Per (window,
+    * [[graft.operators.Profiling.categoryDrift]] (kept as a separate
+    * formulation deliberately: that one derives BOTH sides' shares from
+    * slices, this one grids windows against a precomputed baseline —
+    * the shared law is pinned by each side's own exact tests, and
+    * DriftSpec/StreamingSpec both assert the ½·Σ|Δ| identity, so a
+    * drift between the two copies cannot pass CI). Per (window,
     * category): count, share_ppm, base_ppm, |delta|; plus one
     * `__tvd__` row per window. Baseline categories missing from a
     * window still contribute their full drift mass (the window×baseline

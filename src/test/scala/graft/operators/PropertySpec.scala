@@ -200,6 +200,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("∀ groups: bounded min-k aggregate equals sort-and-take, any partitioning") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genRow = for {
+      g <- Gen.choose(0, 5)
+      v <- Gen.choose(-1000L, 1000L) // duplicates likely across rows
+    } yield (g, v)
+    Seq(3L, 17L, 404L).foreach { seed =>
+      val rows = Gen.listOfN(400, genRow).pureApply(Gen.Parameters.default, Seed(seed))
+      val expect = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.take(7)).toMap
+      Seq(1, 4, 13).foreach { parts =>
+        val got = rows.toDF("g", "v").repartition(parts)
+          .groupBy($"g").agg(graft.functions.MinKAgg.minK($"v", 7).as("mk"))
+          .as[(Int, Seq[Long])].collect().toMap
+        expect.foreach { case (g, e) =>
+          assert(got(g) == e, s"seed=$seed parts=$parts group=$g") }
+      }
+    }
+  }
+
   test("surprisal: whole-bit law matches an independent Scala recomputation") {
     val docs = graft.sources.Tables.documents(spark, sf())
     val got = TextAnalysis.surprisal(docs)

@@ -63,6 +63,14 @@ class SearchSpec extends SparkSpec {
         s"top docs should all contain the rare term '$rare'")
   }
 
+  test("inverted-index plan: bounded min-k aggregate, no per-term window sort") {
+    val plan = Search.txInvertedIndex(spark, sf()).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "posting sample must come from the mergeable min-k aggregate, not a window")
+    assert(plan.contains("minkagg") || plan.toLowerCase.contains("minkagg"),
+      s"expected the MinKAgg kernel in the plan:\n$plan")
+  }
+
   test("BM25 plan: top-k via TakeOrderedAndProject, no corpus-wide window") {
     val plan = Search.txBm25TopK(spark, sf()).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")

@@ -127,6 +127,10 @@ object SparkEntry {
     "sim_pq_topk" -> (Pq.simPqTopK _),
     "sim_ivf_pq_topk" -> (Pq.simIvfPqTopK _),
     "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
+    // the persisted-index paths, oracled against the SAME SQL as their
+    // from-scratch twins: the hash compare proves build+probe ≡ in-query
+    "sim_neardup_from_index" -> (graft.operators.AnnIndex.simNearDupFromIndex _),
+    "tx_bm25_from_index" -> (graft.operators.SearchIndex.txBm25FromIndex _),
     "sim_quantize" -> (Similarity.simQuantizeGated _),
     "sim_semantic_dedup" -> (Similarity.simSemanticDedup _),
     // Multimodal
@@ -233,6 +237,8 @@ object SparkEntry {
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
     "sim_ivf_topk" -> Similarity.simIvfTopKSql,
     "sim_cosine_neardup" -> Similarity.simCosineNearDupSql,
+    "sim_neardup_from_index" -> Similarity.simCosineNearDupSql,
+    "tx_bm25_from_index" -> Search.txBm25TopKSql,
     "sim_quantize" -> Similarity.simQuantizeSql,
     "sim_semantic_dedup" -> Similarity.simSemanticDedupSql,
     "mm_extract_features" -> Multimodal.mmExtractFeaturesSql,

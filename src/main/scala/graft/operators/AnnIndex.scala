@@ -133,6 +133,24 @@ object AnnIndex {
     spark.table(table)
   }
 
+  private lazy val scratch: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ann_gate_")
+    sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(d.toFile))
+    d.toString
+  }
+
+  /** Gated query: near-dup pairs THROUGH the persisted bucketed index —
+    * build (eager, overwrite) then probe. The oracle is the SAME SQL as
+    * `sim_cosine_neardup`, so the driver's hash compare proves the
+    * build+self-join index path lands bit-identically where the
+    * in-query banding does — the persistence layer is oracle-checked,
+    * not just spec-checked. */
+  def simNearDupFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idx = buildNearDupIndex(spark, Tables.embeddings(spark, dir),
+      "graft_gate_ann_idx", scratch)
+    nearDupPairsFromIndex(spark, idx, dir)
+  }
+
   /** Band rows for an ad-hoc query batch, computed with the index's own
     * sign family so probe collisions match build collisions. */
   def queryBands(q: DataFrame,

@@ -46,6 +46,25 @@ object SearchIndex {
       spark.read.parquet(s"$basePath/${name}_lens"))
   }
 
+  private lazy val scratch: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_search_gate_")
+    sys.addShutdownHook(org.apache.commons.io.FileUtils.deleteQuietly(d.toFile))
+    d.toString
+  }
+
+  /** Gated query: BM25 THROUGH the persisted postings — build (eager,
+    * overwrite) then probe. Oracle = `tx_bm25_topk`'s SQL: the hash
+    * compare proves the index probe bit-identical to the from-scratch
+    * ranking through DuckDB itself, not just the SearchIndexSpec
+    * assertion. */
+  def txBm25FromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val (postings, lens) = buildIndex(spark,
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")),
+      "graft_gate_search_idx", scratch)
+    bm25TopKFromIndex(postings, lens, Search.QueryTerms)
+  }
+
   /** BM25 top-k off the persisted index — same scoring shape and
     * integer-only output contract as [[Search.txBm25TopK]], minus the
     * corpus explode: the postings scan reads only `terms`' rows. */

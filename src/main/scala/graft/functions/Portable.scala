@@ -57,6 +57,22 @@ object Portable {
         i -> $parts))"""
   }
 
+  /** Word n-grams WITHOUT the distinct — one element per occurrence, for
+    * operators that weight by count (DSIR feature histograms) rather
+    * than set membership (shingle dedup). Same guard as [[shingles]]. */
+  def ngrams(c: Column, n: Int): Column = {
+    val w = words(c)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+  }
+
+  def ngramsSql(x: String, n: Int): String = {
+    val parts = (0 until n).map(k => s"${wordsSql(x)}[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len(${wordsSql(x)}) - ${n - 2}), i -> $parts)"
+  }
+
   /** Sequential-fold double dot product of two float arrays — identical to
     * DuckDB's `list_sum(list_transform(range(1, n+1), i -> x[i]::DOUBLE *
     * y[i]::DOUBLE))` (DuckDB's own `list_inner_product` accumulates in

@@ -59,9 +59,9 @@ object Similarity {
     * dim d sign = parity of the 60-bit MD5 prefix of "p_d". Pure
     * function of (p, d) — any prefix of a larger family is identical,
     * so auto-scaled plane counts stay consistent with the pinned gate. */
-  def mkSigns(n: Int): Array[Array[Int]] = {
+  def mkSigns(n: Int, dim: Int = Dim): Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(n, Dim) { (p, d) =>
+    Array.tabulate(n, dim) { (p, d) =>
       val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15)
       if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1 else -1

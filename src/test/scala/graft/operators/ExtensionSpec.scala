@@ -606,4 +606,47 @@ class ExtensionSpec extends SparkSpec {
     // no two distinct originals share a body; variants differ from sources
     assert(d.filter($"n_copies" > 1).count() == 0)
   }
+
+  test("MIPS augmentation makes every corpus norm equal to the max") {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+    val m2 = e.select(max(graft.functions.Portable.dotDouble(
+      $"embedding", $"embedding"))).head.getDouble(0)
+    val aug = Mips.augmented(e, m2)
+      .select(graft.functions.Portable.dotDouble($"aug", $"aug").as("n2"))
+      .as[Double].collect()
+    // float round-trip of the appended coordinate costs a few ulps of m2
+    aug.foreach(n2 => assert(math.abs(n2 - m2) / m2 < 1e-6,
+      s"augmented norm^2 $n2 != corpus max $m2"))
+  }
+
+  test("MIPS LSH recall@5 vs exact MIPS meets the floor") {
+    val bf = Mips.simMipsTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Mips.mipsLshTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.8, s"MIPS LSH recall@5 $recall below 0.8 floor")
+  }
+
+  test("DSIR separates planted target-like docs from junk") {
+    val tgtVocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val junkVocab = Seq("zip", "zap", "zop", "quux", "blort")
+    def doc(v: Seq[String], seed: Int): String =
+      (0 until 30).map(i => v((i * 7 + seed) % v.size)).mkString(" ")
+    val docs = (
+      (0 until 8).map(i => (i.toLong, doc(tgtVocab, i), "tgt")) ++
+      (8 until 12).map(i => (i.toLong, doc(junkVocab, i), "raw")) ++
+      Seq((12L, doc(tgtVocab, 3), "raw"),   // target-like candidate
+          (13L, "solo", "raw"))             // gram-less doc
+    ).toDF("doc_id", "text", "source")
+    val w = Dsir.importanceWeights(docs, $"source" === "tgt")
+      .select($"doc_id", $"n_grams", $"dsir_score")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w.size == 14, "every input doc must be scored")
+    assert(w(13L) == (0L, 0L), "gram-less doc scores 0 with 0 grams")
+    val junkMax = (8L until 12L).map(w(_)._2).max
+    assert(w(12L)._2 > junkMax,
+      s"target-like candidate ${w(12L)._2} must outscore junk (max $junkMax)")
+    graft.Caches.releaseAll()
+  }
 }

@@ -97,4 +97,9 @@ object NgramHash60s {
   /** Per-token (1-gram, duplicates kept) hashes of a text column. */
   def tokenHashes(c: Column): Column =
     Bridge.column(NgramHash60s(Bridge.expression(c), 1, distinct = false, modP = 0L))
+
+  /** Per-OCCURRENCE n-gram hashes reduced mod `modP` — hashed feature
+    * bucket ids for count-weighted models (DSIR histograms). */
+  def gramBuckets(c: Column, n: Int, modP: Long): Column =
+    Bridge.column(NgramHash60s(Bridge.expression(c), n, distinct = false, modP))
 }

@@ -20,17 +20,19 @@ import graft.sources.Tables
   * (libm `log` has no cross-engine bit contract; integer bit-length
   * does). The per-bucket weight is `bits_raw − bits_target`
   * (= quantized log p_t/p_r), a doc's score the integer sum over its
-  * gram OCCURRENCES ([[Portable.ngrams]], not distinct shingles —
-  * DSIR weights by count). Sub-bit resolution is irrelevant for a
+  * gram OCCURRENCES (not distinct shingles — DSIR weights by count;
+  * semantics = [[Portable.ngrams]]→hash, computed by the codegen'd
+  * [[graft.functions.NgramHash60s]] byte-range kernel). Sub-bit resolution is irrelevant for a
   * selection score whose cutoff is itself a tuned hyperparameter.
   *
   * Scale shape (the 100 TB story): gram occurrences reduce by hashed
-  * bucket with map-side combine into two ≤ [[B]]-bucket histograms —
-  * the model is O(B), NOT O(vocab), which is the entire point of
-  * hashed DSIR; the weight table broadcasts (≤ B rows); the per-doc
-  * score is one more map-side-combined integer aggregate. No join ever
-  * carries text. At real scale B grows to 10⁴–10⁶ buckets and the
-  * target histogram is trained once offline — both are the same plan.
+  * bucket with map-side combine into ONE ≤ [[B]]-row histogram — the
+  * model is O(B), NOT O(vocab), which is the entire point of hashed
+  * DSIR; it collects to the driver and the weight table ships back as
+  * a literal map expression, so scoring is one more map-side-combined
+  * integer aggregate with NO weight join. Nothing ever shuffles text.
+  * At real scale B grows to 10⁴–10⁶ buckets and the target histogram
+  * is trained once offline — the same plan either way.
   */
 object Dsir {
 
@@ -45,7 +47,6 @@ object Dsir {
     * sources stand in for the Wikipedia-like target corpus. */
   val TargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
 
-  private def bucket(c: Column): Column = pmod(Portable.hash60(c), lit(B.toLong))
   private def bucketSql(x: String): String =
     s"((${Portable.hash60Sql(x)} % $B + $B) % $B)"
 
@@ -55,25 +56,36 @@ object Dsir {
     * model; raw = the whole relation (the candidate pool, target
     * included — standard when selecting FROM the pool). */
   def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
-    // persisted: feeds the two histograms AND the per-doc score probe
+    // persisted: feeds the histogram collect AND the per-doc score pass
+    // bucket ids straight off the text bytes via the codegen'd n-gram
+    // kernel — no shingle strings, no interpreted transform lambda
+    // (the built-in ngrams→hash chain is 10× slower; see NgramHash60s)
     val occ = graft.Caches.persist(
       docs.select(col("doc_id"), isTarget.as("is_target"),
-          explode(Portable.ngrams(col("text"), GramN)).as("g"))
-        .select(col("doc_id"), col("is_target"), bucket(col("g")).as("b")))
-    val totals = occ.agg(count(lit(1)).as("tot_r"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("tot_t")).head
-    val (totR, totT) = (totals.getLong(0), totals.getLong(1))
-    val raw = occ.groupBy(col("b")).agg(count(lit(1)).as("cnt_r"))
-    val tgt = occ.filter(col("is_target"))
-      .groupBy(col("b")).agg(count(lit(1)).as("cnt_t"))
-    val wt = raw.join(tgt, Seq("b"), "left")
-      .na.fill(0L, Seq("cnt_t"))
-      .select(col("b"),
-        (expr(s"length(bin(${totR + B}L div (cnt_r + 1L))) - 1").cast("long") -
-         expr(s"length(bin(${totT + B}L div (cnt_t + 1L))) - 1").cast("long")).as("w"))
-    val perdoc = occ.join(wt, Seq("b"))
+        explode(graft.functions.NgramHash60s.gramBuckets(
+          col("text"), GramN, B.toLong)).as("b")))
+    // ONE map-side-combined pass builds both histograms; they are ≤ B
+    // rows by construction, so the model collects to the driver and the
+    // weight table ships back as a LITERAL map — no weight-join shuffle,
+    // no second histogram pass, O(B) driver state at any corpus size
+    val hist = occ.groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt_r"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("cnt_t"))
+      .collect()
+    val totR = hist.map(_.getLong(1)).sum
+    val totT = hist.map(_.getLong(2)).sum
+    def bits(cnt: Long, total: Long): Long =
+      63L - java.lang.Long.numberOfLeadingZeros((total + B) / (cnt + 1))
+    // dense array literal indexed by bucket (buckets are 0..B-1): O(1)
+    // codegen'd lookup per gram — a MAP literal here would linear-scan
+    // its keys per row, a join would shuffle-plan for B rows
+    val wDense = new Array[Long](B)
+    hist.foreach(r =>
+      wDense(r.getLong(0).toInt) = bits(r.getLong(1), totR) - bits(r.getLong(2), totT))
+    val wCol = element_at(typedLit(wDense.toSeq), (col("b") + 1).cast("int"))
+    val perdoc = occ
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("dsir_score"))
+      .agg(count(lit(1)).as("n_grams"), sum(wCol).as("dsir_score"))
     docs.select(col("doc_id"), isTarget.cast("int").as("is_target"))
       .join(perdoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_grams", "dsir_score"))
@@ -85,6 +97,32 @@ object Dsir {
   def txDsirWeights(spark: SparkSession, dir: String): DataFrame =
     importanceWeights(Tables.documents(spark, dir),
       col("source").isin(TargetSources: _*))
+
+  /** Docs kept by the gated selection query. */
+  val SelectN = 100
+
+  /** The selection half of DSIR: keep the top-`n` most target-like
+    * non-target docs. The paper samples from the softmax of the
+    * weights; the deterministic (and oracle-able) twin is top-n by
+    * score with doc_id tie-break — the zero-temperature limit. The
+    * top-n is a `TakeOrderedAndProject` (no global sort); the rank
+    * window runs over the already-limited n rows. */
+  def select(docs: DataFrame, isTarget: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("dsir_score").desc, col("doc_id"))
+    importanceWeights(docs, isTarget)
+      .filter(col("is_target") === 0)
+      .orderBy(ord: _*)
+      .limit(n)
+      .withColumn("sel_rank", row_number().over(Window.orderBy(ord: _*)))
+      .select(col("sel_rank"), col("doc_id"), col("dsir_score"))
+      .orderBy(col("sel_rank"))
+  }
+
+  /** Gated query: the [[SelectN]]-doc DSIR selection. */
+  def txDsirSelect(spark: SparkSession, dir: String): DataFrame =
+    select(Tables.documents(spark, dir),
+      col("source").isin(TargetSources: _*), SelectN)
 
   val txDsirWeightsSql: String = {
     val inList = TargetSources.map(s => s"'$s'").mkString(", ")
@@ -117,4 +155,14 @@ object Dsir {
     FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
     ORDER BY d.doc_id"""
   }
+
+  val txDsirSelectSql: String = s"""
+    WITH weights AS ($txDsirWeightsSql),
+    kept AS (
+      SELECT doc_id, dsir_score FROM weights WHERE is_target = 0
+      ORDER BY dsir_score DESC, doc_id LIMIT $SelectN)
+    SELECT CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS INT)
+             AS sel_rank,
+           doc_id, dsir_score
+    FROM kept ORDER BY sel_rank"""
 }

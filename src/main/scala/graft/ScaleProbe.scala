@@ -21,7 +21,8 @@ object ScaleProbe {
     "sim_pq_topk", "sim_ivf_pq_topk", "sim_prefix_topk",
     "tx_surprisal", "prof_corpus_card", "dd_containment", "dd_curate_pack",
     "sim_mips_topk", "tx_dsir_weights", "tx_dsir_select",
-    "sim_neardup_from_index", "tx_bm25_from_index")
+    "sim_neardup_from_index", "tx_bm25_from_index", "sim_pca_project",
+    "sim_mips_lsh")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args
@@ -87,13 +88,6 @@ object ScaleProbe {
     val (c10, r10) = chainRounds(10000)
     println(f"[probe] cc_chain_altstar 1k=${c1}%.2fs/$r1%d rounds 10k=${c10}%.2fs/$r10%d rounds " +
       f"ratio=${c10 / c1}%4.1fx (diameter-bound propagation: 1000 vs 10000 rounds)")
-    // the MIPS scale path (banded augmented corpus) must grow like the
-    // cosine LSH banding it reuses, not like the brute-force O(Q·N)
-    def timeMipsLsh(dir: String): Double =
-      timed(graft.operators.Mips.mipsLshTopK(spark, dir))
-    val ms = math.min(timeMipsLsh(dirSmall), timeMipsLsh(dirSmall))
-    val mb = math.min(timeMipsLsh(dirBig), timeMipsLsh(dirBig))
-    println(f"[probe] sim_mips_lsh_topk small=$ms%7.2fs big=$mb%7.2fs ratio=${mb / ms}%5.1fx")
     spark.stop()
   }
 }

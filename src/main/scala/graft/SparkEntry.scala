@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, Dsir, HeavyHitters, Incremental, Layout, Mips, Multimodal, Pack, Parity, PartitionedWrite, Pq, Profiling, RangeJoin, Relational, Search, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, Dsir, HeavyHitters, Incremental, Layout, Mips, Multimodal, Pack, Parity, PartitionedWrite, Pca, Pq, Profiling, RangeJoin, Relational, Search, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -117,6 +117,10 @@ object SparkEntry {
     // Similarity search
     "sim_bruteforce_topk" -> (Similarity.simBruteForceTopK _),
     "sim_mips_topk" -> (Mips.simMipsTopK _),
+    // rows-only (no oracle SQL): approximate/eigen paths with no
+    // ulp-stable SQL twin; semantics asserted in ExtensionSpec/PcaSpec
+    "sim_mips_lsh" -> (Mips.mipsLshTopK _),
+    "sim_pca_project" -> (Pca.simPcaProject _),
     "sim_prefix_topk" -> (Similarity.simPrefixTopK _),
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
     "sim_ivf_topk" -> (Similarity.simIvfTopK _),

@@ -29,8 +29,9 @@ import graft.sources.Tables
   * bucket with map-side combine into ONE ≤ [[B]]-row histogram — the
   * model is O(B), NOT O(vocab), which is the entire point of hashed
   * DSIR; it collects to the driver and the weight table ships back as
-  * a literal map expression, so scoring is one more map-side-combined
-  * integer aggregate with NO weight join. Nothing ever shuffles text.
+  * a dense array literal indexed by bucket (O(1) per-gram lookup in
+  * codegen — a MAP literal would linear-scan its keys), so scoring is
+  * one more map-side-combined integer aggregate with NO weight join. Nothing ever shuffles text.
   * At real scale B grows to 10⁴–10⁶ buckets and the target histogram
   * is trained once offline — the same plan either way.
   */
@@ -59,7 +60,8 @@ object Dsir {
     // persisted: feeds the histogram collect AND the per-doc score pass
     // bucket ids straight off the text bytes via the codegen'd n-gram
     // kernel — no shingle strings, no interpreted transform lambda
-    // (the built-in ngrams→hash chain is 10× slower; see NgramHash60s)
+    // (the built-in ngrams→hash chain is ~6× slower end-to-end at
+    // sf0.1; equivalence asserted in ExtensionSpec)
     val occ = graft.Caches.persist(
       docs.select(col("doc_id"), isTarget.as("is_target"),
         explode(graft.functions.NgramHash60s.gramBuckets(
@@ -86,7 +88,12 @@ object Dsir {
     val perdoc = occ
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(wCol).as("dsir_score"))
-    docs.select(col("doc_id"), isTarget.cast("int").as("is_target"))
+    // coalesce: a NULL predicate (e.g. NULL source) must read as
+    // "not target" — the oracle's CASE WHEN yields 0 there, and a NULL
+    // is_target would also silently drop the doc from Dsir.select's
+    // `is_target === 0` candidate pool
+    docs.select(col("doc_id"),
+        coalesce(isTarget.cast("int"), lit(0)).as("is_target"))
       .join(perdoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_grams", "dsir_score"))
       .orderBy(col("doc_id"))

@@ -102,8 +102,9 @@ object Mips {
     * candidates = shared bucket in any table, exact-dot re-rank. */
   def mipsLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val m2 = e.select(max(Portable.dotDouble(col("embedding"), col("embedding"))))
-      .head.getDouble(0)
+    val m2Row = e.select(max(Portable.dotDouble(col("embedding"), col("embedding")))).head
+    require(!m2Row.isNullAt(0), "MIPS LSH needs a non-empty embeddings corpus")
+    val m2 = m2Row.getDouble(0)
     // one banding pass over the augmented corpus feeds both join sides
     // (queries ARE corpus rows here, with aug coordinate 0 — but a query
     // batch from outside the corpus bands identically via [q, 0])

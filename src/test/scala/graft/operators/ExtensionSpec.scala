@@ -626,6 +626,19 @@ class ExtensionSpec extends SparkSpec {
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (bf intersect lsh).size.toDouble / bf.size
     assert(recall >= 0.8, s"MIPS LSH recall@5 $recall below 0.8 floor")
+    graft.Caches.releaseAll()
+  }
+
+  test("gramBuckets kernel equals the built-in ngrams -> hash60 -> pmod chain") {
+    val docs = graft.sources.Tables.documents(spark, sf()).limit(200)
+    val kernel = docs.select($"doc_id",
+      graft.functions.NgramHash60s.gramBuckets($"text", 2, 1024L).as("bs"))
+    val builtin = docs.select($"doc_id",
+      transform(graft.functions.Portable.ngrams($"text", 2),
+        g => pmod(graft.functions.Portable.hash60(g), lit(1024L))).as("bs"))
+    val mismatches = kernel.as[(Long, Seq[Long])].collect().toMap
+      .toSet.diff(builtin.as[(Long, Seq[Long])].collect().toMap.toSet)
+    assert(mismatches.isEmpty, s"kernel != builtin for ${mismatches.take(3)}")
   }
 
   test("DSIR separates planted target-like docs from junk") {

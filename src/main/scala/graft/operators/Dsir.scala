@@ -56,35 +56,82 @@ object Dsir {
     * `isTarget` marks the rows whose distribution defines the target
     * model; raw = the whole relation (the candidate pool, target
     * included — standard when selecting FROM the pool). */
-  def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
-    // persisted: feeds the histogram collect AND the per-doc score pass
-    // bucket ids straight off the text bytes via the codegen'd n-gram
-    // kernel — no shingle strings, no interpreted transform lambda
-    // (the built-in ngrams→hash chain is ~6× slower end-to-end at
-    // sf0.1; equivalence asserted in ExtensionSpec)
-    val occ = graft.Caches.persist(
-      docs.select(col("doc_id"), isTarget.as("is_target"),
-        explode(graft.functions.NgramHash60s.gramBuckets(
-          col("text"), GramN, B.toLong)).as("b")))
-    // ONE map-side-combined pass builds both histograms; they are ≤ B
-    // rows by construction, so the model collects to the driver and the
-    // weight table ships back as a LITERAL map — no weight-join shuffle,
-    // no second histogram pass, O(B) driver state at any corpus size
-    val hist = occ.groupBy(col("b"))
+  /** Laplace-smoothed whole-bit surprisal: bitlen((total+B) div
+    * (cnt+1)) − 1 — the integer quantization both engines agree on. */
+  private def bits(cnt: Long, total: Long): Long =
+    63L - java.lang.Long.numberOfLeadingZeros((total + B) / (cnt + 1))
+
+  /** The trained model: the two bucket histograms, dense by bucket id.
+    * O(B) state — train once offline, apply to any corpus. */
+  case class DsirModel(cntRaw: Array[Long], cntTarget: Array[Long]) {
+    require(cntRaw.length == B && cntTarget.length == B,
+      s"model histograms must be dense over $B buckets")
+    val totRaw: Long = cntRaw.sum
+    val totTarget: Long = cntTarget.sum
+    /** Per-bucket weight = quantized log p_target/p_raw. Buckets unseen
+      * in BOTH corpora get the smoothing-mass constant
+      * bits(0,totRaw) − bits(0,totTarget) — the standard Laplace bias
+      * for out-of-vocabulary features. */
+    def weights: Array[Long] =
+      Array.tabulate(B)(b => bits(cntRaw(b), totRaw) - bits(cntTarget(b), totTarget))
+  }
+
+  /** (doc_id, is_target, b) — one row per gram OCCURRENCE. Bucket ids
+    * straight off the text bytes via the codegen'd n-gram kernel — no
+    * shingle strings, no interpreted transform lambda (the built-in
+    * ngrams→hash chain is ~6× slower end-to-end at sf0.1; equivalence
+    * asserted in ExtensionSpec). */
+  private def occurrences(docs: DataFrame, isTarget: Column): DataFrame =
+    docs.select(col("doc_id"), isTarget.as("is_target"),
+      explode(graft.functions.NgramHash60s.gramBuckets(
+        col("text"), GramN, B.toLong)).as("b"))
+
+  /** ONE map-side-combined pass builds both histograms; they are ≤ B
+    * rows by construction, so the model collects to the driver —
+    * O(B) driver state at any corpus size. */
+  private def trainFromOcc(occ: DataFrame): DsirModel = {
+    val cntR = new Array[Long](B)
+    val cntT = new Array[Long](B)
+    occ.groupBy(col("b"))
       .agg(count(lit(1)).as("cnt_r"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("cnt_t"))
       .collect()
-    val totR = hist.map(_.getLong(1)).sum
-    val totT = hist.map(_.getLong(2)).sum
-    def bits(cnt: Long, total: Long): Long =
-      63L - java.lang.Long.numberOfLeadingZeros((total + B) / (cnt + 1))
+      .foreach { r =>
+        cntR(r.getLong(0).toInt) = r.getLong(1)
+        cntT(r.getLong(0).toInt) = r.getLong(2)
+      }
+    DsirModel(cntR, cntT)
+  }
+
+  /** Train the model on a corpus: the offline half. */
+  def train(docs: DataFrame, isTarget: Column): DsirModel =
+    trainFromOcc(occurrences(docs, isTarget))
+
+  /** Persist a model as parquet (b, cnt_raw, cnt_target) — rebuildable
+    * anywhere, mergeable by adding histograms. */
+  def saveModel(spark: SparkSession, model: DsirModel, path: String): Unit = {
+    import spark.implicits._
+    (0 until B).map(b => (b, model.cntRaw(b), model.cntTarget(b)))
+      .toDF("b", "cnt_raw", "cnt_target")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): DsirModel = {
+    val cntR = new Array[Long](B)
+    val cntT = new Array[Long](B)
+    spark.read.parquet(path).collect().foreach { r =>
+      cntR(r.getInt(0)) = r.getLong(1)
+      cntT(r.getInt(0)) = r.getLong(2)
+    }
+    DsirModel(cntR, cntT)
+  }
+
+  private def scoreFromOcc(docs: DataFrame, isTarget: Column,
+                           occ: DataFrame, model: DsirModel): DataFrame = {
     // dense array literal indexed by bucket (buckets are 0..B-1): O(1)
     // codegen'd lookup per gram — a MAP literal here would linear-scan
     // its keys per row, a join would shuffle-plan for B rows
-    val wDense = new Array[Long](B)
-    hist.foreach(r =>
-      wDense(r.getLong(0).toInt) = bits(r.getLong(1), totR) - bits(r.getLong(2), totT))
-    val wCol = element_at(typedLit(wDense.toSeq), (col("b") + 1).cast("int"))
+    val wCol = element_at(typedLit(model.weights.toSeq), (col("b") + 1).cast("int"))
     val perdoc = occ
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(wCol).as("dsir_score"))
@@ -97,6 +144,19 @@ object Dsir {
       .join(perdoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_grams", "dsir_score"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Score any corpus against an already-trained model — the online
+    * half of the offline-train / online-apply split (the 100 TB
+    * posture: the target histogram is trained once on the curated
+    * corpus, then applied to every crawl shard). */
+  def scoreWith(docs: DataFrame, isTarget: Column, model: DsirModel): DataFrame =
+    scoreFromOcc(docs, isTarget, occurrences(docs, isTarget), model)
+
+  def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    // persisted: feeds the histogram collect AND the per-doc score pass
+    val occ = graft.Caches.persist(occurrences(docs, isTarget))
+    scoreFromOcc(docs, isTarget, occ, trainFromOcc(occ))
   }
 
   /** Gated query: DSIR scores over the documents table with the

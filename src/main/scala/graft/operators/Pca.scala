@@ -172,6 +172,24 @@ object Pca {
     e.select(col("vec_id") +: projCols.toSeq: _*).orderBy(col("vec_id"))
   }
 
+  /** PCA whitening: the projection scaled by 1/sqrt(eigenvalue), so
+    * every output dimension has unit variance and the covariance of the
+    * output is the identity — the preprocessing that makes cosine
+    * behave like (scaled) Euclidean and stops high-variance directions
+    * from dominating ANN distances. Components with eigenvalue ≤ eps
+    * are rejected (whitening a near-null direction divides by ~0 and
+    * amplifies noise unboundedly — cap k below the effective rank
+    * instead). */
+  def projectWhitened(e: DataFrame, model: PcaModel,
+                      eps: Double = 1e-12): DataFrame = {
+    require(model.eigenvalues.forall(_ > eps),
+      s"whitening needs strictly positive eigenvalues; got " +
+        s"${model.eigenvalues.mkString(", ")} (reduce k below the effective rank)")
+    val scaled = model.copy(components = model.components.zip(model.eigenvalues)
+      .map { case (comp, ev) => comp.map(_ / math.sqrt(ev)) })
+    project(e, scaled)
+  }
+
   /** Gated query (rows-only): fit on the corpus, project every vector
     * onto the top-[[K]] components. */
   def simPcaProject(spark: SparkSession, dir: String): DataFrame = {

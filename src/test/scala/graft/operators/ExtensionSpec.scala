@@ -641,6 +641,44 @@ class ExtensionSpec extends SparkSpec {
     assert(mismatches.isEmpty, s"kernel != builtin for ${mismatches.take(3)}")
   }
 
+  test("DSIR offline train + apply equals the in-query path; model round-trips") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val isTgt = col("source").isin(Dsir.TargetSources: _*)
+    val inQuery = Dsir.importanceWeights(docs, isTgt).collect().toSeq
+    graft.Caches.releaseAll()
+    val model = Dsir.train(docs, isTgt)
+    val applied = Dsir.scoreWith(docs, isTgt, model).collect().toSeq
+    assert(applied == inQuery, "train+apply must equal the single-pass path")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir_model_").toString
+    Dsir.saveModel(spark, model, dir)
+    val loaded = Dsir.loadModel(spark, dir)
+    assert(loaded.cntRaw.sameElements(model.cntRaw) &&
+      loaded.cntTarget.sameElements(model.cntTarget), "model must round-trip")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("DSIR scores docs of entirely unseen grams at the Laplace constant") {
+    val train = Seq((0L, "alpha beta alpha beta alpha", "tgt"),
+      (1L, "gamma delta gamma delta gamma", "raw")).toDF("doc_id", "text", "source")
+    val model = Dsir.train(train, $"source" === "tgt")
+    val fresh = Seq((9L, "zzq wwx yyv uut", "raw")).toDF("doc_id", "text", "source")
+    // confirm the fresh grams hash to buckets unseen in BOTH histograms
+    // (deterministic md5 — if a word edit ever collides, pick new words)
+    val freshBuckets = fresh.select(explode(
+        graft.functions.NgramHash60s.gramBuckets($"text", Dsir.GramN, Dsir.B.toLong)))
+      .as[Long].collect()
+    assert(freshBuckets.forall(b =>
+      model.cntRaw(b.toInt) == 0 && model.cntTarget(b.toInt) == 0))
+    // all unseen buckets share one weight: the Laplace smoothing-mass bias
+    val constants = freshBuckets.map(b => model.weights(b.toInt)).distinct
+    assert(constants.length == 1)
+    val row = Dsir.scoreWith(fresh, $"source" === "tgt", model)
+      .select($"n_grams", $"dsir_score").head
+    assert(row.getLong(0) == 3L)
+    assert(row.getLong(1) == 3L * constants.head,
+      s"unseen-gram score ${row.getLong(1)} != 3 x Laplace constant ${constants.head}")
+  }
+
   test("DSIR separates planted target-like docs from junk") {
     val tgtVocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
     val junkVocab = Seq("zip", "zap", "zop", "quux", "blort")

@@ -82,6 +82,31 @@ class PcaSpec extends SparkSpec {
     assert(p.count() == e.count())
   }
 
+  test("whitened projection has unit variance per component, identity covariance") {
+    val model = Pca.PcaModel(full.n, full.mean,
+      full.eigenvalues.take(3), full.components.take(3))
+    val w = Pca.projectWhitened(e, model)
+    val stats = w.select(var_samp($"p1"), var_samp($"p2"), var_samp($"p3"),
+      covar_samp($"p1", $"p2"), covar_samp($"p1", $"p3"), covar_samp($"p2", $"p3"))
+      .head
+    (0 until 3).foreach(i =>
+      assert(math.abs(stats.getDouble(i) - 1.0) < 1e-9,
+        s"whitened var(p${i + 1}) = ${stats.getDouble(i)}"))
+    (3 until 6).foreach(i =>
+      assert(math.abs(stats.getDouble(i)) < 1e-9,
+        s"whitened cross-covariance ${stats.getDouble(i)} != 0"))
+  }
+
+  test("whitening rejects a rank-deficient model") {
+    val degenerate = Pca.PcaModel(full.n, full.mean,
+      Array(full.eigenvalues(0), 0.0),
+      Array(full.components(0), full.components(1)))
+    val ex = intercept[IllegalArgumentException] {
+      Pca.projectWhitened(e, degenerate)
+    }
+    assert(ex.getMessage.contains("effective rank"))
+  }
+
   test("jacobi solves a known 2x2 exactly") {
     // [[2,1],[1,2]] has eigenvalues 3 (along [1,1]) and 1 (along [1,-1])
     val (ev, vec) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))

@@ -153,6 +153,24 @@ object Dsir {
   def scoreWith(docs: DataFrame, isTarget: Column, model: DsirModel): DataFrame =
     scoreFromOcc(docs, isTarget, occurrences(docs, isTarget), model)
 
+  /** [[scoreWith]] as ONE stateless narrow projection — per-row bucket
+    * ids ([[graft.functions.NgramHash60s]]) folded through the per-row
+    * weighted sum ([[graft.functions.BucketScore]]): no explode, no
+    * groupBy, no state. Equality with [[scoreWith]] is asserted in
+    * ExtensionSpec. This is the form that runs unchanged on a
+    * STREAMING DataFrame (no aggregation → no watermark, no output-mode
+    * constraints), and the cheapest batch form when the model is
+    * already trained. Unordered (streams cannot sort). */
+  def scorePerRow(docs: DataFrame, isTarget: Column, model: DsirModel): DataFrame = {
+    val bs = graft.functions.NgramHash60s.gramBuckets(col("text"), GramN, B.toLong)
+    docs.select(col("doc_id"),
+        coalesce(isTarget.cast("int"), lit(0)).as("is_target"),
+        bs.as("bs"))
+      .select(col("doc_id"), col("is_target"),
+        size(col("bs")).cast("long").as("n_grams"),
+        graft.functions.BucketScore.score(col("bs"), model.weights).as("dsir_score"))
+  }
+
   def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
     // persisted: feeds the histogram collect AND the per-doc score pass
     val occ = graft.Caches.persist(occurrences(docs, isTarget))

@@ -679,6 +679,15 @@ class ExtensionSpec extends SparkSpec {
       s"unseen-gram score ${row.getLong(1)} != 3 x Laplace constant ${constants.head}")
   }
 
+  test("DSIR per-row scorer equals the explode+aggregate path") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val isTgt = col("source").isin(Dsir.TargetSources: _*)
+    val model = Dsir.train(docs, isTgt)
+    val viaAgg = Dsir.scoreWith(docs, isTgt, model).collect().toSet
+    val perRow = Dsir.scorePerRow(docs, isTgt, model).collect().toSet
+    assert(perRow == viaAgg, "one-projection scorer must equal the agg path")
+  }
+
   test("DSIR separates planted target-like docs from junk") {
     val tgtVocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
     val junkVocab = Seq("zip", "zap", "zop", "quux", "blort")

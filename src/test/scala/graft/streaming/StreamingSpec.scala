@@ -531,4 +531,34 @@ class StreamingSpec extends SparkSpec {
       && missing.select(max(col("base_ppm"))).as[Long].head() == baseErr)
     spark.sql("DROP TABLE IF EXISTS mix_counts")
   }
+
+  test("DSIR scoring runs statelessly on a stream and matches the batch scorer") {
+    import graft.operators.Dsir
+    // model trained OFFLINE on the static corpus, applied per micro-batch
+    val model = Dsir.train(Tables.documents(spark, sf()),
+      col("source").isin(Dsir.TargetSources: _*))
+    val dir = Files.createTempDirectory("graft_stream_dsir_").toString
+    def write(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "source")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val b1 = Seq((1L, "alpha beta gamma alpha", "src0"), (2L, "solo", "src9"))
+    val b2 = Seq((3L, "beta beta beta beta beta", "src5"))
+    write(b1)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING")
+    val scored = Dsir.scorePerRow(
+      spark.readStream.schema(schema).parquet(dir),
+      col("source").isin(Dsir.TargetSources: _*), model)
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("dsir_stream").start()
+    q.processAllAvailable()
+    write(b2) // second micro-batch: the scorer holds no state between them
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dsir_stream").collect().toSet
+    val batch = Dsir.scorePerRow((b1 ++ b2).toDF("doc_id", "text", "source"),
+      col("source").isin(Dsir.TargetSources: _*), model).collect().toSet
+    assert(streamed == batch, "stream scoring must equal the batch scorer")
+    assert(streamed.size == 3)
+    spark.sql("DROP TABLE IF EXISTS dsir_stream")
+  }
 }

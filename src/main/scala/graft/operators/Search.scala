@@ -180,7 +180,10 @@ object Search {
       .orderBy(col("rank"))
   }
 
-  val txBm25TopKSql: String = {
+  /** The BM25 CTE chain through `ranked` (top-`topN` scored docs), shared
+    * by the plain-retrieval oracle and the hybrid-fusion oracle so the
+    * lexical leg can never drift between them. */
+  private def bm25RankedCtes(topN: Int): String = {
     val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
     val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
       s"COALESCE(SUM(CASE WHEN term = '$t' THEN tf END), 0) AS tf_$i" }
@@ -195,8 +198,7 @@ object Search {
       s"""(ln(1.0 + ((n_docs - df_$i + 0.5)::DOUBLE) / ((df_$i + 0.5)::DOUBLE))
          * (tf_$i * ${K1 + 1.0}) / (tf_$i + $K1 * (1.0 - $B + $B * n_words / avg_len)))"""
     }.mkString(" + ")
-    s"""
-    WITH lens AS (
+    s"""lens AS (
       SELECT doc_id, CAST(len(${Portable.wordsSql("text")}) AS INT) AS n_words
       FROM documents),
     tok AS (
@@ -218,10 +220,108 @@ object Search {
              ${QueryTerms.indices.map(i => s"tf_$i").mkString(", ")},
              ($scoreSql) AS score
       FROM tfs JOIN lens ON tfs.doc_id = lens.doc_id, corpus, dfs
-      ORDER BY score DESC, tfs.doc_id LIMIT $SearchTopN)
+      ORDER BY score DESC, tfs.doc_id LIMIT $topN)"""
+  }
+
+  val txBm25TopKSql: String = s"""
+    WITH ${bm25RankedCtes(SearchTopN)}
     SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
            doc_id, n_words,
            ${QueryTerms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")}
     FROM ranked ORDER BY rank"""
+
+  // ---------------------------------------------------------------- hybrid
+
+  /** Reciprocal-rank-fusion constant (the standard 60) — and the fused
+    * score in integer ppm, `1000000 div (RrfK + rank)`, so fusion is
+    * integer-exact in both engines (a float 1/(k+r) sum would hang the
+    * gate on summation rounding; at two retrievers the integer form
+    * loses nothing that matters to rank order). */
+  val RrfK = 60
+
+  /** Per-retriever candidate-list depth feeding the fusion. */
+  val HybridDepth = 20
+
+  val HybridTopN = 10
+
+  /** The dense leg's query vector id. */
+  val HybridQueryVec = 0L
+
+  /** Hybrid retrieval: the BM25 lexical list for [[QueryTerms]] fused
+    * with the exact dense cosine list for query vector
+    * [[HybridQueryVec]] by reciprocal-rank fusion — the standard
+    * lexical+semantic retrieval composition (each leg catches what the
+    * other misses: BM25 the exact-term matches, dense the paraphrases).
+    *
+    * Scale shape: each leg ends in a TakeOrderedAndProject of
+    * [[HybridDepth]] rows, so the fusion join touches 2·depth rows no
+    * matter the corpus size; the dense leg is the sanctioned one-row
+    * broadcast over the embeddings scan (swap in the ANN index probe
+    * ([[AnnIndex.probeBands]]) for the scan at production corpus sizes —
+    * fusion is agnostic to how each list was produced). */
+  def txHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lens = graft.Caches.persist(docs.select(col("doc_id"),
+      size(Portable.words(col("text"))).as("n_words")))
+    val qtd = graft.Caches.persist(
+      termDocs(docs).filter(col("term").isin(QueryTerms: _*)))
+    val lex = bm25Rank(qtd, lens, QueryTerms, HybridDepth)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === HybridQueryVec)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val den = broadcast(q).join(e, col("qid") =!= col("vec_id"))
+      .select(col("vec_id").as("doc_id"),
+        Portable.cosine(col("qe"), col("embedding")).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(HybridDepth)
+      // rank over the already-limited depth rows, as in bm25Rank
+      .withColumn("den_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select(col("doc_id"), col("den_rank"))
+    val fused = lex.join(den, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr(s"1000000 div ($RrfK + lex_rank)"), lit(0L)) +
+         coalesce(expr(s"1000000 div ($RrfK + den_rank)"), lit(0L)))
+          .cast("long").as("rrf_ppm"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("den_rank"), lit(0)).cast("int").as("den_rank"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(HybridTopN)
+    fused
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_ppm").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("rrf_ppm"),
+        col("lex_rank"), col("den_rank"))
+      .orderBy(col("rank"))
   }
+
+  val txHybridRrfSql: String = s"""
+    WITH ${bm25RankedCtes(HybridDepth)},
+    lexr AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+      FROM ranked),
+    dpairs AS (
+      SELECT c.vec_id AS doc_id,
+             ${Portable.cosineSql("q.embedding", "c.embedding", Similarity.Dim)} AS cosine
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id = $HybridQueryVec),
+    dtop AS (
+      SELECT doc_id, cosine FROM dpairs
+      ORDER BY cosine DESC, doc_id LIMIT $HybridDepth),
+    denr AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS den_rank
+      FROM dtop),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             CAST(COALESCE(1000000 // ($RrfK + l.lex_rank), 0)
+                + COALESCE(1000000 // ($RrfK + d.den_rank), 0) AS BIGINT) AS rrf_ppm,
+             CAST(COALESCE(l.lex_rank, 0) AS INT) AS lex_rank,
+             CAST(COALESCE(d.den_rank, 0) AS INT) AS den_rank
+      FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id),
+    top AS (
+      SELECT * FROM fused ORDER BY rrf_ppm DESC, doc_id LIMIT $HybridTopN)
+    SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS INT) AS rank,
+           doc_id, rrf_ppm, lex_rank, den_rank
+    FROM top ORDER BY rank"""
 }

@@ -93,6 +93,21 @@ object TextAnalysis {
     ORDER BY doc_id"""
   }
 
+  /** The composite quality column over a `text` column — factored so the
+    * quota/selection operators ([[txDomainCap]]) rank by the SAME score
+    * the `tx_quality_score` gate hash-checks (which also proves the
+    * value bit-identical across engines: pure +,*,/ of small rationals,
+    * no transcendentals). */
+  private[operators] def quality: Column = {
+    val nChars = length(col("text")).cast("double")
+    val nWords = size(Portable.words(col("text"))).cast("double")
+    val punct = regexp_count(col("text"), lit("[.,!?;:]")).cast("double")
+    val stop = regexp_count(col("text"), lit(langProfiles.toMap.apply("en"))).cast("double")
+    least(nWords / lit(100.0), lit(1.0)) * lit(0.5) +
+      least(stop / nWords * lit(10.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(punct / nChars * lit(20.0), lit(1.0))) * lit(0.2)
+  }
+
   /** Quality scoring: length/punctuation/stopword/digit ratios folded into
     * one composite score (weights arbitrary but fixed). */
   def txQualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -106,9 +121,7 @@ object TextAnalysis {
         (punct / nChars).as("punct_ratio"),
         (digits / nChars).as("digit_ratio"),
         (stop / nWords).as("stopword_ratio"),
-        (least(nWords / lit(100.0), lit(1.0)) * lit(0.5)
-          + least(stop / nWords * lit(10.0), lit(1.0)) * lit(0.3)
-          + (lit(1.0) - least(punct / nChars * lit(20.0), lit(1.0))) * lit(0.2)).as("quality"))
+        quality.as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -808,4 +821,72 @@ object TextAnalysis {
       FROM c, s)
     WHERE n_picks > 0
     ORDER BY doc_id"""
+
+  /** Per-domain document quota. */
+  val DomainCap = 15
+
+  /** Generic per-group quota: the `k` best rows of each group by
+    * (score DESC, id ASC), each with its 1-based in-group rank.
+    *
+    * Scale shape: this is NOT the `row_number() OVER (PARTITION BY
+    * group …) <= k` window — that form sorts each group's ENTIRE row
+    * set through one task, and domain size is the classic heavy-tail
+    * (one hot domain can be 10% of a 100 TB corpus → one reducer gets
+    * 10 TB). Instead ONE map-side-combined aggregate carries a bounded
+    * heap of k (score, id) pairs per group
+    * ([[graft.functions.TopKPairAgg]]): every map partition ships one
+    * ≤k-element buffer per group, the exchange moves O(k · n_groups)
+    * bytes no matter how the corpus is distributed, and the rank is
+    * read off the already-sorted array position — no window anywhere. */
+  def groupTopK(rows: DataFrame, groupCol: String, score: Column,
+                id: Column, k: Int): DataFrame =
+    rows
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKPairAgg.topK(score, id, k).as("kept"))
+      .select(col(groupCol), posexplode(col("kept")).as(Seq("i", "p")))
+      .select(col(groupCol),
+        (col("i") + lit(1)).cast("int").as("rank_in_group"),
+        col("p").getField("id").as("doc_id"),
+        col("p").getField("score").as("score"))
+
+  /** Gated query: keep the [[DomainCap]] highest-[[quality]] documents
+    * of each source domain (ties → smallest doc_id) — the standard
+    * domain-capping step of a crawl curation pipeline (no single host
+    * may dominate the training mix). Quality is bit-stable across
+    * engines (see [[quality]]), so ranks — and the score column itself —
+    * hash-match the window-formulated DuckDB oracle exactly. */
+  def txDomainCap(spark: SparkSession, dir: String): DataFrame =
+    groupTopK(Tables.documents(spark, dir), "source", quality,
+      col("doc_id"), DomainCap)
+      .select(col("source"), col("rank_in_group").as("rank_in_domain"),
+        col("doc_id"), col("score").as("quality"))
+      .orderBy(col("source"), col("rank_in_domain"))
+
+  /** Oracle states the quota as the window form — the bounded-heap
+    * aggregate must be indistinguishable from it. */
+  val txDomainCapSql: String = {
+    val en = langProfiles.toMap.apply("en")
+    s"""
+    WITH c AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+             CAST(len(regexp_extract_all(text, '$en')) AS DOUBLE) AS stop
+      FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             least(n_words / 100.0, 1.0) * 0.5
+               + least(stop / n_words * 10.0, 1.0) * 0.3
+               + (1.0 - least(punct / n_chars * 20.0, 1.0)) * 0.2 AS quality
+      FROM c),
+    r AS (
+      SELECT source, doc_id, quality,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id) AS INT) AS rank_in_domain
+      FROM q)
+    SELECT source, rank_in_domain, doc_id, quality
+    FROM r WHERE rank_in_domain <= $DomainCap
+    ORDER BY source, rank_in_domain"""
+  }
 }

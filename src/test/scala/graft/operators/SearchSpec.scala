@@ -78,4 +78,46 @@ class SearchSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       "stats must fold in as literals, not a stats join")
   }
+
+  test("hybrid RRF equals a Scala fusion of the two legs' own outputs") {
+    import graft.functions.Portable
+    import org.apache.spark.sql.functions.{broadcast, col, size}
+    // lexical leg at fusion depth, through the operator's own ranker
+    val docs = Tables.documents(spark, sf())
+    val lens = graft.Caches.persist(docs.select(col("doc_id"),
+      size(Portable.words(col("text"))).as("n_words")))
+    val qtd = graft.Caches.persist(Search.termDocs(docs)
+      .filter(col("term").isin(Search.QueryTerms: _*)))
+    val lex = Search.bm25Rank(qtd, lens, Search.QueryTerms, Search.HybridDepth)
+      .select($"doc_id", $"rank").as[(Long, Int)].collect().toMap
+    // dense leg recomputed independently (driver-side exact cosine)
+    val vecs = Tables.embeddings(spark, sf())
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val qe = vecs.find(_._1 == Search.HybridQueryVec).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val den = vecs.filter(_._1 != Search.HybridQueryVec)
+      .map { case (id, v) => (id, cos(v, qe)) }
+      .sortBy { case (id, c) => (-c, id) }.take(Search.HybridDepth)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // expected fusion: integer-ppm RRF over the union of both lists
+    def ppm(r: Option[Int]): Long =
+      r.map(rk => 1000000L / (Search.RrfK + rk)).getOrElse(0L)
+    val expect = (lex.keySet ++ den.keySet).toSeq
+      .map(id => (id, ppm(lex.get(id)) + ppm(den.get(id))))
+      .sortBy { case (id, s) => (-s, id) }.take(Search.HybridTopN)
+      .zipWithIndex
+      .map { case ((id, s), i) =>
+        (i + 1, id, s, lex.getOrElse(id, 0), den.getOrElse(id, 0)) }
+    val got = Search.txHybridRrf(spark, sf())
+      .as[(Int, Long, Long, Int, Int)].collect().toSeq
+    assert(got == expect, s"fusion drift:\ngot    $got\nexpect $expect")
+    // and the fusion is genuinely hybrid here: both legs contribute
+    assert(got.exists { case (_, id, _, l, d) => l > 0 && d == 0 } ||
+      got.exists { case (_, id, _, l, d) => l > 0 && d > 0 })
+    assert(got.exists { case (_, id, _, l, d) => d > 0 })
+  }
 }

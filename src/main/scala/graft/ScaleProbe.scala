@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * prints the growth ratio per query. Sub-linear-to-linear growth is the
   * empirical check behind SCALING.md's claims — a quadratic pair scan
   * would show ~N² here. Usage:
-  * `runMain graft.ScaleProbe <dirSmall> <dirBig>` */
+  * `runMain graft.ScaleProbe <dirSmall> <dirBig> [query ...]` — trailing
+  * names restrict the run to those probes (the special sections still
+  * run only in a full, unfiltered run). */
 object ScaleProbe {
   private val Probes = Seq(
     "dd_exact", "dd_minhash_lsh", "dd_simhash",
@@ -22,10 +24,12 @@ object ScaleProbe {
     "tx_surprisal", "prof_corpus_card", "dd_containment", "dd_curate_pack",
     "sim_mips_topk", "tx_dsir_weights", "tx_dsir_select",
     "sim_neardup_from_index", "tx_bm25_from_index", "sim_pca_project",
-    "sim_mips_lsh")
+    "sim_mips_lsh", "tx_domain_cap", "tx_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
-    val Array(dirSmall, dirBig) = args
+    val Array(dirSmall, dirBig) = args.take(2)
+    val only = args.drop(2).toSet
+    val selected = if (only.isEmpty) Probes else Probes.filter(only)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,11 +54,12 @@ object ScaleProbe {
       timed(SparkEntry.queries(name)(spark, dir))
     // warmup
     time("tx_token_stats", dirSmall)
-    Probes.foreach { name =>
+    selected.foreach { name =>
       val s = math.min(time(name, dirSmall), time(name, dirSmall))
       val b = math.min(time(name, dirBig), time(name, dirBig))
       println(f"[probe] $name%-22s small=$s%7.2fs big=$b%7.2fs ratio=${b / s}%5.1fx")
     }
+    if (only.nonEmpty) { spark.stop(); return }
     // the documented mitigation for near-dup's n²/2^planes candidate
     // growth: scale planes with the corpus (+3 planes ≈ 8× fewer
     // in-bucket pairs at 10× data)

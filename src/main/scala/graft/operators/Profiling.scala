@@ -248,4 +248,58 @@ object Profiling {
            1000000, 1000000, CAST(SUM(delta_ppm) // 2 AS BIGINT)
     FROM d
     ORDER BY category"""
+
+  /** Per-group k-sigma outlier flagging in EXACT integer arithmetic —
+    * the numeric data-cleaning pass (drop rows whose `value` deviates
+    * from its group's mean by more than k population stddevs).
+    *
+    * Floating σ would hash-differ across engines (reduction order), so
+    * the predicate is cleared of division entirely: with cents
+    * c = 100·value (exact — values carry 2 decimals), n = |group|,
+    * S = Σc, Q = Σc², `|x−μ| > k·σ  ⇔  (n·c − S)² > k²·(n·Q − S²)`.
+    * Both sides are products of exact integer aggregates, computed here
+    * in decimal(38,0) for headroom (n·Q at trillion-row groups
+    * overflows the i64 the sf-scale oracle can still use; the oracle
+    * only sees output columns, so internal widths are free).
+    *
+    * Plan shape: one map-side-combined aggregate to 5 group rows,
+    * broadcast back, narrow filter — the canonical "corpus stats then
+    * filter" pass. Nothing corpus-sized shuffles twice. */
+  def valueOutliers(events: DataFrame, k: Int): DataFrame = {
+    val cents = col("value").cast("decimal(18,2)").multiply(lit(100))
+      .cast("decimal(38,0)")
+    val stats = events.select(col("event_type"), cents.as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("c")).cast("decimal(38,0)").as("s"),
+        sum(col("c") * col("c")).cast("decimal(38,0)").as("q"))
+    events.select(col("event_id"), col("event_type"), col("value"),
+        cents.as("c"))
+      .join(broadcast(stats), Seq("event_type"))
+      .filter({
+        val dev = col("n") * col("c") - col("s")
+        dev * dev > lit(k * k) * (col("n") * col("q") - col("s") * col("s"))
+      })
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val OutlierK = 3
+
+  /** Gated query: 3-sigma value outliers per event type. */
+  def profValueOutliers(spark: SparkSession, dir: String): DataFrame =
+    valueOutliers(Tables.events(spark, dir), OutlierK)
+
+  val profValueOutliersSql: String = s"""
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events),
+    st AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c*c) AS q
+      FROM c GROUP BY event_type)
+    SELECT event_id, c.event_type, value
+    FROM c JOIN st ON c.event_type = st.event_type
+    WHERE (n*c.c - s)*(n*c.c - s) > ${OutlierK * OutlierK}*(n*q - s*s)
+    ORDER BY event_id"""
 }

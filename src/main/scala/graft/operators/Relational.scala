@@ -629,4 +629,100 @@ object Relational {
       FROM orders o2
       WHERE o2.o_custkey = o.o_custkey)
     ORDER BY o_orderkey"""
+
+  /** TPC-H Q21 flavor: suppliers who were the SOLE late supplier on a
+    * multi-supplier finished order (the classic EXISTS + NOT-EXISTS
+    * double correlation). Instead of two correlated self-joins of the
+    * fact table (three lineitem scans in the textbook SQL), the Spark
+    * plan folds both quantifiers into ONE per-order aggregate:
+    * `ns` = distinct suppliers, `nl` = distinct LATE suppliers, and the
+    * single late supplier's key via `min(when(late))` — EXISTS(other
+    * supplier) ⇔ ns ≥ 2, NOT EXISTS(other late) ⇔ nl = 1. One shuffle
+    * on orderkey + a broadcast of the supplier dim replaces two extra
+    * corpus joins; at 100 TB that is the difference between one pass
+    * and three. "Late" = shipped > 90 days after the order date, on raw
+    * timestamps so both engines compare identically. */
+  def q33WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val s  = Tables.supplier(spark, dir)
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    val perOrder = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(late, col("l_suppkey"))).as("nl"),
+        min(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("ns") >= 2 && col("nl") === 1)
+    perOrder
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(s), col("late_supp") === s("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val q33WaitingSuppliersSql: String = """
+    WITH oa AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS ns,
+             COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                 THEN l_suppkey END) AS nl,
+             MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN l_suppkey END) AS late_supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM oa JOIN supplier ON late_supp = s_suppkey
+    WHERE ns >= 2 AND nl = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10"""
+
+  /** Rolling-window anomaly flags over the event stream: per user, in
+    * (ts, event_id) order, a row is anomalous when its value deviates
+    * from the mean of its trailing 5-row window by more than $100.
+    * Exact integers throughout (file-header convention): with cents
+    * c and the window's count n / sum S, `|c − S/n| > 100  ⇔
+    * |n·c − S| > 10000·n` — no division, so Spark's and DuckDB's window
+    * folds agree bit-for-bit. One shuffle on user_id; the window state
+    * is 5 rows deep regardless of corpus size, so the same plan holds
+    * at 100 TB (and the same predicate is the streaming
+    * mapGroupsWithState kernel — see StreamingPipeline). */
+  def q34RollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cents = col("value").cast("decimal(18,2)").multiply(lit(100)).cast("long")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        cents.as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .filter(abs(col("n") * col("c") - col("s")) > lit(10000L) * col("n"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        (col("n") * col("c") - col("s")).as("dev_n_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  val q34RollingAnomalySql: String = """
+    WITH c AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, value, c,
+             COUNT(*) OVER win AS n,
+             SUM(c)   OVER win AS s
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, value, CAST(n*c - s AS BIGINT) AS dev_n_cents
+    FROM w
+    WHERE ABS(n*c - s) > 10000*n
+    ORDER BY event_id"""
 }

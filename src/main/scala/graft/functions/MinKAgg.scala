@@ -39,6 +39,18 @@ case class MinKAgg(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
+  /** Analysis-time rejection of mistyped children: `update` casts via
+    * `asInstanceOf[Long]`, so an Int child would otherwise surface as a
+    * ClassCastException deep inside an executor instead of a plan
+    * error. Same hardening as [[ZOrder60.checkInputDataTypes]]. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minK needs a BIGINT child, got ${child.dataType} — cast explicitly " +
+          "at the call site")
+
   override def createAggregationBuffer(): mutable.PriorityQueue[Long] =
     mutable.PriorityQueue.empty[Long] // max-heap under the default Long ordering
 

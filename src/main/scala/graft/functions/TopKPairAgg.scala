@@ -26,10 +26,14 @@ import org.apache.spark.sql.types._
   *
   * Same family as [[MinKAgg]] (single-column min-k); this carries the
   * (score, id) pair so rank order and survivor identity travel
-  * together. NaN scores order LAST (java.lang.Double total order —
-  * matching the SQL engines' NaN-sorts-as-largest under DESC both in
-  * Spark and DuckDB); callers who can produce NaN should filter it
-  * out for cross-engine rank determinism. */
+  * together. NaN scores are NEVER ADMITTED: under java.lang.Double's
+  * total order NaN is the LARGEST value, so a NaN row (e.g. a 0/0
+  * quality ratio on empty text) would silently outrank every real
+  * score and occupy top slots. A NaN quality is a broken input, not a
+  * best input — it is skipped like a NULL. (SQL engines would instead
+  * rank it first under ORDER BY score DESC; callers gated against a
+  * SQL oracle must keep NaN out of the input, which the gated corpora
+  * satisfy.) */
 case class TopKPairAgg(
     score: Expression,
     id: Expression,
@@ -43,6 +47,18 @@ case class TopKPairAgg(
 
   override def left: Expression = score
   override def right: Expression = id
+
+  /** Analysis-time rejection of mistyped children: `update` casts via
+    * `asInstanceOf`, so an Int/Float child would otherwise surface as a
+    * ClassCastException deep inside an executor instead of a plan
+    * error. Same hardening as [[ZOrder60.checkInputDataTypes]]. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topK needs (DOUBLE score, BIGINT id), got (${score.dataType}, " +
+          s"${id.dataType}) — cast explicitly at the call site")
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -72,7 +88,8 @@ case class TopKPairAgg(
 
   private def admit(heap: mutable.PriorityQueue[(Double, Long)],
       s: Double, i: Long): Unit =
-    if (heap.size < k) heap.enqueue((s, i))
+    if (s.isNaN) ()                   // see scaladoc: NaN is skipped, not ranked
+    else if (heap.size < k) heap.enqueue((s, i))
     else if (better(s, i, heap.head._1, heap.head._2)) {
       heap.dequeue(); heap.enqueue((s, i))
     }

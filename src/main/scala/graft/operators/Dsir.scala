@@ -160,15 +160,20 @@ object Dsir {
     * ExtensionSpec. This is the form that runs unchanged on a
     * STREAMING DataFrame (no aggregation → no watermark, no output-mode
     * constraints), and the cheapest batch form when the model is
-    * already trained. Unordered (streams cannot sort). */
+    * already trained. Unordered (streams cannot sort). NULL text must
+    * score (0, 0) like [[scoreWith]]'s gram-less left join does — bare
+    * `size(NULL)` is -1 under the legacy semantics this repo pins and
+    * BucketScore(NULL) is NULL, so both columns are null-guarded here
+    * to keep the documented scoreWith ≡ scorePerRow contract. */
   def scorePerRow(docs: DataFrame, isTarget: Column, model: DsirModel): DataFrame = {
     val bs = graft.functions.NgramHash60s.gramBuckets(col("text"), GramN, B.toLong)
     docs.select(col("doc_id"),
         coalesce(isTarget.cast("int"), lit(0)).as("is_target"),
         bs.as("bs"))
       .select(col("doc_id"), col("is_target"),
-        size(col("bs")).cast("long").as("n_grams"),
-        graft.functions.BucketScore.score(col("bs"), model.weights).as("dsir_score"))
+        greatest(size(col("bs")), lit(0)).cast("long").as("n_grams"),
+        coalesce(graft.functions.BucketScore.score(col("bs"), model.weights),
+          lit(0L)).as("dsir_score"))
   }
 
   def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {

@@ -180,7 +180,12 @@ object Profiling {
     * category vocabulary, never the stream. Slice totals ride along as
     * window-free aggregates OVER that tiny frame (a 2-row shuffle),
     * not driver round-trips, so the report is a single lazy plan.
-    * Null-safe: a NULL category is one category (joined with <=>). */
+    * Null-safe: a NULL category is one category (joined with <=>).
+    * An EMPTY slice reads as the all-zero distribution (every share 0,
+    * TVD = half the other side's full share mass = 500000 ppm when the
+    * other side is non-empty) — pinned explicitly because the two
+    * engines otherwise disagree on the degenerate input: Spark's `div`
+    * yields NULL on 0-div-0 while DuckDB's `//` errors. */
   def categoryDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
     // renamed keys keep the full-outer join unambiguous even when both
     // slices are filters of the SAME DataFrame (a self-join by lineage)
@@ -196,13 +201,18 @@ object Profiling {
     // global windows over the |categories|-row frame — tiny by contract
     val shares = j
       .withColumn("share_ppm_a",
-        expr("n_a * 1000000L div sum(n_a) over ()"))
+        expr("case when sum(n_a) over () = 0 then 0L " +
+          "else n_a * 1000000L div sum(n_a) over () end"))
       .withColumn("share_ppm_b",
-        expr("n_b * 1000000L div sum(n_b) over ()"))
+        expr("case when sum(n_b) over () = 0 then 0L " +
+          "else n_b * 1000000L div sum(n_b) over () end"))
       .withColumn("delta_ppm", abs(col("share_ppm_a") - col("share_ppm_b")))
+    // coalesce: sums over a zero-category frame (both slices empty) are
+    // NULL in both engines — the convention pins the summary row to 0s
     val tvd = shares
-      .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"),
-        expr("sum(delta_ppm) div 2").as("delta_ppm"))
+      .agg(coalesce(sum(col("n_a")), lit(0L)).as("n_a"),
+        coalesce(sum(col("n_b")), lit(0L)).as("n_b"),
+        expr("coalesce(sum(delta_ppm) div 2, 0L)").as("delta_ppm"))
       .select(lit("__tvd__").as("category"), col("n_a"), col("n_b"),
         lit(1000000L).as("share_ppm_a"), lit(1000000L).as("share_ppm_b"),
         col("delta_ppm"))
@@ -233,8 +243,10 @@ object Profiling {
         ON ca.event_type IS NOT DISTINCT FROM cb.event_type),
     shares AS (
       SELECT category, n_a, n_b,
-             n_a * 1000000 // SUM(n_a) OVER () AS share_ppm_a,
-             n_b * 1000000 // SUM(n_b) OVER () AS share_ppm_b
+             CASE WHEN SUM(n_a) OVER () = 0 THEN 0
+                  ELSE n_a * 1000000 // SUM(n_a) OVER () END AS share_ppm_a,
+             CASE WHEN SUM(n_b) OVER () = 0 THEN 0
+                  ELSE n_b * 1000000 // SUM(n_b) OVER () END AS share_ppm_b
       FROM j),
     d AS (
       SELECT category, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
@@ -244,8 +256,9 @@ object Profiling {
       FROM shares)
     SELECT * FROM d
     UNION ALL
-    SELECT '__tvd__', CAST(SUM(n_a) AS BIGINT), CAST(SUM(n_b) AS BIGINT),
-           1000000, 1000000, CAST(SUM(delta_ppm) // 2 AS BIGINT)
+    SELECT '__tvd__', CAST(COALESCE(SUM(n_a), 0) AS BIGINT),
+           CAST(COALESCE(SUM(n_b), 0) AS BIGINT),
+           1000000, 1000000, CAST(COALESCE(SUM(delta_ppm) // 2, 0) AS BIGINT)
     FROM d
     ORDER BY category"""
 

@@ -38,6 +38,20 @@ class DriftSpec extends SparkSpec {
     assert(got("__tvd__")._5 == 0L)
   }
 
+  test("an empty slice reads as the all-zero distribution, not NULL rows") {
+    // degenerate input the engines disagree on when unguarded (Spark
+    // div -> NULL, DuckDB // -> error): pinned as shares 0 for the
+    // empty side, TVD = half the other side's full mass
+    val got = drift(a = Seq(Some("x"), Some("x"), Some("y")), b = Seq.empty)
+    assert(got("x") == (2L, 0L, 666666L, 0L, 666666L))
+    assert(got("y") == (1L, 0L, 333333L, 0L, 333333L))
+    assert(got("__tvd__") == (3L, 0L, 1000000L, 1000000L, 499999L))
+    // both empty: no category rows at all, TVD row reports 0 drift
+    val both = drift(Seq.empty, Seq.empty)
+    assert(both.keySet == Set("__tvd__"))
+    assert(both("__tvd__")._5 == 0L)
+  }
+
   test("corpus card: metrics consistent with each other and the dedup keep-set") {
     val card = Profiling.profCorpusCard(spark, sf())
       .as[(String, Long)].collect().toMap

@@ -686,6 +686,21 @@ class ExtensionSpec extends SparkSpec {
     val viaAgg = Dsir.scoreWith(docs, isTgt, model).collect().toSet
     val perRow = Dsir.scorePerRow(docs, isTgt, model).collect().toSet
     assert(perRow == viaAgg, "one-projection scorer must equal the agg path")
+    // degenerate texts: NULL (bare size() would read -1/NULL under the
+    // pinned legacy semantics), empty, and gram-less — all must score
+    // (n_grams=0, dsir_score=0) on BOTH paths, keeping the contract
+    val edge = Seq((1L, null.asInstanceOf[String], "src0"),
+      (2L, "", "src9"), (3L, "xy", "src1")).toDF("doc_id", "text", "source")
+    val edgeTgt = col("source").isin(Dsir.TargetSources: _*)
+    val perRowEdge = Dsir.scorePerRow(edge, edgeTgt, model)
+      .orderBy($"doc_id").collect().toSeq
+    val viaAggEdge = Dsir.scoreWith(edge, edgeTgt, model).collect().toSeq
+    assert(perRowEdge == viaAggEdge,
+      s"per-row $perRowEdge must equal agg $viaAggEdge on degenerate text")
+    perRowEdge.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L,
+        s"gram-less doc must score (0,0), got $r")
+    }
   }
 
   test("DSIR separates planted target-like docs from junk") {

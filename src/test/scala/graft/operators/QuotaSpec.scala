@@ -50,6 +50,37 @@ class QuotaSpec extends SparkSpec {
     assert(got == Seq((1, 1L), (2, 3L)))
   }
 
+  test("NaN scores are never admitted — they would outrank every real score") {
+    // java.lang.Double total order puts NaN LARGEST: unguarded, the 0/0
+    // quality of an empty text would occupy top slots. Pinned: skipped.
+    val rows = Seq(("a", Double.NaN, 1L), ("a", 0.9, 2L), ("a", 0.1, 3L))
+      .toDF("g", "s", "id")
+    val got = TextAnalysis.groupTopK(rows, "g", $"s", $"id", 2)
+      .select($"rank_in_group", $"doc_id").as[(Int, Long)].collect().sorted.toSeq
+    assert(got == Seq((1, 2L), (2, 3L)), s"NaN must be skipped, got $got")
+    // all-NaN group: no rows survive (not an empty-array crash)
+    val allNaN = Seq(("b", Double.NaN, 1L)).toDF("g", "s", "id")
+    assert(TextAnalysis.groupTopK(allNaN, "g", $"s", $"id", 2).count() == 0)
+  }
+
+  test("mistyped aggregate children fail at analysis, not in an executor") {
+    import graft.functions.{MinKAgg, TopKPairAgg}
+    val rows = Seq((1, 0.5f, 2)).toDF("i", "f", "j")
+    // Int child where BIGINT is required -> AnalysisException up front
+    intercept[org.apache.spark.sql.AnalysisException] {
+      rows.groupBy().agg(MinKAgg.minK($"i", 3)).collect()
+    }
+    // (Float score, Int id) where (DOUBLE, BIGINT) is required
+    intercept[org.apache.spark.sql.AnalysisException] {
+      rows.groupBy().agg(TopKPairAgg.topK($"f", $"j", 3)).collect()
+    }
+    // correctly-typed forms still pass analysis and run
+    assert(rows.groupBy().agg(MinKAgg.minK($"i".cast("long"), 3)).count() == 1)
+    assert(rows.groupBy()
+      .agg(TopKPairAgg.topK($"f".cast("double"), $"j".cast("long"), 3))
+      .count() == 1)
+  }
+
   test("quota plan: bounded aggregate, no window over the corpus") {
     val plan = TextAnalysis.txDomainCap(spark, sf())
       .queryExecution.executedPlan.toString

@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line (driver contract).
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR,
+  * writes the complete record to BENCH_FULL.json, and prints two JSON
+  * lines — the full record first, then a compact tail-safe summary the
+  * driver's ~2000-char stdout capture can always parse whole (see the
+  * output block at the bottom for the exact split).
   *
   * Each query is forced with the `noop` datasource write — a bare
   * `count()` lets Spark elide aggregate/projection work (column pruning
@@ -74,18 +77,42 @@ object Bench {
     }
     val timed = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
-    // millisecond precision, not the double's full 12 digits: the
-    // driver keeps only the last ~2000 chars of output, and rounds 1-4
-    // all recorded "parsed": null because the full-precision line
-    // (~2.2 KB) was truncated mid-JSON in that tail. 3 decimals keeps
-    // the whole line under the buffer; sub-ms digits are pure jitter
-    // at local[32] anyway.
+    // millisecond precision, not the double's full 12 digits — sub-ms
+    // digits are pure jitter at local[32].
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST ~2000 chars of stdout and parses a
+    // JSON line out of that tail. The full named per-query map outgrew
+    // the tail at 115 queries (~2.9 KB — BENCH_r06 recorded
+    // "parsed": null with 43 timings cut mid-key), so the output is
+    // split three ways, nothing lost:
+    //   1. BENCH_FULL.json — the complete record, written to a file
+    //      (repo cwd by default) no tail can truncate;
+    //   2. the full line, printed FIRST for full-stdout consumers
+    //      (truncated from the driver's tail — that's fine, it exists
+    //      in the file);
+    //   3. a compact FINAL line that always fits the tail: headline
+    //      total + failures + the 12 slowest as a named map +
+    //      "t_by_name", EVERY timing as a values-only array ordered by
+    //      query name ascending (reassemble names from the sorted keys
+    //      of SparkEntry.queries minus `failed` — same ordering this
+    //      file measures in). ~6 bytes/query keeps the line under the
+    //      tail through several hundred queries.
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
+    println(fullJson)
+    val slowest = timed.sortBy { case (_, v) => -v }.take(12)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val tByName = timed.map { case (_, v) => fmt(v) }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${timed.size},"failed":$failedJson,"sf":"$sfDir","full":"$fullPath","slowest":$slowest,"t_by_name":$tByName}""")
     spark.stop()
   }
 }

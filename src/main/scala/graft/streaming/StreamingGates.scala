@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{Dedup, Incremental}
+import graft.sources.Tables
+
+/** Driver-gated entry points for the streaming family. Each one replays
+  * a test table as a REAL multi-micro-batch file stream (one file per
+  * chunk + `maxFilesPerTrigger=1`, so the stream commits several
+  * batches through its checkpoint) driving the production
+  * [[StreamingPipeline]] code paths to completion, then returns the
+  * final materialized result for the driver's DuckDB compare.
+  *
+  * The oracle posture is the `sim_neardup_from_index` trick: each gate
+  * is registered against the SAME oracle SQL as its batch twin, so the
+  * hash compare proves stream ≡ batch ≡ oracle — the streaming family's
+  * correctness becomes a hard driver signal instead of spec-only.
+  *
+  * The reference has no streaming at all (its Kafka use is a batch
+  * producer — reference `PipelineProcessor.scala:148-156`); these gates
+  * pin the replacement's exactly-once story end to end.
+  */
+object StreamingGates {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Replay `orders` as a 3-batch changelog through the streaming
+    * incremental-agg store ([[StreamingPipeline.startIncrementalAggStore]]:
+    * per-batch fold into the prior store version, versioned idempotent
+    * writes), then finalize the newest store version. Gated against the
+    * flat GROUP BY over all orders — the same oracle as the batch
+    * `agg_incremental_orders` — proving the streamed fold bit-equal to
+    * the full recompute (decimal partials make the fold
+    * order-insensitive, so WHICH rows share a micro-batch cannot leak
+    * into the result). */
+  def streamAggStore(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val in = tmp("graft_sgate_agg_in_")
+    val store = tmp("graft_sgate_agg_store_")
+    val ckpt = tmp("graft_sgate_agg_ckpt_")
+    (0 until 3).foreach { i =>
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val src = spark.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = StreamingPipeline.startIncrementalAggStore(src, store, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    Incremental.finalizeStats(StreamingPipeline.latestPartials(spark, store))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Replay the augmented near-dup corpus as a 3-batch document stream
+    * through the FULL streaming near-dup pipeline — shingle store
+    * ([[StreamingPipeline.startShingleStore]]) + batch-equivalent LSH
+    * candidates ([[StreamingPipeline.streamingNearDupCandidatesAll]]) +
+    * per-batch exact verify ([[StreamingPipeline.startNearDupVerify]],
+    * which shares [[Dedup.verifyPairs]] with the batch LSH) — then read
+    * the verified-pairs sink. Gated against the batch `dd_minhash_lsh`
+    * oracle: candidates collide on the same (band, signature) keys, the
+    * verify runs the same hashed-shingle jaccard, so the outputs are
+    * bit-identical once pair orientation is normalized (the stream
+    * emits (later-arrival, earlier member); the batch emits
+    * id_a < id_b).
+    *
+    * The store stream is drained BEFORE the verify stream starts, so no
+    * candidate is ever store-lagged here — the lag/backlog path has its
+    * own StreamingSpec coverage; this gate pins the arithmetic. All
+    * events carry one fixed timestamp: eviction never fires during the
+    * replay (the corpus IS the horizon), keeping the candidate set
+    * equal to the batch self-join's by construction. */
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Dedup.augmented(spark, dir)
+    val in = tmp("graft_sgate_nd_in_")
+    val store = tmp("graft_sgate_nd_store_")
+    val out = tmp("graft_sgate_nd_out_")
+    val ck1 = tmp("graft_sgate_nd_ck1_")
+    val ck2 = tmp("graft_sgate_nd_ck2_")
+    (0 until 3).foreach { i =>
+      corpus.filter(pmod(col("doc_id"), lit(3)) === i)
+        .select(col("doc_id"), col("text"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING, ts TIMESTAMP")
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val storeQ = StreamingPipeline.startShingleStore(src, store, ck1)
+    try storeQ.processAllAvailable() finally storeQ.stop()
+    val verifyQ = StreamingPipeline.startNearDupVerify(
+      StreamingPipeline.streamingNearDupCandidatesAll(src), store, out, ck2)
+    try verifyQ.processAllAvailable() finally verifyQ.stop()
+    spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE").parquet(out)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -145,9 +145,11 @@ object StreamingPipeline {
     * its match in several bands emits one candidate per band — consumers
     * dedupe (and exact-verify) downstream, exactly like the batch LSH
     * verify stage. Input: (doc_id, text, ts). */
-  def streamingNearDupCandidates(docs: DataFrame,
-                                 watermarkDelay: String = "1 hour",
-                                 evictAfterMs: Long = 3600L * 1000L): DataFrame = {
+  /** Shared banding prelude of the streaming near-dup variants: per-row
+    * MinHash signature → exploded LSH band keys, watermarked — the same
+    * (band, signature-slice) collision structure as the batch LSH
+    * self-join ([[graft.operators.Dedup.minhashLshPairs]]). */
+  private def bandedBuckets(docs: DataFrame, watermarkDelay: String) = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup
     import graft.functions.{MinHashSig, Portable}
@@ -157,12 +159,19 @@ object StreamingPipeline {
         lit(b) +: (b * Dedup.R until (b + 1) * Dedup.R)
           .map(k => element_at(col("sig"), k + 1)): _*)
     }
-    val banded = docs
+    docs
       .select(col("doc_id"), col("ts"), sig.as("sig"))
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
       .select(col("doc_id"), col("ts"), explode(array(bandCols: _*)).as("bkey"))
       .withWatermark("ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp, String)]
+  }
+
+  def streamingNearDupCandidates(docs: DataFrame,
+                                 watermarkDelay: String = "1 hour",
+                                 evictAfterMs: Long = 3600L * 1000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val banded = bandedBuckets(docs, watermarkDelay)
     banded.groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (bkey: String, rows: Iterator[(Long, java.sql.Timestamp, String)],
@@ -191,6 +200,68 @@ object StreamingPipeline {
                 state.getOption.map(_.newestMs).getOrElse(Long.MinValue),
                 sorted.last._2.getTime)
               state.update(BucketRep(r, newest))
+              state.setTimeoutTimestamp(newest + evictAfterMs)
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
+  /** Per-bucket state of [[streamingNearDupCandidatesAll]]: every member
+    * doc id inside the eviction horizon + the newest event time seen. */
+  final case class BucketMembers(ids: List[Long], newestMs: Long)
+
+  /** BATCH-EQUIVALENT streaming near-dup candidates: where
+    * [[streamingNearDupCandidates]] keeps one representative per bucket
+    * (the cheapest ingest-dedup shape — later arrivals pair only against
+    * the rep), this keeps EVERY bucket member inside the eviction
+    * horizon and pairs each arriving doc against all of them (and
+    * against earlier rows of its own micro-batch), so a pair is
+    * emitted iff the two docs collide in ≥1 band — exactly the batch
+    * LSH self-join's candidate condition. Replaying a corpus through
+    * this variant therefore reproduces
+    * [[graft.operators.Dedup.minhashLshPairs]] bit-for-bit after the
+    * shared verify stage, which is what lets the driver hash-gate the
+    * streaming pipeline against the SAME DuckDB oracle as the batch
+    * path ([[StreamingGates.streamNearDup]]).
+    *
+    * State is bounded by per-bucket LSH occupancy within the horizon —
+    * the same bound the batch self-join's bucket sizes obey (banding
+    * keeps buckets small by construction; a hot bucket is a data-skew
+    * smell in both worlds). Emission orientation is (arriving doc,
+    * existing member); a pair colliding in several bands emits once per
+    * band, and the verify stage's `distinct()` collapses them —
+    * identical to the batch candidate `distinct()`. */
+  def streamingNearDupCandidatesAll(docs: DataFrame,
+                                    watermarkDelay: String = "1 hour",
+                                    evictAfterMs: Long = 3600L * 1000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val banded = bandedBuckets(docs, watermarkDelay)
+    banded.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bkey: String, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[BucketMembers]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            var members = state.getOption.map(_.ids).getOrElse(Nil)
+            val out = Seq.newBuilder[NearDupCandidate]
+            sorted.foreach { case (id, _, _) =>
+              // membership test guards at-least-once redelivery (a
+              // re-delivered member must not pair against itself or
+              // re-emit its pairs); O(occupancy) per row, and occupancy
+              // is the bounded LSH bucket size
+              if (!members.contains(id)) {
+                members.foreach(m => out += NearDupCandidate(id, m, bkey))
+                members = id :: members
+              }
+            }
+            if (members.nonEmpty) {
+              val newest = math.max(
+                state.getOption.map(_.newestMs).getOrElse(Long.MinValue),
+                sorted.last._2.getTime)
+              state.update(BucketMembers(members, newest))
               state.setTimeoutTimestamp(newest + evictAfterMs)
             }
             out.result().iterator

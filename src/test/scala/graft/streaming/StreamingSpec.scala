@@ -478,6 +478,22 @@ class StreamingSpec extends SparkSpec {
     assert(empty.count() == 0, "beforeVersion=0 must see an empty store")
   }
 
+  test("gate: replayed incremental agg store equals the batch query bit-for-bit") {
+    val streamed = StreamingGates.streamAggStore(spark, sf()).collect().toSeq
+    val batch = graft.operators.Incremental.aggIncrementalOrders(spark, sf())
+      .collect().toSeq
+    assert(streamed == batch,
+      "stream_agg_store must replay to the exact batch result")
+  }
+
+  test("gate: replayed streaming near-dup pipeline equals the batch LSH bit-for-bit") {
+    val streamed = StreamingGates.streamNearDup(spark, sf()).collect().toSeq
+    val batch = graft.operators.Dedup.ddMinhashLsh(spark, sf()).collect().toSeq
+    assert(streamed.nonEmpty, "replay must find the planted near-dups")
+    assert(streamed == batch,
+      "stream_neardup must reproduce dd_minhash_lsh exactly (pairs AND jaccards)")
+  }
+
   test("streaming mix-drift monitor: closed-window counts + batch TVD law") {
     val dir = eventsDir
     val stream = spark.readStream.schema(Tables.events(spark, sf()).schema).parquet(dir)

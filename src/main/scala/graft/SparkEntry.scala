@@ -147,6 +147,17 @@ object SparkEntry {
     "sim_pq_topk" -> (Pq.simPqTopK _),
     "sim_ivf_pq_topk" -> (Pq.simIvfPqTopK _),
     "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
+    // the auto-sized production entry points (corpus-derived plane
+    // count), gated rows-only: autoPlanes grows with the corpus, so no
+    // pinned-constant SQL can mirror them at every scale factor.
+    // ExtensionSpec asserts result equality with the pinned twins at
+    // test scale, where the derived constants coincide (the
+    // sim_ivf_trained posture). pruneFactKeysAuto needs no twin — the
+    // oracled q30_bloom_prejoin IS the auto-sized path (its oracle is
+    // capacity-independent).
+    "sim_neardup_auto" ->
+      ((s: SparkSession, d: String) => Similarity.cosineNearDupAuto(s, d)),
+    "sim_semantic_dedup_auto" -> (Similarity.semanticDedupAuto _),
     // the persisted-index paths, oracled against the SAME SQL as their
     // from-scratch twins: the hash compare proves build+probe ≡ in-query
     "sim_neardup_from_index" -> (graft.operators.AnnIndex.simNearDupFromIndex _),

@@ -247,6 +247,12 @@ class ExtensionSpec extends SparkSpec {
     val auto = Similarity.cosineNearDupAuto(spark, sf("sf0.01")).collect().toSeq
     val pinned = Similarity.simCosineNearDup(spark, sf("sf0.01")).collect().toSeq
     assert(auto == pinned)
+    // same for the clustering tail: the gated rows-only
+    // sim_semantic_dedup_auto must coincide with the oracled pinned
+    // form wherever the derived plane count floors to the gated config
+    val autoSem = Similarity.semanticDedupAuto(spark, sf("sf0.01")).collect().toSeq
+    val pinnedSem = Similarity.simSemanticDedup(spark, sf("sf0.01")).collect().toSeq
+    assert(autoSem == pinnedSem)
     graft.Caches.releaseAll()
   }
 

@@ -59,7 +59,11 @@ object ScaleProbe {
       val b = math.min(time(name, dirBig), time(name, dirBig))
       println(f"[probe] $name%-22s small=$s%7.2fs big=$b%7.2fs ratio=${b / s}%5.1fx")
     }
-    if (only.nonEmpty) { spark.stop(); return }
+    // special sections: all in a full run; the ER probe is also
+    // individually addressable (it needs no probe corpus — names are
+    // synthesized — so it is cheap to re-run alone)
+    if (only.nonEmpty && !only("er_fuzzy_d2")) { spark.stop(); return }
+    if (only.isEmpty) {
     // the documented mitigation for near-dup's n²/2^planes candidate
     // growth: scale planes with the corpus (+3 planes ≈ 8× fewer
     // in-bucket pairs at 10× data)
@@ -93,6 +97,23 @@ object ScaleProbe {
     val (c10, r10) = chainRounds(10000)
     println(f"[probe] cc_chain_altstar 1k=${c1}%.2fs/$r1%d rounds 10k=${c10}%.2fs/$r10%d rounds " +
       f"ratio=${c10 / c1}%4.1fx (diameter-bound propagation: 1000 vs 10000 rounds)")
+    }
+    // deletion-neighborhood ER at radius 2: candidates must track
+    // variant COLLISIONS, not n². Dense zero-padded decimal keys are
+    // the adversarially collision-heavy case (every pair differing in
+    // ≤2 digit positions collides AND matches) — output pairs grow
+    // ~n·log²n there, so a healthy wall-clock ratio at 10× rows is
+    // ~10-20×, while a quadratic blocker would show ~100×.
+    def erProbe(n: Long): Double = {
+      import org.apache.spark.sql.functions.{col, format_string}
+      val names = spark.range(n).select(col("id"),
+        format_string("Customer#%09d", col("id")).as("name"))
+      timed(graft.operators.EntityResolution.fuzzyMatchPairs(
+        names, "id", "name", maxDist = 2))
+    }
+    val er1 = math.min(erProbe(1500), erProbe(1500))
+    val er10 = math.min(erProbe(15000), erProbe(15000))
+    println(f"[probe] er_fuzzy_d2 1.5k=${er1}%.2fs 15k=${er10}%.2fs ratio=${er10 / er1}%4.1fx")
     spark.stop()
   }
 }

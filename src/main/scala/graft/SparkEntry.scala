@@ -66,6 +66,7 @@ object SparkEntry {
     "q34_rolling_anomaly" -> (Relational.q34RollingAnomaly _),
     // Entity resolution
     "er_fuzzy_match" -> (EntityResolution.erFuzzyMatch _),
+    "er_fuzzy_match_d2" -> (EntityResolution.erFuzzyMatchD2 _),
     // Incremental maintenance
     "cdc_merge_orders" -> (Cdc.cdcMergeOrders _),
     "cdc_scd2_orders" -> (Cdc.cdcScd2Orders _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "q33_waiting_suppliers" -> Relational.q33WaitingSuppliersSql,
     "q34_rolling_anomaly" -> Relational.q34RollingAnomalySql,
     "er_fuzzy_match" -> EntityResolution.erFuzzyMatchSql,
+    "er_fuzzy_match_d2" -> EntityResolution.erFuzzyMatchD2Sql,
     "cdc_merge_orders" -> Cdc.cdcMergeOrdersSql,
     "cdc_scd2_orders" -> Cdc.cdcScd2OrdersSql,
     "agg_incremental_orders" -> Incremental.aggIncrementalOrdersSql,

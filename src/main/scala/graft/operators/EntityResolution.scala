@@ -12,55 +12,87 @@ import graft.sources.Tables
   * this is the record-linkage step a real curation pipeline needs when
   * the same entity arrives spelled slightly differently from two feeds.
   *
-  * == Algorithm: deletion-neighborhood blocking ==
-  * For edit distance ≤ 1, if `levenshtein(u, v) <= 1` then u and v share
-  * a member of the set `{s} ∪ {s minus one char}` (delete the
-  * substituted/inserted position from whichever side has it). So
-  * generating the ~(len+1) deletion variants per row and equi-joining on
-  * the variant string finds EVERY qualifying pair — recall 1.0 by
-  * construction, like LSH banding but exact. Shared variants can also
-  * arise from true-distance-2 pairs (u del i = v del j, i ≠ j), so
-  * candidates are verified with the codegen'd `levenshtein` builtin;
+  * == Algorithm: deletion-neighborhood blocking (FastSS family) ==
+  * Let `D_k(s)` be the set of strings obtainable from `s` by deleting
+  * at most `k` characters. If `levenshtein(u, v) <= k` then
+  * `D_k(u) ∩ D_k(v)` is non-empty: align u and v under a minimal edit
+  * script — deleting from u every position it substitutes or inserts,
+  * and from v every position it is substituted by or deletes, leaves
+  * the identical common subsequence, and each side deleted at most k
+  * chars. So generating `D_k` per row and equi-joining on the variant
+  * string finds EVERY qualifying pair — recall 1.0 by construction,
+  * like LSH banding but exact. Shared variants also arise from pairs
+  * beyond distance k (u del 2 = v del 2 can bridge distance up to 4),
+  * so candidates are verified with the codegen'd `levenshtein` builtin;
   * precision comes from the verify, recall from the blocking.
   *
   * == Scale shape ==
-  * The variant relation is ~(len+1)·n narrow rows (two longs + a short
-  * string); the equi-join shuffles candidates only — bucket sizes are
-  * bounded by how many strings actually collide on a variant, never n².
-  * Verification is a per-candidate codegen'd expression. This is the
-  * canonical 100 TB fuzzy-join: generate-with-guarantee, verify-exact.
-  * The whole pipeline is builtin expressions (sequence/transform/
-  * explode/levenshtein) — whole-stage codegen end to end, no UDF.
+  * The variant relation is ids-only — (8-byte id, short string), the
+  * name travels NOWHERE through the blocking shuffle; names join back
+  * by id only onto the DEDUPED candidate pairs, so the wide strings
+  * touch one equi-join over the (collision-bounded) candidate set
+  * instead of riding every variant row (~3× narrower variant shuffle on
+  * short names, more on long ones). |D_1| ≈ len+1 variants/row;
+  * |D_2| ≈ C(len,2) — the documented growth price of the deeper radius
+  * (≈170 variants for an 18-char name; `array_distinct` inside the
+  * generator keeps repeated-char duplicates out of the exchange).
+  * The equi-join shuffles candidates only — bucket sizes are bounded by
+  * how many strings actually collide on a variant, never n²; the probe
+  * section of [[graft.ScaleProbe]] measures candidates ∝ collisions on
+  * a 10× synthetic name corpus. Verification is a per-candidate
+  * codegen'd expression. This is the canonical 100 TB fuzzy-join:
+  * generate-with-guarantee, verify-exact. The whole pipeline is builtin
+  * expressions (sequence/transform/flatten/explode/levenshtein) —
+  * whole-stage codegen end to end, no UDF.
   */
 object EntityResolution {
 
+  /** `D_k` generator as a Spark SQL expression string: the array of all
+    * distinct strings obtained by deleting at most `maxDist` (1 or 2)
+    * characters from `col`. Slot 0 of each deletion pass = "no deletion
+    * here", so the union over passes covers every deletion count ≤ k. */
+  private def deletionVariantsExpr(colName: String, maxDist: Int): String = {
+    val del1 =
+      s"""transform(sequence(0, length($colName)),
+          i -> case when i = 0 then $colName
+               else concat(substr($colName, 1, i - 1), substr($colName, i + 1)) end)"""
+    maxDist match {
+      case 1 => s"array_distinct($del1)"
+      case 2 =>
+        s"""array_distinct(flatten(transform($del1,
+            v -> transform(sequence(0, length(v)),
+                 j -> case when j = 0 then v
+                      else concat(substr(v, 1, j - 1), substr(v, j + 1)) end))))"""
+    }
+  }
+
   /** All pairs (idA < idB) with `levenshtein(name_a, name_b) <= maxDist`.
-    * `maxDist` must be 1 — the deletion-neighborhood guarantee is for a
-    * single edit (for d>1 one would block on d-deletion neighborhoods;
-    * variant count grows as C(len, d), documented not implemented). */
+    * `maxDist` ∈ {1, 2}: the variant count per row is ~len+1 at 1 and
+    * ~C(len,2) at 2 — radius 3+ squares it again (C(len,3) plus far
+    * looser candidate precision) and wants a different blocker
+    * (q-gram/LSH) rather than a deeper neighborhood. */
   def fuzzyMatchPairs(rows: DataFrame, idCol: String, nameCol: String,
                       maxDist: Int = 1): DataFrame = {
-    require(maxDist == 1, "deletion-neighborhood blocking implemented for maxDist=1")
-    // variant 0 = the string itself; variant i>=1 = the string with char i
-    // deleted. All builtin higher-order functions -> codegen'd, no UDF.
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion-neighborhood blocking implemented for maxDist in {1, 2}, got $maxDist")
+    // ids-only through the shuffle; names re-join after candidate dedup
     val variants = rows.select(
-        col(idCol).as("id"), col(nameCol).as("name"),
-        explode(expr(
-          s"""transform(sequence(0, length($nameCol)),
-              i -> case when i = 0 then $nameCol
-                   else concat(substr($nameCol, 1, i - 1), substr($nameCol, i + 1)) end)"""
-        )).as("variant"))
-    val a = variants.select(col("id").as("id_a"), col("name").as("name_a"),
-      col("variant"))
-    val b = variants.select(col("id").as("id_b"), col("name").as("name_b"),
-      col("variant"))
-    a.join(b, Seq("variant"))
+      col(idCol).as("id"),
+      explode(expr(deletionVariantsExpr(nameCol, maxDist))).as("variant"))
+    val a = variants.select(col("id").as("id_a"), col("variant"))
+    val b = variants.select(col("id").as("id_b"), col("variant"))
+    // one pair can share several variants; dedup BEFORE the name
+    // join-back and the verify so each runs once per candidate pair
+    val candidates = a.join(b, Seq("variant"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
-      // one pair can share several variants (repeated chars); dedup the
-      // candidate pair before the verify so levenshtein runs once per pair
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val names = rows.select(col(idCol).as("id"), col(nameCol).as("name"))
+    candidates
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
       .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -72,12 +104,21 @@ object EntityResolution {
   def erFuzzyMatch(spark: SparkSession, dir: String): DataFrame =
     fuzzyMatchPairs(Tables.customer(spark, dir), "c_custkey", "c_name")
 
+  /** Gated query: the radius-2 variant — two substituted digits, or a
+    * transposition (distance 2 as two substitutions), now qualify. */
+  def erFuzzyMatchD2(spark: SparkSession, dir: String): DataFrame =
+    fuzzyMatchPairs(Tables.customer(spark, dir), "c_custkey", "c_name",
+      maxDist = 2)
+
   /** DuckDB oracle: the quadratic ground truth the blocking must equal.
     * (The oracle may be O(n²) at sf0.01 — the Spark side must not be.) */
-  val erFuzzyMatchSql: String = """
+  private def erOracleSql(maxDist: Int): String = s"""
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            a.c_name AS name_a, b.c_name AS name_b
     FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    WHERE levenshtein(a.c_name, b.c_name) <= $maxDist
     ORDER BY id_a, id_b"""
+
+  val erFuzzyMatchSql: String = erOracleSql(1)
+  val erFuzzyMatchD2Sql: String = erOracleSql(2)
 }

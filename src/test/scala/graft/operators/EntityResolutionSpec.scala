@@ -8,9 +8,11 @@ import graft.SparkSpec
 class EntityResolutionSpec extends SparkSpec {
   import spark.implicits._
 
-  private def pairs(rows: Seq[(Long, String)]) =
-    EntityResolution.fuzzyMatchPairs(rows.toDF("id", "name"), "id", "name")
+  private def pairsAt(rows: Seq[(Long, String)], d: Int) =
+    EntityResolution.fuzzyMatchPairs(rows.toDF("id", "name"), "id", "name", d)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+  private def pairs(rows: Seq[(Long, String)]) = pairsAt(rows, 1)
 
   test("finds substitution, insertion and deletion pairs") {
     val got = pairs(Seq(1L -> "karen", 2L -> "caren", // substitution
@@ -55,5 +57,52 @@ class EntityResolutionSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("radius 2: transpositions, double substitutions, mixed edits all match") {
+    val got = pairsAt(Seq(
+      1L -> "karen",
+      2L -> "kraen",  // transposition = 2 substitutions -> d2 only
+      3L -> "caten",  // two substitutions vs 1
+      4L -> "karenXY", // two insertions vs 1
+      5L -> "ren",    // two deletions vs 1
+      6L -> "qqqqq"   // distance 5 from everything karen-like
+    ), d = 2)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
+      got.contains((1L, 4L)) && got.contains((1L, 5L)))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L), s"far string matched: $got")
+    // d1 finds none of the distance-2 pairs
+    val d1 = pairsAt(Seq(1L -> "karen", 2L -> "kraen", 3L -> "caten"), d = 1)
+    assert(d1.isEmpty)
+  }
+
+  test("radius 2: far pairs sharing a 2-deletion variant are verified out") {
+    // "12ab" del {1,2} = "ab" = "ab34" del {3,4} -> candidate generated,
+    // but levenshtein("12ab", "ab34") = 4 -> the verify must drop it
+    assert(pairsAt(Seq(1L -> "12ab", 2L -> "ab34"), d = 2).isEmpty,
+      "a shared 2-deletion variant at distance 4 must not survive the verify")
+  }
+
+  test("radius 2: recall 1.0 vs the quadratic ground truth on customer names") {
+    val c = graft.sources.Tables.customer(spark, sf())
+      .select($"c_custkey", $"c_name")
+    val blocked = EntityResolution.fuzzyMatchPairs(c, "c_custkey", "c_name", 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val a = c.select($"c_custkey".as("ia"), $"c_name".as("na"))
+    val quadratic = a.crossJoin(c.select($"c_custkey".as("ib"), $"c_name".as("nb")))
+      .filter($"ia" < $"ib" && levenshtein($"na", $"nb") <= 2)
+      .select($"ia", $"ib").as[(Long, Long)].collect().toSet
+    assert(blocked == quadratic)
+    assert((quadratic -- EntityResolution.fuzzyMatchPairs(c, "c_custkey", "c_name", 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet).nonEmpty,
+      "fixture should contain genuinely-distance-2 pairs")
+  }
+
+  test("radius 3 is rejected loudly (wants a different blocker, not C(len,3))") {
+    val e = intercept[IllegalArgumentException] {
+      EntityResolution.fuzzyMatchPairs(
+        Seq(1L -> "x").toDF("id", "name"), "id", "name", 3)
+    }
+    assert(e.getMessage.contains("{1, 2}"))
   }
 }

@@ -43,6 +43,52 @@ class PlanSpec extends SparkSpec {
     assert(q9.contains("TakeOrderedAndProject"), "q9 top-k must not global-sort")
   }
 
+  test("catalog statistics drive the dim broadcast with no hint in the query") {
+    // gated queries hand-hint broadcast(dim) because their inputs are
+    // bare parquet paths read fresh per query — the right call for a
+    // library function that cannot assume a catalog. In a deployed
+    // warehouse the same decision comes from ANALYZE'd table statistics
+    // with NO hint in the query; this pins that path.
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stats").toFile
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      graft.sources.Tables.nation(spark, sf())
+        .write.option("path", s"${tmp.getAbsolutePath}/n").saveAsTable("stats_nation")
+      graft.sources.Tables.customer(spark, sf())
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .write.option("path", s"${tmp.getAbsolutePath}/c").saveAsTable("stats_customer")
+      spark.sql("ANALYZE TABLE stats_nation COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE stats_customer COMPUTE STATISTICS")
+      // the ANALYZE'd stats are in the catalog and reach the optimizer
+      val desc = spark.sql("DESC EXTENDED stats_nation").collect().map(_.mkString("|"))
+      assert(desc.exists(r => r.contains("Statistics") && r.contains("rows")),
+        s"ANALYZE must record size+rowcount stats:\n${desc.mkString("\n")}")
+      val est = spark.table("stats_nation").queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(est > 0 && est < 10L * 1024 * 1024,
+        s"dim size estimate $est should be tiny and finite")
+      // un-hinted join: the planner picks broadcast from the estimate
+      val joined = spark.table("stats_customer")
+        .join(spark.table("stats_nation"), col("c_nationkey") === col("n_nationkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"stats-known tiny dim must broadcast with no hint:\n$plan")
+      // negative control: threshold off -> the SAME un-hinted query
+      // sort-merges, proving the size estimate (not a residual hint or
+      // a default) drove the broadcast above
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val noBcast = spark.table("stats_customer")
+        .join(spark.table("stats_nation"), col("c_nationkey") === col("n_nationkey"))
+        .queryExecution.executedPlan.toString
+      assert(noBcast.contains("SortMergeJoin") && !noBcast.contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS stats_nation")
+      spark.sql("DROP TABLE IF EXISTS stats_customer")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
+
   test("co-bucketed lineitem-orders join plans with no Exchange on either side") {
     // the write-once/join-many co-partitioning SCALING.md relies on:
     // both facts bucketed on the order key with one bucket count must

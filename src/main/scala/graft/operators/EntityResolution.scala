@@ -75,8 +75,15 @@ object EntityResolution {
                       maxDist: Int = 1): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       s"deletion-neighborhood blocking implemented for maxDist in {1, 2}, got $maxDist")
+    // repartition first: the input often arrives as ONE parquet file →
+    // one partition, which would serialize the (compute-bound) variant
+    // generation onto a single core — measured 4× on the sf0.1 gate.
+    // Same rule as Dedup.augmented: compute-bound stages must not
+    // inherit file partitioning.
+    val spread = rows.repartition(
+      rows.sparkSession.sparkContext.defaultParallelism, col(idCol))
     // ids-only through the shuffle; names re-join after candidate dedup
-    val variants = rows.select(
+    val variants = spread.select(
       col(idCol).as("id"),
       explode(expr(deletionVariantsExpr(nameCol, maxDist))).as("variant"))
     val a = variants.select(col("id").as("id_a"), col("variant"))

@@ -105,6 +105,7 @@ object SparkEntry {
     "tx_bm25_topk" -> (Search.txBm25TopK _),
     "tx_hybrid_rrf" -> (Search.txHybridRrf _),
     "tx_domain_cap" -> (TextAnalysis.txDomainCap _),
+    "tx_temperature_mix" -> (TextAnalysis.txTemperatureMix _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -257,6 +258,7 @@ object SparkEntry {
     "tx_bm25_topk" -> Search.txBm25TopKSql,
     "tx_hybrid_rrf" -> Search.txHybridRrfSql,
     "tx_domain_cap" -> TextAnalysis.txDomainCapSql,
+    "tx_temperature_mix" -> TextAnalysis.txTemperatureMixSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_containment" -> Dedup.ddContainmentSql,

@@ -889,4 +889,94 @@ object TextAnalysis {
     FROM r WHERE rank_in_domain <= $DomainCap
     ORDER BY source, rank_in_domain"""
   }
+
+  /** Temperature-weighted mixing (α = 1/2): sample strata proportional
+    * to n^α so head domains shrink and tail domains survive — the
+    * multilingual sampling recipe from XLM-R-style pretraining, here as
+    * exact integer apportionment rather than probabilistic rates (the
+    * contrast with [[txTokenBudgetMix]], which hits shares only in
+    * expectation). Engine-exact throughout: weights are floor(sqrt(n))
+    * — IEEE-754 `sqrt` is correctly rounded and counts are exactly
+    * representable doubles, so both engines compute the SAME double and
+    * the SAME floor (unlike log/exp, sqrt has a bit contract, see
+    * [[graft.operators.TextAnalysis.surprisal]]'s whole-bit workaround
+    * for the functions that don't); quotas are Hamilton
+    * largest-remainder over a budget of total/4 docs (base =
+    * budget·w div W, +1 to the largest remainders, ties by stratum
+    * name); each stratum then keeps exactly its quota docs — the ones
+    * with the smallest content-independent selection hashes.
+    *
+    * Scale shape: the apportionment runs on the ≤|strata|-row count
+    * aggregate (the [[txStratifiedSample]] posture — unpartitioned
+    * windows touch ~20 rows, never the corpus); quotas broadcast back;
+    * the per-stratum ranked pick is one hash-partitioned window. At
+    * 100 TB with fat strata, swap the full rank window for the
+    * two-phase cutoff — a scan-side hash-threshold filter at ~2× the
+    * implied rate, then the exact window over the ~quota survivors —
+    * the same candidates-then-verify shape [[Dedup]] uses. */
+  def temperatureMix(docs: DataFrame, stratum: Column): DataFrame = {
+    val tiny = org.apache.spark.sql.expressions.Window.partitionBy()
+    val quotas = docs.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wt", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+      .withColumn("budget", expr("SUM(n) OVER () DIV 4"))
+      .withColumn("wsum", expr("SUM(wt) OVER ()"))
+      .withColumn("base", expr("budget * wt DIV wsum"))
+      .withColumn("rem", expr("(budget * wt) % wsum"))
+      .withColumn("extra_rank",
+        row_number().over(tiny.orderBy(col("rem").desc, col("stratum"))))
+      .withColumn("quota", col("base") +
+        when(col("extra_rank") <= col("budget") - sum(col("base")).over(tiny), 1L)
+          .otherwise(0L))
+      .select(col("stratum"), col("quota"))
+    docs.select(col("doc_id"), stratum.as("stratum"))
+      .withColumn("pick_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+          .orderBy(
+            Portable.hash60(concat(lit("temp:"), col("doc_id").cast("string"))),
+            col("doc_id"))))
+      .join(broadcast(quotas), Seq("stratum"))
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("doc_id"), col("stratum"), col("pick_rank"))
+  }
+
+  def txTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(spark, dir), col("source"))
+      .select(col("doc_id"), col("stratum").as("source"), col("pick_rank"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle states the identical apportionment + ranked pick. */
+  val txTemperatureMixSql: String = s"""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+    a AS (
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt,
+             CAST(SUM(n) OVER () AS BIGINT) AS total
+      FROM c),
+    b AS (
+      SELECT source, wt, (total // 4) AS budget,
+             CAST(SUM(wt) OVER () AS BIGINT) AS wsum
+      FROM a),
+    d AS (
+      SELECT source, budget, budget * wt // wsum AS base,
+             (budget * wt) % wsum AS rem
+      FROM b),
+    q AS (
+      SELECT source,
+             base + CASE WHEN CAST(row_number() OVER (ORDER BY rem DESC, source)
+                               AS BIGINT)
+                          <= budget - CAST(SUM(base) OVER () AS BIGINT)
+                    THEN 1 ELSE 0 END AS quota
+      FROM d),
+    rk AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY ${Portable.hash60Sql("('temp:' || CAST(doc_id AS VARCHAR))")},
+                        doc_id) AS INT) AS pick_rank
+      FROM documents)
+    SELECT rk.doc_id, rk.source, rk.pick_rank
+    FROM rk JOIN q USING (source)
+    WHERE pick_rank <= quota
+    ORDER BY rk.doc_id"""
 }

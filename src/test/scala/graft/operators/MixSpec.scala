@@ -66,6 +66,46 @@ class MixSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("temperature mix: quotas are exact Hamilton apportionment of sqrt weights") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val n = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val budget = n.values.sum / 4
+    // independent Hamilton apportionment over floor(sqrt(n)) weights
+    val wt = n.map { case (s, c) => s -> math.floor(math.sqrt(c.toDouble)).toLong }
+    val wsum = wt.values.sum
+    val base = wt.map { case (s, w) => s -> budget * w / wsum }
+    val leftover = budget - base.values.sum
+    val extras = wt.toSeq
+      .map { case (s, w) => (s, budget * w % wsum) }
+      .sortBy { case (s, rem) => (-rem, s) }
+      .take(leftover.toInt).map(_._1).toSet
+    val quota = base.map { case (s, b) => s -> (b + (if (extras(s)) 1L else 0L)) }
+
+    val got = TextAnalysis.txTemperatureMix(spark, sf("sf0.01"))
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(got.values.sum == budget, s"selected ${got.values.sum} vs budget $budget")
+    quota.foreach { case (s, q) =>
+      assert(got.getOrElse(s, 0L) == q, s"stratum $s got ${got.get(s)} vs quota $q")
+    }
+  }
+
+  test("temperature mix: skewed corpus — tail boosted, head shrunk toward uniform") {
+    import org.apache.spark.sql.functions._
+    // 900/100 split: sqrt weights 30/10 → sample shares 75%/25% vs
+    // corpus 90%/10% — granularity can't mask the pull toward uniform
+    val docs = (1 to 1000).map(i =>
+      (i.toLong, if (i <= 900) "head" else "tail")).toDF("doc_id", "stratum")
+    val got = TextAnalysis.temperatureMix(docs, $"stratum")
+      .groupBy($"stratum").count().as[(String, Long)].collect().toMap
+    val budget = 250.0
+    assert(got.values.sum == 250L)
+    assert(got("tail") / budget > 0.1, s"tail share ${got("tail") / budget}")
+    assert(got("head") / budget < 0.9, s"head share ${got("head") / budget}")
+    // and the exact sqrt law: 250·30/40 = 187(+r), 250·10/40 = 62(+r)
+    assert(got("head") == 187L || got("head") == 188L)
+  }
+
   test("word freq: hand corpus — rare fraction and average corpus count") {
     // corpus counts: a=4, b=1, c=2; both b and c are rare (< 3)
     val docs = Seq(

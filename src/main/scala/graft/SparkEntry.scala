@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, Dsir, EntityResolution, Funnel, HeavyHitters, Incremental, Layout, Mips, Multimodal, Pack, Parity, PartitionedWrite, Pca, Pq, Profiling, RangeJoin, Relational, Search, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, Dsir, EntityResolution, Funnel, Graph, HeavyHitters, Incremental, Layout, Mips, Multimodal, Pack, Parity, PartitionedWrite, Pca, Pq, Profiling, RangeJoin, Relational, Search, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +106,7 @@ object SparkEntry {
     "tx_hybrid_rrf" -> (Search.txHybridRrf _),
     "tx_domain_cap" -> (TextAnalysis.txDomainCap _),
     "tx_temperature_mix" -> (TextAnalysis.txTemperatureMix _),
+    "graph_pagerank" -> (Graph.graphPageRank _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -259,6 +260,7 @@ object SparkEntry {
     "tx_hybrid_rrf" -> Search.txHybridRrfSql,
     "tx_domain_cap" -> TextAnalysis.txDomainCapSql,
     "tx_temperature_mix" -> TextAnalysis.txTemperatureMixSql,
+    "graph_pagerank" -> Graph.graphPageRankSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_containment" -> Dedup.ddContainmentSql,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, Dsir, EntityResolution, Funnel, Graph, HeavyHitters, Incremental, Layout, Mips, Multimodal, Pack, Parity, PartitionedWrite, Pca, Pq, Profiling, RangeJoin, Relational, Search, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, Dsir, EntityResolution, Funnel, Graph, QualityClassifier, HeavyHitters, Incremental, Layout, Mips, Multimodal, Pack, Parity, PartitionedWrite, Pca, Pq, Profiling, RangeJoin, Relational, Search, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -107,6 +107,8 @@ object SparkEntry {
     "tx_domain_cap" -> (TextAnalysis.txDomainCap _),
     "tx_temperature_mix" -> (TextAnalysis.txTemperatureMix _),
     "graph_pagerank" -> (Graph.graphPageRank _),
+    // rows-only (trained weights; see QualityClassifierSpec)
+    "qc_train_score" -> (QualityClassifier.qcTrainScore _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),

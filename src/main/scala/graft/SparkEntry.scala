@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, Dsir, EntityResolution, Funnel, Graph, QualityClassifier, HeavyHitters, Incremental, Layout, Mips, Multimodal, Pack, Parity, PartitionedWrite, Pca, Pq, Profiling, RangeJoin, Relational, Search, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, Dsir, EntityResolution, Bpe, Funnel, Graph, QualityClassifier, HeavyHitters, Incremental, Layout, Mips, Multimodal, Pack, Parity, PartitionedWrite, Pca, Pq, Profiling, RangeJoin, Relational, Search, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -109,6 +109,10 @@ object SparkEntry {
     "graph_pagerank" -> (Graph.graphPageRank _),
     // rows-only (trained weights; see QualityClassifierSpec)
     "qc_train_score" -> (QualityClassifier.qcTrainScore _),
+    // Tokenizer training
+    "tok_pair_counts" -> (Bpe.tokPairCounts _),
+    // rows-only (iterative argmax; algorithm pinned in BpeSpec)
+    "tok_bpe_merges" -> (Bpe.tokBpeMerges _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -263,6 +267,7 @@ object SparkEntry {
     "tx_domain_cap" -> TextAnalysis.txDomainCapSql,
     "tx_temperature_mix" -> TextAnalysis.txTemperatureMixSql,
     "graph_pagerank" -> Graph.graphPageRankSql,
+    "tok_pair_counts" -> Bpe.tokPairCountsSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_containment" -> Dedup.ddContainmentSql,

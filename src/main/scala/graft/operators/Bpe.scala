@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Byte-pair-encoding tokenizer training (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016) —
+  * the vocabulary-learning step every LLM data pipeline runs before
+  * token counting/packing means anything. Merges are learned greedily:
+  * each round counts adjacent symbol pairs across the corpus, merges
+  * the most frequent pair everywhere, repeats.
+  *
+  * Reference scope note: the reference engine
+  * (`/root/reference/src/main/scala/com/pipeline/PipelineProcessor.scala:44-87`)
+  * has no tokenizer surface; driver-mandated extension.
+  *
+  * Determinism: the argmax pair is tie-broken lexicographically
+  * (count DESC, left ASC, right ASC) and merge application is a
+  * single left-to-right non-overlapping fold, so training is a pure
+  * function of the word-frequency dict. A merged token can never
+  * re-match its own pair within the round (merged = left+right ≠ left
+  * since right is non-empty), which makes the array fold exactly the
+  * reference algorithm's one-pass replace.
+  *
+  * Scale shape (the 100 TB story): BPE never touches the corpus after
+  * ONE word-count aggregation — training runs on the word-TYPE dict
+  * (10⁶–10⁷ rows at web scale, weighted by count), which is the whole
+  * reason the algorithm scales: a 100 TB corpus and its 100 MB word
+  * dict train identically. Each round is one map-side-combined pair
+  * count over the dict plus a codegen'd array fold, with the same lazy
+  * `localCheckpoint` lineage discipline as
+  * [[Cluster.connectedComponents]]; driver state is the O(K) merge
+  * table. Encoding is a broadcast join of the trained dict against the
+  * corpus words — a pure map pass. */
+object Bpe {
+
+  /** Learned merge rounds for the gated queries. */
+  val MergeRounds = 30
+
+  /** One learned merge: `left`+`right` → `merged`, won round `rank`
+    * with `cnt` weighted occurrences. */
+  case class Merge(rank: Int, left: String, right: String, cnt: Long) {
+    def merged: String = left + right
+  }
+
+  /** Trained tokenizer: ordered merges + the final per-word symbol
+    * table (the encode dict). */
+  case class BpeModel(merges: Seq[Merge], dict: DataFrame)
+
+  /** (word, cnt) frequency dict — the single corpus-wide aggregation. */
+  def wordDict(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(explode(Portable.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Left-to-right non-overlapping replace of adjacent (l, r) with l+r. */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Greedy BPE training over `docs`' word dict. */
+  def train(docs: DataFrame, rounds: Int = MergeRounds): BpeModel = {
+    var vocab = wordDict(docs)
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var k = 0
+    var exhausted = false
+    while (k < rounds && !exhausted) {
+      val top = vocab
+        .select(col("cnt"), when(size(col("syms")) < 2,
+          array().cast("array<struct<l:string,r:string>>"))
+          .otherwise(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("ps"))
+        .select(explode(col("ps")).as("p"), col("cnt"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(k + 1, l, r, n)
+        vocab = vocab.withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint(false)
+        k += 1
+      }
+    }
+    BpeModel(merges.toSeq, vocab.select(col("word"), col("syms")))
+  }
+
+  /** Encode: corpus words against the broadcast trained dict; words
+    * unseen at training time fall back to character symbols (valid
+    * BPE output — the merge-fold chain for unseen words is a client
+    * concern; the dict covers the training corpus by construction). */
+  def encode(docs: DataFrame, model: BpeModel): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(model.dict), Seq("word"), "left")
+      .select(col("doc_id"), col("word"),
+        coalesce(col("syms"),
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as("tokens"))
+
+  /** Gated hash-exact: round-1 adjacent character-pair counts over the
+    * weighted word dict — the exact relation the first merge argmaxes
+    * over, SQL-stated via substring windows. */
+  def tokPairCounts(spark: SparkSession, dir: String): DataFrame =
+    wordDict(Tables.documents(spark, dir))
+      .select(col("cnt"), when(length(col("word")) < 2,
+        array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("ps"))
+      .select(explode(col("ps")).as("pair"), col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("pair"))
+
+  val tokPairCountsSql: String = s"""
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(${Portable.wordsSql("text")}) AS word
+            FROM documents WHERE text IS NOT NULL)
+      WHERE length(word) > 0
+      GROUP BY word),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+               i -> substr(word, CAST(i AS INT), 2))) AS pair,
+             cnt
+      FROM w)
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM p GROUP BY pair ORDER BY pair"""
+
+  /** Gated rows-only (iterative argmax + fold has no SQL twin; the
+    * algorithm is instead pinned against an independent scalar
+    * reimplementation in BpeSpec): the learned merge table. */
+  def tokBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    train(Tables.documents(spark, dir)).merges
+      .map(m => (m.rank, m.left, m.right, m.merged, m.cnt))
+      .toDF("rank", "left", "right", "merged", "cnt")
+      .orderBy(col("rank"))
+  }
+}

@@ -75,6 +75,7 @@ object SparkEntry {
     // the SAME oracle SQL as their batch twins (stream ≡ batch ≡ oracle)
     "stream_agg_store" -> (graft.streaming.StreamingGates.streamAggStore _),
     "stream_neardup" -> (graft.streaming.StreamingGates.streamNearDup _),
+    "stream_sessionize" -> (graft.streaming.StreamingGates.streamSessionize _),
     // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
     "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
@@ -237,6 +238,7 @@ object SparkEntry {
     // streaming gates share their batch twins' oracles by design
     "stream_agg_store" -> Incremental.aggIncrementalOrdersSql,
     "stream_neardup" -> Dedup.ddMinhashLshSql,
+    "stream_sessionize" -> Relational.q19UserSessionsSql,
     "layout_zorder" -> Layout.layoutZorderSql,
     "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
     "k4_partition_prune" -> PartitionedWrite.k4PartitionPruneSql,

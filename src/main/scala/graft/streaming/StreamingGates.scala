@@ -56,6 +56,59 @@ object StreamingGates {
       .orderBy(col("o_custkey"))
   }
 
+  /** Replay `events` as a time-ordered 3-chunk stream (the changelog
+    * arrival shape: each chunk's events are all >= the previous chunk's
+    * max, so the 1-hour watermark never marks a replayed event late)
+    * through the stateful sessionizer
+    * ([[StreamingPipeline.sessionize]]: flatMapGroupsWithState,
+    * interval-merge state, EventTimeTimeout close), then a far-future
+    * sentinel clock event pushes the watermark past every real
+    * session's end + gap so all of them close. The closed sessions roll
+    * up per user to exactly the batch q19 relation, so the gate shares
+    * `q19_user_sessions`' oracle SQL — stream ≡ batch ≡ oracle.
+    *
+    * The ntile chunking and the batch-by-batch `processAllAvailable`
+    * drive are replay scaffolding (a deterministic stand-in for a Kafka
+    * topic), not operator cost; the operator's own state is bounded by
+    * the watermark horizon, never by user lifetime. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.events(spark, dir)
+    val in = tmp("graft_sgate_sess_in_")
+    val out = tmp("graft_sgate_sess_out_")
+    val ckpt = tmp("graft_sgate_sess_ckpt_")
+    val sentinel = 999999999L
+    val chunked = events
+      .withColumn("chunk", ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+      .localCheckpoint(true)
+    val src = spark.readStream.schema(events.schema)
+      .parquet(in)
+    val q = StreamingPipeline.sessionize(spark, src)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      (1 to 3).foreach { i =>
+        chunked.filter(col("chunk") === i).drop("chunk")
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      events.limit(1)
+        .withColumn("user_id", lit(sentinel))
+        .withColumn("ts",
+          lit(new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000L)))
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read
+      .schema("user_id BIGINT, session_start BIGINT, session_end BIGINT, n_events BIGINT")
+      .parquet(out)
+      .filter(col("user_id") =!= sentinel)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Replay the augmented near-dup corpus as a 3-batch document stream
     * through the FULL streaming near-dup pipeline — shingle store
     * ([[StreamingPipeline.startShingleStore]]) + batch-equivalent LSH

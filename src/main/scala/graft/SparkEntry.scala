@@ -76,6 +76,8 @@ object SparkEntry {
     "stream_agg_store" -> (graft.streaming.StreamingGates.streamAggStore _),
     "stream_neardup" -> (graft.streaming.StreamingGates.streamNearDup _),
     "stream_sessionize" -> (graft.streaming.StreamingGates.streamSessionize _),
+    "stream_windowed_agg" -> (graft.streaming.StreamingGates.streamWindowedAgg _),
+    "stream_cdc_store" -> (graft.streaming.StreamingGates.streamCdcStore _),
     // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
     "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
@@ -117,6 +119,8 @@ object SparkEntry {
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
+    // lossless prefix-filtered twin — same oracle as dd_ngram_jaccard
+    "dd_ssjoin_prefix" -> (Dedup.ddSsjoinPrefix _),
     "dd_containment" -> (Dedup.ddContainment _),
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
     "dd_simhash" -> (Dedup.ddSimhash _),
@@ -239,6 +243,8 @@ object SparkEntry {
     "stream_agg_store" -> Incremental.aggIncrementalOrdersSql,
     "stream_neardup" -> Dedup.ddMinhashLshSql,
     "stream_sessionize" -> Relational.q19UserSessionsSql,
+    "stream_windowed_agg" -> Relational.q18EventsHourlySql,
+    "stream_cdc_store" -> Cdc.cdcMergeOrdersSql,
     "layout_zorder" -> Layout.layoutZorderSql,
     "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
     "k4_partition_prune" -> PartitionedWrite.k4PartitionPruneSql,
@@ -272,6 +278,7 @@ object SparkEntry {
     "tok_pair_counts" -> Bpe.tokPairCountsSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
+    "dd_ssjoin_prefix" -> Dedup.ddNgramJaccardSql,
     "dd_containment" -> Dedup.ddContainmentSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
     "dd_simhash" -> Dedup.ddSimhashSql,

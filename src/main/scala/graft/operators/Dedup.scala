@@ -112,6 +112,47 @@ object Dedup {
     jaccardFinalize(common, s, threshold = 0.5)
   }
 
+  /** Exact set-similarity join via prefix filtering (SSJoin/All-Pairs
+    * lineage — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07):
+    * IDENTICAL output to [[ddNgramJaccard]] — it is gated against the
+    * same oracle SQL, so every run hash-proves the filter lossless —
+    * but the candidate join touches only each document's PREFIX: its
+    * `|S| - ceil(t*|S|) + 1` globally-RAREST shingles under a corpus
+    * rarity order (document frequency asc, hash asc). Overlap lemma:
+    * jaccard >= t forces `|A∩B| >= ceil(t*|A|)`; if the prefixes
+    * shared no token, whichever prefix ends earlier in the global
+    * order would confine the whole intersection to its
+    * `ceil(t*|side|) - 1` suffix slots — too few. So every qualifying
+    * pair collides on a prefix token.
+    *
+    * 100 TB shape: the exact baseline's candidate count is collisions
+    * on ALL tokens — Zipf's head tokens each contribute df² pairs. The
+    * prefix join collides only on each doc's rarest tokens (the head
+    * falls outside every prefix), the classic order-of-magnitude
+    * candidate cut, while staying EXACT — no LSH false-negative
+    * budget. Costs one extra df aggregation + per-doc sort; the verify
+    * stage is the shared [[jaccardFinalize]] arithmetic. */
+  def ddSsjoinPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val s = shingleRows(spark, dir)
+    val dfreq = s.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = s.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(toks, 1, size(toks) - CAST(ceil($t * size(toks)) AS INT) + 1)")).as("tk"))
+      .select(col("doc_id"), col("tk.h").as("h"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val common = cand
+      .join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(s.withColumnRenamed("doc_id", "id_b"), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+    jaccardFinalize(common, s, threshold = t)
+  }
+
   /** Shared jaccard finalize: join per-doc shingle counts onto an
     * (id_a, id_b, n_common) relation, compute jaccard, threshold, and
     * order — ONE definition of the jaccard arithmetic for the exact

@@ -56,6 +56,84 @@ object StreamingGates {
       .orderBy(col("o_custkey"))
   }
 
+  /** Replay the synthetic orders changelog in `_seq` order (one
+    * micro-batch per seq epoch — the CDC topic contract) through the
+    * versioned streaming snapshot store
+    * ([[StreamingPipeline.startCdcSnapshotStore]]: per-batch
+    * [[graft.operators.Cdc.applyChangelog]] fold, seeded with the
+    * pre-changelog `orders` snapshot as `v=-1`), then read the newest
+    * version. Gated against the batch `cdc_merge_orders` oracle — the
+    * hash compare proves streamed-fold ≡ one-shot-merge ≡ oracle across
+    * every changelog arm (double update, delete-after-update, insert,
+    * passthrough). */
+  def streamCdcStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cdc
+    val orders = Tables.orders(spark, dir)
+    val changes = Cdc.syntheticOrdersChangelog(orders).localCheckpoint(true)
+    val in = tmp("graft_sgate_cdc_in_")
+    val store = tmp("graft_sgate_cdc_store_")
+    val ckpt = tmp("graft_sgate_cdc_ckpt_")
+    orders.write.mode("overwrite").parquet(s"$store/v=-1")
+    val src = spark.readStream.schema(changes.schema).parquet(in)
+    val q = StreamingPipeline.startCdcSnapshotStore(
+      src, store, ckpt, Seq("o_orderkey"), orders.schema)
+    try {
+      Seq(1L, 2L).foreach { seq =>
+        changes.filter(col("_seq") === seq)
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    StreamingPipeline.latestSnapshot(spark, store, orders.schema)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Replay `events` as a time-ordered 3-chunk stream through the
+    * watermarked tumbling-window aggregation
+    * ([[StreamingPipeline.windowedCounts]], 1-hour windows, append
+    * mode), with a far-future sentinel clock event (`__clock__` type,
+    * filtered from the result) advancing the watermark past every real
+    * window's end so all of them emit. Gated against the batch
+    * `q18_events_hourly` oracle — the decimal-cast partials make the
+    * per-window fold order-insensitive, so micro-batch boundaries
+    * cannot leak into the sums and the hash compare proves
+    * stream ≡ batch ≡ oracle. */
+  def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.events(spark, dir)
+    val in = tmp("graft_sgate_win_in_")
+    val out = tmp("graft_sgate_win_out_")
+    val ckpt = tmp("graft_sgate_win_ckpt_")
+    val chunked = events
+      .withColumn("chunk", ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+      .localCheckpoint(true)
+    val src = spark.readStream.schema(events.schema).parquet(in)
+    val q = StreamingPipeline.windowedCounts(src,
+        watermark = "1 hour", window_ = "1 hour", slide = "1 hour")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      (1 to 3).foreach { i =>
+        chunked.filter(col("chunk") === i).drop("chunk")
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      events.limit(1)
+        .withColumn("event_type", lit("__clock__"))
+        .withColumn("ts",
+          lit(new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000L)))
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read
+      .schema("w_start TIMESTAMP, w_end TIMESTAMP, event_type STRING, n BIGINT, total_value DOUBLE")
+      .parquet(out)
+      .filter(col("event_type") =!= "__clock__")
+      .select(col("w_start").as("bucket"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
   /** Replay `events` as a time-ordered 3-chunk stream (the changelog
     * arrival shape: each chunk's events are all >= the previous chunk's
     * max, so the 1-hour watermark never marks a replayed event late)

@@ -484,6 +484,58 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming CDC snapshot store — [[graft.operators.Cdc.applyChangelog]]
+    * folded per micro-batch into a versioned snapshot: each batch
+    * applies its changelog slice to the prior snapshot version and
+    * overwrites only `v=<batchId>`, so checkpoint + idempotent
+    * versioned write = effective exactly-once, same crash argument as
+    * [[startIncrementalAggStore]]. Sequential-fold ≡ one-shot merge
+    * holds under the standard CDC topic contract (a key's changes
+    * arrive in `_seq` order across batches; within a batch the per-key
+    * window picks the max): update-then-update keeps the later row,
+    * update-then-delete deletes, delete-then-insert resurrects — in
+    * both formulations. Seed the pre-changelog snapshot as `v=-1`.
+    *
+    * Unlike the agg store, a version here is the full snapshot (wide
+    * rows, not per-key partials) — the per-batch rewrite prices at
+    * snapshot size, which is the non-compacting variant of the
+    * production shape (real deployments partition the rewrite or use a
+    * merge-on-read table format; the FOLD arithmetic this pins is the
+    * same either way). */
+  def startCdcSnapshotStore(changes: DataFrame, storeDir: String,
+                            checkpointDir: String, keyCols: Seq[String],
+                            snapshotSchema: StructType): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = latestSnapshot(spark, storeDir, snapshotSchema,
+          beforeVersion = batchId)
+        graft.operators.Cdc.applyChangelog(prior, batch, keyCols)
+          .write.mode("overwrite").parquet(s"$storeDir/v=$batchId")
+      }
+      .start()
+
+  /** Newest snapshot version strictly below `beforeVersion` (same
+    * replay isolation as [[latestPartials]]). The seed version `v=-1`
+    * must exist before the stream starts — a CDC stream with no base
+    * snapshot is a pipeline wiring bug, so this fails loudly instead
+    * of inventing an empty base. */
+  def latestSnapshot(spark: SparkSession, storeDir: String,
+                     schema: StructType,
+                     beforeVersion: Long = Long.MaxValue): DataFrame = {
+    val base = new java.io.File(storeDir)
+    val versions = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(_ < beforeVersion)
+    require(versions.nonEmpty,
+      s"CDC snapshot store $storeDir has no version below $beforeVersion — " +
+        "seed the base snapshot as v=-1 before starting the stream")
+    spark.read.schema(schema).parquet(s"$storeDir/v=${versions.max}")
+  }
+
   /** Newest store version strictly below `beforeVersion` (replay
     * isolation: a re-run of batch b must not read b's own partial
     * output); empty partials when no version exists yet. */

@@ -20,6 +20,20 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${pairs.size} of ${exact.size})")
   }
 
+  test("prefix-filtered set-similarity join is lossless vs the exact baseline") {
+    // the overlap lemma says the rarest-token prefix join may drop NO
+    // qualifying pair; jaccard values must also agree bit-for-bit since
+    // both paths share jaccardFinalize (the sf0.01 oracle gate re-proves
+    // this per round against DuckDB — this pins it in CI at sf0.001)
+    val exact = Dedup.ddNgramJaccard(spark, sf())
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.ddSsjoinPrefix(spark, sf())
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "augmented corpus must contain near-dup pairs")
+    assert(pref == exact,
+      s"prefix join diverged: missing=${(exact -- pref).take(3)} extra=${(pref -- exact).take(3)}")
+  }
+
   test("containment flags every planted subset pair at exactly 1.0") {
     // a variant's 4-gram shingles are a strict subset of its source's
     // (dropping leading words removes shingles, never invents one), so

@@ -577,4 +577,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 3)
     spark.sql("DROP TABLE IF EXISTS dsir_stream")
   }
+
+  test("streaming CDC snapshot store: seq-ordered fold equals the one-shot batch merge") {
+    import graft.operators.Cdc
+    val orders = Tables.orders(spark, sf())
+    val changes = Cdc.syntheticOrdersChangelog(orders).localCheckpoint(true)
+    val in = Files.createTempDirectory("graft_stream_cdc_in_").toString
+    val store = Files.createTempDirectory("graft_stream_cdc_store_").toString
+    val ckpt = Files.createTempDirectory("graft_stream_cdc_ckpt_").toString
+    // an unseeded store is a wiring bug — must fail loudly, not
+    // silently merge into an invented empty base
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.latestSnapshot(spark, store, orders.schema)
+    }
+    orders.write.mode("overwrite").parquet(s"$store/v=-1")
+    val src = spark.readStream.schema(changes.schema).parquet(in)
+    val q = StreamingPipeline.startCdcSnapshotStore(
+      src, store, ckpt, Seq("o_orderkey"), orders.schema)
+    try {
+      Seq(1L, 2L).foreach { seq =>
+        changes.filter(col("_seq") === seq)
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = StreamingPipeline.latestSnapshot(spark, store, orders.schema)
+      .collect().toSet
+    val batch = Cdc.applyChangelog(orders, changes, Seq("o_orderkey"))
+      .collect().toSet
+    assert(streamed == batch, "streamed CDC fold must equal the batch merge")
+    // spot-check every changelog arm reached the store
+    val byKey = streamed.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val dbl = byKey.keys.find(k => k % 20 == 3)
+    assert(dbl.forall(k => byKey(k) == "U2"), "double update must keep the seq-2 row")
+    assert(byKey.keys.forall(_ % 10 != 7), "delete-after-update must drop the key")
+    assert(byKey.keys.exists(_ >= Cdc.InsertOffset), "inserts must land under offset keys")
+  }
 }

@@ -24,7 +24,8 @@ object ScaleProbe {
     "tx_surprisal", "prof_corpus_card", "dd_containment", "dd_curate_pack",
     "sim_mips_topk", "tx_dsir_weights", "tx_dsir_select",
     "sim_neardup_from_index", "tx_bm25_from_index", "sim_pca_project",
-    "sim_mips_lsh", "tx_domain_cap", "tx_hybrid_rrf")
+    "sim_mips_lsh", "tx_domain_cap", "tx_hybrid_rrf",
+    "dd_ngram_jaccard", "dd_ssjoin_prefix")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -83,7 +83,7 @@ object Dedup {
     * shuffle in the plan at all. Persisted: every consumer re-reads this
     * relation — without the persist the md5-per-shingle pipeline
     * recomputes once per reference. */
-  private def shingleRowsOf(corpus: DataFrame): DataFrame =
+  private[graft] def shingleRowsOf(corpus: DataFrame): DataFrame =
     graft.Caches.persist(corpus
       .select(col("doc_id"),
         explode(graft.functions.NgramHash60s.shingleHashes(
@@ -132,9 +132,23 @@ object Dedup {
     * candidate cut, while staying EXACT — no LSH false-negative
     * budget. Costs one extra df aggregation + per-doc sort; the verify
     * stage is the shared [[jaccardFinalize]] arithmetic. */
-  def ddSsjoinPrefix(spark: SparkSession, dir: String): DataFrame = {
-    val t = 0.5
-    val s = shingleRows(spark, dir)
+  def ddSsjoinPrefix(spark: SparkSession, dir: String): DataFrame =
+    ssjoinPrefixOf(augmented(spark, dir), t = 0.5)
+
+  /** [[ddSsjoinPrefix]] over an arbitrary (doc_id, text) corpus. */
+  def ssjoinPrefixOf(corpus: DataFrame, t: Double): DataFrame = {
+    val s = shingleRowsOf(corpus)
+    val common = prefixCandidatesOf(s, t)
+      .join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .join(s.withColumnRenamed("doc_id", "id_b"), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
+    jaccardFinalize(common, s, threshold = t)
+  }
+
+  /** Distinct candidate pairs colliding on a prefix token — exposed for
+    * the candidate-count law in ExtensionSpec (prefix candidates ≪
+    * all-token candidates exactly when df is Zipfian). */
+  private[graft] def prefixCandidatesOf(s: DataFrame, t: Double): DataFrame = {
     val dfreq = s.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val prefix = s.join(dfreq, "h")
       .groupBy(col("doc_id"))
@@ -142,16 +156,19 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"slice(toks, 1, size(toks) - CAST(ceil($t * size(toks)) AS INT) + 1)")).as("tk"))
       .select(col("doc_id"), col("tk.h").as("h"))
-    val cand = prefix.as("a").join(prefix.as("b"),
+    prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val common = cand
-      .join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
-      .join(s.withColumnRenamed("doc_id", "id_b"), Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
-    jaccardFinalize(common, s, threshold = t)
   }
+
+  /** All-token candidate pairs (the exact baseline's join input) — the
+    * contrast relation for the same candidate-count law. */
+  private[graft] def allPairCandidatesOf(s: DataFrame): DataFrame =
+    s.as("a").join(s.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
 
   /** Shared jaccard finalize: join per-doc shingle counts onto an
     * (id_a, id_b, n_common) relation, compute jaccard, threshold, and

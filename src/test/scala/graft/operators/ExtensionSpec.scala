@@ -34,6 +34,36 @@ class ExtensionSpec extends SparkSpec {
       s"prefix join diverged: missing=${(exact -- pref).take(3)} extra=${(pref -- exact).take(3)}")
   }
 
+  test("prefix filtering cuts candidates on a Zipfian corpus; lossless there too") {
+    // every doc shares one stopword run (the Zipf head: df = n, so the
+    // all-token join pays n(n-1)/2 collisions on it alone); each doc's
+    // remaining shingles are private. Prefix filtering must (a) exclude
+    // the head token from every prefix — rarest-first ordering — so
+    // candidates collapse to ~the planted near-dup pairs, and (b) still
+    // find every qualifying pair.
+    val head = "the of and to in that it is was for"
+    val docs = (0 until 40).flatMap { i =>
+      val body = s"$head unique$i word$i token$i item$i thing$i part$i bit$i last$i"
+      // plant a near-dup twin for every 4th doc (same body, one word off)
+      val twin = if (i % 4 == 0)
+        Seq((i + 1000L, body.replace(s"bit$i", s"alt$i"))) else Nil
+      (i.toLong, body) +: twin
+    }.toDF("doc_id", "text")
+    val s = Dedup.shingleRowsOf(docs)
+    val allC = Dedup.allPairCandidatesOf(s).count()
+    val prefC = Dedup.prefixCandidatesOf(s, 0.5).count()
+    // with 50 docs the head run alone forces >=1225 all-pair candidates;
+    // prefixes see only the rare tail
+    assert(allC >= 1000L, s"head token must dominate all-pair candidates, got $allC")
+    assert(prefC * 10 <= allC,
+      s"prefix filter must cut candidates >=10x on a Zipf head, got $prefC of $allC")
+    val exact = Dedup.ssjoinPrefixOf(docs, 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert((0 until 40 by 4).forall(i => exact.contains((i.toLong, i + 1000L))),
+      s"planted twins missing from prefix join output: $exact")
+    graft.Caches.releaseAll()
+  }
+
   test("containment flags every planted subset pair at exactly 1.0") {
     // a variant's 4-gram shingles are a strict subset of its source's
     // (dropping leading words removes shingles, never invents one), so

@@ -110,17 +110,21 @@ object SparkEntry {
     "tx_domain_cap" -> (TextAnalysis.txDomainCap _),
     "tx_temperature_mix" -> (TextAnalysis.txTemperatureMix _),
     "graph_pagerank" -> (Graph.graphPageRank _),
+    "graph_triangles" -> (Graph.graphTriangles _),
     // rows-only (trained weights; see QualityClassifierSpec)
     "qc_train_score" -> (QualityClassifier.qcTrainScore _),
     // Tokenizer training
     "tok_pair_counts" -> (Bpe.tokPairCounts _),
     // rows-only (iterative argmax; algorithm pinned in BpeSpec)
     "tok_bpe_merges" -> (Bpe.tokBpeMerges _),
+    "tok_bpe_dict" -> (Bpe.tokBpeDict _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
     // lossless prefix-filtered twin — same oracle as dd_ngram_jaccard
     "dd_ssjoin_prefix" -> (Dedup.ddSsjoinPrefix _),
+    // df-profile chooser; both branches exact, so hash-exact too
+    "dd_ssjoin_auto" -> (Dedup.ddSsjoinAuto _),
     "dd_containment" -> (Dedup.ddContainment _),
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
     "dd_simhash" -> (Dedup.ddSimhash _),
@@ -275,10 +279,12 @@ object SparkEntry {
     "tx_domain_cap" -> TextAnalysis.txDomainCapSql,
     "tx_temperature_mix" -> TextAnalysis.txTemperatureMixSql,
     "graph_pagerank" -> Graph.graphPageRankSql,
+    "graph_triangles" -> Graph.graphTrianglesSql,
     "tok_pair_counts" -> Bpe.tokPairCountsSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_ssjoin_prefix" -> Dedup.ddNgramJaccardSql,
+    "dd_ssjoin_auto" -> Dedup.ddNgramJaccardSql,
     "dd_containment" -> Dedup.ddContainmentSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
     "dd_simhash" -> Dedup.ddSimhashSql,

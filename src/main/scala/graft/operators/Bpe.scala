@@ -149,4 +149,15 @@ object Bpe {
       .toDF("rank", "left", "right", "merged", "cnt")
       .orderBy(col("rank"))
   }
+
+  /** Gated rows-only (downstream of the same iterative train): the
+    * trained encode dict — every corpus word with its final symbol
+    * sequence. This is the artifact [[encode]] broadcasts; gating it
+    * pins the whole train→segment chain per round (BpeSpec pins the
+    * algorithm against a scalar reimplementation; this pins the
+    * DISTRIBUTED fold's output end to end). */
+  def tokBpeDict(spark: SparkSession, dir: String): DataFrame =
+    train(Tables.documents(spark, dir)).dict
+      .select(col("word"), array_join(col("syms"), " ").as("tokens"))
+      .orderBy(col("word"))
 }

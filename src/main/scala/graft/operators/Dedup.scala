@@ -102,14 +102,16 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5). Quadratic in shingle
     * co-occurrence — the validation baseline the LSH path is checked
     * against, not the 100 TB path. */
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val s = shingleRows(spark, dir)
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    allPairsJaccardOnShingles(shingleRows(spark, dir), t = 0.5)
+
+  private def allPairsJaccardOnShingles(s: DataFrame, t: Double): DataFrame = {
     val a = s.as("a"); val b = s.as("b")
     val common = a.join(b, col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    jaccardFinalize(common, s, threshold = 0.5)
+    jaccardFinalize(common, s, threshold = t)
   }
 
   /** Exact set-similarity join via prefix filtering (SSJoin/All-Pairs
@@ -136,14 +138,46 @@ object Dedup {
     ssjoinPrefixOf(augmented(spark, dir), t = 0.5)
 
   /** [[ddSsjoinPrefix]] over an arbitrary (doc_id, text) corpus. */
-  def ssjoinPrefixOf(corpus: DataFrame, t: Double): DataFrame = {
-    val s = shingleRowsOf(corpus)
+  def ssjoinPrefixOf(corpus: DataFrame, t: Double): DataFrame =
+    prefixJaccardOnShingles(shingleRowsOf(corpus), t)
+
+  private def prefixJaccardOnShingles(s: DataFrame, t: Double): DataFrame = {
     val common = prefixCandidatesOf(s, t)
       .join(s.withColumnRenamed("doc_id", "id_a"), "id_a")
       .join(s.withColumnRenamed("doc_id", "id_b"), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
     jaccardFinalize(common, s, threshold = t)
   }
+
+  /** Head-heaviness decision for [[ssjoinAutoOf]]: true when ONE
+    * shingle alone carries over 10% of the corpus collision mass
+    * (Σ df² — each token's df² is the candidate pairs it forces into
+    * the all-pairs join). One map-side-combined aggregate and a
+    * 2-scalar driver pull — the same corpus-derived-constant posture
+    * as `Similarity.autoPlanes`. */
+  private[graft] def ssjoinHeadHeavyOf(s: DataFrame): Boolean = {
+    val row = s.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df") * col("df")).as("head_mass"),
+        sum(col("df") * col("df")).as("mass")).head()
+    row.getLong(0) * 10L > row.getLong(1)
+  }
+
+  /** Production entry: measure the df profile, then run the prefix
+    * filter exactly when the Zipf head dominates the collision mass
+    * (the regime SCALING.md's probe numbers carve out) and the plain
+    * equi-join otherwise. BOTH branches are exact, so unlike the
+    * other auto variants this one is gated HASH-EXACT against the
+    * same oracle as [[ddNgramJaccard]] — the chooser cannot change
+    * the answer, only the plan. */
+  def ssjoinAutoOf(corpus: DataFrame, t: Double): DataFrame = {
+    val s = shingleRowsOf(corpus)
+    if (ssjoinHeadHeavyOf(s)) prefixJaccardOnShingles(s, t)
+    else allPairsJaccardOnShingles(s, t)
+  }
+
+  /** Gated query for [[ssjoinAutoOf]]. */
+  def ddSsjoinAuto(spark: SparkSession, dir: String): DataFrame =
+    ssjoinAutoOf(augmented(spark, dir), t = 0.5)
 
   /** Distinct candidate pairs colliding on a prefix token — exposed for
     * the candidate-count law in ExtensionSpec (prefix candidates ≪

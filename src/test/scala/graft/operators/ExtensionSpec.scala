@@ -61,6 +61,12 @@ class ExtensionSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert((0 until 40 by 4).forall(i => exact.contains((i.toLong, i + 1000L))),
       s"planted twins missing from prefix join output: $exact")
+    // the df-profile chooser must route THIS corpus to the prefix
+    // branch (one stopword shingle owns >10% of the collision mass)
+    // and the flat-df test corpus to the plain equi-join
+    assert(Dedup.ssjoinHeadHeavyOf(s), "Zipf-head corpus must measure head-heavy")
+    val sFlat = Dedup.shingleRowsOf(graft.sources.Tables.documents(spark, sf()))
+    assert(!Dedup.ssjoinHeadHeavyOf(sFlat), "probe corpus must measure flat-df")
     graft.Caches.releaseAll()
   }
 

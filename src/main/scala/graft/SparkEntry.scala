@@ -78,6 +78,7 @@ object SparkEntry {
     "stream_sessionize" -> (graft.streaming.StreamingGates.streamSessionize _),
     "stream_windowed_agg" -> (graft.streaming.StreamingGates.streamWindowedAgg _),
     "stream_cdc_store" -> (graft.streaming.StreamingGates.streamCdcStore _),
+    "stream_cdc_scd2" -> (graft.streaming.StreamingGates.streamCdcScd2 _),
     // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
     "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
@@ -249,6 +250,7 @@ object SparkEntry {
     "stream_sessionize" -> Relational.q19UserSessionsSql,
     "stream_windowed_agg" -> Relational.q18EventsHourlySql,
     "stream_cdc_store" -> Cdc.cdcMergeOrdersSql,
+    "stream_cdc_scd2" -> Cdc.cdcScd2OrdersSql,
     "layout_zorder" -> Layout.layoutZorderSql,
     "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
     "k4_partition_prune" -> PartitionedWrite.k4PartitionPruneSql,

@@ -122,6 +122,51 @@ object Cdc {
     fromSnapshot.unionByName(fromChanges)
   }
 
+  /** Incremental [[applyChangelogScd2]]: fold one changelog SLICE into
+    * an existing history table (the output shape of
+    * `applyChangelogScd2` itself, so folds chain). Under the CDC topic
+    * contract (every seq in `changes` is greater than every seq already
+    * folded), chaining slice folds is provably identical to the
+    * one-shot merge: a version left open by an earlier slice gets its
+    * `valid_to` from the key's FIRST seq in the later slice — exactly
+    * the `lead` the one-shot window would have seen across the slice
+    * boundary; versions closed within a slice close by the in-slice
+    * lead either way.
+    *
+    * Scale shape: the window shuffles only the incoming slice; the
+    * history side left-joins the tiny per-key first-seq relation
+    * (broadcast under AQE) to learn which OPEN rows to close — closed
+    * history rows pass through untouched, never shuffled. */
+  def applyChangelogScd2Delta(history: DataFrame, changes: DataFrame,
+                              keyCols: Seq[String], seqCol: String = "_seq",
+                              opCol: String = "_op",
+                              strict: Boolean = false): DataFrame = {
+    val histCols = Set("valid_from", "valid_to", "is_current")
+    require(histCols.subsetOf(history.columns.toSet),
+      "history must be applyChangelogScd2 output (valid_from/valid_to/is_current)")
+    if (strict) requireNoSeqTies(changes, keyCols, seqCol)
+    val snapCols = history.columns.toSeq.filterNot(histCols)
+    require(changes.columns.toSet == snapCols.toSet + seqCol + opCol,
+      s"changelog schema must be history data columns + $seqCol + $opCol")
+    val firstSeq = changes.groupBy(keyCols.map(col): _*)
+      .agg(min(col(seqCol)).cast("long").as("__first_seq"))
+    val closed = history.join(firstSeq, keyCols, "left")
+      .select(snapCols.map(col) ++ Seq(
+        col("valid_from"),
+        when(col("is_current") && col("__first_seq").isNotNull, col("__first_seq"))
+          .otherwise(col("valid_to")).as("valid_to"),
+        (col("is_current") && col("__first_seq").isNull).as("is_current")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    val fresh = changes
+      .withColumn("__next_seq", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .select(snapCols.map(col) ++ Seq(
+        col(seqCol).cast("long").as("valid_from"),
+        col("__next_seq").cast("long").as("valid_to"),
+        col("__next_seq").isNull.as("is_current")): _*)
+    closed.unionByName(fresh)
+  }
+
   /** Insert-key offset for the gated query's synthetic changelog — far
     * above any test-scale orderkey range so derived insert keys cannot
     * collide with live ones (the id-collision trap the probe-corpus

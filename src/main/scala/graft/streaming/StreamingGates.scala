@@ -88,6 +88,44 @@ object StreamingGates {
       .orderBy(col("o_orderkey"))
   }
 
+  /** SCD2 twin of [[streamCdcStore]]: the same seq-ordered changelog
+    * replay folded through the versioned HISTORY store
+    * ([[StreamingPipeline.startScd2HistoryStore]], seeded with the
+    * pre-changelog history = every order open with null bounds), gated
+    * against the batch `cdc_scd2_orders` oracle — slice-fold ≡
+    * one-shot SCD2 merge including every validity bound and
+    * `is_current` flag. */
+  def streamCdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cdc
+    import org.apache.spark.sql.types.{BooleanType, LongType}
+    val orders = Tables.orders(spark, dir)
+    val changes = Cdc.syntheticOrdersChangelog(orders).localCheckpoint(true)
+    val in = tmp("graft_sgate_scd2_in_")
+    val store = tmp("graft_sgate_scd2_store_")
+    val ckpt = tmp("graft_sgate_scd2_ckpt_")
+    // seed history: the untouched snapshot, all rows open
+    orders
+      .withColumn("valid_from", lit(null).cast(LongType))
+      .withColumn("valid_to", lit(null).cast(LongType))
+      .withColumn("is_current", lit(true))
+      .write.mode("overwrite").parquet(s"$store/v=-1")
+    val histSchema = orders.schema
+      .add("valid_from", LongType).add("valid_to", LongType)
+      .add("is_current", BooleanType, nullable = false)
+    val src = spark.readStream.schema(changes.schema).parquet(in)
+    val q = StreamingPipeline.startScd2HistoryStore(
+      src, store, ckpt, Seq("o_orderkey"), histSchema)
+    try {
+      Seq(1L, 2L).foreach { seq =>
+        changes.filter(col("_seq") === seq)
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    StreamingPipeline.latestSnapshot(spark, store, histSchema)
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
   /** Replay `events` as a time-ordered 3-chunk stream through the
     * watermarked tumbling-window aggregation
     * ([[StreamingPipeline.windowedCounts]], 1-hour windows, append

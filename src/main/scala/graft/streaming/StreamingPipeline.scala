@@ -517,6 +517,28 @@ object StreamingPipeline {
       }
       .start()
 
+  /** SCD2 companion to [[startCdcSnapshotStore]]: the versioned store
+    * holds the full HISTORY table and each micro-batch folds its
+    * changelog slice in via
+    * [[graft.operators.Cdc.applyChangelogScd2Delta]] — same seed
+    * (`v=-1` = the pre-changelog history), same idempotent versioned
+    * write, same exactly-once argument. Point-in-time queries stay
+    * answerable at every version boundary. */
+  def startScd2HistoryStore(changes: DataFrame, storeDir: String,
+                            checkpointDir: String, keyCols: Seq[String],
+                            historySchema: StructType): StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = latestSnapshot(spark, storeDir, historySchema,
+          beforeVersion = batchId)
+        graft.operators.Cdc.applyChangelogScd2Delta(prior, batch, keyCols)
+          .write.mode("overwrite").parquet(s"$storeDir/v=$batchId")
+      }
+      .start()
+
   /** Newest snapshot version strictly below `beforeVersion` (same
     * replay isolation as [[latestPartials]]). The seed version `v=-1`
     * must exist before the stream starts — a CDC stream with no base

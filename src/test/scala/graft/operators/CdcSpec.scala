@@ -120,4 +120,25 @@ class CdcSpec extends SparkSpec {
     assert(upd2.filter(col("o_orderstatus") =!= "U2").count() == 0,
       "seq-2 update must win over seq-1")
   }
+
+  test("scd2 delta fold: chained slice folds equal the one-shot merge") {
+    // every arm crosses the slice boundary: update→update, update→delete,
+    // insert-then-update, and a slice-2-only insert
+    val changes = Seq(
+      Change(2, "b1", 1, "U"), Change(2, "b2", 2, "U"),
+      Change(3, "c1", 1, "U"), Change(3, "c1", 2, "D"),
+      Change(9, "i1", 1, "I"), Change(9, "i2", 2, "U"),
+      Change(8, "j1", 2, "I")).toDF()
+    val oneShot = Cdc.applyChangelogScd2(snap, changes, Seq("k"))
+      .collect().toSet
+    val seed = snap
+      .withColumn("valid_from", lit(null).cast("long"))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    val folded = Seq(1L, 2L).foldLeft(seed) { (h, s) =>
+      Cdc.applyChangelogScd2Delta(h, changes.filter(col("_seq") === s), Seq("k"))
+    }.collect().toSet
+    assert(folded == oneShot,
+      s"fold diverged: missing=${(oneShot -- folded).take(3)} extra=${(folded -- oneShot).take(3)}")
+  }
 }

@@ -112,6 +112,8 @@ object SparkEntry {
     "tx_temperature_mix" -> (TextAnalysis.txTemperatureMix _),
     "graph_pagerank" -> (Graph.graphPageRank _),
     "graph_triangles" -> (Graph.graphTriangles _),
+    "graph_kcore" -> (Graph.graphKcore _),
+    "cdc_time_travel" -> (Cdc.cdcTimeTravel _),
     // rows-only (trained weights; see QualityClassifierSpec)
     "qc_train_score" -> (QualityClassifier.qcTrainScore _),
     // Tokenizer training
@@ -282,6 +284,8 @@ object SparkEntry {
     "tx_temperature_mix" -> TextAnalysis.txTemperatureMixSql,
     "graph_pagerank" -> Graph.graphPageRankSql,
     "graph_triangles" -> Graph.graphTrianglesSql,
+    "graph_kcore" -> Graph.graphKcoreSql,
+    "cdc_time_travel" -> Cdc.cdcTimeTravelSql,
     "tok_pair_counts" -> Bpe.tokPairCountsSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,

@@ -216,6 +216,27 @@ object Cdc {
       .orderBy(col("o_orderkey"), col("valid_from"))
   }
 
+  /** Travel seq for the gated point-in-time query. */
+  val TravelSeq = 1L
+
+  /** Point-in-time reconstruction off the SCD2 history — the query the
+    * history table exists to answer: the snapshot AS OF seq s is every
+    * version whose validity interval covers s
+    * (`valid_from ≤ s < valid_to`, null bounds open). Gated hash-exact
+    * against an INDEPENDENT derivation: [[applyChangelog]] semantics
+    * over the changelog truncated at s — time travel through intervals
+    * must equal replaying only the prefix. One narrow filter over the
+    * history, no shuffle beyond the history build itself. */
+  def cdcTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hist = applyChangelogScd2(o, syntheticOrdersChangelog(o), Seq("o_orderkey"))
+    hist.filter(
+        (col("valid_from").isNull || col("valid_from") <= TravelSeq) &&
+        (col("valid_to").isNull || col("valid_to") > TravelSeq))
+      .select(o.columns.map(col): _*)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** The synthetic changelog as a DuckDB CTE — shared by both oracles so
     * the SCD2 gate provably exercises the same change stream. */
   private val changesCteSql: String = s"""changes AS (
@@ -269,4 +290,22 @@ object Cdc {
            next_seq IS NULL AS is_current
     FROM seqd WHERE _op <> 'D'
     ORDER BY o_orderkey, valid_from"""
+
+  /** Oracle for [[cdcTimeTravel]] — deliberately NOT derived from the
+    * SCD2 CTEs: it replays the truncated changelog through the merge
+    * semantics instead, so the gate cross-checks the two formulations
+    * against each other. */
+  val cdcTimeTravelSql: String = s"""
+    WITH $changesCteSql,
+    prefix AS (SELECT * FROM changes WHERE _seq <= $TravelSeq),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY _seq DESC) AS rn
+        FROM prefix) WHERE rn = 1)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM latest WHERE _op <> 'D'
+    ORDER BY o_orderkey"""
 }

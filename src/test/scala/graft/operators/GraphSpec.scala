@@ -57,4 +57,41 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(once == dup)
   }
+
+  test("triangles: clique counts, bipartite zero, wedge orientation exactness") {
+    import org.apache.spark.sql.functions.col
+    // K4 on {1..4}: every node sits on C(3,2)=3 triangles
+    val k4 = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)).toDF("a", "b")
+    val got = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // bipartite C4 (1-5, 1-6, 2-5, 2-6): wedges exist, no triangle closes
+    val c4 = Seq((1L, 5L), (1L, 6L), (2L, 5L), (2L, 6L)).toDF("a", "b")
+    assert(Graph.triangleCounts(c4).count() == 0)
+  }
+
+  test("kcore: peels the pendant tail, keeps the clique, fixpoint at gate rounds") {
+    import org.apache.spark.sql.functions.col
+    // K4 {1..4} + tail 4-5-6: the 3-core is exactly the K4 (degree 3 each)
+    val edges = ((for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)) ++
+      Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val got = Graph.kcore(edges, k = 3, rounds = Graph.CoreRounds)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // fixed-round idempotence ON THE GATED GRAPH: one extra round
+    // changes nothing, so CoreRounds has truly converged (the oracle
+    // mirrors rounds, so this is what makes the gate output THE k-core)
+    val li = graft.sources.Tables.lineitem(spark, sf())
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_suppkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_suppkey") < col("y.l_suppkey"))
+      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
+      .distinct()
+    val atRounds = Graph.kcore(e, Graph.CoreK, Graph.CoreRounds)
+      .as[(Long, Long)].collect().toSet
+    val onePast = Graph.kcore(e, Graph.CoreK, Graph.CoreRounds + 1)
+      .as[(Long, Long)].collect().toSet
+    assert(atRounds == onePast, "peel must reach its fixpoint within CoreRounds")
+  }
 }

@@ -82,10 +82,16 @@ object EntityResolution {
     // inherit file partitioning.
     val spread = rows.repartition(
       rows.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    // ids-only through the shuffle; names re-join after candidate dedup
+    // ids-only through the shuffle; names re-join after candidate dedup.
+    // Variants ship as 8-byte xxhash64, not strings: equal variants keep
+    // equal hashes (recall unchanged); a cross-string hash collision can
+    // only ADD a candidate, which the exact levenshtein verify kills —
+    // the same generate-with-guarantee/verify-exact contract, with a
+    // ~2x narrower shuffle on realistic name lengths.
     val variants = spread.select(
-      col(idCol).as("id"),
-      explode(expr(deletionVariantsExpr(nameCol, maxDist))).as("variant"))
+        col(idCol).as("id"),
+        explode(expr(deletionVariantsExpr(nameCol, maxDist))).as("v"))
+      .select(col("id"), xxhash64(col("v")).as("variant"))
     val a = variants.select(col("id").as("id_a"), col("variant"))
     val b = variants.select(col("id").as("id_b"), col("variant"))
     // one pair can share several variants; dedup BEFORE the name

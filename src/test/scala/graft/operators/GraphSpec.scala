@@ -80,14 +80,7 @@ class GraphSpec extends SparkSpec {
     // fixed-round idempotence ON THE GATED GRAPH: one extra round
     // changes nothing, so CoreRounds has truly converged (the oracle
     // mirrors rounds, so this is what makes the gate output THE k-core)
-    val li = graft.sources.Tables.lineitem(spark, sf())
-      .select(org.apache.spark.sql.functions.col("l_orderkey"),
-        org.apache.spark.sql.functions.col("l_suppkey"))
-    val e = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_suppkey") < col("y.l_suppkey"))
-      .select(col("x.l_suppkey").as("a"), col("y.l_suppkey").as("b"))
-      .distinct()
+    val e = Graph.cooccurrenceEdges(spark, sf())
     val atRounds = Graph.kcore(e, Graph.CoreK, Graph.CoreRounds)
       .as[(Long, Long)].collect().toSet
     val onePast = Graph.kcore(e, Graph.CoreK, Graph.CoreRounds + 1)

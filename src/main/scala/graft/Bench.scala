@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR,
-  * writes the complete record to BENCH_FULL.json, and prints two JSON
-  * lines — the full record first, then a compact tail-safe summary the
-  * driver's ~2000-char stdout capture can always parse whole (see the
-  * output block at the bottom for the exact split).
+  * writes the complete record to BENCH_FULL.json, and prints ONLY a
+  * compact summary JSON line (duplicated as first and last stdout line)
+  * that fits any bounded stdout capture whole (see the output block at
+  * the bottom for the rationale).
   *
   * Each query is forced with the `noop` datasource write — a bare
   * `count()` lets Spark elide aggregate/projection work (column pruning
@@ -84,23 +84,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timed.map(_._2).sum
-    // The driver keeps only the LAST ~2000 chars of stdout and parses a
-    // JSON line out of that tail. The full named per-query map outgrew
-    // the tail at 115 queries (~2.9 KB — BENCH_r06 recorded
-    // "parsed": null with 43 timings cut mid-key), so the output is
-    // split three ways, nothing lost:
-    //   1. BENCH_FULL.json — the complete record, written to a file
-    //      (repo cwd by default) no tail can truncate;
-    //   2. the full line, printed FIRST for full-stdout consumers
-    //      (truncated from the driver's tail — that's fine, it exists
-    //      in the file);
-    //   3. a compact FINAL line that always fits the tail: headline
-    //      total + failures + the 12 slowest as a named map +
-    //      "t_by_name", EVERY timing as a values-only array ordered by
-    //      query name ascending (reassemble names from the sorted keys
-    //      of SparkEntry.queries minus `failed` — same ordering this
-    //      file measures in). ~6 bytes/query keeps the line under the
-    //      tail through several hundred queries.
+    // The driver's capture of this process's stdout is bounded (~2000
+    // chars, and r6/r7 showed it may read from either end), so stdout
+    // carries ONLY a compact summary line — printed as both the FIRST
+    // and the LAST stdout line, so a head-reader and a tail-reader each
+    // see one complete parseable JSON object. At ~20 bytes per slowest
+    // entry the line stays well under any plausible capture bound
+    // regardless of how many queries the suite grows to. The complete
+    // per-query map is NOT printed; it is written to BENCH_FULL.json
+    // (repo cwd by default), which no capture bound can truncate.
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
@@ -108,11 +100,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
-    println(fullJson)
     val slowest = timed.sortBy { case (_, v) => -v }.take(12)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val tByName = timed.map { case (_, v) => fmt(v) }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${timed.size},"failed":$failedJson,"sf":"$sfDir","full":"$fullPath","slowest":$slowest,"t_by_name":$tByName}""")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${timed.size},"failed":$failedJson,"sf":"$sfDir","full":"$fullPath","queries":$slowest}"""
+    println(compact)
+    println(compact)
     spark.stop()
   }
 }

@@ -79,6 +79,7 @@ object SparkEntry {
     "stream_windowed_agg" -> (graft.streaming.StreamingGates.streamWindowedAgg _),
     "stream_cdc_store" -> (graft.streaming.StreamingGates.streamCdcStore _),
     "stream_cdc_scd2" -> (graft.streaming.StreamingGates.streamCdcScd2 _),
+    "stream_mix_drift" -> (graft.streaming.StreamingGates.streamMixDrift _),
     // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
     "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
@@ -116,11 +117,15 @@ object SparkEntry {
     "cdc_time_travel" -> (Cdc.cdcTimeTravel _),
     // rows-only (trained weights; see QualityClassifierSpec)
     "qc_train_score" -> (QualityClassifier.qcTrainScore _),
+    // hash-exact apply half: integer scoring over the persisted model
+    "qc_score" -> (QualityClassifier.qcScore _),
     // Tokenizer training
     "tok_pair_counts" -> (Bpe.tokPairCounts _),
     // rows-only (iterative argmax; algorithm pinned in BpeSpec)
     "tok_bpe_merges" -> (Bpe.tokBpeMerges _),
     "tok_bpe_dict" -> (Bpe.tokBpeDict _),
+    // hash-exact encode half: corpus words against the persisted dict
+    "tok_encode" -> (Bpe.tokEncode _),
     // Dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
@@ -253,6 +258,7 @@ object SparkEntry {
     "stream_windowed_agg" -> Relational.q18EventsHourlySql,
     "stream_cdc_store" -> Cdc.cdcMergeOrdersSql,
     "stream_cdc_scd2" -> Cdc.cdcScd2OrdersSql,
+    "stream_mix_drift" -> Profiling.profDriftReportSql,
     "layout_zorder" -> Layout.layoutZorderSql,
     "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
     "k4_partition_prune" -> PartitionedWrite.k4PartitionPruneSql,
@@ -287,6 +293,8 @@ object SparkEntry {
     "graph_kcore" -> Graph.graphKcoreSql,
     "cdc_time_travel" -> Cdc.cdcTimeTravelSql,
     "tok_pair_counts" -> Bpe.tokPairCountsSql,
+    "tok_encode" -> Bpe.tokEncodeSql,
+    "qc_score" -> QualityClassifier.qcScoreSql,
     "dd_exact" -> Dedup.ddExactSql,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardSql,
     "dd_ssjoin_prefix" -> Dedup.ddNgramJaccardSql,

@@ -160,4 +160,54 @@ object Bpe {
     train(Tables.documents(spark, dir)).dict
       .select(col("word"), array_join(col("syms"), " ").as("tokens"))
       .orderBy(col("word"))
+
+  /** Fixed location of the persisted encode dict for the gated
+    * [[tokEncode]] query — the oracle reads the SAME parquet artifact
+    * via `read_parquet`, so the compare proves artifact → encode end to
+    * end (the persisted-index posture of `sim_neardup_from_index`
+    * extended to an oracle that consumes the artifact directly). */
+  val DictArtifactPath = "/tmp/graft_artifacts/bpe_dict"
+
+  /** Gated HASH-EXACT: encode the corpus against the PERSISTED trained
+    * dict. Training stays rows-only (iterative argmax has no SQL twin),
+    * but encode GIVEN the dict is a pure deterministic broadcast join —
+    * train → persist (word, tokens) → re-read the artifact → join the
+    * exploded corpus words. Both engines read the identical parquet
+    * relation, so the hash compare pins the whole segmentation output.
+    * Words unseen at training time fall back to character symbols in
+    * both engines (it never fires here — the dict covers its own
+    * training corpus — but both state it, keeping the gate honest about
+    * [[encode]]'s semantics). Scale shape: the dict is vocabulary-sized
+    * (broadcastable at any corpus size); encode is one narrow explode +
+    * broadcast-hash-join, no shuffle. */
+  def tokEncode(spark: SparkSession, dir: String): DataFrame = {
+    val model = train(Tables.documents(spark, dir))
+    model.dict.select(col("word"), array_join(col("syms"), " ").as("tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(DictArtifactPath)
+    val dict = spark.read.parquet(DictArtifactPath)
+    Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(dict), Seq("word"), "left")
+      .select(col("doc_id"), col("word"),
+        coalesce(col("tokens"),
+          array_join(expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            " ")).as("tokens"))
+      .orderBy(col("doc_id"), col("word"))
+  }
+
+  val tokEncodeSql: String = s"""
+    WITH w AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest(${Portable.wordsSql("text")}) AS word
+            FROM documents WHERE text IS NOT NULL)
+      WHERE length(word) > 0)
+    SELECT w.doc_id, w.word,
+           COALESCE(d.tokens,
+             array_to_string(list_transform(range(1, length(w.word) + 1),
+               i -> substr(w.word, CAST(i AS INT), 1)), ' ')) AS tokens
+    FROM w LEFT JOIN read_parquet('$DictArtifactPath/*.parquet') d
+      ON w.word = d.word
+    ORDER BY w.doc_id, w.word"""
 }

@@ -186,13 +186,23 @@ object Profiling {
     * other side is non-empty) — pinned explicitly because the two
     * engines otherwise disagree on the degenerate input: Spark's `div`
     * yields NULL on 0-div-0 while DuckDB's `//` errors. */
-  def categoryDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+  def categoryDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
+    driftFromCounts(
+      a.groupBy(col(keyCol)).agg(count(lit(1)).as("n_a"))
+        .select(col(keyCol).as("category"), col("n_a")),
+      b.groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
+        .select(col(keyCol).as("category"), col("n_b")))
+
+  /** The share/TVD law over PRE-COUNTED category frames — `ca`
+    * (category, n_a) vs `cb` (category, n_b). Factored from
+    * [[categoryDrift]] so the streaming mix-drift gate can run the
+    * EXACT batch formulation over its closed-window count sink instead
+    * of a third copy of the law drifting on its own. */
+  def driftFromCounts(ca0: DataFrame, cb0: DataFrame): DataFrame = {
     // renamed keys keep the full-outer join unambiguous even when both
     // slices are filters of the SAME DataFrame (a self-join by lineage)
-    val ca = a.groupBy(col(keyCol)).agg(count(lit(1)).as("n_a"))
-      .withColumnRenamed(keyCol, "__ka")
-    val cb = b.groupBy(col(keyCol)).agg(count(lit(1)).as("n_b"))
-      .withColumnRenamed(keyCol, "__kb")
+    val ca = ca0.select(col("category").as("__ka"), col("n_a"))
+    val cb = cb0.select(col("category").as("__kb"), col("n_b"))
     val j = ca.join(cb, col("__ka") <=> col("__kb"), "full_outer")
       .select(
         coalesce(col("__ka").cast("string"), col("__kb").cast("string")).as("category"),

@@ -174,4 +174,76 @@ object QualityClassifier {
     val m = train(docs, col("source").isin(Dsir.TargetSources: _*))
     scoreWith(docs, m).orderBy(col("doc_id"))
   }
+
+  /** Fixed location of the persisted fixed-point model for [[qcScore]] —
+    * the oracle reads the SAME parquet relation via `read_parquet`. */
+  val ModelArtifactPath = "/tmp/graft_artifacts/qc_model"
+
+  /** Gated HASH-EXACT: the APPLY half of the classifier over a PERSISTED
+    * fixed-point model. Training stays rows-only (iterative GD), but
+    * scoring given frozen weights is a pure map — so the gate trains,
+    * quantizes each weight to 10⁻⁹ fixed point (longs), persists the
+    * (b, qw) relation + a bias row at b = −1, re-reads the artifact, and
+    * scores with INTEGER arithmetic only: per doc, `q_sum` = Σ qw over
+    * gram-occurrence buckets (order-independent long sum — the codegen'd
+    * [[graft.functions.BucketScore]] kernel) and `pred` ⟺ margin > 0
+    * rewritten division-free as q_sum + q_bias·n_grams > 0 (n_grams > 0;
+    * gram-less docs decide on the bias sign alone). The oracle states the
+    * identical integer relation over the same artifact, so the compare is
+    * hash-exact with zero float tolerance — the [[Dsir]] whole-bit
+    * discipline applied to the learned model's serving path. Scale shape:
+    * O(B) model broadcast in codegen, one narrow projection, no shuffle. */
+  def qcScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val m = train(docs, col("source").isin(Dsir.TargetSources: _*))
+    ((-1L, math.rint(m.bias * QScale).toLong) +:
+      m.w.indices.map(b => (b.toLong, math.rint(m.w(b) * QScale).toLong)))
+      .toDF("b", "qw")
+      .coalesce(1).write.mode("overwrite").parquet(ModelArtifactPath)
+    // score from the PERSISTED integer relation (not the in-memory
+    // doubles) — the same artifact the oracle reads
+    val qw = new Array[Long](B)
+    var qBias = 0L
+    spark.read.parquet(ModelArtifactPath).collect().foreach { r =>
+      val b = r.getLong(0)
+      if (b < 0) qBias = r.getLong(1) else qw(b.toInt) = r.getLong(1)
+    }
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        NgramHash60s.gramBuckets(col("text"), GramN, B.toLong).as("bs"))
+      .select(col("doc_id"),
+        greatest(size(col("bs")), lit(0)).cast("long").as("n_grams"),
+        coalesce(graft.functions.BucketScore.score(col("bs"), qw), lit(0L))
+          .as("q_sum"))
+      .withColumn("pred",
+        when(col("n_grams") > 0, col("q_sum") + lit(qBias) * col("n_grams") > 0)
+          .otherwise(lit(qBias > 0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val qcScoreSql: String = {
+    val bucket = s"((${graft.functions.Portable.hash60Sql("g")} % $B + $B) % $B)"
+    s"""
+    WITH occ AS (
+      SELECT doc_id, $bucket AS b
+      FROM (SELECT doc_id,
+                   unnest(${graft.functions.Portable.ngramsSql("text", GramN)}) AS g
+            FROM documents WHERE text IS NOT NULL)),
+    s AS (
+      SELECT o.doc_id, COUNT(*) AS n_grams, CAST(SUM(m.qw) AS BIGINT) AS q_sum
+      FROM occ o JOIN read_parquet('$ModelArtifactPath/*.parquet') m ON m.b = o.b
+      GROUP BY o.doc_id),
+    bias AS (SELECT qw AS qb FROM read_parquet('$ModelArtifactPath/*.parquet')
+             WHERE b = -1)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(s.q_sum, 0) AS BIGINT) AS q_sum,
+           CASE WHEN COALESCE(s.n_grams, 0) > 0
+                THEN s.q_sum + (SELECT qb FROM bias) * s.n_grams > 0
+                ELSE (SELECT qb FROM bias) > 0 END AS pred
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    WHERE d.text IS NOT NULL
+    ORDER BY d.doc_id"""
+  }
 }

@@ -66,13 +66,27 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as
-    * TimestampType (micros) — it is declared LongType here and converted
-    * to a microsecond timestamp in [[events]]. DuckDB's `epoch_us` floors
-    * the same way, so the two engines agree exactly. */
+  /** `events.ts` raw-long variant, for parquet files whose `ts` column is
+    * TIMESTAMP(NANOS) (or an unannotated int64 carrying epoch nanos) —
+    * Spark cannot read nanos as TimestampType (micros), so [[events]]
+    * reads the raw long and converts with integer `div 1000`. Which
+    * variant applies is decided per directory by a parquet FOOTER PROBE
+    * (see [[events]]); the encoding must never be hard-coded, because the
+    * upstream generator has shipped both nanos and micros encodings. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** `events` with `ts` as a native timestamp — for TIMESTAMP(MICROS) /
+    * TIMESTAMP(MILLIS) parquet, which Spark reads directly (the micros
+    * raw long IS Spark's internal TimestampType encoding — zero-cost). */
+  val eventsMicrosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -108,13 +122,105 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  /** Events with `ts` converted from raw nanos to a microsecond timestamp.
-    * Integer `div` — `/` on longs is double division, and an ns epoch
-    * (~1.7e18) does not fit double's 53-bit mantissa. */
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+  import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+
+  /** Cached per-directory probe of `events.ts`'s parquet time unit, plus
+    * the footer min/max stats used by the data contract. One footer read
+    * per (dir) for the life of the JVM — metadata-only, no data scan. */
+  private case class TsProbe(unit: TimeUnit, minRaw: Option[Long], maxRaw: Option[Long])
+  private val tsProbes = new scala.collection.concurrent.TrieMap[String, TsProbe]
+
+  /** Read the parquet footer of (one file of) `dir/events.parquet` and
+    * return the `ts` column's logical time unit and raw min/max stats.
+    * An unannotated int64 `ts` is treated as the legacy raw-nanos
+    * encoding. Footer-only: at 100 TB this is one metadata RPC, not a
+    * scan, so it is safe to run at catalog time on every cluster. */
+  private def probeTs(spark: SparkSession, dir: String): TsProbe =
+    tsProbes.getOrElseUpdate(dir, {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+            .sortBy(_.getName).headOption.getOrElse(root)
+        else root
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val meta = reader.getFooter
+        val schema = meta.getFileMetaData.getSchema
+        val idx = schema.getFieldIndex("ts")
+        val unit = schema.getType(idx).asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+          case _ => TimeUnit.NANOS // legacy generator: unannotated int64 epoch nanos
+        }
+        var lo, hi = Option.empty[Long]
+        meta.getBlocks.forEach { b =>
+          val st = b.getColumns.get(idx).getStatistics
+          if (st != null && st.hasNonNullValue) {
+            val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+              case (a: java.lang.Long, b2: java.lang.Long) => (a.longValue, b2.longValue)
+              case (a: java.lang.Number, b2: java.lang.Number) => (a.longValue, b2.longValue)
+            }
+            lo = Some(lo.fold(mn)(math.min(_, mn)))
+            hi = Some(hi.fold(mx)(math.max(_, mx)))
+          }
+        }
+        TsProbe(unit, lo, hi)
+      } finally reader.close()
+    })
+
+  /** Raw `ts` long → epoch micros, per the probed unit. */
+  private def rawToMicros(raw: Long, unit: TimeUnit): Long = unit match {
+    case TimeUnit.NANOS  => raw / 1000L
+    case TimeUnit.MICROS => raw
+    case TimeUnit.MILLIS => raw * 1000L
+  }
+
+  /** Data contract: the decoded event-time range must land in a sane epoch
+    * window (year ∈ [2000, 2100)). This is what catches a silent encoding
+    * change in regenerated inputs as an immediate named failure instead of
+    * 1000×-shifted timestamps quietly corrupting every session/window/
+    * cohort result downstream: any unit misread moves the epoch by 10³
+    * (micros read as nanos → 1970; nanos read as micros → year ~55000),
+    * so the year window alone catches every unit error. A span check is
+    * deliberately NOT enforced here — legitimate small fixtures (unit
+    * tests, single-batch replays) span seconds; TablesSpec asserts the
+    * multi-day span on the driver testdata instead. Checked from FOOTER
+    * stats (no scan); skipped if stats are absent. */
+  private def checkTsContract(dir: String, p: TsProbe): Unit =
+    for (mn <- p.minRaw; mx <- p.maxRaw) {
+      val (loUs, hiUs) = (rawToMicros(mn, p.unit), rawToMicros(mx, p.unit))
+      val (y2000, y2100) = (946684800000000L, 4102444800000000L)
+      require(loUs >= y2000 && hiUs < y2100,
+        s"events.ts data contract violated in $dir: decoded range " +
+          s"[$loUs, $hiUs] us (unit=${p.unit}) falls outside years [2000, 2100) — " +
+          "the parquet time encoding likely changed; re-check the footer probe")
+    }
+
+  /** Events with `ts` as a microsecond TimestampType, whatever the file's
+    * physical encoding: TIMESTAMP(MICROS)/(MILLIS) parquet reads natively;
+    * TIMESTAMP(NANOS) (or legacy unannotated int64 nanos) reads as raw
+    * long and converts with integer `div` — `/` on longs is double
+    * division, and an ns epoch (~1.7e18) does not fit double's 53-bit
+    * mantissa. The branch is chosen by [[probeTs]]'s footer read, never
+    * assumed, and the decoded range is validated by [[checkTsContract]]. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = probeTs(spark, dir)
+    checkTsContract(dir, p)
+    p.unit match {
+      case TimeUnit.NANOS =>
+        spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        spark.read.schema(eventsMicrosSchema).parquet(s"$dir/events.parquet")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

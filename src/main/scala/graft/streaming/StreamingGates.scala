@@ -30,6 +30,25 @@ object StreamingGates {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Time-range replay chunker: assign each event to one of `n` chunks by
+    * equal-width TIME ranges (chunk ∈ 1..n), so every event in chunk i+1
+    * is later than every event in chunk i — the changelog arrival
+    * contract both watermarked gates need (append-mode finalizes windows
+    * behind the watermark; a hash chunker would put the global max ts in
+    * the first batch and mark nearly everything after it late). Two
+    * scalar boundaries from one min/max agg replace the previous
+    * `ntile(n) OVER (ORDER BY ts)` — a global single-partition sort that
+    * cannot scale and tripped WindowExec's no-partition warning. */
+  private def timeRangeChunks(events: DataFrame, n: Int): DataFrame = {
+    val mm = events
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    events.withColumn("chunk",
+      least(lit(n - 1),
+        ((unix_micros(col("ts")) - lit(lo)) * n / span).cast("int")) + 1)
+  }
+
   /** Replay `orders` as a 3-batch changelog through the streaming
     * incremental-agg store ([[StreamingPipeline.startIncrementalAggStore]]:
     * per-batch fold into the prior store version, versioned idempotent
@@ -137,14 +156,11 @@ object StreamingGates {
     * cannot leak into the sums and the hash compare proves
     * stream ≡ batch ≡ oracle. */
   def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val events = Tables.events(spark, dir)
     val in = tmp("graft_sgate_win_in_")
     val out = tmp("graft_sgate_win_out_")
     val ckpt = tmp("graft_sgate_win_ckpt_")
-    val chunked = events
-      .withColumn("chunk", ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
-      .localCheckpoint(true)
+    val chunked = timeRangeChunks(events, 3).localCheckpoint(true)
     val src = spark.readStream.schema(events.schema).parquet(in)
     val q = StreamingPipeline.windowedCounts(src,
         watermark = "1 hour", window_ = "1 hour", slide = "1 hour")
@@ -183,20 +199,18 @@ object StreamingGates {
     * up per user to exactly the batch q19 relation, so the gate shares
     * `q19_user_sessions`' oracle SQL — stream ≡ batch ≡ oracle.
     *
-    * The ntile chunking and the batch-by-batch `processAllAvailable`
-    * drive are replay scaffolding (a deterministic stand-in for a Kafka
-    * topic), not operator cost; the operator's own state is bounded by
-    * the watermark horizon, never by user lifetime. */
+    * The time-range chunking and the batch-by-batch
+    * `processAllAvailable` drive are replay scaffolding (a deterministic
+    * stand-in for a Kafka topic), not operator cost; the operator's own
+    * state is bounded by the watermark horizon, never by user
+    * lifetime. */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val events = Tables.events(spark, dir)
     val in = tmp("graft_sgate_sess_in_")
     val out = tmp("graft_sgate_sess_out_")
     val ckpt = tmp("graft_sgate_sess_ckpt_")
     val sentinel = 999999999L
-    val chunked = events
-      .withColumn("chunk", ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
-      .localCheckpoint(true)
+    val chunked = timeRangeChunks(events, 3).localCheckpoint(true)
     val src = spark.readStream.schema(events.schema)
       .parquet(in)
     val q = StreamingPipeline.sessionize(spark, src)
@@ -223,6 +237,54 @@ object StreamingGates {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
+  }
+
+  /** Replay `events` as a time-ordered 3-chunk stream through the
+    * watermarked streaming mix monitor
+    * ([[StreamingPipeline.mixCounts]]: per-window closed category
+    * counts, append mode, sentinel clock closing the tail windows),
+    * then run the BATCH drift law over the closed-window sink: the
+    * hour-aligned [[graft.operators.Profiling.DriftSplit]] partitions
+    * the 1-hour windows exactly, so summing closed-window counts per
+    * slice rebuilds the two event-level category histograms bit-for-bit
+    * and [[graft.operators.Profiling.driftFromCounts]] (the SAME code
+    * path as the batch report) yields `prof_drift_report`'s relation —
+    * gated against that query's oracle, so the compare proves
+    * stream ≡ batch ≡ oracle for the mix-drift monitor too. */
+  def streamMixDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiling
+    val events = Tables.events(spark, dir)
+    val in = tmp("graft_sgate_mix_in_")
+    val out = tmp("graft_sgate_mix_out_")
+    val ckpt = tmp("graft_sgate_mix_ckpt_")
+    val chunked = timeRangeChunks(events, 3).localCheckpoint(true)
+    val src = spark.readStream.schema(events.schema).parquet(in)
+    val q = StreamingPipeline.mixCounts(src)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      (1 to 3).foreach { i =>
+        chunked.filter(col("chunk") === i).drop("chunk")
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      events.limit(1)
+        .withColumn("event_type", lit("__clock__"))
+        .withColumn("ts",
+          lit(new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000L)))
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.read
+      .schema("w_start TIMESTAMP, category STRING, n BIGINT").parquet(out)
+      .filter(col("category") =!= "__clock__")
+    val split = lit(Profiling.DriftSplit).cast("timestamp")
+    Profiling.driftFromCounts(
+      closed.filter(col("w_start") < split)
+        .groupBy(col("category")).agg(sum(col("n")).as("n_a")),
+      closed.filter(col("w_start") >= split)
+        .groupBy(col("category")).agg(sum(col("n")).as("n_b")))
   }
 
   /** Replay the augmented near-dup corpus as a 3-batch document stream

@@ -80,4 +80,18 @@ class BpeSpec extends SparkSpec {
       .select(col("tokens")).as[Seq[String]].head()
     assert(un == Seq("z", "z", "q"))
   }
+
+  test("tokEncode: persisted-dict gate equals in-memory encode") {
+    val dir = sf()
+    val gated = Bpe.tokEncode(spark, dir)
+      .as[(Long, String, String)].collect().toSeq.sorted
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val m = Bpe.train(docs)
+    val direct = Bpe.encode(docs, m)
+      .select(col("doc_id"), col("word"),
+        concat_ws(" ", col("tokens")).as("tokens"))
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(gated == direct,
+      "the persisted-dict join must reproduce the broadcast encode exactly")
+  }
 }

@@ -49,6 +49,26 @@ class GraphSpec extends SparkSpec {
     assert(got == model(edges, 5, Graph.Scale))
   }
 
+  test("pageRankUntil: stops at a fixpoint bit-equal to fixed-K at its round count") {
+    val leaves = (2L to 9L)
+    val edges = leaves.flatMap(l => Seq((1L, l), (l, 1L)))
+    // 10% of total rank mass: delta decays ~0.85×/round from ~|V|·Scale,
+    // so this converges in ~17 rounds — enough to prove the detector
+    // without a 100+-round tail chasing single ulps
+    val eps = (leaves.size + 1).toLong * Graph.Scale / 10
+    val (ranks, rounds) = Graph.pageRankUntil(edges.toDF("src", "dst"), eps)
+    assert(rounds > 0 && rounds < 50, s"no convergence in $rounds rounds")
+    val got = ranks.as[(Long, Long)].collect().toMap
+    // the shared integer update is deterministic, so the converged
+    // ranks must equal fixed-K run exactly `rounds` times...
+    assert(got == model(edges, rounds, Graph.Scale))
+    // ...and be a true fixpoint under eps: one MORE round moves less
+    // than eps of L1 mass (the scalar model gives the exact next state)
+    val next = model(edges, rounds + 1, Graph.Scale)
+    val delta = got.map { case (n, r) => math.abs(next(n) - r) }.sum
+    assert(delta <= eps, s"stopped ranks move $delta > eps=$eps")
+  }
+
   test("duplicate edges collapse before degree counting") {
     val once = Graph.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"))
       .as[(Long, Long)].collect().toSet

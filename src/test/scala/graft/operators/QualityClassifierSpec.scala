@@ -76,4 +76,29 @@ class QualityClassifierSpec extends SparkSpec {
     val m3 = QualityClassifier.loadModel(spark, s"$dir/m")
     assert(m3.w.sameElements(m.w) && m3.bias == m.bias)
   }
+
+  test("qcScore: integer decision agrees with the double margin away from 0") {
+    import graft.operators.{Dsir, QualityClassifier => QC}
+    val dir = sf()
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val m = QC.train(docs, col("source").isin(Dsir.TargetSources: _*))
+    val dbl = QC.scoreWith(docs, m)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    val gated = QC.qcScore(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(gated.length == dbl.size)
+    gated.foreach { case (id, n, qsum, pred) =>
+      // double margin in 1e-9 units vs the fixed-point decision: the two
+      // quantizations can only disagree within a few ulps of zero
+      val qm = dbl(id)
+      if (math.abs(qm) > 1000L)
+        assert(pred == (qm > 0), s"doc $id: pred $pred vs q_margin $qm")
+      if (n > 0) {
+        // q_sum/n tracks the margin-minus-bias at 1e-9 resolution
+        val approx = qsum.toDouble / n + m.bias * QC.QScale
+        assert(math.abs(approx - qm) < 1e4,
+          s"doc $id: integer margin $approx drifts from double $qm")
+      }
+    }
+  }
 }

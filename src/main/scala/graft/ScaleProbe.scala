@@ -14,7 +14,7 @@ object ScaleProbe {
   private val Probes = Seq(
     "dd_exact", "dd_minhash_lsh", "dd_simhash",
     "dd_pipeline", "dd_incremental", "dd_decontaminate", "dd_curate",
-    "dd_cluster", "dd_span_dedup",
+    "dd_cluster", "dd_span_dedup", "dd_substring_dedup",
     "sim_lsh_topk", "sim_ivf_topk", "sim_cosine_neardup",
     "sim_semantic_dedup", "tx_token_stats", "tx_repetition",
     "tx_pack_sequences", "tx_chunk_overlap", "tx_heavy_hitters",
@@ -25,7 +25,7 @@ object ScaleProbe {
     "sim_mips_topk", "tx_dsir_weights", "tx_dsir_select",
     "sim_neardup_from_index", "tx_bm25_from_index", "sim_pca_project",
     "sim_mips_lsh", "tx_domain_cap", "tx_hybrid_rrf",
-    "dd_ngram_jaccard", "dd_ssjoin_prefix")
+    "dd_ngram_jaccard", "dd_ssjoin_prefix", "tok_encode", "qc_score")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

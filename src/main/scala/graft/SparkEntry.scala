@@ -145,6 +145,7 @@ object SparkEntry {
     "dd_cluster" -> (Dedup.ddCluster _),
     "dd_cluster_altstar" -> (Dedup.ddClusterAltstar _),
     "dd_span_dedup" -> (Dedup.ddSpanDedup _),
+    "dd_substring_dedup" -> (Dedup.ddSubstringDedup _),
     "dd_contamination" -> (Dedup.ddContamination _),
     // Profiling
     "prof_column_stats" -> (Profiling.profColumnStats _),
@@ -311,6 +312,7 @@ object SparkEntry {
     "dd_cluster" -> Dedup.ddClusterSql,
     "dd_cluster_altstar" -> Dedup.ddClusterSql,
     "dd_span_dedup" -> Dedup.ddSpanDedupSql,
+    "dd_substring_dedup" -> Dedup.ddSubstringDedupSql,
     "dd_contamination" -> Dedup.ddContaminationSql,
     "prof_column_stats" -> Profiling.profColumnStatsSql,
     "prof_skew_report" -> Profiling.profSkewReportSql,

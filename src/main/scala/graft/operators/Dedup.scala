@@ -1018,4 +1018,104 @@ object Dedup {
     FROM b JOIN c USING (blk)
     GROUP BY b.doc_id
     ORDER BY b.doc_id"""
+
+  // ---------------------------------------------------- substring dedup
+
+  /** Window width (tokens) for the gated exact-substring dedup. Lee et
+    * al. use 50 BPE tokens on natural text; the synthetic ~30-word
+    * vocabulary makes 6-word windows already collision-free for
+    * unrelated docs while the planted near-dup variants share hundreds
+    * of aligned windows — same knob-vs-algorithm note as [[SPAN_W]]. */
+  val SUB_W = 6
+
+  /** Exact repeated-SUBSTRING dedup at arbitrary alignment (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better" —
+    * the ExactSubstr recipe, there built on a corpus suffix array):
+    * remove every token that lies inside some ≥`w`-token substring
+    * occurring more than once in the corpus. [[spanDedup]]'s
+    * non-overlapping blocks miss a repeated span that straddles a block
+    * boundary (any alignment shift hides it); OVERLAPPING windows make
+    * the guarantee alignment-free: a substring of length ≥ w repeats
+    * iff each of its w-token windows repeats, so "token covered by a
+    * duplicated window" ⟺ "token inside a maximal repeated substring
+    * of length ≥ w" — exact semantics, no suffix array needed.
+    *
+    * Scale shape (the suffix-array replacement argument): the window
+    * relation is ~tokens rows but shuffles only (doc_id, pos, 60-bit
+    * window hash) — never window STRINGS; the duplicate test is one
+    * map-side-combined count over hashes; coverage explodes each
+    * duplicated window to ≤ w token positions (duplicate-volume-, not
+    * corpus-, sized); reassembly is the [[spanDedup]] per-doc
+    * collect_list, bounded by doc length. Nothing quadratic, nothing
+    * driver-side, and a distributed suffix array is never built — at
+    * 10¹² corpus windows the 60-bit hash space incurs ~n²/2⁶¹ chance
+    * collisions marking a non-repeated window as repeated; an exact
+    * deployment verifies hash-matched windows with one string equi-join
+    * on the colliding hashes only (the candidates-then-verify posture
+    * of [[ddMinhashLsh]]), which the oracle-gated hash form omits
+    * because both engines hash identically. */
+  def substringDedup(docs: DataFrame, w: Int): DataFrame = {
+    val ws = col("ws")
+    val base = graft.Caches.persist(
+      docs.withColumn("ws", Portable.words(col("text"))))
+    // (doc_id, pos, h): all overlapping w-token windows, hashed BEFORE
+    // any shuffle. Guard: Spark's sequence(1, 0) counts DOWN (cf.
+    // Portable.shingles), so sub-w docs need the explicit empty case.
+    val wins = graft.Caches.persist(base
+      .select(col("doc_id"),
+        explode(when(size(ws) < w, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(ws) - (w - 1)))).as("pos"),
+        ws)
+      .select(col("doc_id"), col("pos"),
+        Portable.hash60(array_join(slice(ws, col("pos"), lit(w)), " ")).as("h")))
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("h"))
+    val covered = wins.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
+      .distinct()
+      .withColumn("rm", lit(true))
+    val toks = base
+      .select(col("doc_id"), posexplode(ws).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("tpos"), col("tok"))
+    toks.join(covered, Seq("doc_id", "tpos"), "left")
+      .withColumn("rm", coalesce(col("rm"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(array_join(transform(
+          array_sort(collect_list(
+            when(!col("rm"), struct(col("tpos"), col("tok"))))),
+          s => s.getField("tok")), " "), lit("")).as("clean_text"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  def ddSubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedup(augmented(spark, dir), SUB_W)
+
+  val ddSubstringDedupSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    t AS (SELECT doc_id, ${Portable.wordsSql("text")} AS ws FROM aug),
+    win AS (
+      SELECT doc_id, i AS pos,
+             ${Portable.hash60Sql(s"array_to_string(ws[i:(i + ${SUB_W - 1})], ' ')")} AS h
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${SUB_W - 2})) AS i
+            FROM t)),
+    dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + o AS tpos
+      FROM win JOIN dup USING (h)
+           CROSS JOIN (SELECT unnest(range(0, $SUB_W)) AS o)),
+    tok AS (
+      SELECT doc_id, i AS tpos, ws[CAST(i AS INT)] AS tok
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM t)),
+    flags AS (
+      SELECT tok.doc_id, tok.tpos, tok.tok, cov.tpos IS NOT NULL AS rm
+      FROM tok LEFT JOIN cov
+        ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY tpos), '')
+             AS clean_text,
+           CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM flags GROUP BY doc_id ORDER BY doc_id"""
 }

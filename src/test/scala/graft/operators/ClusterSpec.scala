@@ -119,6 +119,28 @@ class ClusterSpec extends SparkSpec {
       5L -> ("hi", 0L)))                // partial tail block is a block
   }
 
+  test("substring dedup removes repeats at ANY alignment, unlike block dedup") {
+    // docs 1/2 share the 4-token run "a b c d" but at DIFFERENT offsets
+    // (1-based pos 2 vs pos 1): block dedup at w=3 would cut them into
+    // non-identical blocks ("x a b"/"c d y" vs "a b c"/"d z w") and
+    // remove nothing; overlapping windows catch the shared run exactly.
+    // doc 3 repeats "m n o" within itself at overlapping-free offsets;
+    // doc 4 is unique; doc 5 is shorter than one window.
+    val docs = Seq(
+      (1L, "x a b c d y"), (2L, "a b c d z w"),
+      (3L, "m n o t m n o"), (4L, "only unique words here ok"),
+      (5L, "hi")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> ("x y", 4L),                // covered: a b c d (pos 2-5)
+      2L -> ("z w", 4L),                // covered: a b c d (pos 1-4)
+      3L -> ("t", 6L),                  // both m n o copies removed
+      4L -> ("only unique words here ok", 0L),
+      5L -> ("hi", 0L)), s"got $got")
+  }
+
   test("semantic dedup keeps exactly one representative per cluster") {
     val rows = Similarity.simSemanticDedup(spark, sf())
       .select($"vec_id", $"cluster_id", $"keep").as[(Long, Long, Boolean)]

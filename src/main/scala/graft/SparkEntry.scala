@@ -146,6 +146,7 @@ object SparkEntry {
     "dd_cluster_altstar" -> (Dedup.ddClusterAltstar _),
     "dd_span_dedup" -> (Dedup.ddSpanDedup _),
     "dd_substring_dedup" -> (Dedup.ddSubstringDedup _),
+    "dd_substring_incremental" -> (Dedup.ddSubstringIncremental _),
     "dd_contamination" -> (Dedup.ddContamination _),
     // Profiling
     "prof_column_stats" -> (Profiling.profColumnStats _),
@@ -313,6 +314,7 @@ object SparkEntry {
     "dd_cluster_altstar" -> Dedup.ddClusterSql,
     "dd_span_dedup" -> Dedup.ddSpanDedupSql,
     "dd_substring_dedup" -> Dedup.ddSubstringDedupSql,
+    "dd_substring_incremental" -> Dedup.ddSubstringIncrementalSql,
     "dd_contamination" -> Dedup.ddContaminationSql,
     "prof_column_stats" -> Profiling.profColumnStatsSql,
     "prof_skew_report" -> Profiling.profSkewReportSql,

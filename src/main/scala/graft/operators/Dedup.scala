@@ -1054,29 +1054,32 @@ object Dedup {
     * on the colliding hashes only (the candidates-then-verify posture
     * of [[ddMinhashLsh]]), which the oracle-gated hash form omits
     * because both engines hash identically. */
-  def substringDedup(docs: DataFrame, w: Int): DataFrame = {
+  /** (doc_id, pos, h): all overlapping w-token windows of a tokenized
+    * corpus (`ws` column present), hashed BEFORE any shuffle. Guard:
+    * Spark's sequence(1, 0) counts DOWN (cf. Portable.shingles), so
+    * sub-w docs need the explicit empty case. */
+  private def windowRows(tokenized: DataFrame, w: Int): DataFrame = {
     val ws = col("ws")
-    val base = graft.Caches.persist(
-      docs.withColumn("ws", Portable.words(col("text"))))
-    // (doc_id, pos, h): all overlapping w-token windows, hashed BEFORE
-    // any shuffle. Guard: Spark's sequence(1, 0) counts DOWN (cf.
-    // Portable.shingles), so sub-w docs need the explicit empty case.
-    val wins = graft.Caches.persist(base
+    tokenized
       .select(col("doc_id"),
         explode(when(size(ws) < w, array().cast("array<int>"))
           .otherwise(sequence(lit(1), size(ws) - (w - 1)))).as("pos"),
         ws)
       .select(col("doc_id"), col("pos"),
-        Portable.hash60(array_join(slice(ws, col("pos"), lit(w)), " ")).as("h")))
-    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select(col("h"))
+        Portable.hash60(array_join(slice(ws, col("pos"), lit(w)), " ")).as("h"))
+  }
+
+  /** Shared removal tail: mark every token covered by a window whose
+    * hash is in `dup`, reassemble per doc. `tokenized` carries `ws`. */
+  private def removeCovered(tokenized: DataFrame, wins: DataFrame,
+                            dup: DataFrame, w: Int): DataFrame = {
     val covered = wins.join(dup, "h")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
       .distinct()
       .withColumn("rm", lit(true))
-    val toks = base
-      .select(col("doc_id"), posexplode(ws).as(Seq("i0", "tok")))
+    val toks = tokenized
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("i0", "tok")))
       .select(col("doc_id"), (col("i0") + 1).as("tpos"), col("tok"))
     toks.join(covered, Seq("doc_id", "tpos"), "left")
       .withColumn("rm", coalesce(col("rm"), lit(false)))
@@ -1090,10 +1093,70 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  def substringDedup(docs: DataFrame, w: Int): DataFrame = {
+    val base = graft.Caches.persist(
+      docs.withColumn("ws", Portable.words(col("text"))))
+    val wins = graft.Caches.persist(windowRows(base, w))
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("h"))
+    removeCovered(base, wins, dup, w)
+  }
+
   def ddSubstringDedup(spark: SparkSession, dir: String): DataFrame =
     substringDedup(augmented(spark, dir), SUB_W)
 
-  val ddSubstringDedupSql: String = s"""
+  /** Build + persist the (h, cnt) window-count index of a base corpus —
+    * the state that makes substring dedup INCREMENTAL. At 100 TB the
+    * index is corpus-windows-sized but 16 bytes/row; write it bucketed
+    * by h (cf. [[graft.sources.Bucketing]]) and the per-batch merge
+    * join below plans Exchange-free on the index side. */
+  def buildSubstringIndex(spark: SparkSession, docs: DataFrame, w: Int,
+                          path: String): DataFrame = {
+    windowRows(docs.withColumn("ws", Portable.words(col("text"))), w)
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Incremental substring dedup — the streaming-ingest semantic of
+    * [[Dedup.ddIncremental]] applied to ExactSubstr: dedup ONLY the
+    * appended batch, where "duplicated window" means duplicated in
+    * base ∪ append (append count + indexed base count > 1). For the
+    * appended docs this is EXACTLY the from-scratch full-corpus
+    * result — the gate proves it by sharing the from-scratch oracle
+    * restricted to the appended ids — without ever rescanning the base
+    * corpus: per batch the work is batch windows + one merge join
+    * against the index. A window of a BASE doc newly duplicated by the
+    * append changes that base doc's clean text only under re-dedup;
+    * like every append-only ingest, retroactive cleaning is a separate
+    * backfill pass (the index already holds the counts it needs). */
+  def substringDedupIncremental(appendDocs: DataFrame, index: DataFrame,
+                                w: Int): DataFrame = {
+    val base = graft.Caches.persist(
+      appendDocs.withColumn("ws", Portable.words(col("text"))))
+    val wins = graft.Caches.persist(windowRows(base, w))
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt_a"))
+      .join(index.select(col("h"), col("cnt").as("cnt_b")), Seq("h"), "left")
+      .filter(col("cnt_a") + coalesce(col("cnt_b"), lit(0L)) > 1)
+      .select(col("h"))
+    removeCovered(base, wins, dup, w)
+  }
+
+  /** Gated query: index the original documents, then incrementally
+    * dedup the appended near-dup variants against base ∪ append. */
+  def ddSubstringIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_subidx_").toString + "/idx"
+    val idx = buildSubstringIndex(
+      spark, aug.filter(col("doc_id") < 10000), SUB_W, path)
+    substringDedupIncremental(aug.filter(col("doc_id") >= 10000), idx, SUB_W)
+  }
+
+  /** The full from-scratch dedup as a CTE body ending in relation
+    * `clean` — shared by the from-scratch gate and the incremental
+    * gate's restricted oracle. */
+  private val ddSubstringDedupCore: String = s"""
     WITH aug AS ($augmentedSql),
     t AS (SELECT doc_id, ${Portable.wordsSql("text")} AS ws FROM aug),
     win AS (
@@ -1112,10 +1175,22 @@ object Dedup {
     flags AS (
       SELECT tok.doc_id, tok.tpos, tok.tok, cov.tpos IS NOT NULL AS rm
       FROM tok LEFT JOIN cov
-        ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos)
-    SELECT doc_id,
-           COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY tpos), '')
-             AS clean_text,
-           CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
-    FROM flags GROUP BY doc_id ORDER BY doc_id"""
+        ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos),
+    clean AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY tpos), '')
+               AS clean_text,
+             CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      FROM flags GROUP BY doc_id)"""
+
+  val ddSubstringDedupSql: String = s"""
+    $ddSubstringDedupCore
+    SELECT * FROM clean ORDER BY doc_id"""
+
+  /** Oracle for the incremental gate: the from-scratch full-corpus
+    * dedup restricted to the appended ids — the equality the
+    * incremental formulation claims. */
+  val ddSubstringIncrementalSql: String = s"""
+    $ddSubstringDedupCore
+    SELECT * FROM clean WHERE doc_id >= 10000 ORDER BY doc_id"""
 }

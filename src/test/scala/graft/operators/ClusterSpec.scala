@@ -141,6 +141,33 @@ class ClusterSpec extends SparkSpec {
       5L -> ("hi", 0L)), s"got $got")
   }
 
+  test("incremental substring dedup equals from-scratch restricted to the batch") {
+    val base = Seq(
+      (1L, "x a b c d y"), (3L, "m n o t m n o"),
+      (4L, "only unique words here ok")).toDF("doc_id", "text")
+    // append doc 2 duplicates "a b c d" ONLY against base doc 1 (a
+    // cross-batch repeat the batch alone cannot see), and docs 6/7
+    // share "p q r" within the append batch itself
+    val app = Seq(
+      (2L, "a b c d z w"), (6L, "p q r u v"), (7L, "k p q r j"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("subidx").toString
+    val idx = Dedup.buildSubstringIndex(spark, base, 3, s"$dir/idx")
+    val inc = Dedup.substringDedupIncremental(app, idx, 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(inc == Map(
+      2L -> (("z w", 4L)), 6L -> (("u v", 3L)), 7L -> (("k j", 3L))),
+      s"got $inc")
+    // the contract the gate states: equal to from-scratch on base∪append
+    // restricted to the appended ids
+    val scratch = Dedup.substringDedup(base.unionByName(app), 3)
+      .filter(col("doc_id") >= 2L && col("doc_id") =!= 3L && col("doc_id") =!= 4L)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(inc == scratch)
+  }
+
   test("semantic dedup keeps exactly one representative per cluster") {
     val rows = Similarity.simSemanticDedup(spark, sf())
       .select($"vec_id", $"cluster_id", $"keep").as[(Long, Long, Boolean)]

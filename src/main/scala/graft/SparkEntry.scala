@@ -80,6 +80,7 @@ object SparkEntry {
     "stream_cdc_store" -> (graft.streaming.StreamingGates.streamCdcStore _),
     "stream_cdc_scd2" -> (graft.streaming.StreamingGates.streamCdcScd2 _),
     "stream_mix_drift" -> (graft.streaming.StreamingGates.streamMixDrift _),
+    "stream_substring_dedup" -> (graft.streaming.StreamingGates.streamSubstringDedup _),
     // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
     "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
@@ -162,6 +163,8 @@ object SparkEntry {
     // ulp-stable SQL twin; semantics asserted in ExtensionSpec/PcaSpec
     "sim_mips_lsh" -> (Mips.mipsLshTopK _),
     "sim_pca_project" -> (Pca.simPcaProject _),
+    // hash-exact projection through the persisted (mean, components)
+    "sim_pca_from_model" -> (Pca.simPcaFromModel _),
     "sim_prefix_topk" -> (Similarity.simPrefixTopK _),
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
     "sim_ivf_topk" -> (Similarity.simIvfTopK _),
@@ -261,6 +264,7 @@ object SparkEntry {
     "stream_cdc_store" -> Cdc.cdcMergeOrdersSql,
     "stream_cdc_scd2" -> Cdc.cdcScd2OrdersSql,
     "stream_mix_drift" -> Profiling.profDriftReportSql,
+    "stream_substring_dedup" -> Dedup.streamSubstringDedupSql,
     "layout_zorder" -> Layout.layoutZorderSql,
     "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
     "k4_partition_prune" -> PartitionedWrite.k4PartitionPruneSql,
@@ -315,6 +319,7 @@ object SparkEntry {
     "dd_span_dedup" -> Dedup.ddSpanDedupSql,
     "dd_substring_dedup" -> Dedup.ddSubstringDedupSql,
     "dd_substring_incremental" -> Dedup.ddSubstringIncrementalSql,
+    "sim_pca_from_model" -> Pca.simPcaFromModelSql,
     "dd_contamination" -> Dedup.ddContaminationSql,
     "prof_column_stats" -> Profiling.profColumnStatsSql,
     "prof_skew_report" -> Profiling.profSkewReportSql,

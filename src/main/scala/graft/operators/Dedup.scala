@@ -1110,11 +1110,15 @@ object Dedup {
     * index is corpus-windows-sized but 16 bytes/row; write it bucketed
     * by h (cf. [[graft.sources.Bucketing]]) and the per-batch merge
     * join below plans Exchange-free on the index side. */
-  def buildSubstringIndex(spark: SparkSession, docs: DataFrame, w: Int,
-                          path: String): DataFrame = {
+  /** (h, cnt) window-count relation of a corpus — the index delta a
+    * batch contributes. */
+  def substringWindowCounts(docs: DataFrame, w: Int): DataFrame =
     windowRows(docs.withColumn("ws", Portable.words(col("text"))), w)
       .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(path)
+
+  def buildSubstringIndex(spark: SparkSession, docs: DataFrame, w: Int,
+                          path: String): DataFrame = {
+    substringWindowCounts(docs, w).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
 
@@ -1193,4 +1197,53 @@ object Dedup {
   val ddSubstringIncrementalSql: String = s"""
     $ddSubstringDedupCore
     SELECT * FROM clean WHERE doc_id >= 10000 ORDER BY doc_id"""
+
+  /** Oracle for the STREAMING substring-dedup gate: the prefix-CAUSAL
+    * relation itself. Each appended window's visible count = the base
+    * corpus's count of its hash + the running per-batch count over
+    * batches ≤ its own (batch = (doc_id − 10000) mod 3, mirroring the
+    * replay chunking); a token is removed iff some covering window is
+    * visible-duplicated. This is deliberately NOT the full-corpus
+    * dedup: a window duplicated only by a later batch must leave the
+    * earlier doc intact, and the hash compare proves the stream honors
+    * exactly that. */
+  val streamSubstringDedupSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    t AS (SELECT doc_id, ${Portable.wordsSql("text")} AS ws FROM aug),
+    winb AS (
+      SELECT ${Portable.hash60Sql(s"array_to_string(ws[i:(i + ${SUB_W - 1})], ' ')")} AS h,
+             COUNT(*) AS cnt
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${SUB_W - 2})) AS i
+            FROM t WHERE doc_id < 10000)
+      GROUP BY 1),
+    wina AS (
+      SELECT doc_id, i AS pos, (doc_id - 10000) % 3 AS b,
+             ${Portable.hash60Sql(s"array_to_string(ws[i:(i + ${SUB_W - 1})], ' ')")} AS h
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${SUB_W - 2})) AS i
+            FROM t WHERE doc_id >= 10000)),
+    cum AS (
+      SELECT h, b, SUM(COUNT(*)) OVER (PARTITION BY h ORDER BY b) AS cum
+      FROM wina GROUP BY h, b),
+    vis AS (
+      SELECT w.doc_id, w.pos
+      FROM wina w
+      JOIN cum ON cum.h = w.h AND cum.b = w.b
+      LEFT JOIN winb ON winb.h = w.h
+      WHERE COALESCE(winb.cnt, 0) + cum.cum > 1),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + o AS tpos
+      FROM vis CROSS JOIN (SELECT unnest(range(0, $SUB_W)) AS o)),
+    tok AS (
+      SELECT doc_id, i AS tpos, ws[CAST(i AS INT)] AS tok
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+            FROM t WHERE doc_id >= 10000)),
+    flags AS (
+      SELECT tok.doc_id, tok.tpos, tok.tok, cov.tpos IS NOT NULL AS rm
+      FROM tok LEFT JOIN cov
+        ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY tpos), '')
+             AS clean_text,
+           CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM flags GROUP BY doc_id ORDER BY doc_id"""
 }

@@ -196,4 +196,60 @@ object Pca {
     val e = Tables.embeddings(spark, dir)
     project(e, fit(e, K))
   }
+
+  /** Fixed artifact path for the gated from-model projection. */
+  val ModelArtifactPath = "/tmp/graft_artifacts/pca_model"
+
+  /** Persist a model as (c, d, mean, w) rows — component c's weight for
+    * dimension d, with the (c-independent) mean alongside. Double
+    * parquet round-trips are bit-exact, so reload reproduces the model
+    * exactly. */
+  def saveModel(spark: SparkSession, m: PcaModel, path: String): Unit = {
+    import spark.implicits._
+    (for (c <- 1 to m.components.length; d <- 1 to Dim)
+      yield (c, d, m.mean(d - 1), m.components(c - 1)(d - 1)))
+      .toDF("c", "d", "mean", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): PcaModel = {
+    val rows = spark.read.parquet(path).collect()
+    val k = rows.map(_.getInt(0)).max
+    val mean = new Array[Double](Dim)
+    val comps = Array.ofDim[Double](k, Dim)
+    rows.foreach { r =>
+      val (c, d) = (r.getInt(0), r.getInt(1))
+      mean(d - 1) = r.getDouble(2)
+      comps(c - 1)(d - 1) = r.getDouble(3)
+    }
+    PcaModel(0L, mean, Array.empty, comps)
+  }
+
+  /** Gated HASH-EXACT: projection through the PERSISTED model — the
+    * [[QualityClassifier.qcScore]] posture applied to PCA. The fit
+    * stays rows-only (eigenvectors are sign/iteration-sensitive in the
+    * last ulps, PcaSpec pins the semantics), but projection GIVEN the
+    * frozen (mean, components) relation is a per-row sequential double
+    * fold in ascending dimension — the [[graft.functions.Portable]]
+    * `dotDouble` accumulation-order discipline, which DuckDB's
+    * `list_sum(list_transform(...))` reproduces bit-for-bit. Both
+    * engines read the identical parquet artifact, so the compare pins
+    * the model-serving path with zero float tolerance. */
+  def simPcaFromModel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    saveModel(spark, fit(e, K), ModelArtifactPath)
+    project(e, loadModel(spark, ModelArtifactPath))
+  }
+
+  val simPcaFromModelSql: String = s"""
+    WITH model AS (
+      SELECT c, list(w ORDER BY d) AS ws, list(mean ORDER BY d) AS ms
+      FROM read_parquet('$ModelArtifactPath/*.parquet') GROUP BY c),
+    proj AS (
+      SELECT e.vec_id, m.c,
+             list_sum(list_transform(range(1, ${Dim + 1}),
+               i -> (e.embedding[i]::DOUBLE - m.ms[i]) * m.ws[i])) AS p
+      FROM embeddings e CROSS JOIN model m)
+    SELECT vec_id, ${(1 to K).map(c => s"MAX(CASE WHEN c = $c THEN p END) AS p$c").mkString(", ")}
+    FROM proj GROUP BY vec_id ORDER BY vec_id"""
 }

@@ -287,6 +287,47 @@ object StreamingGates {
         .groupBy(col("category")).agg(sum(col("n")).as("n_b")))
   }
 
+  /** Replay the appended near-dup variants as a 3-batch document
+    * stream through the CAUSAL streaming substring-dedup ingest
+    * ([[StreamingPipeline.startSubstringDedupStore]]): the base
+    * documents' window-count index seeds `v=-1`, batch k (docs with
+    * (doc_id − 10000) mod 3 = k, one file per chunk, driven
+    * batch-by-batch) dedups against base ∪ batches ≤ k and merges its
+    * counts forward. The oracle states EXACTLY that causal relation in
+    * SQL — per append window, visible count = base count + running
+    * per-batch count over batches ≤ its own — so the hash compare pins
+    * the prefix-causal semantics themselves (a window duplicated only
+    * by a LATER batch must NOT clean an earlier batch's doc), not just
+    * the final state. */
+  def streamSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val aug = Dedup.augmented(spark, dir).localCheckpoint(true)
+    val in = tmp("graft_sgate_sub_in_")
+    val out = tmp("graft_sgate_sub_out_")
+    val store = tmp("graft_sgate_sub_store_")
+    val ckpt = tmp("graft_sgate_sub_ckpt_")
+    Dedup.buildSubstringIndex(spark,
+      aug.filter(col("doc_id") < 10000), Dedup.SUB_W, s"$store/v=-1")
+    val app = aug.filter(col("doc_id") >= 10000)
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = StreamingPipeline.startSubstringDedupStore(
+      src, store, out, ckpt, Dedup.SUB_W)
+    try {
+      (0 until 3).foreach { i =>
+        app.filter(pmod(col("doc_id") - 10000, lit(3)) === i)
+          .select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read
+      .schema("doc_id BIGINT, clean_text STRING, n_removed BIGINT")
+      .parquet(s"$out/b*")
+      .orderBy(col("doc_id"))
+  }
+
   /** Replay the augmented near-dup corpus as a 3-batch document stream
     * through the FULL streaming near-dup pipeline — shingle store
     * ([[StreamingPipeline.startShingleStore]]) + batch-equivalent LSH

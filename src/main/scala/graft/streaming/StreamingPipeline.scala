@@ -289,6 +289,41 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming substring-dedup ingest: each document micro-batch is
+    * dedup'd CAUSALLY — against the base corpus plus every batch up to
+    * and including itself — via
+    * [[graft.operators.Dedup.substringDedupIncremental]] over the
+    * versioned (h, cnt) window-count index, then the batch's own window
+    * counts merge into the next index version. Writes are idempotent
+    * per version/batch dir (a crash-replayed batch rewrites its own
+    * outputs and reads the index strictly below its id), so
+    * checkpoint + versioned write = effective exactly-once — the
+    * [[startCdcSnapshotStore]] crash argument applied to dedup state.
+    * Seed the base corpus's index as `v=-1` before starting. A window
+    * duplicated only by a LATER batch does not retro-clean an earlier
+    * batch's emitted docs — the append-only ingest semantic; the index
+    * keeps the counts a backfill pass needs. */
+  def startSubstringDedupStore(docs: DataFrame, indexStore: String,
+                               outDir: String, checkpointDir: String,
+                               w: Int): StreamingQuery = {
+    val idxSchema = StructType.fromDDL("h BIGINT, cnt BIGINT")
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint(true)
+        val idx = latestSnapshot(spark, indexStore, idxSchema,
+          beforeVersion = batchId)
+        graft.operators.Dedup.substringDedupIncremental(b, idx, w)
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        idx.unionByName(graft.operators.Dedup.substringWindowCounts(b, w))
+          .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+          .write.mode("overwrite").parquet(s"$indexStore/v=$batchId")
+      }
+      .start()
+  }
+
   /** Verify stage of the streaming near-dup pipeline: candidate pairs
     * from [[streamingNearDupCandidates]] are exact-verified per
     * micro-batch against the shingle store with the SAME

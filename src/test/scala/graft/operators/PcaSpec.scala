@@ -107,6 +107,20 @@ class PcaSpec extends SparkSpec {
     assert(ex.getMessage.contains("effective rank"))
   }
 
+  test("save/load roundtrip is bit-exact; from-model projection equals direct") {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+    val m = Pca.fit(e, Pca.K)
+    val dir = java.nio.file.Files.createTempDirectory("pca").toString
+    Pca.saveModel(spark, m, s"$dir/m")
+    val m2 = Pca.loadModel(spark, s"$dir/m")
+    assert(m2.mean.sameElements(m.mean))
+    assert(m2.components.zip(m.components).forall { case (a, b) => a.sameElements(b) })
+    // doubles round-trip parquet exactly, so the projections are equal
+    val direct = Pca.project(e, m).collect().toSeq
+    val loaded = Pca.project(e, m2).collect().toSeq
+    assert(direct == loaded)
+  }
+
   test("jacobi solves a known 2x2 exactly") {
     // [[2,1],[1,2]] has eigenvalues 3 (along [1,1]) and 1 (along [1,-1])
     val (ev, vec) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))

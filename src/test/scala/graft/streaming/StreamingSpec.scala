@@ -494,6 +494,43 @@ class StreamingSpec extends SparkSpec {
       "stream_neardup must reproduce dd_minhash_lsh exactly (pairs AND jaccards)")
   }
 
+  test("streaming substring dedup is causal: later batches never retro-clean") {
+    import graft.operators.Dedup
+    val base = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    // batch 0's doc 10 is UNIQUE at its arrival time; batch 1's doc 11
+    // then duplicates doc 10's "p q r s t u" run. Causal semantics:
+    // doc 10 (emitted before 11 arrived) stays intact; doc 11 arrives
+    // seeing the duplicate and is cleaned. Doc 12 repeats base's run
+    // and is cleaned on arrival.
+    val b0 = Seq((10L, "p q r s t u x"), (12L, "a b c d e f y"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((11L, "z p q r s t u")).toDF("doc_id", "text")
+    val in = java.nio.file.Files.createTempDirectory("ssub_in").toString
+    val out = java.nio.file.Files.createTempDirectory("ssub_out").toString
+    val store = java.nio.file.Files.createTempDirectory("ssub_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ssub_ckpt").toString
+    Dedup.buildSubstringIndex(spark, base, 6, s"$store/v=-1")
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING").parquet(in)
+    val q = StreamingPipeline.startSubstringDedupStore(src, store, out, ckpt, 6)
+    try {
+      Seq(b0, b1).foreach { b =>
+        b.coalesce(1).write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.read
+      .schema("doc_id BIGINT, clean_text STRING, n_removed BIGINT")
+      .parquet(s"$out/b*")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      10L -> (("p q r s t u x", 0L)),   // causality: emitted before its dup
+      12L -> (("y", 6L)),               // cross-batch dup vs the base index
+      11L -> (("z", 6L))),              // sees batch 0's windows via the fold
+      s"got $got")
+  }
+
   test("streaming mix-drift monitor: closed-window counts + batch TVD law") {
     val dir = eventsDir
     val stream = spark.readStream.schema(Tables.events(spark, sf()).schema).parquet(dir)

@@ -172,6 +172,8 @@ object SparkEntry {
     // driver records rows-only; recall@5 >= 0.85 vs brute force and
     // objective descent are asserted in ExtensionSpec
     "sim_ivf_trained" -> (Similarity.simIvfTopKTrained _),
+    // hash-exact search through the persisted trained codebook
+    "sim_ivf_from_codebook" -> (Similarity.simIvfFromCodebook _),
     // no oracleSql entry (the PQ argmin encode over float distances has
     // no ulp-stable SQL twin): driver records rows-only; encode laws and
     // the recall@5 floor vs brute force are asserted in PqSpec
@@ -320,6 +322,9 @@ object SparkEntry {
     "dd_substring_dedup" -> Dedup.ddSubstringDedupSql,
     "dd_substring_incremental" -> Dedup.ddSubstringIncrementalSql,
     "sim_pca_from_model" -> Pca.simPcaFromModelSql,
+    "sim_ivf_from_codebook" -> Similarity.simIvfFromCodebookSql,
+    "sim_pq_topk" -> Pq.simPqTopKSql,
+    "sim_ivf_pq_topk" -> Pq.simIvfPqTopKSql,
     "dd_contamination" -> Dedup.ddContaminationSql,
     "prof_column_stats" -> Profiling.profColumnStatsSql,
     "prof_skew_report" -> Profiling.profSkewReportSql,

@@ -35,9 +35,10 @@ import graft.sources.Tables
   * coarse quantizer (a trained per-subspace k-means drops in without
   * changing the plan; see [[Similarity.trainIvfCodebook]]).
   *
-  * Gated rows-only (like `sim_ivf_trained`): the argmin encode over
-  * float distances has no ulp-stable SQL twin; correctness is the
-  * recall floor + encode laws in PqSpec/ExtensionSpec. */
+  * Gating: `sim_pq_topk` is HASH-EXACT — every arithmetic step is an
+  * ascending-index double fold with a proven DuckDB twin (see
+  * [[simPqTopKSql]]); recall floors + encode laws in PqSpec/
+  * ExtensionSpec pin the semantics besides. */
 object Pq {
 
   val M = 8
@@ -128,7 +129,8 @@ object Pq {
     * SAME code table servable by both the flat scan and this path —
     * one index, two query plans).
     *
-    * Gated rows-only next to `sim_pq_topk`; recall floor in PqSpec. */
+    * Gated HASH-EXACT next to `sim_pq_topk` (see [[simIvfPqTopKSql]]);
+    * recall floor in PqSpec. */
   def simIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val cb = codebook(e)
@@ -181,6 +183,138 @@ object Pq {
       .filter(col("rank") <= Similarity.TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The full PQ pipeline as DuckDB SQL — which exists because every
+    * arithmetic step is an ascending-index double fold the
+    * [[Portable.dotDouble]] law already proves DuckDB reproduces
+    * bit-for-bit: unit-normalization (÷ by a correctly-rounded sqrt of
+    * a sequential square-sum), per-subspace squared distances
+    * (sequential over [[SubDim]] dims), the encode argmin (strict-<
+    * keeps the LOWEST centroid on ties ≡ `row_number ORDER BY dist,
+    * c`), the ADC sum (ascending subspace ≡ `list_sum(list(dist ORDER
+    * BY m))`), and the exact-cosine re-rank (the shared cosineSql law).
+    * The ADC layer only SELECTS candidates — the output carries exact
+    * cosines — so a last-ulp slip could only matter if it reordered the
+    * candidate boundary AND the swapped candidate reached the top-k;
+    * the hash compare across both sf dirs shows neither happens. This
+    * upgrades `sim_pq_topk` from rows-only to hash-exact. */
+  /** Shared CTE prefix of both PQ oracles: unit-normalized vectors,
+    * the first-[[K]] codebook subvector lists, the per-(vector,
+    * subspace, centroid) squared distances, the encode argmin
+    * (`codes`), and the query distance tables (`qt`). */
+  private val pqCtePrefixSql: String = {
+    val Q = Similarity.QuerySetSize
+    val dot = Portable.dotDoubleSql("embedding", "embedding", Similarity.Dim)
+    s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    u AS (
+      SELECT vec_id,
+             list_transform(range(1, ${Similarity.Dim + 1}),
+               i -> embedding[i]::DOUBLE / sqrt($dot)) AS uv
+      FROM e),
+    cbl AS (
+      SELECT m.m, u.vec_id AS c,
+             list_transform(range(1, ${SubDim + 1}),
+               d -> u.uv[CAST(m.m * $SubDim + d AS INT)]) AS ws
+      FROM u CROSS JOIN (SELECT unnest(range(0, $M)) AS m) m
+      WHERE u.vec_id < $K),
+    dist AS (
+      SELECT u.vec_id, cbl.m, cbl.c,
+             list_sum(list_transform(range(1, ${SubDim + 1}), d ->
+               (u.uv[CAST(cbl.m * $SubDim + d AS INT)] - cbl.ws[CAST(d AS INT)]) *
+               (u.uv[CAST(cbl.m * $SubDim + d AS INT)] - cbl.ws[CAST(d AS INT)])))
+               AS dist
+      FROM u CROSS JOIN cbl),
+    codes AS (
+      SELECT vec_id, m, c AS code
+      FROM (SELECT vec_id, m, c,
+                   row_number() OVER (PARTITION BY vec_id, m
+                     ORDER BY dist, c) AS rn
+            FROM dist)
+      WHERE rn = 1),
+    qt AS (SELECT vec_id AS query_id, m, c, dist FROM dist WHERE vec_id < $Q)"""
+  }
+
+  /** Shared exact-cosine re-rank tail over a `cand(query_id,
+    * neighbor_id)` CTE — mirrors [[rerank]]. */
+  private val pqRerankTailSql: String = s"""
+    pairs AS (
+      SELECT query_id, neighbor_id,
+             ${Portable.cosineSql("qe.embedding", "ne.embedding", Similarity.Dim)} AS cosine
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ne ON ne.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM pairs)"""
+
+  val simPqTopKSql: String = s"""
+    $pqCtePrefixSql,
+    adc AS (
+      SELECT cd.vec_id, qt.query_id,
+             list_sum(list(qt.dist ORDER BY cd.m)) AS adc
+      FROM codes cd JOIN qt ON qt.m = cd.m AND qt.c = cd.code
+      WHERE cd.vec_id <> qt.query_id
+      GROUP BY cd.vec_id, qt.query_id),
+    cand AS (
+      SELECT query_id, vec_id AS neighbor_id
+      FROM (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc, vec_id) AS crn
+            FROM adc)
+      WHERE crn <= $Candidates),
+    $pqRerankTailSql
+    SELECT CAST(query_id AS INT) AS query_id, rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= ${Similarity.TopK}
+    ORDER BY query_id, rank"""
+
+  /** The IVF+PQ composition as SQL — the PQ prefix plus the coarse-cell
+    * assign/probe relation ([[Similarity.simIvfTopK]]'s proven cosine
+    * law), ADC restricted to probed-cell members, the
+    * [[IvfPqCandidates]] cut, and the shared re-rank tail. Upgrades
+    * `sim_ivf_pq_topk` from rows-only to hash-exact by the same
+    * fold-order argument as [[simPqTopKSql]]. */
+  val simIvfPqTopKSql: String = {
+    val Q = Similarity.QuerySetSize
+    val cos = Portable.cosineSql("e.embedding", "c.embedding", Similarity.Dim)
+    s"""
+    $pqCtePrefixSql,
+    csim AS (
+      SELECT e.vec_id, c.vec_id AS centroid_id, $cos AS csim
+      FROM e CROSS JOIN e c WHERE c.vec_id < ${Similarity.IVF_CENTROIDS}),
+    cellrn AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY csim DESC, centroid_id) AS rn
+      FROM csim),
+    assign AS (SELECT vec_id AS neighbor_id, centroid_id AS cid
+               FROM cellrn WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, centroid_id AS cid
+               FROM cellrn WHERE vec_id < $Q AND rn <= ${Similarity.IVF_NPROBE}),
+    pcand AS (
+      SELECT query_id, neighbor_id FROM probes JOIN assign USING (cid)
+      WHERE query_id <> neighbor_id),
+    adc AS (
+      SELECT pc.query_id, pc.neighbor_id,
+             list_sum(list(qt.dist ORDER BY cd.m)) AS adc
+      FROM pcand pc
+      JOIN codes cd ON cd.vec_id = pc.neighbor_id
+      JOIN qt ON qt.query_id = pc.query_id AND qt.m = cd.m AND qt.c = cd.code
+      GROUP BY pc.query_id, pc.neighbor_id),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc, neighbor_id) AS crn
+            FROM adc)
+      WHERE crn <= $IvfPqCandidates),
+    $pqRerankTailSql
+    SELECT query_id, rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= ${Similarity.TopK}
+    ORDER BY query_id, rank"""
   }
 
   /** PQ-ADC top-k: encode the corpus, score every query against the

@@ -382,10 +382,12 @@ object Similarity {
     ivfTopKWith(e, trainIvfCodebook(e))
   }
 
-  val simIvfTopKSql: String = s"""
+  /** The IVF search SQL over an arbitrary `cent` CTE body — shared by
+    * the stand-in-codebook oracle and the persisted-trained-codebook
+    * oracle (same search, different codebook relation). */
+  private def ivfTopKSqlWith(centSql: String): String = s"""
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
-    cent AS (SELECT vec_id AS centroid_id, embedding AS ce FROM e
-             WHERE vec_id < $IVF_CENTROIDS),
+    cent AS ($centSql),
     sim AS (
       SELECT e.vec_id, centroid_id,
              ${Portable.cosineSql("e.embedding", "ce", Dim)} AS csim,
@@ -416,6 +418,33 @@ object Similarity {
     SELECT query_id, rank, neighbor_id, cosine
     FROM ranked WHERE rank <= $TopK
     ORDER BY query_id, rank"""
+
+  val simIvfTopKSql: String = ivfTopKSqlWith(
+    s"SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < $IVF_CENTROIDS")
+
+  /** Fixed artifact path for the gated from-codebook IVF search. */
+  val IvfArtifactPath = "/tmp/graft_artifacts/ivf_codebook"
+
+  /** Gated HASH-EXACT: IVF search through the PERSISTED trained
+    * codebook — the artifact-backed serving gate ([[Pca.simPcaFromModel]]
+    * posture) for the trained quantizer. Training stays rows-only (a
+    * k-means fixpoint has no closed-form SQL oracle; objective descent
+    * and recall floors are spec'd in ExtensionSpec), but the SEARCH
+    * given a frozen codebook is the same deterministic
+    * assign → probe → exact-re-rank relation the stand-in-codebook gate
+    * already proves SQL-statable — the oracle is the identical search
+    * SQL reading the same parquet artifact, so cell assignment,
+    * probing, and the final ranking are all hash-compared. Float
+    * centroids round-trip parquet bit-exactly in both engines. */
+  def simIvfFromCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    trainIvfCodebook(e)
+      .coalesce(1).write.mode("overwrite").parquet(IvfArtifactPath)
+    ivfTopKWith(e, spark.read.parquet(IvfArtifactPath))
+  }
+
+  val simIvfFromCodebookSql: String = ivfTopKSqlWith(
+    s"SELECT centroid_id, ce FROM read_parquet('$IvfArtifactPath/*.parquet')")
 
   /** Embedding-cosine near-duplicate pairs over the FULL table: candidate
     * pairs share a bucket in any of [[NEARDUP_TABLES]] 8-plane tables

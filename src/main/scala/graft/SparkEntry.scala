@@ -181,12 +181,12 @@ object SparkEntry {
     "sim_ivf_pq_topk" -> (Pq.simIvfPqTopK _),
     "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
     // the auto-sized production entry points (corpus-derived plane
-    // count), gated rows-only: autoPlanes grows with the corpus, so no
-    // pinned-constant SQL can mirror them at every scale factor.
-    // ExtensionSpec asserts result equality with the pinned twins at
-    // test scale, where the derived constants coincide (the
-    // sim_ivf_trained posture). pruneFactKeysAuto needs no twin — the
-    // oracled q30_bloom_prejoin IS the auto-sized path (its oracle is
+    // count), gated HASH-EXACT against a DYNAMIC-plane oracle: the SQL
+    // recomputes autoPlanes' integer bit-length formula and masks the
+    // (table, plane) grid at runtime, so the compare holds at any
+    // corpus size, not just where the derived constant equals the
+    // pinned one. pruneFactKeysAuto needs no twin — the oracled
+    // q30_bloom_prejoin IS the auto-sized path (its oracle is
     // capacity-independent).
     "sim_neardup_auto" ->
       ((s: SparkSession, d: String) => Similarity.cosineNearDupAuto(s, d)),
@@ -325,6 +325,9 @@ object SparkEntry {
     "sim_ivf_from_codebook" -> Similarity.simIvfFromCodebookSql,
     "sim_pq_topk" -> Pq.simPqTopKSql,
     "sim_ivf_pq_topk" -> Pq.simIvfPqTopKSql,
+    "sim_mips_lsh" -> Mips.mipsLshTopKSql,
+    "sim_neardup_auto" -> Similarity.simCosineNearDupAutoSql,
+    "sim_semantic_dedup_auto" -> Similarity.simSemanticDedupAutoSql,
     "dd_contamination" -> Dedup.ddContaminationSql,
     "prof_column_stats" -> Profiling.profColumnStatsSql,
     "prof_skew_report" -> Profiling.profSkewReportSql,

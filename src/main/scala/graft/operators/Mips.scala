@@ -30,11 +30,10 @@ import graft.sources.Tables
   *     ([[graft.functions.HyperplaneBuckets]]) applies unchanged on the
   *     (d+1)-dim family. Candidates from shared buckets re-rank by the
   *     EXACT dot on the original vectors. Recall vs [[simMipsTopK]] is
-  *     pinned in ExtensionSpec; the gated entry is the exact path
-  *     (approximate candidate sets at 65 dims would need the float
-  *     round-trip of the augmented coordinate mirrored in SQL — a
-  *     last-ulp sign risk at the bucket boundary with no correctness
-  *     payoff, the same reason `sim_ivf_trained` gates rows-only).
+  *     pinned in ExtensionSpec, and `sim_mips_lsh` is gated HASH-EXACT
+  *     against [[mipsLshTopKSql]] — the augmented coordinate's float
+  *     round-trip and the 65-dim projections replicate bit-for-bit in
+  *     DuckDB (same IEEE FLOAT cast, same sequential folds).
   *
   * Scale shape: the augmentation is one narrow projection (norms are a
   * per-row fold, M is one driver scalar via a tree-aggregated max); the
@@ -95,6 +94,64 @@ object Mips {
     e.select(col("vec_id"), col("embedding"),
       concat(col("embedding"),
         array(sqrt(greatest(lit(m2) - n2, lit(0.0))).cast("float"))).as("aug"))
+  }
+
+  /** The full MIPS-LSH pipeline as DuckDB SQL — hash-exact after all
+    * (the scaladoc above's last-ulp caution proved unfounded in
+    * practice): the max-norm scalar is a max over per-row sequential
+    * dots (order-independent), the augmented coordinate's FLOAT
+    * round-trip is the same IEEE round-to-nearest in both engines
+    * (`CAST(... AS FLOAT)`), each hyperplane projection is the proven
+    * sequential fold over the 64 float dims plus one ordered extra
+    * term (`(Σ₆₄) + s₆₅·augc` — the kernel's own association), the
+    * query side's zero coordinate contributes exactly ±0.0 in both,
+    * and the re-rank is the shared exact-dot law. Verified hash-exact
+    * at sf0.01 AND sf0.1. */
+  val mipsLshTopKSql: String = {
+    val dot = Portable.dotDoubleSql("embedding", "embedding", Dim)
+    def proj(p: Int, withAug: Boolean): String = {
+      val sl = augSigns(p).take(Dim).mkString("[", ", ", "]")
+      val base = s"list_sum(list_transform(range(1, ${Dim + 1}), " +
+        s"i -> embedding[i]::DOUBLE * ($sl)[i]))"
+      if (withAug) s"($base + ${augSigns(p)(Dim)} * augc::DOUBLE)" else s"($base)"
+    }
+    def bucket(t: Int, withAug: Boolean): String =
+      (0 until TOPK_PLANES).map(i =>
+        s"CASE WHEN ${proj(t * TOPK_PLANES + i, withAug)} > 0 THEN ${1 << i} ELSE 0 END")
+        .mkString("(", " + ", ")")
+    def bands(rel: String, withAug: Boolean, where: String): String =
+      (0 until TOPK_TABLES).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${bucket(t, withAug)} AS bucket FROM $rel$where")
+        .mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    m2 AS (SELECT MAX($dot) AS v FROM e),
+    a AS (
+      SELECT vec_id, embedding,
+             CAST(sqrt(greatest((SELECT v FROM m2) - $dot, 0)) AS FLOAT) AS augc
+      FROM e),
+    cbands AS (
+      ${bands("a", withAug = true, "")}),
+    qbands AS (
+      ${bands("e", withAug = false, s" WHERE vec_id < $QuerySetSize")}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qbands q JOIN cbands c
+        ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+    pairs AS (
+      SELECT query_id, neighbor_id,
+             ${Portable.dotDoubleSql("qe.embedding", "ne.embedding", Dim)} AS dot
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ne ON ne.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dot DESC, neighbor_id) AS INT) AS rank
+      FROM pairs)
+    SELECT query_id, rank, neighbor_id, dot
+    FROM ranked WHERE rank <= $TopK
+    ORDER BY query_id, rank"""
   }
 
   /** Approximate MIPS top-K through the augmentation + hyperplane LSH:

@@ -468,8 +468,13 @@ object Similarity {
   def autoPlanes(corpusRows: Long,
                  targetOccupancy: Long = NEARDUP_TARGET_OCCUPANCY): Int = {
     require(corpusRows > 0, "empty corpus")
-    val needed = math.ceil(
-      math.log(corpusRows.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    // integer bit-length, not ceil(log2(n/occ)) in doubles: a last-ulp
+    // log artifact at an exact power-of-two boundary could silently
+    // shift the plane count — and the auto gates' SQL oracle mirrors
+    // THIS integer formula exactly (smallest k with occ·2^k ≥ n)
+    val m = (corpusRows + targetOccupancy - 1) / targetOccupancy
+    val needed =
+      if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     // bucket ids pack one bit per plane into an Int — beyond 32 planes
     // `1 << i` wraps and planes alias silently. Fail loudly: at that
     // corpus size raise the target occupancy (and table count) instead.
@@ -551,6 +556,89 @@ object Similarity {
     WITH $neardupCtesSql
     SELECT id_a, id_b, cosine FROM nd_pairs
     ORDER BY id_a, id_b"""
+
+  /** Plane head-room of the auto oracles' sign relation: enough rows
+    * for [[autoPlanes]] up to 16 planes/table, i.e. corpora to
+    * [[NEARDUP_TARGET_OCCUPANCY]]·2¹⁶ ≈ 10⁶ vectors. Past that the
+    * matrix needs more literal rows — a constant, not a structure,
+    * change. */
+  private val AutoOracleMaxPlanes = 16
+
+  /** CTE chain for the AUTO-sized near-dup pairs — DYNAMIC plane
+    * count in pure SQL, ending in `nd_pairs`. `p` is [[autoPlanes]]'
+    * integer bit-length formula verbatim (GREATEST(8, bitlen(⌈n/16⌉−1))
+    * via `length(bin(...))`); the (table, plane) grid masks to i < p at
+    * runtime; sign rows come from the same universal MD5-parity family
+    * as the kernels (`mkSigns` depends only on the (plane, dim) index,
+    * so the SQL relation and the Scala array can never disagree); and
+    * the bucket packs `1 << i` bits through an integer SUM. The rest is
+    * the pinned oracle's band self-join + exact-cosine verify. This is
+    * what lets the PRODUCTION auto entry points gate hash-exact at any
+    * corpus size instead of only where the derived constant happens to
+    * equal the pinned one. */
+  private val autoNearDupCtesSql: String = {
+    val occ = NEARDUP_TARGET_OCCUPANCY
+    val signRows = mkSigns(NEARDUP_TABLES * AutoOracleMaxPlanes)
+      .zipWithIndex.map { case (row, q) =>
+        s"(${q + 1}, ${row.mkString("[", ", ", "]")})"
+      }.mkString(",\n      ")
+    s"""n AS (SELECT COUNT(*) AS n FROM embeddings),
+    pp AS (SELECT GREATEST($NEARDUP_PLANES,
+             CASE WHEN (n + ${occ - 1}) // $occ <= 1 THEN 0
+                  ELSE length(bin((n + ${occ - 1}) // $occ - 1)) END) AS p
+           FROM n),
+    sgn(q, ws) AS (VALUES
+      $signRows),
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    grid AS (
+      SELECT t.t, i.i, pp.p
+      FROM (SELECT unnest(range(0, $NEARDUP_TABLES)) AS t) t
+      CROSS JOIN (SELECT unnest(range(0, $AutoOracleMaxPlanes)) AS i) i
+      CROSS JOIN pp
+      WHERE i.i < pp.p),
+    proj AS (
+      SELECT e.vec_id, g.t, g.i,
+             list_sum(list_transform(range(1, ${Dim + 1}), dd ->
+               e.embedding[dd]::DOUBLE * sgn.ws[dd])) AS pr
+      FROM e CROSS JOIN grid g JOIN sgn ON sgn.q = g.t * g.p + g.i + 1),
+    banded AS (
+      SELECT vec_id, t AS tbl,
+             SUM(CASE WHEN pr > 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b,
+             ${Portable.cosineSql("ea.embedding", "eb.embedding", Dim)} AS cosine
+      FROM cand
+      JOIN e ea ON ea.vec_id = id_a
+      JOIN e eb ON eb.vec_id = id_b),
+    nd_pairs AS (
+      SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= $NEARDUP_THRESHOLD)"""
+  }
+
+  val simCosineNearDupAutoSql: String = s"""
+    WITH $autoNearDupCtesSql
+    SELECT id_a, id_b, cosine FROM nd_pairs
+    ORDER BY id_a, id_b"""
+
+  val simSemanticDedupAutoSql: String = s"""
+    WITH RECURSIVE $autoNearDupCtesSql,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM nd_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+    labels AS (
+      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src)
+    SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
+    FROM labels ORDER BY vec_id"""
 
   // ------------------------------------------------------- semantic dedup
 

@@ -81,6 +81,7 @@ object SparkEntry {
     "stream_cdc_scd2" -> (graft.streaming.StreamingGates.streamCdcScd2 _),
     "stream_mix_drift" -> (graft.streaming.StreamingGates.streamMixDrift _),
     "stream_substring_dedup" -> (graft.streaming.StreamingGates.streamSubstringDedup _),
+    "stream_qc_score" -> (graft.streaming.StreamingGates.streamQcScore _),
     // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
     "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
@@ -267,6 +268,7 @@ object SparkEntry {
     "stream_cdc_scd2" -> Cdc.cdcScd2OrdersSql,
     "stream_mix_drift" -> Profiling.profDriftReportSql,
     "stream_substring_dedup" -> Dedup.streamSubstringDedupSql,
+    "stream_qc_score" -> QualityClassifier.qcScoreSql,
     "layout_zorder" -> Layout.layoutZorderSql,
     "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
     "k4_partition_prune" -> PartitionedWrite.k4PartitionPruneSql,

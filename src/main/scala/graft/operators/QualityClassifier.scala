@@ -193,7 +193,11 @@ object QualityClassifier {
     * hash-exact with zero float tolerance — the [[Dsir]] whole-bit
     * discipline applied to the learned model's serving path. Scale shape:
     * O(B) model broadcast in codegen, one narrow projection, no shuffle. */
-  def qcScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Train on `dir`'s documents, quantize to 10⁻⁹ fixed point, persist
+    * the (b, qw) relation + bias row at b = −1, and return the RELOADED
+    * integer model — the artifact is the single source of truth for
+    * every consumer (batch gate, streaming gate, and the oracle). */
+  def trainPersistQuantized(spark: SparkSession, dir: String): (Array[Long], Long) = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val m = train(docs, col("source").isin(Dsir.TargetSources: _*))
@@ -201,14 +205,20 @@ object QualityClassifier {
       m.w.indices.map(b => (b.toLong, math.rint(m.w(b) * QScale).toLong)))
       .toDF("b", "qw")
       .coalesce(1).write.mode("overwrite").parquet(ModelArtifactPath)
-    // score from the PERSISTED integer relation (not the in-memory
-    // doubles) — the same artifact the oracle reads
     val qw = new Array[Long](B)
     var qBias = 0L
     spark.read.parquet(ModelArtifactPath).collect().foreach { r =>
       val b = r.getLong(0)
       if (b < 0) qBias = r.getLong(1) else qw(b.toInt) = r.getLong(1)
     }
+    (qw, qBias)
+  }
+
+  /** The integer serving pass: one narrow stateless projection — no
+    * shuffle, no aggregation — so it runs unchanged on a STREAMING
+    * DataFrame (the [[Dsir.scorePerRow]] posture). Unordered; batch
+    * callers sort. */
+  def scoreQuantized(docs: DataFrame, qw: Array[Long], qBias: Long): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         NgramHash60s.gramBuckets(col("text"), GramN, B.toLong).as("bs"))
@@ -219,6 +229,10 @@ object QualityClassifier {
       .withColumn("pred",
         when(col("n_grams") > 0, col("q_sum") + lit(qBias) * col("n_grams") > 0)
           .otherwise(lit(qBias > 0)))
+
+  def qcScore(spark: SparkSession, dir: String): DataFrame = {
+    val (qw, qBias) = trainPersistQuantized(spark, dir)
+    scoreQuantized(Tables.documents(spark, dir), qw, qBias)
       .orderBy(col("doc_id"))
   }
 

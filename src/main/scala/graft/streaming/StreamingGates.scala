@@ -287,6 +287,40 @@ object StreamingGates {
         .groupBy(col("category")).agg(sum(col("n")).as("n_b")))
   }
 
+  /** Replay `documents` as a 3-chunk stream through the STATELESS
+    * fixed-point quality scorer
+    * ([[graft.operators.QualityClassifier.scoreQuantized]]) serving the
+    * PERSISTED model — the model-serving-on-streams story: training is
+    * an offline job ([[graft.operators.QualityClassifier.trainPersistQuantized]]
+    * runs here as gate setup), and the integer apply pass is one narrow
+    * stateless projection, so it attaches to a stream with no
+    * watermark, no state, no output-mode constraint. Gated against the
+    * batch `qc_score` oracle over the same artifact: stream ≡ batch ≡
+    * oracle for the serving path. */
+  def streamQcScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val (qw, qBias) = QualityClassifier.trainPersistQuantized(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val in = tmp("graft_sgate_qc_in_")
+    val out = tmp("graft_sgate_qc_out_")
+    val ckpt = tmp("graft_sgate_qc_ckpt_")
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val src = spark.readStream
+      .schema(StructType.fromDDL("doc_id BIGINT, text STRING"))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = QualityClassifier.scoreQuantized(src, qw, qBias)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read
+      .schema("doc_id BIGINT, n_grams BIGINT, q_sum BIGINT, pred BOOLEAN")
+      .parquet(out)
+      .orderBy(col("doc_id"))
+  }
+
   /** Replay the appended near-dup variants as a 3-batch document
     * stream through the CAUSAL streaming substring-dedup ingest
     * ([[StreamingPipeline.startSubstringDedupStore]]): the base

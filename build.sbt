@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the forked bench main's compact JSON stdout line.
+// sbt's default LoggedOutput wraps every forked-process line in an
+// "[info] " prefix, which broke that parse for three rounds
+// (BENCH_r06..r08 "parsed": null). StdoutOutput inherits the parent
+// process's stdout/stderr, so the JSON line arrives prefix-free.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,7 +20,46 @@ object Caches {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Unpersist every tracked relation and forget them.
+  /** Track an already-persisted relation (typically a `localCheckpoint`
+    * inside a lazy iterative plan, whose blocks only materialize when the
+    * caller's action runs) for later [[releaseAll]]. No-op on storage. */
+  def track[T](df: Dataset[T]): Dataset[T] = synchronized {
+    live += df
+    df
+  }
+
+  /** Unpersist a `localCheckpoint`ed relation's blocks.
+    *
+    * `Dataset.unpersist` only consults the CacheManager (plan-level
+    * cache), so it is a silent NO-OP for a checkpoint's RDD-level
+    * persistence (verified empirically: `getPersistentRDDs` keeps the
+    * block after `Dataset.unpersist`, drops it after `rdd.unpersist`).
+    * The checkpointed RDD lives in the `LogicalRDD` leaf the checkpoint
+    * returned, so free it there. Iterative operators (connected
+    * components, PageRank, k-means, BPE, k-core) call this on each
+    * superseded iterate — without it, every round's |V|-row copy pins
+    * block storage until the nondeterministic ContextCleaner runs. */
+  def freeCheckpoint(df: Dataset[_], blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking)
+      case _ => df.unpersist(blocking)
+    }
+
+  /** Silence the by-design WARN Spark logs every time a
+    * locally-checkpointed RDD is unpersisted ("lineage has been
+    * truncated and cannot be recomputed") — [[freeCheckpoint]] only ever
+    * frees iterates that are provably dead, so the warning carries no
+    * information here and one line per freed round would bury the REAL
+    * warnings in Bench/Verify tails. Scoped to the one emitting logger,
+    * not a global level change. */
+  def quietCheckpointFreeWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+
+  /** Unpersist every tracked relation and forget them. Checkpoint-aware:
+    * tracked `localCheckpoint`s are freed at the RDD level (see
+    * [[freeCheckpoint]] — `Dataset.unpersist` would silently skip them).
     *
     * Blocking by default: a non-blocking unpersist leaves freed blocks to
     * be evicted lazily, and in a multi-query session (Bench/Verify) that
@@ -28,7 +67,7 @@ object Caches {
     * showed unchanged queries regressing 4x from exactly this.
     */
   def releaseAll(blocking: Boolean = true): Unit = synchronized {
-    live.foreach(_.unpersist(blocking))
+    live.foreach(freeCheckpoint(_, blocking))
     live.clear()
   }
 }

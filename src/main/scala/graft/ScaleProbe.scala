@@ -40,6 +40,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Caches.quietCheckpointFreeWarnings()
 
     def timed(df: => org.apache.spark.sql.DataFrame): Double = {
       // release happens OUTSIDE the measured window — a blocking

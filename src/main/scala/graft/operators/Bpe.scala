@@ -69,6 +69,11 @@ object Bpe {
       .withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .localCheckpoint(true)
+    // round k's collect materializes vocab_k, whose blocks are
+    // self-contained — vocab_{k-1} (one behind, still needed until that
+    // materialization) becomes dead then. Freed RDD-level: Dataset
+    // .unpersist is a no-op on checkpoints (Caches.freeCheckpoint).
+    var prevVocab = Option.empty[DataFrame]
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var k = 0
     var exhausted = false
@@ -84,6 +89,8 @@ object Bpe {
         .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
+      prevVocab.foreach(graft.Caches.freeCheckpoint(_))
+      prevVocab = Some(vocab)
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -93,6 +100,11 @@ object Bpe {
         k += 1
       }
     }
+    // final vocab (and the iterate it still reads from, if the last
+    // round's lazy checkpoint never materialized) live until the
+    // caller's action — deferred to the consumer's releaseAll
+    prevVocab.foreach(graft.Caches.track(_))
+    graft.Caches.track(vocab)
     BpeModel(merges.toSeq, vocab.select(col("word"), col("syms")))
   }
 

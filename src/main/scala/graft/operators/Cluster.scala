@@ -63,9 +63,9 @@ object Cluster {
     * returned frame is already materialized, so callers need no extra
     * persist. */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+    val sym = graft.Caches.track(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // Lazy checkpoints: labelSum is the action that materializes each
     // round's blocks, so a round costs ONE job (compute + cache + sum)
     // instead of an eager-checkpoint job plus the aggregate.
@@ -90,12 +90,16 @@ object Cluster {
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint(false)
       val nextSum = labelSum(next)
+      // labelSum materialized `next`, so the superseded round's label
+      // copy is dead — RDD-level free (Dataset.unpersist is a no-op on
+      // checkpoints; see Caches.freeCheckpoint)
+      graft.Caches.freeCheckpoint(labels)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       rounds += 1
     }
-    labels
+    graft.Caches.track(labels)
   }
 
   /** Large-star/small-star alternating contraction (Kiveris et al.,
@@ -160,13 +164,18 @@ object Cluster {
         // the superseded round's checkpoint blocks are dead once `next`
         // is materialized (checksum above forced it) AND the confirm
         // compare ran — without the unpersist, MaxRounds edge-set copies
-        // pin executor storage until the nondeterministic ContextCleaner
-        e.unpersist()
+        // pin executor storage until the nondeterministic ContextCleaner.
+        // RDD-level free: Dataset.unpersist is a silent no-op on
+        // localCheckpoints (it only consults the CacheManager)
+        graft.Caches.freeCheckpoint(e)
         prev = cur
         e = next
         rounds += 1
       }
     }
+    // the surviving star forest feeds the caller's lazy labels plan, so
+    // its blocks are released by the consumer's releaseAll, not here
+    graft.Caches.track(e)
     // star forest, canonical (src < dst): src is the root. Members read
     // their root; roots (never a dst) label themselves.
     val labels = vertices

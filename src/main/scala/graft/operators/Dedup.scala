@@ -1146,14 +1146,19 @@ object Dedup {
     removeCovered(base, wins, dup, w)
   }
 
+  /** Fixed artifact location of the gated incremental gate's window
+    * index — the `/tmp/graft_artifacts` convention of
+    * [[graft.operators.Bpe.DictArtifactPath]]/Pca/QualityClassifier, so
+    * the bench's warmup+3 timed runs overwrite ONE index copy instead
+    * of leaking a fresh temp dir per invocation. */
+  val SubstringIndexArtifactPath = "/tmp/graft_artifacts/substr_idx"
+
   /** Gated query: index the original documents, then incrementally
     * dedup the appended near-dup variants against base ∪ append. */
   def ddSubstringIncremental(spark: SparkSession, dir: String): DataFrame = {
     val aug = augmented(spark, dir)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_subidx_").toString + "/idx"
     val idx = buildSubstringIndex(
-      spark, aug.filter(col("doc_id") < 10000), SUB_W, path)
+      spark, aug.filter(col("doc_id") < 10000), SUB_W, SubstringIndexArtifactPath)
     substringDedupIncremental(aug.filter(col("doc_id") >= 10000), idx, SUB_W)
   }
 

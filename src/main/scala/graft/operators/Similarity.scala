@@ -338,18 +338,21 @@ object Similarity {
       pow(element_at(col("embedding"), i).cast("double"), 2)).reduce(_ + _))
     val meanCols = (1 to Dim).map(i =>
       avg(element_at(col("embedding"), i) / col("nrm")).cast("float"))
-    var cent = e.filter(col("vec_id") < k)
+    // all-lazy chain: nothing materializes until the caller's action, so
+    // every iterate is tracked for the consumer's releaseAll (k×Dim rows
+    // per iterate — small, but checkpoint blocks outlive ContextCleaner)
+    var cent = graft.Caches.track(e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("ce"))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
     var it = 0
     while (it < iters) {
       val means = assignCells(e, cent)
         .withColumn("nrm", norm)
         .groupBy(col("centroid_id"))
         .agg(array(meanCols: _*).as("mce"))
-      cent = cent.join(means, Seq("centroid_id"), "left")
+      cent = graft.Caches.track(cent.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("mce"), col("ce")).as("ce"))
-        .localCheckpoint(false)
+        .localCheckpoint(false))
       it += 1
     }
     cent
@@ -561,7 +564,9 @@ object Similarity {
     * for [[autoPlanes]] up to 16 planes/table, i.e. corpora to
     * [[NEARDUP_TARGET_OCCUPANCY]]·2¹⁶ ≈ 10⁶ vectors. Past that the
     * matrix needs more literal rows — a constant, not a structure,
-    * change. */
+    * change — and the `pp` CTE raises a named `error(...)` rather than
+    * silently banding with missing planes (mirror of the Scala
+    * [[autoPlanes]] `require`). */
   private val AutoOracleMaxPlanes = 16
 
   /** CTE chain for the AUTO-sized near-dup pairs — DYNAMIC plane
@@ -583,10 +588,17 @@ object Similarity {
         s"(${q + 1}, ${row.mkString("[", ", ", "]")})"
       }.mkString(",\n      ")
     s"""n AS (SELECT COUNT(*) AS n FROM embeddings),
-    pp AS (SELECT GREATEST($NEARDUP_PLANES,
+    pp_raw AS (SELECT GREATEST($NEARDUP_PLANES,
              CASE WHEN (n + ${occ - 1}) // $occ <= 1 THEN 0
                   ELSE length(bin((n + ${occ - 1}) // $occ - 1)) END) AS p
            FROM n),
+    pp AS (SELECT CASE WHEN p > $AutoOracleMaxPlanes
+                  THEN error('auto oracle plane head-room exceeded: ' ||
+                             p || ' > $AutoOracleMaxPlanes planes; widen ' ||
+                             'AutoOracleMaxPlanes (mirrors the Scala ' ||
+                             'autoPlanes <= 32 require)')
+                  ELSE p END AS p
+           FROM pp_raw),
     sgn(q, ws) AS (VALUES
       $signRows),
     e AS (SELECT vec_id, embedding FROM embeddings),

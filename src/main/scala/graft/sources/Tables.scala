@@ -131,11 +131,21 @@ object Tables {
   private case class TsProbe(unit: TimeUnit, minRaw: Option[Long], maxRaw: Option[Long])
   private val tsProbes = new scala.collection.concurrent.TrieMap[String, TsProbe]
 
-  /** Read the parquet footer of (one file of) `dir/events.parquet` and
-    * return the `ts` column's logical time unit and raw min/max stats.
-    * An unannotated int64 `ts` is treated as the legacy raw-nanos
-    * encoding. Footer-only: at 100 TB this is one metadata RPC, not a
-    * scan, so it is safe to run at catalog time on every cluster. */
+  /** Read the parquet footers of EVERY non-hidden part file of
+    * `dir/events.parquet` and return the `ts` column's logical time unit
+    * and the raw min/max stats merged across all files. All footers must
+    * agree on the unit — a directory with mixed encodings across part
+    * files (e.g. a partial regeneration) fails loudly here instead of
+    * silently decoding half the rows 1000× off. An unannotated int64
+    * `ts` is treated as the legacy raw-nanos encoding. Footer-only: one
+    * metadata RPC per file, no data scan — the same cost Spark's own
+    * scan planning already pays to list and split the directory.
+    *
+    * Cached per directory for the JVM lifetime, which assumes the
+    * directory is immutable once probed (true for the driver's
+    * `/root/testdata/sf*` fixtures and for any sane production layout
+    * where regeneration writes a NEW path). Regenerating data into the
+    * same dir mid-JVM would serve a stale probe. */
   private def probeTs(spark: SparkSession, dir: String): TsProbe =
     tsProbes.getOrElseUpdate(dir, {
       import org.apache.hadoop.fs.Path
@@ -144,35 +154,48 @@ object Tables {
       val conf = spark.sessionState.newHadoopConf()
       val root = new Path(s"$dir/events.parquet")
       val fs = root.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
+      val files =
+        if (fs.getFileStatus(root).isDirectory) {
+          val parts = fs.listStatus(root).map(_.getPath)
             .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
-            .sortBy(_.getName).headOption.getOrElse(root)
-        else root
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-      try {
-        val meta = reader.getFooter
-        val schema = meta.getFileMetaData.getSchema
-        val idx = schema.getFieldIndex("ts")
-        val unit = schema.getType(idx).asPrimitiveType().getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
-          case _ => TimeUnit.NANOS // legacy generator: unannotated int64 epoch nanos
-        }
-        var lo, hi = Option.empty[Long]
-        meta.getBlocks.forEach { b =>
-          val st = b.getColumns.get(idx).getStatistics
-          if (st != null && st.hasNonNullValue) {
-            val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
-              case (a: java.lang.Long, b2: java.lang.Long) => (a.longValue, b2.longValue)
-              case (a: java.lang.Number, b2: java.lang.Number) => (a.longValue, b2.longValue)
-            }
-            lo = Some(lo.fold(mn)(math.min(_, mn)))
-            hi = Some(hi.fold(mx)(math.max(_, mx)))
+            .sortBy(_.getName)
+          if (parts.nonEmpty) parts.toSeq else Seq(root)
+        } else Seq(root)
+      val perFile = files.map { file =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+        try {
+          val meta = reader.getFooter
+          val schema = meta.getFileMetaData.getSchema
+          val idx = schema.getFieldIndex("ts")
+          val unit = schema.getType(idx).asPrimitiveType().getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+            case _ => TimeUnit.NANOS // legacy generator: unannotated int64 epoch nanos
           }
-        }
-        TsProbe(unit, lo, hi)
-      } finally reader.close()
+          var lo, hi = Option.empty[Long]
+          meta.getBlocks.forEach { b =>
+            val st = b.getColumns.get(idx).getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+                case (a: java.lang.Long, b2: java.lang.Long) => (a.longValue, b2.longValue)
+                case (a: java.lang.Number, b2: java.lang.Number) => (a.longValue, b2.longValue)
+              }
+              lo = Some(lo.fold(mn)(math.min(_, mn)))
+              hi = Some(hi.fold(mx)(math.max(_, mx)))
+            }
+          }
+          (file.getName, TsProbe(unit, lo, hi))
+        } finally reader.close()
+      }
+      val units = perFile.map { case (name, p) => name -> p.unit }
+      require(units.map(_._2).distinct.size == 1,
+        s"events.ts time-unit disagreement across part files of $dir/events.parquet: " +
+          units.map { case (n, u) => s"$n=$u" }.mkString(", ") +
+          " — mixed parquet encodings in one directory cannot be decoded uniformly")
+      val merged = perFile.map(_._2)
+      TsProbe(
+        merged.head.unit,
+        merged.flatMap(_.minRaw).reduceOption(math.min(_: Long, _: Long)),
+        merged.flatMap(_.maxRaw).reduceOption(math.max(_: Long, _: Long)))
     })
 
   /** Raw `ts` long → epoch micros, per the probed unit. */

@@ -313,13 +313,19 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.localCheckpoint(true)
-        val idx = latestSnapshot(spark, indexStore, idxSchema,
-          beforeVersion = batchId)
-        graft.operators.Dedup.substringDedupIncremental(b, idx, w)
-          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
-        idx.unionByName(graft.operators.Dedup.substringWindowCounts(b, w))
-          .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
-          .write.mode("overwrite").parquet(s"$indexStore/v=$batchId")
+        try {
+          val idx = latestSnapshot(spark, indexStore, idxSchema,
+            beforeVersion = batchId)
+          graft.operators.Dedup.substringDedupIncremental(b, idx, w)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          idx.unionByName(graft.operators.Dedup.substringWindowCounts(b, w))
+            .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+            .write.mode("overwrite").parquet(s"$indexStore/v=$batchId")
+          // both consumers of this batch's checkpoint have committed —
+          // free it here, or every micro-batch of the stream's lifetime
+          // pins a batch-sized block set (Dataset.unpersist would be a
+          // CacheManager no-op; see Caches.freeCheckpoint)
+        } finally graft.Caches.freeCheckpoint(b)
       }
       .start()
   }

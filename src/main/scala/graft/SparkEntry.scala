@@ -82,6 +82,8 @@ object SparkEntry {
     "stream_mix_drift" -> (graft.streaming.StreamingGates.streamMixDrift _),
     "stream_substring_dedup" -> (graft.streaming.StreamingGates.streamSubstringDedup _),
     "stream_qc_score" -> (graft.streaming.StreamingGates.streamQcScore _),
+    "stream_stream_join" -> (graft.streaming.StreamingGates.streamStreamJoin _),
+    "stream_bm25" -> (graft.streaming.StreamingGates.streamBm25 _),
     // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
     "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
@@ -148,7 +150,9 @@ object SparkEntry {
     "dd_cluster_altstar" -> (Dedup.ddClusterAltstar _),
     "dd_span_dedup" -> (Dedup.ddSpanDedup _),
     "dd_substring_dedup" -> (Dedup.ddSubstringDedup _),
+    "dd_substring_verify" -> (Dedup.ddSubstringVerify _),
     "dd_substring_incremental" -> (Dedup.ddSubstringIncremental _),
+    "dd_substring_backfill" -> (Dedup.ddSubstringBackfill _),
     "dd_contamination" -> (Dedup.ddContamination _),
     // Profiling
     "prof_column_stats" -> (Profiling.profColumnStats _),
@@ -269,6 +273,8 @@ object SparkEntry {
     "stream_mix_drift" -> Profiling.profDriftReportSql,
     "stream_substring_dedup" -> Dedup.streamSubstringDedupSql,
     "stream_qc_score" -> QualityClassifier.qcScoreSql,
+    "stream_stream_join" -> graft.streaming.StreamingGates.streamStreamJoinSql,
+    "stream_bm25" -> Search.txBm25TopKSql,
     "layout_zorder" -> Layout.layoutZorderSql,
     "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
     "k4_partition_prune" -> PartitionedWrite.k4PartitionPruneSql,
@@ -322,7 +328,9 @@ object SparkEntry {
     "dd_cluster_altstar" -> Dedup.ddClusterSql,
     "dd_span_dedup" -> Dedup.ddSpanDedupSql,
     "dd_substring_dedup" -> Dedup.ddSubstringDedupSql,
+    "dd_substring_verify" -> Dedup.ddSubstringDedupSql,
     "dd_substring_incremental" -> Dedup.ddSubstringIncrementalSql,
+    "dd_substring_backfill" -> Dedup.ddSubstringBackfillSql,
     "sim_pca_from_model" -> Pca.simPcaFromModelSql,
     "sim_ivf_from_codebook" -> Similarity.simIvfFromCodebookSql,
     "sim_pq_topk" -> Pq.simPqTopKSql,

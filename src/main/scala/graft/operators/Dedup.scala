@@ -1049,16 +1049,20 @@ object Dedup {
     * collect_list, bounded by doc length. Nothing quadratic, nothing
     * driver-side, and a distributed suffix array is never built — at
     * 10¹² corpus windows the 60-bit hash space incurs ~n²/2⁶¹ chance
-    * collisions marking a non-repeated window as repeated; an exact
-    * deployment verifies hash-matched windows with one string equi-join
-    * on the colliding hashes only (the candidates-then-verify posture
-    * of [[ddMinhashLsh]]), which the oracle-gated hash form omits
-    * because both engines hash identically. */
+    * collisions marking a non-repeated window as repeated; the
+    * `verify = true` mode of [[substringDedup]] closes exactly that gap
+    * with one string equi-join on the colliding hashes only (the
+    * candidates-then-verify posture of [[ddMinhashLsh]]). The gated
+    * query keeps the hash form because both engines hash identically;
+    * [[ddSubstringVerify]] gates the verify path against the same
+    * from-scratch oracle, and DedupSpec plants a synthetic collision
+    * the verify mode survives and the hash form over-deletes. */
   /** (doc_id, pos, h): all overlapping w-token windows of a tokenized
     * corpus (`ws` column present), hashed BEFORE any shuffle. Guard:
     * Spark's sequence(1, 0) counts DOWN (cf. Portable.shingles), so
     * sub-w docs need the explicit empty case. */
-  private def windowRows(tokenized: DataFrame, w: Int): DataFrame = {
+  private[operators] def windowRows(tokenized: DataFrame, w: Int,
+                                    hash: Column => Column = Portable.hash60): DataFrame = {
     val ws = col("ws")
     tokenized
       .select(col("doc_id"),
@@ -1066,14 +1070,15 @@ object Dedup {
           .otherwise(sequence(lit(1), size(ws) - (w - 1)))).as("pos"),
         ws)
       .select(col("doc_id"), col("pos"),
-        Portable.hash60(array_join(slice(ws, col("pos"), lit(w)), " ")).as("h"))
+        hash(array_join(slice(ws, col("pos"), lit(w)), " ")).as("h"))
   }
 
-  /** Shared removal tail: mark every token covered by a window whose
-    * hash is in `dup`, reassemble per doc. `tokenized` carries `ws`. */
-  private def removeCovered(tokenized: DataFrame, wins: DataFrame,
-                            dup: DataFrame, w: Int): DataFrame = {
-    val covered = wins.join(dup, "h")
+  /** Removal tail on explicit window POSITIONS: mark every token covered
+    * by a (doc_id, pos) in `dupWins`, reassemble per doc. `tokenized`
+    * carries `ws`. */
+  private def removeAt(tokenized: DataFrame, dupWins: DataFrame,
+                       w: Int): DataFrame = {
+    val covered = dupWins
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
       .distinct()
@@ -1093,17 +1098,76 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  def substringDedup(docs: DataFrame, w: Int): DataFrame = {
+  /** Shared removal tail: mark every token covered by a window whose
+    * hash is in `dup`, reassemble per doc. `tokenized` carries `ws`. */
+  private def removeCovered(tokenized: DataFrame, wins: DataFrame,
+                            dup: DataFrame, w: Int): DataFrame =
+    removeAt(tokenized,
+      wins.join(dup, "h").select(col("doc_id"), col("pos")), w)
+
+  /** (doc_id, pos, h, s): window STRINGS re-derived ONLY for windows
+    * whose hash is in `candHashes` — the collision-verify stage's input.
+    * The corpus-wide window relation ([[windowRows]]) never carries
+    * strings; candidate positions are pruned FIRST (a hash-only
+    * left-semi join), then each candidate doc's token array moves once
+    * to re-slice its colliding windows. String volume is candidate-,
+    * not corpus-window-, sized — the candidates-then-verify posture. */
+  private[operators] def substringCollisionCandidates(
+      base: DataFrame, wins: DataFrame, candHashes: DataFrame,
+      w: Int): DataFrame = {
+    val candPos = wins.join(candHashes, Seq("h"), "left_semi")
+    candPos.join(base.select(col("doc_id"), col("ws")), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("h"),
+        array_join(slice(col("ws"), col("pos"), lit(w)), " ").as("s"))
+  }
+
+  /** Exact-substring dedup; see the ExactSubstr scaladoc above.
+    *
+    * `verify = false` (the gated form) treats equal 60-bit window
+    * hashes as equal windows — exact while the corpus stays well under
+    * ~2³⁰ windows. `verify = true` is the production-exact deployment
+    * for 10¹²-window corpora: hash-colliding windows (count > 1) are
+    * re-verified by their exact STRINGS, so a chance 60-bit collision
+    * between two distinct windows no longer over-deletes either. Only
+    * colliding windows' strings are ever materialized or shuffled
+    * ([[substringCollisionCandidates]]); the expected extra cost at
+    * n ≪ 2⁶⁰ is the duplicate volume itself, nothing corpus-sized.
+    * `hash` is injectable so tests can plant collisions (a real 60-bit
+    * collision is not constructible on demand); production callers
+    * leave the default. */
+  def substringDedup(docs: DataFrame, w: Int, verify: Boolean = false,
+                     hash: Column => Column = Portable.hash60): DataFrame = {
     val base = graft.Caches.persist(
       docs.withColumn("ws", Portable.words(col("text"))))
-    val wins = graft.Caches.persist(windowRows(base, w))
+    val wins = graft.Caches.persist(windowRows(base, w, hash))
     val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1).select(col("h"))
-    removeCovered(base, wins, dup, w)
+    if (!verify) removeCovered(base, wins, dup, w)
+    else {
+      val cand = substringCollisionCandidates(base, wins, dup, w)
+      val dupWins = cand.join(
+        cand.groupBy(col("h"), col("s")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("h"), col("s")),
+        Seq("h", "s"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+      removeAt(base, dupWins, w)
+    }
   }
 
   def ddSubstringDedup(spark: SparkSession, dir: String): DataFrame =
     substringDedup(augmented(spark, dir), SUB_W)
+
+  /** Gated query: the collision-VERIFY path over the same corpus. With
+    * the production 60-bit hash and a test-scale corpus no collision
+    * exists, so the verify path must reproduce the hash form's result
+    * bit-for-bit — the gate proves the verify plumbing (candidate
+    * prune → string re-derive → exact-string count → positional
+    * removal) is a no-op exactly when it should be. The collision
+    * SEMANTICS (survive a planted collision the hash form over-deletes
+    * on) are DedupSpec's job; no SQL oracle can state them because
+    * DuckDB hashes identically. */
+  def ddSubstringVerify(spark: SparkSession, dir: String): DataFrame =
+    substringDedup(augmented(spark, dir), SUB_W, verify = true)
 
   /** Build + persist the (h, cnt) window-count index of a base corpus —
     * the state that makes substring dedup INCREMENTAL. At 100 TB the
@@ -1133,7 +1197,8 @@ object Dedup {
     * against the index. A window of a BASE doc newly duplicated by the
     * append changes that base doc's clean text only under re-dedup;
     * like every append-only ingest, retroactive cleaning is a separate
-    * backfill pass (the index already holds the counts it needs). */
+    * backfill pass — [[substringDedupBackfill]], driven off the
+    * positional index. */
   def substringDedupIncremental(appendDocs: DataFrame, index: DataFrame,
                                 w: Int): DataFrame = {
     val base = graft.Caches.persist(
@@ -1160,6 +1225,76 @@ object Dedup {
     val idx = buildSubstringIndex(
       spark, aug.filter(col("doc_id") < 10000), SUB_W, SubstringIndexArtifactPath)
     substringDedupIncremental(aug.filter(col("doc_id") >= 10000), idx, SUB_W)
+  }
+
+  /** Build + persist the POSITIONAL window index (doc_id, pos, h) of a
+    * base corpus — the postings relation the retroactive backfill pass
+    * prunes by (the (h, cnt) count index says a window crossed into
+    * duplication; only the positional index can say WHICH base docs own
+    * it). Corpus-windows-sized at 20 bytes/row; at 100 TB write it
+    * bucketed by h so the crossed-hash semi-join below plans
+    * Exchange-free, exactly the [[buildSubstringIndex]] note. */
+  def buildSubstringPosIndex(spark: SparkSession, docs: DataFrame, w: Int,
+                             path: String): DataFrame = {
+    windowRows(docs.withColumn("ws", Portable.words(col("text"))), w)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Retroactive BACKFILL for the append-only ingest: re-clean exactly
+    * the base docs owning a window whose merged (base ∪ append) count
+    * CROSSED 1 — unique in base (cnt = 1), duplicated by the append.
+    * Those are the only base docs whose [[substringDedup]] output under
+    * merged counts differs from their base-time result: a window with
+    * base count ≥ 2 was already removed when the base was deduped, and
+    * one absent from the append kept its base count. Everything is
+    * pruned through the indexes — crossed hashes from the two count
+    * relations, affected doc ids from the positional index, the docs'
+    * text via one semi-join, their windows straight off the positional
+    * index (never re-windowed) — so the pass's cost is
+    * affected-doc-sized and the base corpus is NEVER rescanned. For the
+    * affected docs the output is bit-equal to the from-scratch
+    * full-corpus dedup restricted to their ids, which is what the gate
+    * states in SQL. */
+  def substringDedupBackfill(baseDocs: DataFrame, posIndex: DataFrame,
+                             baseCounts: DataFrame, appendCounts: DataFrame,
+                             w: Int): DataFrame = {
+    val crossed = baseCounts.filter(col("cnt") === 1)
+      .join(appendCounts, Seq("h"), "left_semi")
+      .select(col("h"))
+    val affected = posIndex.join(crossed, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val docs = graft.Caches.persist(
+      baseDocs.join(affected, Seq("doc_id"), "left_semi")
+        .withColumn("ws", Portable.words(col("text"))))
+    val wins = graft.Caches.persist(
+      posIndex.join(affected, Seq("doc_id"), "left_semi"))
+    val mergedDup = baseCounts.select(col("h"), col("cnt"))
+      .unionByName(appendCounts.select(col("h"), col("cnt")))
+      .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 1).select(col("h"))
+    removeCovered(docs, wins, mergedDup, w)
+  }
+
+  /** Fixed artifact location of the gated backfill's positional index
+    * (same convention as [[SubstringIndexArtifactPath]]). */
+  val SubstringPosIndexArtifactPath = "/tmp/graft_artifacts/substr_pos_idx"
+
+  /** Gated query: positional-index the original documents, then
+    * backfill-clean the base docs newly duplicated by the appended
+    * near-dup variants. Completes the incremental story: appends are
+    * cleaned forward by [[ddSubstringIncremental]], the base is cleaned
+    * backward by this pass, and base ∪ append ends bit-equal to the
+    * from-scratch dedup of the merged corpus. */
+  def ddSubstringBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(spark, dir)
+    val base = aug.filter(col("doc_id") < 10000)
+    val posIdx = buildSubstringPosIndex(
+      spark, base, SUB_W, SubstringPosIndexArtifactPath)
+    val baseCounts = posIdx.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val appCounts = substringWindowCounts(
+      aug.filter(col("doc_id") >= 10000), SUB_W)
+    substringDedupBackfill(base, posIdx, baseCounts, appCounts, SUB_W)
   }
 
   /** The full from-scratch dedup as a CTE body ending in relation
@@ -1202,6 +1337,25 @@ object Dedup {
   val ddSubstringIncrementalSql: String = s"""
     $ddSubstringDedupCore
     SELECT * FROM clean WHERE doc_id >= 10000 ORDER BY doc_id"""
+
+  /** Oracle for the backfill gate: the from-scratch full-corpus dedup
+    * restricted to the AFFECTED base ids — base docs owning a window
+    * unique in the base (count = 1) but present in the append. The
+    * affected-set definition is stated independently in SQL, so the
+    * compare pins both the re-clean arithmetic AND the pruning
+    * predicate (a backfill that touched too few docs would come up
+    * short on rows; too many, long). */
+  val ddSubstringBackfillSql: String = s"""
+    $ddSubstringDedupCore,
+    bc AS (SELECT h, COUNT(*) AS c FROM win WHERE doc_id < 10000 GROUP BY h),
+    crossed AS (
+      SELECT h FROM bc
+      WHERE c = 1 AND h IN (SELECT h FROM win WHERE doc_id >= 10000)),
+    affected AS (
+      SELECT DISTINCT doc_id FROM win
+      WHERE doc_id < 10000 AND h IN (SELECT h FROM crossed))
+    SELECT * FROM clean WHERE doc_id IN (SELECT doc_id FROM affected)
+    ORDER BY doc_id"""
 
   /** Oracle for the STREAMING substring-dedup gate: the prefix-CAUSAL
     * relation itself. Each appended window's visible count = the base

@@ -204,7 +204,10 @@ object Dsir {
       .filter(col("is_target") === 0)
       .orderBy(ord: _*)
       .limit(n)
-      .withColumn("sel_rank", row_number().over(Window.orderBy(ord: _*)))
+      // lit(0) partition: ≤ SelectN rows here; keeps WindowExec's
+      // no-partition warning out of bench logs (see Search.bm25Rank)
+      .withColumn("sel_rank",
+        row_number().over(Window.partitionBy(lit(0)).orderBy(ord: _*)))
       .select(col("sel_rank"), col("doc_id"), col("dsir_score"))
       .orderBy(col("sel_rank"))
   }

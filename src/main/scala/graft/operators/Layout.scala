@@ -48,7 +48,12 @@ object Layout {
 
   /** Per-bucket [min,max] envelopes of `stats` columns after laying the
     * table out in `orderCol` order, cut into `buckets` contiguous runs —
-    * an in-memory model of per-file footer stats (bucket = file). */
+    * an in-memory model of per-file footer stats (bucket = file).
+    * NEVER a production operator: the global `ntile` is a deliberate
+    * single-partition sort, acceptable only because this is a
+    * LayoutSpec-scale diagnostic of what a WRITER would lay out; the
+    * real write path is `PartitionedWrite`/`Bucketing`, which never
+    * global-sorts. */
   def bucketEnvelopes(df: DataFrame, orderCol: String, stats: Seq[String],
                       buckets: Int): DataFrame = {
     val w = Window.orderBy(col(orderCol))

@@ -38,10 +38,22 @@ object StreamingGates {
     * the first batch and mark nearly everything after it late). Two
     * scalar boundaries from one min/max agg replace the previous
     * `ntile(n) OVER (ORDER BY ts)` — a global single-partition sort that
-    * cannot scale and tripped WindowExec's no-partition warning. */
+    * cannot scale and tripped WindowExec's no-partition warning.
+    *
+    * Null event times are rejected up front with a named error: a null
+    * ts would land in a NULL chunk and silently vanish from the replay
+    * (the old ntile ordering retained them), which would make a
+    * stream-vs-batch mismatch look like an engine bug instead of bad
+    * input. The driver's events table has no null ts (TablesSpec); a
+    * production replay should drop-and-count them before chunking. */
   private def timeRangeChunks(events: DataFrame, n: Int): DataFrame = {
     val mm = events
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        count(lit(1)), count(col("ts"))).head()
+    require(mm.getLong(2) > 0, "timeRangeChunks: empty events input — nothing to replay")
+    require(mm.getLong(3) == mm.getLong(2),
+      s"timeRangeChunks: ${mm.getLong(2) - mm.getLong(3)} events have null ts — " +
+        "they would be dropped from the replay; filter (and count) them explicitly first")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(1L, hi - lo + 1)
     events.withColumn("chunk",
@@ -88,7 +100,8 @@ object StreamingGates {
   def streamCdcStore(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Cdc
     val orders = Tables.orders(spark, dir)
-    val changes = Cdc.syntheticOrdersChangelog(orders).localCheckpoint(true)
+    val changes = graft.Caches.track(
+      Cdc.syntheticOrdersChangelog(orders).localCheckpoint(true))
     val in = tmp("graft_sgate_cdc_in_")
     val store = tmp("graft_sgate_cdc_store_")
     val ckpt = tmp("graft_sgate_cdc_ckpt_")
@@ -118,7 +131,8 @@ object StreamingGates {
     import graft.operators.Cdc
     import org.apache.spark.sql.types.{BooleanType, LongType}
     val orders = Tables.orders(spark, dir)
-    val changes = Cdc.syntheticOrdersChangelog(orders).localCheckpoint(true)
+    val changes = graft.Caches.track(
+      Cdc.syntheticOrdersChangelog(orders).localCheckpoint(true))
     val in = tmp("graft_sgate_scd2_in_")
     val store = tmp("graft_sgate_scd2_store_")
     val ckpt = tmp("graft_sgate_scd2_ckpt_")
@@ -160,7 +174,8 @@ object StreamingGates {
     val in = tmp("graft_sgate_win_in_")
     val out = tmp("graft_sgate_win_out_")
     val ckpt = tmp("graft_sgate_win_ckpt_")
-    val chunked = timeRangeChunks(events, 3).localCheckpoint(true)
+    val chunked = graft.Caches.track(
+      timeRangeChunks(events, 3).localCheckpoint(true))
     val src = spark.readStream.schema(events.schema).parquet(in)
     val q = StreamingPipeline.windowedCounts(src,
         watermark = "1 hour", window_ = "1 hour", slide = "1 hour")
@@ -210,7 +225,8 @@ object StreamingGates {
     val out = tmp("graft_sgate_sess_out_")
     val ckpt = tmp("graft_sgate_sess_ckpt_")
     val sentinel = 999999999L
-    val chunked = timeRangeChunks(events, 3).localCheckpoint(true)
+    val chunked = graft.Caches.track(
+      timeRangeChunks(events, 3).localCheckpoint(true))
     val src = spark.readStream.schema(events.schema)
       .parquet(in)
     val q = StreamingPipeline.sessionize(spark, src)
@@ -257,7 +273,8 @@ object StreamingGates {
     val in = tmp("graft_sgate_mix_in_")
     val out = tmp("graft_sgate_mix_out_")
     val ckpt = tmp("graft_sgate_mix_ckpt_")
-    val chunked = timeRangeChunks(events, 3).localCheckpoint(true)
+    val chunked = graft.Caches.track(
+      timeRangeChunks(events, 3).localCheckpoint(true))
     val src = spark.readStream.schema(events.schema).parquet(in)
     val q = StreamingPipeline.mixCounts(src)
       .writeStream.outputMode("append").format("parquet")
@@ -335,7 +352,7 @@ object StreamingGates {
     * the final state. */
   def streamSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
-    val aug = Dedup.augmented(spark, dir).localCheckpoint(true)
+    val aug = graft.Caches.track(Dedup.augmented(spark, dir).localCheckpoint(true))
     val in = tmp("graft_sgate_sub_in_")
     val out = tmp("graft_sgate_sub_out_")
     val store = tmp("graft_sgate_sub_store_")
@@ -407,4 +424,118 @@ object StreamingGates {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Replay clicks and purchases as TWO separate time-ordered 3-chunk
+    * file streams through the watermarked stream-stream interval join
+    * ([[StreamingPipeline.streamStreamJoin]]: click ⋈ purchase per user
+    * with purchase_ts ∈ [click_ts, click_ts + 1h]) — the last streaming
+    * production path with no CORRECTNESS row until now. Gated against
+    * the batch interval self-join over `events` (the
+    * `q24_overlapping_order_windows` posture), so the hash compare
+    * proves streamed join ≡ batch join ≡ oracle.
+    *
+    * Why the replay cannot lose a pair: both sides are chunked by the
+    * SAME global time boundaries ([[timeRangeChunks]] over all events),
+    * so within each drained micro-batch every event is later than the
+    * whole previous batch. An inner stream-stream join emits a pair as
+    * soon as both rows have arrived (the watermark only gates state
+    * EVICTION, not emission); a click can only be evicted once the
+    * watermark passes click_ts + join window + delay, and any purchase
+    * still to arrive is newer than the previous chunk's max, so with a
+    * 2-hour delay ≥ 2× the 1-hour join window no evicted click can
+    * still match. State stays watermark-bounded — the production
+    * contract this gate exists to pin. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val inL = tmp("graft_sgate_ssj_l_")
+    val inR = tmp("graft_sgate_ssj_r_")
+    val out = tmp("graft_sgate_ssj_out_")
+    val ckpt = tmp("graft_sgate_ssj_ckpt_")
+    // one chunking over ALL events keeps the two streams' time
+    // boundaries aligned (chunking each side separately would let a
+    // chunk-2 click precede a chunk-1 purchase)
+    val chunked = graft.Caches.track(
+      timeRangeChunks(events, 3).localCheckpoint(true))
+    val clicks = chunked.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("chunk"))
+    val buys = chunked.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"),
+        col("ts").as("buy_ts"), col("chunk"))
+    val cs = StructType.fromDDL(
+      "click_id BIGINT, user_id BIGINT, click_ts TIMESTAMP")
+    val bs = StructType.fromDDL(
+      "buy_id BIGINT, user_id BIGINT, buy_ts TIMESTAMP")
+    val joined = StreamingPipeline.streamStreamJoin(
+      spark.readStream.schema(cs).parquet(inL),
+      spark.readStream.schema(bs).parquet(inR),
+      key = "user_id", leftTime = "click_ts", rightTime = "buy_ts",
+      watermarkDelay = "2 hours", joinWindow = "1 HOUR")
+    val q = joined
+      .select(col("user_id"), col("click_id"), col("buy_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("buy_ts")).as("buy_us"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      (1 to 3).foreach { i =>
+        clicks.filter(col("chunk") === i).drop("chunk")
+          .coalesce(1).write.mode("append").parquet(inL)
+        buys.filter(col("chunk") === i).drop("chunk")
+          .coalesce(1).write.mode("append").parquet(inR)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read
+      .schema("user_id BIGINT, click_id BIGINT, buy_id BIGINT, " +
+        "click_us BIGINT, buy_us BIGINT")
+      .parquet(out)
+      .orderBy(col("click_id"), col("buy_id"))
+  }
+
+  /** Replay `documents` as a 3-batch stream through the streaming
+    * search-index maintenance
+    * ([[StreamingPipeline.startSearchIndexStore]]: per-batch postings +
+    * length deltas, union-served), then probe the served index with the
+    * standard query terms. Gated against the batch `tx_bm25_topk`
+    * oracle — the hash compare proves stream-maintained index ≡
+    * from-scratch index ≡ oracle, because BM25's df/N statistics are
+    * derived at probe time from the postings themselves, so delta
+    * union IS index rebuild. */
+  def streamBm25(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Search, SearchIndex}
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val in = tmp("graft_sgate_bm25_in_")
+    val idx = tmp("graft_sgate_bm25_idx_")
+    val ckpt = tmp("graft_sgate_bm25_ckpt_")
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = StreamingPipeline.startSearchIndexStore(src, idx, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val postings = spark.read
+      .schema("term STRING, doc_id BIGINT, tf BIGINT")
+      .parquet(s"$idx/postings/b*")
+    val lens = spark.read
+      .schema("doc_id BIGINT, n_words INT")
+      .parquet(s"$idx/lens/b*")
+    SearchIndex.bm25TopKFromIndex(postings, lens, Search.QueryTerms)
+  }
+
+  /** Oracle for [[streamStreamJoin]]: the batch interval join the
+    * stream claims to equal — every (click, purchase) pair per user
+    * with the purchase inside [click, click + 1h]. Timestamps surface
+    * as integer epoch micros (exact in both engines). */
+  val streamStreamJoinSql: String = """
+    SELECT l.user_id, l.event_id AS click_id, r.event_id AS buy_id,
+           epoch_us(l.ts) AS click_us, epoch_us(r.ts) AS buy_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    ORDER BY click_id, buy_id"""
 }

@@ -289,6 +289,39 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Ingest-side SEARCH-INDEX maintenance: every document micro-batch
+    * appends its own postings delta (term, doc_id, tf — one
+    * tokenize-explode-aggregate over the batch only) and doc-length
+    * delta to the index store. Because postings rows are per-doc facts,
+    * append-only ingest needs no merge pass — the served index at any
+    * moment is the UNION of deltas, and a probe over it is bit-equal to
+    * an index built from scratch over every doc ingested so far (the
+    * `stream_bm25` gate proves exactly that through the from-scratch
+    * oracle). df/N statistics are computed at probe time from the
+    * postings themselves ([[graft.operators.Search.bm25Rank]]), so no
+    * global statistic ever needs streaming maintenance. The per-batch
+    * tf aggregate runs INSIDE foreachBatch (a bounded batch aggregate —
+    * as a stream-level groupBy it would be an unbounded stateful agg,
+    * unsupported and wrong); writes are idempotent per-batch dirs, so
+    * checkpoint + versioned write = effective exactly-once, the
+    * [[startSubstringDedupStore]] crash argument. */
+  def startSearchIndexStore(docs: DataFrame, indexDir: String,
+                            checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        try {
+          graft.operators.Search.termDocs(b)
+            .write.mode("overwrite").parquet(s"$indexDir/postings/b$batchId")
+          b.select(col("doc_id"),
+              size(graft.functions.Portable.words(col("text"))).as("n_words"))
+            .write.mode("overwrite").parquet(s"$indexDir/lens/b$batchId")
+        } finally graft.Caches.freeCheckpoint(b)
+      }
+      .start()
+
   /** Streaming substring-dedup ingest: each document micro-batch is
     * dedup'd CAUSALLY — against the base corpus plus every batch up to
     * and including itself — via

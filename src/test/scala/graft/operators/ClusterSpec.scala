@@ -168,6 +168,91 @@ class ClusterSpec extends SparkSpec {
     assert(inc == scratch)
   }
 
+  test("collision-verify survives a planted collision the hash form over-deletes on") {
+    // A real 60-bit collision is not constructible on demand, so the
+    // test injects a deliberately COARSE window hash — the first token
+    // only — giving docs 1/2 hash-equal but string-UNEQUAL windows
+    // ("p q r" vs "p z w": a planted collision), while docs 3/4 are a
+    // true duplicate (equal strings, equal hashes either way).
+    val docs = Seq(
+      (1L, "p q r"), (2L, "p z w"),
+      (3L, "m n o"), (4L, "m n o")).toDF("doc_id", "text")
+    val firstTok = (c: org.apache.spark.sql.Column) =>
+      xxhash64(split(c, " ").getItem(0))
+    def run(verify: Boolean) =
+      Dedup.substringDedup(docs, 3, verify = verify, hash = firstTok)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // hash form: the collision marks BOTH colliding windows duplicated
+    // -> docs 1 and 2 are provably over-deleted
+    assert(run(verify = false) == Map(
+      1L -> (("", 3L)), 2L -> (("", 3L)),
+      3L -> (("", 3L)), 4L -> (("", 3L))))
+    // verify mode: exact strings disagree -> the planted collision
+    // survives; the true duplicate is still removed
+    assert(run(verify = true) == Map(
+      1L -> (("p q r", 0L)), 2L -> (("p z w", 0L)),
+      3L -> (("", 3L)), 4L -> (("", 3L))))
+  }
+
+  test("collision-verify equals the hash form under the production hash") {
+    val docs = Seq(
+      (1L, "x a b c d y"), (2L, "a b c d z w"),
+      (3L, "m n o t m n o"), (4L, "only unique words here ok"),
+      (5L, "hi")).toDF("doc_id", "text")
+    def run(verify: Boolean) =
+      Dedup.substringDedup(docs, 3, verify = verify)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(run(verify = true) == run(verify = false))
+  }
+
+  test("verify-mode window strings derive from the colliding-hash subset, not the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+    val docs = Seq((1L, "p q r"), (2L, "p z w")).toDF("doc_id", "text")
+    val base = docs.withColumn("ws",
+      graft.functions.Portable.words(col("text")))
+    val wins = Dedup.windowRows(base, 3)
+    val cand = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("h"))
+    val strings = Dedup.substringCollisionCandidates(base, wins, cand, 3)
+    val projs = strings.queryExecution.optimizedPlan.collect {
+      case p: Project if p.projectList.exists(_.name == "s") => p
+    }
+    assert(projs.nonEmpty, "expected a Project deriving the window string column")
+    assert(projs.forall(p => p.collectFirst {
+        case j: Join if j.joinType.sql == "LEFT SEMI" => j
+      }.nonEmpty),
+      "every window-string Project must sit ABOVE the colliding-hash " +
+        "left-semi prune — strings may never be derived corpus-wide")
+  }
+
+  test("backfill re-cleans exactly the base docs newly duplicated by the append") {
+    // base doc 1 owns windows of "a b c d" that are UNIQUE in the base;
+    // append doc 2 duplicates them -> crossed. Base doc 3's internal
+    // "m n o" repeat had base count 2 (already handled by the base's
+    // own dedup) and doc 4 shares nothing -> neither may be touched.
+    val base = Seq(
+      (1L, "x a b c d y"), (3L, "m n o t m n o"),
+      (4L, "only unique words here ok")).toDF("doc_id", "text")
+    val app = Seq((2L, "a b c d z w")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("subposidx").toString
+    val posIdx = Dedup.buildSubstringPosIndex(spark, base, 3, s"$dir/idx")
+    val baseCounts = posIdx.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val appCounts = Dedup.substringWindowCounts(app, 3)
+    val got = Dedup.substringDedupBackfill(base, posIdx, baseCounts, appCounts, 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> (("x y", 4L))), s"got $got")
+    // the contract the gate states: equal to from-scratch on base∪append
+    // restricted to the affected base ids
+    val scratch = Dedup.substringDedup(base.unionByName(app), 3)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == scratch)
+  }
+
   test("semantic dedup keeps exactly one representative per cluster") {
     val rows = Similarity.simSemanticDedup(spark, sf())
       .select($"vec_id", $"cluster_id", $"keep").as[(Long, Long, Boolean)]

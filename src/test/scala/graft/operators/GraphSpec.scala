@@ -107,4 +107,27 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(atRounds == onePast, "peel must reach its fixpoint within CoreRounds")
   }
+
+  test("pageRankUntil frees superseded iterates instead of pinning one per round") {
+    graft.Caches.releaseAll()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // asymmetric digraph (a symmetric one starts AT the uniform
+    // fixpoint and stops in one round); eps=0 forces the exact integer
+    // fixpoint so several rounds run and several iterates are superseded
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    val (ranks, rounds) = Graph.pageRankUntil(edges, epsMass = 0L, maxRounds = 10)
+    ranks.write.mode("overwrite").format("noop").save()
+    assert(rounds >= 2, s"expected a multi-round run, got $rounds")
+    // live checkpoint blocks: e/ed/nodes + initial-and-final iterates +
+    // slack — NOT one per round (the leak this test pins; Dataset
+    // .unpersist alone would leave maxRounds copies)
+    val during = spark.sparkContext.getPersistentRDDs.size - before
+    assert(during <= 6,
+      s"$during checkpointed relations alive after $rounds rounds — " +
+        "superseded iterates are not being freed")
+    graft.Caches.releaseAll()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "releaseAll should free every tracked checkpoint RDD-level")
+  }
 }

@@ -26,7 +26,8 @@ object ScaleProbe {
     "sim_neardup_from_index", "tx_bm25_from_index", "sim_pca_project",
     "sim_mips_lsh", "tx_domain_cap", "tx_hybrid_rrf",
     "dd_ngram_jaccard", "dd_ssjoin_prefix", "tok_encode", "qc_score",
-    "dd_substring_incremental", "dd_substring_verify", "dd_substring_backfill")
+    "dd_substring_incremental", "dd_substring_verify", "dd_substring_backfill",
+    "tx_bigram_surprisal", "sim_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

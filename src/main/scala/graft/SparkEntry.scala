@@ -84,6 +84,7 @@ object SparkEntry {
     "stream_qc_score" -> (graft.streaming.StreamingGates.streamQcScore _),
     "stream_stream_join" -> (graft.streaming.StreamingGates.streamStreamJoin _),
     "stream_bm25" -> (graft.streaming.StreamingGates.streamBm25 _),
+    "stream_er" -> (graft.streaming.StreamingGates.streamEr _),
     // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
     "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "tx_token_budget_mix" -> (TextAnalysis.txTokenBudgetMix _),
     "tx_weighted_sample" -> (TextAnalysis.txWeightedSample _),
     "tx_surprisal" -> (TextAnalysis.txSurprisal _),
+    "tx_bigram_surprisal" -> (TextAnalysis.txBigramSurprisal _),
     "tx_dsir_weights" -> (Dsir.txDsirWeights _),
     "tx_dsir_select" -> (Dsir.txDsirSelect _),
     "tx_inverted_index" -> (Search.txInvertedIndex _),
@@ -185,6 +187,7 @@ object SparkEntry {
     "sim_pq_topk" -> (Pq.simPqTopK _),
     "sim_ivf_pq_topk" -> (Pq.simIvfPqTopK _),
     "sim_cosine_neardup" -> (Similarity.simCosineNearDup _),
+    "sim_knn_graph" -> (Similarity.simKnnGraph _),
     // the auto-sized production entry points (corpus-derived plane
     // count), gated HASH-EXACT against a DYNAMIC-plane oracle: the SQL
     // recomputes autoPlanes' integer bit-length formula and masks the
@@ -275,6 +278,7 @@ object SparkEntry {
     "stream_qc_score" -> QualityClassifier.qcScoreSql,
     "stream_stream_join" -> graft.streaming.StreamingGates.streamStreamJoinSql,
     "stream_bm25" -> Search.txBm25TopKSql,
+    "stream_er" -> EntityResolution.erFuzzyMatchSql,
     "layout_zorder" -> Layout.layoutZorderSql,
     "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
     "k4_partition_prune" -> PartitionedWrite.k4PartitionPruneSql,
@@ -297,6 +301,7 @@ object SparkEntry {
     "tx_token_budget_mix" -> TextAnalysis.txTokenBudgetMixSql,
     "tx_weighted_sample" -> TextAnalysis.txWeightedSampleSql,
     "tx_surprisal" -> TextAnalysis.txSurprisalSql,
+    "tx_bigram_surprisal" -> TextAnalysis.txBigramSurprisalSql,
     "tx_dsir_weights" -> Dsir.txDsirWeightsSql,
     "tx_dsir_select" -> Dsir.txDsirSelectSql,
     "tx_inverted_index" -> Search.txInvertedIndexSql,
@@ -351,6 +356,7 @@ object SparkEntry {
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
     "sim_ivf_topk" -> Similarity.simIvfTopKSql,
     "sim_cosine_neardup" -> Similarity.simCosineNearDupSql,
+    "sim_knn_graph" -> Similarity.simKnnGraphSql,
     "sim_neardup_from_index" -> Similarity.simCosineNearDupSql,
     "tx_bm25_from_index" -> Search.txBm25TopKSql,
     "sim_quantize" -> Similarity.simQuantizeSql,

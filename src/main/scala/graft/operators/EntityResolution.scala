@@ -73,25 +73,7 @@ object EntityResolution {
     * (q-gram/LSH) rather than a deeper neighborhood. */
   def fuzzyMatchPairs(rows: DataFrame, idCol: String, nameCol: String,
                       maxDist: Int = 1): DataFrame = {
-    require(maxDist == 1 || maxDist == 2,
-      s"deletion-neighborhood blocking implemented for maxDist in {1, 2}, got $maxDist")
-    // repartition first: the input often arrives as ONE parquet file →
-    // one partition, which would serialize the (compute-bound) variant
-    // generation onto a single core — measured 4× on the sf0.1 gate.
-    // Same rule as Dedup.augmented: compute-bound stages must not
-    // inherit file partitioning.
-    val spread = rows.repartition(
-      rows.sparkSession.sparkContext.defaultParallelism, col(idCol))
-    // ids-only through the shuffle; names re-join after candidate dedup.
-    // Variants ship as 8-byte xxhash64, not strings: equal variants keep
-    // equal hashes (recall unchanged); a cross-string hash collision can
-    // only ADD a candidate, which the exact levenshtein verify kills —
-    // the same generate-with-guarantee/verify-exact contract, with a
-    // ~2x narrower shuffle on realistic name lengths.
-    val variants = spread.select(
-        col(idCol).as("id"),
-        explode(expr(deletionVariantsExpr(nameCol, maxDist))).as("v"))
-      .select(col("id"), xxhash64(col("v")).as("variant"))
+    val variants = variantHashes(rows, idCol, nameCol, maxDist)
     val a = variants.select(col("id").as("id_a"), col("variant"))
     val b = variants.select(col("id").as("id_b"), col("variant"))
     // one pair can share several variants; dedup BEFORE the name
@@ -101,13 +83,49 @@ object EntityResolution {
       .select(col("id_a"), col("id_b"))
       .distinct()
     val names = rows.select(col(idCol).as("id"), col(nameCol).as("name"))
+    verifyPairs(candidates, names, maxDist)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The ids-only blocking relation — (id, 8-byte variant hash), one row
+    * per deletion variant. This is both halves' shared state: the batch
+    * join consumes it twice, and the streaming ingest
+    * ([[graft.streaming.StreamingPipeline.startErPairStore]]) PERSISTS
+    * it per batch as the accumulated match index, so stream ≡ batch is
+    * by construction, not by parallel implementation.
+    *
+    * Variants ship as xxhash64, not strings: equal variants keep equal
+    * hashes (recall unchanged); a cross-string hash collision can only
+    * ADD a candidate, which the exact levenshtein verify kills — the
+    * generate-with-guarantee/verify-exact contract, with a ~2× narrower
+    * shuffle on realistic name lengths. */
+  def variantHashes(rows: DataFrame, idCol: String, nameCol: String,
+                    maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      s"deletion-neighborhood blocking implemented for maxDist in {1, 2}, got $maxDist")
+    // repartition first: the input often arrives as ONE parquet file →
+    // one partition, which would serialize the (compute-bound) variant
+    // generation onto a single core — measured 4× on the sf0.1 gate.
+    // Same rule as Dedup.augmented: compute-bound stages must not
+    // inherit file partitioning.
+    val spread = rows.repartition(
+      rows.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    spread.select(
+        col(idCol).as("id"),
+        explode(expr(deletionVariantsExpr(nameCol, maxDist))).as("v"))
+      .select(col("id"), xxhash64(col("v")).as("variant"))
+  }
+
+  /** Exact-levenshtein verify + name join-back over DEDUPED candidate
+    * (id_a, id_b) pairs — `names` is the (id, name) relation covering
+    * every id the candidates mention. Unordered output; callers sort. */
+  def verifyPairs(candidates: DataFrame, names: DataFrame,
+                  maxDist: Int): DataFrame =
     candidates
       .join(names.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
       .join(names.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
       .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
-      .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** Gated query: customer names within edit distance 1 of each other.
     * The synthetic names ("Customer#000000042") make near-misses dense —

@@ -652,6 +652,89 @@ object Similarity {
     SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
     FROM labels ORDER BY vec_id"""
 
+  // ----------------------------------------------------------- k-NN graph
+
+  /** Neighbors kept per node in the gated k-NN graph. */
+  val KNN_GRAPH_K = 5
+
+  /** Approximate k-NN graph over the WHOLE corpus: for every vector, its
+    * [[KNN_GRAPH_K]] most-cosine-similar banded candidates. This is the
+    * primitive under SemDeDup-style pruning, density estimation, and
+    * graph-based ANN (NN-Descent seeds, HNSW layer 0) — where
+    * [[simCosineNearDup]] answers "who is within θ of whom", the k-NN
+    * graph answers "who are each vector's k closest", threshold-free.
+    *
+    * Same candidates-then-verify shape as near-dup, but the band
+    * self-join is SYMMETRIC (`a.vec_id != b.vec_id`, both directions —
+    * each node ranks its own neighbor list) and the tail is a per-node
+    * top-k instead of a threshold filter. Ties in cosine break by
+    * ascending neighbor id, so the output is deterministic and the
+    * oracle's `row_number()` agrees bit-for-bit (cosine itself is the
+    * sequential-fold [[Portable.cosine]] both engines share).
+    *
+    * Scale shape: banding bounds each node's candidate list by
+    * tables × bucket occupancy (the [[autoPlanes]] law holds occupancy
+    * constant as the corpus grows — [[knnGraphAuto]] is the production
+    * entry point), so the rank window is partitioned by `vec_id` over a
+    * BOUNDED per-node relation — never a global sort, never all-pairs.
+    * Isolated nodes (no banded candidate) are absent from the output, as
+    * in any candidates-then-verify graph build. */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.embeddings(spark, dir),
+      NEARDUP_TABLES, NEARDUP_PLANES, KNN_GRAPH_K)
+
+  /** Production entry point: corpus-derived plane count, same tail. */
+  def knnGraphAuto(spark: SparkSession, dir: String,
+                   k: Int = KNN_GRAPH_K): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    knnGraph(Tables.embeddings(spark, dir),
+      NEARDUP_TABLES, autoPlanes(n), k)
+  }
+
+  def knnGraph(e: DataFrame, tables: Int, planes: Int, k: Int): DataFrame = {
+    val signs =
+      if (tables * planes <= MaxPlanes) planeSigns else mkSigns(tables * planes)
+    // persisted: both sides of the symmetric band self-join consume it
+    val bd = graft.Caches.persist(banded(e, tables, planes, signs))
+    val candidates = bd.as("a").join(bd.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
+      .distinct()
+    val ev = e.select(col("vec_id"), col("embedding").as("ev"))
+    val en = e.select(col("vec_id").as("nbr_id"), col("embedding").as("en"))
+    val scored = candidates.join(ev, "vec_id").join(en, "nbr_id")
+      .withColumn("cosine", Portable.cosine(col("ev"), col("en")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("cosine"), col("rk"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  val simKnnGraphSql: String = s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    banded AS (
+      ${bandedSql(NEARDUP_TABLES, NEARDUP_PLANES)}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+      FROM banded a JOIN banded b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    scored AS (
+      SELECT cand.vec_id, cand.nbr_id,
+             ${Portable.cosineSql("ea.embedding", "eb.embedding", Dim)} AS cosine
+      FROM cand
+      JOIN e ea ON ea.vec_id = cand.vec_id
+      JOIN e eb ON eb.vec_id = cand.nbr_id),
+    ranked AS (
+      SELECT vec_id, nbr_id, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, nbr_id) AS rk
+      FROM scored)
+    SELECT vec_id, nbr_id, cosine, rk FROM ranked WHERE rk <= $KNN_GRAPH_K
+    ORDER BY vec_id, rk"""
+
   // ------------------------------------------------------- semantic dedup
 
   /** SemDeDup-shaped embedding dedup (Abbas et al. 2023, "SemDeDup:

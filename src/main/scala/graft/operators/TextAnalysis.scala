@@ -511,6 +511,74 @@ object TextAnalysis {
            sum_bits * 1000 // n_words AS mean_millibits
     FROM perdoc ORDER BY doc_id"""
 
+  /** Bigram-LM surprisal — the conditional upgrade of [[surprisal]] and
+    * the shape of a CCNet-style perplexity filter (Wenzek et al. 2020)
+    * without the external model: each transition's surprisal is
+    * −log₂ p(w₂|w₁) under the corpus's own bigram LM, p(w₂|w₁) =
+    * c(w₁w₂)/c(w₁·), quantized to whole bits by the same integer
+    * bit-length trick (`length(bin(c₁ div c₁₂)) − 1` — transcendental-
+    * free, hash-exact; see [[surprisal]] for why). The context count is
+    * the number of bigrams STARTING with w₁ (not the raw unigram count),
+    * so the model is self-consistent — Σ_w₂ p(w₂|w₁) = 1 exactly — and
+    * c₁ ≥ c₁₂ always, so bits ≥ 0. A doc that repeats the corpus's
+    * common transitions scores low (boilerplate, templated spam); a doc
+    * whose transitions are each individually common words in rare ORDER
+    * scores high — the signal unigram surprisal is blind to, and the
+    * reason perplexity filters beat word-frequency filters on
+    * shuffled/garbled text. Docs under 2 words have no transition and
+    * are absent, as from any LM scorer.
+    *
+    * Scale shape: identical family to [[wordFreq]]/[[surprisal]] — the
+    * bigram relation is linear in tokens, both count relations are
+    * map-side-combined groupBys keyed by (bi)gram, the two probability
+    * joins are AQE-decided equi-joins on the gram key (a capped top-K
+    * LM broadcast is the 100 TB variant, exactly as for the unigram
+    * vocab), and the per-doc tail is one integer aggregate. No window,
+    * no position self-join — bigrams come straight off the token array
+    * ([[Portable.ngrams]]). */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    // persisted: feeds the bigram counts, the context counts, and the
+    // probe side of both joins
+    val grams = graft.Caches.persist(docs
+      .select(col("doc_id"), explode(Portable.ngrams(col("text"), 2)).as("g")))
+    val big = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt2"))
+    val ctx = grams
+      .groupBy(element_at(split(col("g"), " "), 1).as("w1"))
+      .agg(count(lit(1)).as("cnt1"))
+    grams.join(big, "g")
+      .join(ctx, element_at(split(col("g"), " "), 1) === col("w1"))
+      .withColumn("bits", (length(bin(expr("cnt1 div cnt2"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        expr("sum_bits * 1000L div n_bigrams").as("mean_millibits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: bigram-LM surprisal over the documents table. */
+  def txBigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisal(Tables.documents(spark, dir))
+
+  val txBigramSurprisalSql: String = s"""
+    WITH grams AS (
+      SELECT doc_id, unnest(${Portable.ngramsSql("text", 2)}) AS g
+      FROM documents),
+    big AS (SELECT g, COUNT(*) AS cnt2 FROM grams GROUP BY g),
+    ctx AS (
+      SELECT string_split(g, ' ')[1] AS w1, COUNT(*) AS cnt1
+      FROM grams GROUP BY 1),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(length(bin(cnt1 // cnt2)) - 1 AS BIGINT)) AS BIGINT)
+               AS sum_bits
+      FROM grams
+      JOIN big USING (g)
+      JOIN ctx ON string_split(grams.g, ' ')[1] = ctx.w1
+      GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, sum_bits,
+           sum_bits * 1000 // n_bigrams AS mean_millibits
+    FROM perdoc ORDER BY doc_id"""
+
   /** Per-language fractional epoch weights for the gated mix — the
     * LLaMA-style data-mixing recipe: upsample low-resource strata by a
     * non-integer factor. */

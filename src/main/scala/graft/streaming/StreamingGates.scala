@@ -526,6 +526,36 @@ object StreamingGates {
     SearchIndex.bm25TopKFromIndex(postings, lens, Search.QueryTerms)
   }
 
+  /** Replay `customer` as a 3-batch stream through the streaming
+    * entity-resolution ingest ([[StreamingPipeline.startErPairStore]]:
+    * per-batch deletion-variant index deltas, new-vs-history +
+    * new-vs-self candidates, exact-levenshtein verify), then read every
+    * batch's emitted pairs. Gated against the batch `er_fuzzy_match`
+    * oracle — the quadratic DuckDB ground truth — so the compare proves
+    * incrementally-linked ≡ from-scratch-blocked ≡ exhaustive: every
+    * pair is found exactly once, in the batch where its later member
+    * arrives. */
+  def streamEr(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val in = tmp("graft_sgate_er_in_")
+    val store = tmp("graft_sgate_er_store_")
+    val ckpt = tmp("graft_sgate_er_ckpt_")
+    (0 until 3).foreach { i =>
+      cust.filter(pmod(col("id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val schema = StructType.fromDDL("id BIGINT, name STRING")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = StreamingPipeline.startErPairStore(src, store, ckpt, maxDist = 1)
+    try q.processAllAvailable() finally q.stop()
+    spark.read
+      .schema("id_a BIGINT, id_b BIGINT, name_a STRING, name_b STRING")
+      .parquet(s"$store/pairs/b*")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Oracle for [[streamStreamJoin]]: the batch interval join the
     * stream claims to equal — every (click, purchase) pair per user
     * with the purchase inside [click, click + 1h]. Timestamps surface

@@ -322,6 +322,82 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming entity-resolution ingest: maintain the deletion-variant
+    * blocking index ([[graft.operators.EntityResolution.variantHashes]])
+    * across micro-batches and match each NEW batch against everything
+    * seen so far — prior batches via the persisted index, the batch
+    * against itself directly — so arriving records link to the full
+    * history without ever re-blocking it (per-batch work ∝ batch
+    * variants ⋈ index collisions, never |history|²). Per batch:
+    * write the batch's (id, variant-hash) rows and (id, name) rows as
+    * `b<batchId>` delta dirs (idempotent overwrite), join the batch's
+    * variants against the strictly-prior index (both orders, normalized
+    * least/greatest) plus itself (id_a < id_b), dedup, then
+    * exact-levenshtein verify with names joined back by id only
+    * ([[graft.operators.EntityResolution.verifyPairs]] — the SAME
+    * verify as the batch path, so stream ≡ batch by construction).
+    * Every pair lands exactly once, in the batch where its LATER member
+    * arrives: a crash-replayed batch rewrites its own three dirs and
+    * reads the index strictly below its id (the
+    * [[startCdcSnapshotStore]] crash argument), so checkpoint +
+    * versioned overwrite = effective exactly-once. */
+  def startErPairStore(rows: DataFrame, storeDir: String,
+                       checkpointDir: String, maxDist: Int): StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint(true)
+        try {
+          val vb = graft.operators.EntityResolution
+            .variantHashes(b, "id", "name", maxDist).localCheckpoint(true)
+          try {
+            vb.write.mode("overwrite").parquet(s"$storeDir/variants/b$batchId")
+            b.select(col("id"), col("name"))
+              .write.mode("overwrite").parquet(s"$storeDir/names/b$batchId")
+            val priorV = deltasBelow(spark, s"$storeDir/variants",
+              "id BIGINT, variant BIGINT", batchId)
+            val priorN = deltasBelow(spark, s"$storeDir/names",
+              "id BIGINT, name STRING", batchId)
+            val newOld = vb
+              .join(priorV.select(col("id").as("oid"), col("variant")), "variant")
+              .select(least(col("id"), col("oid")).as("id_a"),
+                greatest(col("id"), col("oid")).as("id_b"))
+            val newNew = vb.select(col("id").as("id_a"), col("variant"))
+              .join(vb.select(col("id").as("id_b"), col("variant")), "variant")
+              .filter(col("id_a") < col("id_b"))
+              .select(col("id_a"), col("id_b"))
+            val candidates = newOld.union(newNew).distinct()
+            val names = priorN.union(b.select(col("id"), col("name")))
+            graft.operators.EntityResolution
+              .verifyPairs(candidates, names, maxDist)
+              .write.mode("overwrite").parquet(s"$storeDir/pairs/b$batchId")
+          } finally graft.Caches.freeCheckpoint(vb)
+        } finally graft.Caches.freeCheckpoint(b)
+      }
+      .start()
+
+  /** Union of all `b<k>` delta dirs with k strictly below
+    * `beforeVersion` (replay isolation, as [[latestSnapshot]]); empty
+    * relation when none exist yet (batch 0 has no history — legitimate,
+    * unlike a CDC stream with no seeded base). */
+  def deltasBelow(spark: SparkSession, dir: String, schema: String,
+                  beforeVersion: Long): DataFrame = {
+    val base = new java.io.File(dir)
+    val versions = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.getName.stripPrefix("b").toLong)
+      .filter(_ < beforeVersion)
+    val st = StructType.fromDDL(schema)
+    if (versions.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+    else
+      spark.read.schema(st)
+        .parquet(versions.sorted.map(v => s"$dir/b$v"): _*)
+  }
+
   /** Streaming substring-dedup ingest: each document micro-batch is
     * dedup'd CAUSALLY — against the base corpus plus every batch up to
     * and including itself — via

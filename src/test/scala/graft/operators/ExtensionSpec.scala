@@ -306,6 +306,87 @@ class ExtensionSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("k-NN graph: contiguous sorted ranks, high recall vs the exact graph") {
+    val k = Similarity.KNN_GRAPH_K
+    val g = Similarity.simKnnGraph(spark, sf())
+      .as[(Long, Long, Double, Long)].collect()
+    graft.Caches.releaseAll()
+    // per-node invariants: ranks contiguous from 1, at most k, cosine
+    // non-increasing with the id tiebreak, no self-loops
+    g.groupBy(_._1).foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to rows.length.toLong), s"node $v ranks")
+      assert(rows.length <= k, s"node $v has ${rows.length} > k neighbors")
+      assert(rows.forall(_._2 != v), s"node $v self-loop")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+            s"node $v order violated at ranks ${a._4},${b._4}")
+        case _ =>
+      }
+    }
+    // semantic equality: the graph IS the exact top-k over the banded
+    // candidate set — recompute candidates + driver-side cosines
+    // independently and compare edge sets exactly. (Recall vs the
+    // unrestricted exact graph is corpus-dependent by design: banding
+    // recovers high-cosine neighbors, which is the near-dup use case —
+    // the thresholded check below pins that without asserting an LSH
+    // guarantee random low-cosine neighbors don't have.)
+    val e = graft.sources.Tables.embeddings(spark, sf())
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val emb = e.toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d, nx, ny = 0.0
+      var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val bands = Similarity
+      .banded(graft.sources.Tables.embeddings(spark, sf()),
+        Similarity.NEARDUP_TABLES, Similarity.NEARDUP_PLANES)
+      .as[(Long, Int, Int)].collect()
+    graft.Caches.releaseAll()
+    val byBucket: Seq[Seq[(Long, Int, Int)]] =
+      bands.toSeq.groupBy(t => (t._2, t._3)).values.toSeq
+    val candOf: Map[Long, Set[(Long, Long)]] = byBucket.flatMap { rows =>
+      for (a <- rows; b <- rows if a._1 != b._1) yield (a._1, b._1)
+    }.toSet.groupBy((p: (Long, Long)) => p._1)
+    val expect: Set[(Long, Long, Double, Long)] =
+      candOf.toSeq.flatMap { case (v, cands) =>
+        cands.toSeq.map { case (_, u) => (v, u, cos(emb(v), emb(u))) }
+          .sortBy { case (_, u, c) => (-c, u) }.take(k)
+          .zipWithIndex.map { case ((_, u, c), i) => (v, u, c, (i + 1).toLong) }
+      }.toSet
+    assert(g.toSet == expect,
+      s"graph != exact top-k over banded candidates: missing=" +
+        s"${(expect -- g.toSet).take(3)} extra=${(g.toSet -- expect).take(3)}")
+    // every near-dup-threshold pair the banding surfaces must appear in
+    // the graph (both directions) unless crowded out by k closer ones
+    val nd = Similarity.simCosineNearDup(spark, sf())
+      .as[(Long, Long, Double)].collect()
+    graft.Caches.releaseAll()
+    val gotEdges = g.map(t => (t._1, t._2)).toSet
+    nd.foreach { case (a, b, c) =>
+      Seq((a, b), (b, a)).foreach { case (v, u) =>
+        val closer = g.count(t => t._1 == v && (t._3 > c || (t._3 == c && t._2 < u)))
+        if (closer < k)
+          assert(gotEdges.contains((v, u)),
+            s"near-dup edge ($v,$u) cosine=$c missing with only $closer closer")
+      }
+    }
+  }
+
+  test("k-NN graph auto form floors to the pinned gate at test scale") {
+    val auto = Similarity.knnGraphAuto(spark, sf("sf0.01")).collect().toSeq
+    graft.Caches.releaseAll()
+    val pinned = Similarity.simKnnGraph(spark, sf("sf0.01")).collect().toSeq
+    graft.Caches.releaseAll()
+    assert(auto == pinned)
+  }
+
   test("near-dup runs with a sign family beyond the gated MaxPlanes") {
     // 4 tables x 14 planes = 56 > MaxPlanes(48): signs generate on demand
     val pairs = Similarity.cosineNearDupPairs(spark, sf(), 4, 14)

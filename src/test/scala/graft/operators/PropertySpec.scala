@@ -242,6 +242,46 @@ class PropertySpec extends SparkSpec {
     assert(got.values.map(_._3).toSet.size > 1, "score must discriminate")
   }
 
+  test("bigram surprisal: whole-bit conditional law matches a Scala recomputation") {
+    // hand case first: corpus "a b", "a c", "a b" — c(a b)=2, c(a c)=1,
+    // ctx c(a·)=3, so bits(a b)=bitlen(3 div 2)-1=0, bits(a c)=bitlen(3)-1=1
+    val hand = TextAnalysis.bigramSurprisal(
+        Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.Caches.releaseAll()
+    assert(hand == Seq((1L, 1L, 0L, 0L), (2L, 1L, 1L, 1000L), (3L, 1L, 0L, 0L)))
+    // a doc with no transition is absent, as from any LM scorer
+    val one = TextAnalysis.bigramSurprisal(
+      Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    graft.Caches.releaseAll()
+    assert(one.map(_._1) == Seq(2L))
+    // full corpus: independent recomputation of the conditional law
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val got = TextAnalysis.bigramSurprisal(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    graft.Caches.releaseAll()
+    val corpus = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toArray }
+    val cnt2 = corpus.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong)
+    val cnt1 = corpus.flatMap(_._2.map(_._1)).groupBy(identity).view
+      .mapValues(_.length.toLong)
+    corpus.filter(_._2.nonEmpty).foreach { case (id, bgs) =>
+      val sumBits = bgs.map { bg =>
+        63L - java.lang.Long.numberOfLeadingZeros(cnt1(bg._1) / cnt2(bg))
+      }.sum
+      val expect = (bgs.length.toLong, sumBits, sumBits * 1000 / bgs.length)
+      assert(got(id) == expect, s"doc $id")
+    }
+    assert(corpus.count(_._2.isEmpty) ==
+      corpus.length - got.size, "docs with no transition absent, all others present")
+    // the signal: scores must discriminate (the corpus is not all one
+    // transition distribution)
+    assert(got.values.map(_._3).toSet.size > 1, "score must discriminate")
+  }
+
   test("sketch estimates stay within advertised error of exact answers") {
     val approx = Sketches.skApproxStats(spark, sf("sf0.01"))
       .select($"l_returnflag", $"approx_orders", $"approx_parts").as[(String, Long, Long)]

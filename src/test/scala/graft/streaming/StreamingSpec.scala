@@ -494,6 +494,17 @@ class StreamingSpec extends SparkSpec {
       "stream_neardup must reproduce dd_minhash_lsh exactly (pairs AND jaccards)")
   }
 
+  test("gate: streaming entity resolution equals the batch blocking bit-for-bit") {
+    val streamed = StreamingGates.streamEr(spark, sf()).collect().toSeq
+    val batch = graft.operators.EntityResolution.erFuzzyMatch(spark, sf())
+      .collect().toSeq
+    assert(streamed.nonEmpty, "replay must find the fuzzy-match pairs")
+    assert(streamed == batch,
+      "stream_er must reproduce er_fuzzy_match exactly (pairs AND names)")
+    // exactly-once: no pair may be emitted by two different batches
+    assert(streamed.distinct.size == streamed.size, "duplicate pair emissions")
+  }
+
   test("streaming substring dedup is causal: later batches never retro-clean") {
     import graft.operators.Dedup
     val base = Seq((1L, "a b c d e f")).toDF("doc_id", "text")

@@ -27,7 +27,7 @@ object ScaleProbe {
     "sim_mips_lsh", "tx_domain_cap", "tx_hybrid_rrf",
     "dd_ngram_jaccard", "dd_ssjoin_prefix", "tok_encode", "qc_score",
     "dd_substring_incremental", "dd_substring_verify", "dd_substring_backfill",
-    "tx_bigram_surprisal", "sim_knn_graph")
+    "tx_bigram_surprisal", "sim_knn_graph", "dd_curate_semantic")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)
@@ -62,6 +62,16 @@ object ScaleProbe {
       val s = math.min(time(name, dirSmall), time(name, dirSmall))
       val b = math.min(time(name, dirBig), time(name, dirBig))
       println(f"[probe] $name%-22s small=$s%7.2fs big=$b%7.2fs ratio=${b / s}%5.1fx")
+    }
+    // production auto-plane k-NN graph: the pinned-plane gated form
+    // above carries the documented n²/2^planes candidate term; the
+    // auto form must stay ~linear (same law as sim_cosine_neardup_auto)
+    if (only.isEmpty || only("sim_knn_graph_auto")) {
+      def timeKnn(dir: String): Double =
+        timed(graft.operators.Similarity.knnGraphAuto(spark, dir))
+      val ks = math.min(timeKnn(dirSmall), timeKnn(dirSmall))
+      val kb = math.min(timeKnn(dirBig), timeKnn(dirBig))
+      println(f"[probe] sim_knn_graph_auto     small=$ks%7.2fs big=$kb%7.2fs ratio=${kb / ks}%5.1fx")
     }
     // special sections: all in a full run; the ER probe is also
     // individually addressable (it needs no probe corpus — names are

@@ -766,6 +766,101 @@ object Dedup {
            END AS n_splits
     FROM c ORDER BY doc_id"""
 
+  // ------------------------------------------------- semantic curation
+
+  /** Perplexity-gate ceiling for [[ddCurateSemantic]], in mean
+    * millibits/transition under the corpus bigram LM
+    * ([[TextAnalysis.bigramScores]]). 4450 sits past the synthetic
+    * corpus's p95 (scores span ~4000–5000 across the driver's scale
+    * factors), so the gate drops a real high-surprisal tail at every
+    * tested sf without gutting the corpus — the CCNet posture of
+    * cutting the worst tail, as a pinned constant so the oracle can
+    * mirror it. */
+  val CurateSemanticMaxMillibits = 4450L
+
+  /** EMBEDDING-AWARE curation capstone, hash-checked as ONE oracle:
+    * perplexity gate → exact-substring dedup → semantic dedup.
+    *
+    *  1. PERPLEXITY GATE: score every document under the corpus's OWN
+    *     bigram LM ([[TextAnalysis.bigramScores]], whole-bit integer
+    *     surprisal) and drop docs above
+    *     [[CurateSemanticMaxMillibits]] mean millibits/transition —
+    *     the CCNet recipe with the corpus standing in for the external
+    *     LM. Docs too short to score (< 2 words) drop with the
+    *     unscorable tail.
+    *  2. EXACT-SUBSTRING DEDUP ([[substringDedup]], Lee et al.
+    *     ExactSubstr) over the survivors: every token inside a ≥
+    *     [[SUB_W]]-token substring repeated among SURVIVORS is removed
+    *     (gating first means a dropped doc's text no longer poisons
+    *     survivors' window counts — the stage order is semantic, not
+    *     cosmetic).
+    *  3. SEMANTIC DEDUP: cosine near-dup graph over the survivors'
+    *     embeddings ([[Similarity.nearDupPairsOf]] — banding over the
+    *     filtered slice, not the whole catalog table), connected
+    *     components, one representative (min id) kept per cluster.
+    *     Docs with no embedding row pass through — embed-a-subset is
+    *     the realistic 100 TB posture.
+    *
+    * Output: (doc_id, clean_md5, n_removed). This is the capstone that
+    * crosses the text/embedding boundary: [[ddCurate]] composes five
+    * text stages; this one proves the engine composes a corpus-LM
+    * filter, alignment-free dedup, and an embedding-space graph into
+    * one hash-exact DAG. Scale shape: every stage is the gated unit
+    * operator's plan — nothing new shuffles. */
+  def ddCurateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val keep = TextAnalysis.bigramScores(docs)
+      .filter(col("mean_millibits") <= CurateSemanticMaxMillibits)
+      .select(col("doc_id"))
+    val q = docs.join(keep, "doc_id")
+    val cleaned = graft.Caches.persist(substringDedup(q, SUB_W))
+    val e = Tables.embeddings(spark, dir)
+      .join(cleaned.select(col("doc_id").as("vec_id")), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = Similarity.nearDupPairsOf(e)
+    val drop = Cluster.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    cleaned.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        col("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: SUB_W is declared further down the object; an eager val here
+  // would interpolate its pre-init 0 into the window arithmetic
+  // (silently producing `ws[i:(i + -1)]` — caught by the oracle gate)
+  lazy val ddCurateSemanticSql: String = s"""
+    WITH RECURSIVE d AS (SELECT doc_id, text FROM documents),
+    ${TextAnalysis.bigramScoreCtesOf("d")},
+    q AS (
+      SELECT d.doc_id, d.text FROM d JOIN perdoc USING (doc_id)
+      WHERE perdoc.sum_bits * 1000 // perdoc.n_bigrams
+              <= $CurateSemanticMaxMillibits),
+    ${substringCleanCtesOf("q")},
+    e AS (
+      SELECT em.vec_id, em.embedding
+      FROM embeddings em JOIN clean c ON em.vec_id = c.doc_id),
+    ${Similarity.neardupCtesAfterE},
+    sem_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM nd_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM nd_pairs),
+    sem_reach AS (
+      SELECT src, dst FROM sem_edges
+      UNION
+      SELECT r.src, e2.dst FROM sem_reach r JOIN sem_edges e2 ON r.dst = e2.src),
+    sem_labels AS (
+      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM sem_reach GROUP BY src),
+    sem_drop AS (
+      SELECT vec_id FROM sem_labels WHERE vec_id <> cluster_id)
+    SELECT doc_id, md5(clean_text) AS clean_md5, n_removed
+    FROM clean
+    WHERE doc_id NOT IN (SELECT vec_id FROM sem_drop)
+    ORDER BY doc_id"""
+
   // ---------------------------------------------------------------- SimHash
 
   /** 60-bit SimHash over word tokens: bit j of the signature is the sign
@@ -1300,9 +1395,11 @@ object Dedup {
   /** The full from-scratch dedup as a CTE body ending in relation
     * `clean` — shared by the from-scratch gate and the incremental
     * gate's restricted oracle. */
-  private val ddSubstringDedupCore: String = s"""
-    WITH aug AS ($augmentedSql),
-    t AS (SELECT doc_id, ${Portable.wordsSql("text")} AS ws FROM aug),
+  /** The ExactSubstr CTE chain from a named (doc_id, text) relation to
+    * `clean(doc_id, clean_text, n_removed)` — parameterized by source so
+    * composed oracles (semantic curation) can dedup a filtered slice. */
+  private[operators] def substringCleanCtesOf(src: String): String = s"""
+    t AS (SELECT doc_id, ${Portable.wordsSql("text")} AS ws FROM $src),
     win AS (
       SELECT doc_id, i AS pos,
              ${Portable.hash60Sql(s"array_to_string(ws[i:(i + ${SUB_W - 1})], ' ')")} AS h
@@ -1326,6 +1423,10 @@ object Dedup {
                AS clean_text,
              CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
       FROM flags GROUP BY doc_id)"""
+
+  private val ddSubstringDedupCore: String = s"""
+    WITH aug AS ($augmentedSql),
+    ${substringCleanCtesOf("aug")}"""
 
   val ddSubstringDedupSql: String = s"""
     $ddSubstringDedupCore

@@ -95,7 +95,7 @@ object Similarity {
     * embeddings are NOT carried through the explode (the band join
     * shuffles `tables` short rows per vector, not `tables` copies of a
     * 64-float array); candidates join the vectors back by id. */
-  private[operators] def banded(e: DataFrame, tables: Int, planes: Int,
+  private[graft] def banded(e: DataFrame, tables: Int, planes: Int,
                      signs: Array[Array[Int]] = planeSigns): DataFrame =
     e.select(col("vec_id"),
       posexplode(graft.functions.HyperplaneBuckets.buckets(col("embedding"), tables, planes, signs))
@@ -505,10 +505,18 @@ object Similarity {
     * oracle mirrors the constants. Sign families beyond the gated
     * [[MaxPlanes]] are generated on demand — prefixes are identical. */
   def cosineNearDupPairs(spark: SparkSession, dir: String,
-                         tables: Int, planes: Int): DataFrame = {
+                         tables: Int, planes: Int): DataFrame =
+    nearDupPairsOf(Tables.embeddings(spark, dir), tables, planes)
+
+  /** The pair stage over an EXPLICIT (vec_id, embedding) relation —
+    * factored out so composed operators (semantic curation, the
+    * streaming ANN ingest's batch twin) can band a filtered slice
+    * instead of the whole catalog table. */
+  def nearDupPairsOf(e: DataFrame,
+                     tables: Int = NEARDUP_TABLES,
+                     planes: Int = NEARDUP_PLANES): DataFrame = {
     val signs =
       if (tables * planes <= MaxPlanes) planeSigns else mkSigns(tables * planes)
-    val e = Tables.embeddings(spark, dir)
     // persisted: both sides of the band self-join consume it
     val bd = graft.Caches.persist(banded(e, tables, planes, signs))
     val a = bd.as("a"); val b = bd.as("b")
@@ -523,7 +531,7 @@ object Similarity {
   /** Exact-cosine verification tail shared by the band self-join and the
     * persisted-index probe: join the embeddings back to the candidate
     * (id_a, id_b) pairs by id, keep cosine ≥ [[NEARDUP_THRESHOLD]]. */
-  private[operators] def verifyCandidatePairs(e: DataFrame,
+  private[graft] def verifyCandidatePairs(e: DataFrame,
                                               candidates: DataFrame): DataFrame = {
     val ea = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val eb = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
@@ -536,11 +544,11 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** CTE chain ending in the thresholded `nd_pairs` relation — shared
-    * by [[simCosineNearDupSql]] and [[simSemanticDedupSql]] so the
-    * composed oracle IS the unit oracle with a clustering tail. */
-  private val neardupCtesSql: String = s"""e AS (SELECT vec_id, embedding FROM embeddings),
-    banded AS (
+  /** The near-dup CTE chain AFTER an `e(vec_id, embedding)` relation
+    * has been defined — factored so composed oracles (semantic
+    * curation) can band a filtered slice; [[neardupCtesSql]] prepends
+    * the whole-table definition. Ends in `nd_pairs`. */
+  private[operators] val neardupCtesAfterE: String = s"""banded AS (
       ${bandedSql(NEARDUP_TABLES, NEARDUP_PLANES)}),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -554,6 +562,13 @@ object Similarity {
       JOIN e eb ON eb.vec_id = id_b),
     nd_pairs AS (
       SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= $NEARDUP_THRESHOLD)"""
+
+  /** CTE chain ending in the thresholded `nd_pairs` relation — shared
+    * by [[simCosineNearDupSql]] and [[simSemanticDedupSql]] so the
+    * composed oracle IS the unit oracle with a clustering tail. */
+  private val neardupCtesSql: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+    $neardupCtesAfterE"""
 
   val simCosineNearDupSql: String = s"""
     WITH $neardupCtesSql

@@ -536,7 +536,13 @@ object TextAnalysis {
     * vocab), and the per-doc tail is one integer aggregate. No window,
     * no position self-join — bigrams come straight off the token array
     * ([[Portable.ngrams]]). */
-  def bigramSurprisal(docs: DataFrame): DataFrame = {
+  def bigramSurprisal(docs: DataFrame): DataFrame =
+    bigramScores(docs).orderBy(col("doc_id"))
+
+  /** The unordered scores relation — composed operators (semantic
+    * curation's perplexity gate) filter on it mid-plan, where a sort
+    * would be a wasted Exchange. */
+  def bigramScores(docs: DataFrame): DataFrame = {
     // persisted: feeds the bigram counts, the context counts, and the
     // probe side of both joins
     val grams = graft.Caches.persist(docs
@@ -552,8 +558,26 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
         expr("sum_bits * 1000L div n_bigrams").as("mean_millibits"))
-      .orderBy(col("doc_id"))
   }
+
+  /** The bigram-score CTE chain from a named (doc_id, text) relation to
+    * `perdoc(doc_id, n_bigrams, sum_bits)` — for composed oracles. */
+  def bigramScoreCtesOf(src: String): String = s"""
+    grams AS (
+      SELECT doc_id, unnest(${Portable.ngramsSql("text", 2)}) AS g
+      FROM $src),
+    big AS (SELECT g, COUNT(*) AS cnt2 FROM grams GROUP BY g),
+    ctx AS (
+      SELECT string_split(g, ' ')[1] AS w1, COUNT(*) AS cnt1
+      FROM grams GROUP BY 1),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(length(bin(cnt1 // cnt2)) - 1 AS BIGINT)) AS BIGINT)
+               AS sum_bits
+      FROM grams
+      JOIN big USING (g)
+      JOIN ctx ON string_split(grams.g, ' ')[1] = ctx.w1
+      GROUP BY doc_id)"""
 
   /** Gated query: bigram-LM surprisal over the documents table. */
   def txBigramSurprisal(spark: SparkSession, dir: String): DataFrame =

@@ -556,6 +556,34 @@ object StreamingGates {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Replay `embeddings` as a 3-batch stream through the streaming ANN
+    * near-dup ingest ([[StreamingPipeline.startAnnPairStore]]: per-batch
+    * band-index deltas, new-vs-history + new-vs-self candidates, shared
+    * exact-cosine verify), then read every batch's emitted pairs. Gated
+    * against the batch `sim_cosine_neardup` oracle — so the compare
+    * proves the incrementally-maintained band index emits exactly the
+    * full-corpus pair set, each pair once, with bit-identical cosines. */
+  def streamAnnNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val in = tmp("graft_sgate_ann_in_")
+    val store = tmp("graft_sgate_ann_store_")
+    val ckpt = tmp("graft_sgate_ann_ckpt_")
+    (0 until 3).foreach { i =>
+      emb.filter(pmod(col("vec_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val schema = StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = StreamingPipeline.startAnnPairStore(src, store, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    spark.read
+      .schema("id_a BIGINT, id_b BIGINT, cosine DOUBLE")
+      .parquet(s"$store/pairs/b*")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Oracle for [[streamStreamJoin]]: the batch interval join the
     * stream claims to equal — every (click, purchase) pair per user
     * with the purchase inside [click, click + 1h]. Timestamps surface

@@ -378,6 +378,71 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming ANN near-dup ingest — the embedding-space twin of
+    * [[startErPairStore]]: maintain the hyperplane band index
+    * ([[graft.operators.Similarity.banded]], flat (tbl, bucket) key)
+    * across micro-batches and emit every cosine-near-dup pair exactly
+    * once, in the batch where its LATER member arrives. Per batch: band
+    * ONLY the new vectors and write their (vec_id, band_key) rows plus
+    * the vectors themselves as `b<batchId>` delta dirs (idempotent
+    * overwrite — the [[graft.operators.AnnIndex.appendVectors]] "band
+    * only the append" economics, with versioned dirs standing in for
+    * the bucketed-table append so crash replay stays isolated); join the
+    * batch's bands against the strictly-prior index (normalized
+    * least/greatest) plus itself (id_a < id_b), dedup, then the SAME
+    * exact-cosine verify as the batch operator
+    * ([[graft.operators.Similarity.verifyCandidatePairs]]) over stored ∪
+    * batch vectors.
+    *
+    * Union of all batches' pairs ≡ the full-corpus band self-join:
+    * threshold queries are APPEND-MONOTONE (a pair's membership never
+    * changes once both members arrived), which is exactly why this gate
+    * exists for near-dup and deliberately NOT for the k-NN graph — a
+    * node's top-k is revised by every later arrival, so a streamed
+    * top-k would need retraction, not append. */
+  def startAnnPairStore(vectors: DataFrame, storeDir: String,
+                        checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint(true)
+        try {
+          import graft.operators.Similarity
+          val planes = Similarity.NEARDUP_PLANES
+          val bands = Similarity
+            .banded(b, Similarity.NEARDUP_TABLES, planes)
+            .select(col("vec_id"),
+              (col("tbl") * (1 << planes) + col("bucket")).as("band_key"))
+            .localCheckpoint(true)
+          try {
+            bands.write.mode("overwrite").parquet(s"$storeDir/bands/b$batchId")
+            b.select(col("vec_id"), col("embedding"))
+              .write.mode("overwrite").parquet(s"$storeDir/vectors/b$batchId")
+            val priorB = deltasBelow(spark, s"$storeDir/bands",
+              "vec_id BIGINT, band_key INT", batchId)
+            val priorV = deltasBelow(spark, s"$storeDir/vectors",
+              "vec_id BIGINT, embedding ARRAY<FLOAT>", batchId)
+            val newOld = bands
+              .join(priorB.select(col("vec_id").as("oid"), col("band_key")),
+                "band_key")
+              .select(least(col("vec_id"), col("oid")).as("id_a"),
+                greatest(col("vec_id"), col("oid")).as("id_b"))
+            val newNew = bands.select(col("vec_id").as("id_a"), col("band_key"))
+              .join(bands.select(col("vec_id").as("id_b"), col("band_key")),
+                "band_key")
+              .filter(col("id_a") < col("id_b"))
+              .select(col("id_a"), col("id_b"))
+            val candidates = newOld.union(newNew).distinct()
+            val e = priorV.union(b.select(col("vec_id"), col("embedding")))
+            Similarity.verifyCandidatePairs(e, candidates)
+              .write.mode("overwrite").parquet(s"$storeDir/pairs/b$batchId")
+          } finally graft.Caches.freeCheckpoint(bands)
+        } finally graft.Caches.freeCheckpoint(b)
+      }
+      .start()
+
   /** Union of all `b<k>` delta dirs with k strictly below
     * `beforeVersion` (replay isolation, as [[latestSnapshot]]); empty
     * relation when none exist yet (batch 0 has no history — legitimate,

@@ -387,6 +387,56 @@ class ExtensionSpec extends SparkSpec {
     assert(auto == pinned)
   }
 
+  test("semantic curation capstone: gate, dedup, and representative laws hold") {
+    val out = Dedup.ddCurateSemantic(spark, sf("sf0.01"))
+      .as[(Long, String, Long)].collect()
+    graft.Caches.releaseAll()
+    assert(out.nonEmpty)
+    val outIds = out.map(_._1).toSet
+    // perplexity-gate law: every emitted doc scored at or under the
+    // ceiling; every doc over it is absent
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.01"))
+      .select($"doc_id", $"text")
+    val scores = TextAnalysis.bigramSurprisal(docs)
+      .select($"doc_id", $"mean_millibits").as[(Long, Long)].collect().toMap
+    graft.Caches.releaseAll()
+    outIds.foreach { id =>
+      assert(scores(id) <= Dedup.CurateSemanticMaxMillibits, s"doc $id over gate")
+    }
+    assert(scores.exists(_._2 > Dedup.CurateSemanticMaxMillibits),
+      "corpus must have a high-surprisal tail for the gate to be meaningful")
+    scores.filter(_._2 > Dedup.CurateSemanticMaxMillibits).keys.foreach { id =>
+      assert(!outIds.contains(id), s"gated-out doc $id present")
+    }
+    // substring-dedup law: some doc lost tokens (the corpus repeats
+    // >= SUB_W-token substrings) and n_removed matches the unit
+    // operator run on exactly the gate survivors
+    assert(out.exists(_._3 > 0), "no substring removals — stage inert")
+    val keep = scores.filter(_._2 <= Dedup.CurateSemanticMaxMillibits).keySet
+    val unit = Dedup.substringDedup(
+        docs.filter($"doc_id".isInCollection(keep)), Dedup.SUB_W)
+      .select($"doc_id", $"n_removed").as[(Long, Long)].collect().toMap
+    graft.Caches.releaseAll()
+    out.foreach { case (id, _, n) => assert(unit(id) == n, s"doc $id n_removed") }
+    // representative law: for each survivor near-dup cluster, exactly
+    // the min id is kept
+    val survEmb = graft.sources.Tables.embeddings(spark, sf("sf0.01"))
+      .filter($"vec_id".isInCollection(unit.keySet))
+      .select($"vec_id", $"embedding")
+    val pairs = Similarity.nearDupPairsOf(survEmb)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    graft.Caches.releaseAll()
+    val clusters = Cluster.connectedComponents(
+        pairs.toSeq.toDF("src", "dst"))
+      .as[(Long, Long)].collect().groupBy(_._2).values
+    clusters.foreach { members =>
+      val ids = members.map(_._1).toSet
+      val kept = ids intersect outIds
+      assert(kept == Set(ids.min),
+        s"cluster $ids kept $kept, expected only min")
+    }
+  }
+
   test("near-dup runs with a sign family beyond the gated MaxPlanes") {
     // 4 tables x 14 planes = 56 > MaxPlanes(48): signs generate on demand
     val pairs = Similarity.cosineNearDupPairs(spark, sf(), 4, 14)

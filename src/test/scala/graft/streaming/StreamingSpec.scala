@@ -505,6 +505,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.distinct.size == streamed.size, "duplicate pair emissions")
   }
 
+  test("gate: streaming ANN near-dup ingest equals the batch band join bit-for-bit") {
+    val streamed = StreamingGates.streamAnnNearDup(spark, sf()).collect().toSeq
+    val batch = graft.operators.Similarity.simCosineNearDup(spark, sf())
+      .collect().toSeq
+    graft.Caches.releaseAll()
+    assert(streamed.nonEmpty, "replay must find the near-dup pairs")
+    assert(streamed == batch,
+      "stream_ann_neardup must reproduce sim_cosine_neardup exactly (pairs AND cosines)")
+    assert(streamed.distinct.size == streamed.size, "duplicate pair emissions")
+  }
+
   test("streaming substring dedup is causal: later batches never retro-clean") {
     import graft.operators.Dedup
     val base = Seq((1L, "a b c d e f")).toDF("doc_id", "text")

@@ -151,6 +151,35 @@ object AnnIndex {
     nearDupPairsFromIndex(spark, idx, dir)
   }
 
+  /** SYMMETRIC candidate (vec_id, nbr_id) pairs from the persisted
+    * index — both directions per collision, for per-node neighbor
+    * lists (the k-NN-graph shape), where [[nearDupCandidates]] keeps
+    * one direction per PAIR. Same Exchange-free self-join plan: both
+    * sides read the bucketed table in place. */
+  def knnCandidates(index: DataFrame): DataFrame = {
+    val a = index.as("a"); val b = index.as("b")
+    a.join(b,
+        col("a.band_key") === col("b.band_key") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
+      .distinct()
+  }
+
+  /** Gated query: the k-NN graph THROUGH the persisted bucketed index —
+    * build (eager, overwrite) then the shared re-rank tail
+    * ([[Similarity.knnFromCandidates]]). The oracle is the SAME SQL as
+    * `sim_knn_graph`, so the hash compare proves the index path lands
+    * bit-identically where the in-query banding does — build-once/
+    * probe-many hash-checked for the graph shape exactly as
+    * [[simNearDupFromIndex]] checks it for the pair shape. */
+  def simKnnGraphFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idx = buildNearDupIndex(spark, Tables.embeddings(spark, dir),
+      "graft_gate_knn_idx", scratch)
+    Similarity.knnFromCandidates(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      knnCandidates(idx), Similarity.KNN_GRAPH_K)
+  }
+
   /** Band rows for an ad-hoc query batch, computed with the index's own
     * sign family so probe collisions match build collisions. */
   def queryBands(q: DataFrame,

@@ -59,6 +59,45 @@ object Profiling {
     FROM lineitem"""
   }.mkString(" UNION ALL ") + " ORDER BY col_name"
 
+  /** Embedding-table profiler — the dataset card for the VECTOR column
+    * the text profilers can't see: per-dimension min/max and
+    * sign/zero/NaN counts over the whole corpus. This is the drift/
+    * sanity report an embedding pipeline needs before indexing — a
+    * dimension that went all-zero (truncated model output), a NaN leak,
+    * or a min/max blow-up (missing normalization) each shows as one
+    * anomalous row of the 64. Every aggregate is order-independent
+    * (min/max/integer counts — no float SUM whose accumulation order
+    * would break the bit-exact oracle; mean/variance belong to the
+    * approx tier at 100 TB, same posture as `approx_percentile`).
+    *
+    * Scale shape: posexplode widens to dim× rows but the shuffle
+    * carries only (dim, partial aggregates) — map-side combined into
+    * exactly [[Similarity.Dim]] groups, corpus-size-independent. */
+  def embeddingCard(e: DataFrame): DataFrame =
+    e.select(posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select((col("i0") + 1).cast("long").as("dim"), col("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(when(col("v") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("v") < 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(isnan(col("v")), 1L).otherwise(0L)).as("n_nan"))
+      .orderBy(col("dim"))
+
+  def profEmbeddingCard(spark: SparkSession, dir: String): DataFrame =
+    embeddingCard(Tables.embeddings(spark, dir))
+
+  val profEmbeddingCardSql: String = s"""
+    SELECT i AS dim, COUNT(*) AS n,
+           MIN(embedding[i]) AS min_v, MAX(embedding[i]) AS max_v,
+           CAST(SUM(CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN embedding[i] < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(SUM(CASE WHEN embedding[i] = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN isnan(embedding[i]) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan
+    FROM embeddings, (SELECT unnest(range(1, ${Similarity.Dim + 1})) AS i) t
+    GROUP BY i ORDER BY dim"""
+
   /** Join-key skew diagnosis: the report that decides whether a key
     * needs [[Skew]]'s salting or can rely on AQE's skew-join split.
     * Per-key counts are map-side combined (the only corpus-sized

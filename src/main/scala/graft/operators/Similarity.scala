@@ -716,6 +716,16 @@ object Similarity {
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
       .distinct()
+    knnFromCandidates(e, candidates, k)
+  }
+
+  /** The exact-cosine re-rank + per-node top-k tail over EXPLICIT
+    * symmetric (vec_id, nbr_id) candidates — shared by the in-query
+    * band join above and the persisted-index path
+    * ([[AnnIndex.simKnnGraphFromIndex]]), so both land bit-identically
+    * by construction. */
+  private[operators] def knnFromCandidates(e: DataFrame, candidates: DataFrame,
+                                           k: Int): DataFrame = {
     val ev = e.select(col("vec_id"), col("embedding").as("ev"))
     val en = e.select(col("vec_id").as("nbr_id"), col("embedding").as("en"))
     val scored = candidates.join(ev, "vec_id").join(en, "nbr_id")

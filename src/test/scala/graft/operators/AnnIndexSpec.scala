@@ -53,6 +53,29 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("k-NN graph through the index is bit-identical; self-join stays Exchange-free") {
+    withIndex { idx =>
+      val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = AnnIndex.knnCandidates(idx).queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+        assert(!plan.contains("Exchange hashpartitioning(band_key"),
+          s"symmetric index self-join must not shuffle either side:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      val fromIndex = Similarity.knnFromCandidates(
+          Tables.embeddings(spark, sf()).select(col("vec_id"), col("embedding")),
+          AnnIndex.knnCandidates(idx), Similarity.KNN_GRAPH_K)
+        .collect().toSeq
+      graft.Caches.releaseAll()
+      val inQuery = Similarity.simKnnGraph(spark, sf()).collect().toSeq
+      graft.Caches.releaseAll()
+      assert(fromIndex.nonEmpty)
+      assert(fromIndex == inQuery,
+        "index-path k-NN graph must equal the in-query band join bit-for-bit")
+    }
+  }
+
   test("pairs through the index are bit-identical to the in-query operator") {
     withIndex { idx =>
       val fromIndex = AnnIndex.nearDupPairsFromIndex(spark, idx, sf())

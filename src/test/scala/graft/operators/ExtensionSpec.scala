@@ -437,6 +437,30 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("embedding card: per-dim partition law, and planted anomalies surface") {
+    val card = graft.operators.Profiling
+      .profEmbeddingCard(spark, sf("sf0.01"))
+      .as[(Long, Long, Float, Float, Long, Long, Long, Long)].collect()
+    val n = graft.sources.Tables.embeddings(spark, sf("sf0.01")).count()
+    assert(card.map(_._1).toSeq == (1L to Similarity.Dim))
+    card.foreach { case (dim, cnt, mn, mx, pos, neg, zero, nan) =>
+      assert(cnt == n, s"dim $dim count")
+      assert(pos + neg + zero + nan == cnt, s"dim $dim sign partition")
+      assert(mn <= mx, s"dim $dim min>max")
+    }
+    // planted anomalies: an all-zero dim and a NaN leak each show as
+    // exactly one anomalous row
+    val bad = Seq(
+      (1L, Array(0.0f, 1.5f, Float.NaN)),
+      (2L, Array(0.0f, -2.0f, 0.5f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Profiling.embeddingCard(bad)
+      .as[(Long, Long, Float, Float, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._7 == 2, "dim 1 must read all-zero")
+    assert(got(3L)._8 == 1, "dim 3 must count the NaN")
+    assert(got(2L)._5 == 1 && got(2L)._6 == 1, "dim 2 sign counts")
+  }
+
   test("near-dup runs with a sign family beyond the gated MaxPlanes") {
     // 4 tables x 14 planes = 56 > MaxPlanes(48): signs generate on demand
     val pairs = Similarity.cosineNearDupPairs(spark, sf(), 4, 14)

@@ -69,12 +69,22 @@ object AnnIndex {
     * separately so the plan test can assert the join subtree is
     * Exchange-free before `distinct()` adds its (small, candidate-sized)
     * shuffle. */
-  private[operators] def bandSelfJoin(index: DataFrame): DataFrame = {
+  private[operators] def bandSelfJoin(index: DataFrame): DataFrame =
+    bandJoin(index, _ < _, "id_a", "id_b")
+
+  /** ONE definition of the Exchange-free bucketed self-join — the id
+    * predicate is the only difference between the pair shape (`<`, one
+    * direction per pair) and the graph shape (`=!=`, both directions),
+    * so the load-bearing no-Exchange property cannot drift between
+    * copies. */
+  private def bandJoin(index: DataFrame,
+                       idPred: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                       leftName: String, rightName: String): DataFrame = {
     val a = index.as("a"); val b = index.as("b")
     a.join(b,
         col("a.band_key") === col("b.band_key") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        idPred(col("a.vec_id"), col("b.vec_id")))
+      .select(col("a.vec_id").as(leftName), col("b.vec_id").as(rightName))
   }
 
   /** Distinct candidate pairs from the persisted index — identical
@@ -156,14 +166,8 @@ object AnnIndex {
     * lists (the k-NN-graph shape), where [[nearDupCandidates]] keeps
     * one direction per PAIR. Same Exchange-free self-join plan: both
     * sides read the bucketed table in place. */
-  def knnCandidates(index: DataFrame): DataFrame = {
-    val a = index.as("a"); val b = index.as("b")
-    a.join(b,
-        col("a.band_key") === col("b.band_key") &&
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
-      .distinct()
-  }
+  def knnCandidates(index: DataFrame): DataFrame =
+    bandJoin(index, _ =!= _, "vec_id", "nbr_id").distinct()
 
   /** Gated query: the k-NN graph THROUGH the persisted bucketed index —
     * build (eager, overwrite) then the shared re-rank tail

@@ -1239,7 +1239,10 @@ object Dedup {
       .filter(col("cnt") > 1).select(col("h"))
     if (!verify) removeCovered(base, wins, dup, w)
     else {
-      val cand = substringCollisionCandidates(base, wins, dup, w)
+      // persisted: the (h, s) duplicate count and the semi-join probe
+      // side both consume the candidate relation
+      val cand = graft.Caches.persist(
+        substringCollisionCandidates(base, wins, dup, w))
       val dupWins = cand.join(
         cand.groupBy(col("h"), col("s")).agg(count(lit(1)).as("c"))
           .filter(col("c") > 1).select(col("h"), col("s")),
@@ -1310,7 +1313,13 @@ object Dedup {
     * index — the `/tmp/graft_artifacts` convention of
     * [[graft.operators.Bpe.DictArtifactPath]]/Pca/QualityClassifier, so
     * the bench's warmup+3 timed runs overwrite ONE index copy instead
-    * of leaking a fresh temp dir per invocation. */
+    * of leaking a fresh temp dir per invocation. SINGLE-WRITER
+    * assumption (shared by every fixed-path artifact gate): the
+    * driver's verify and bench mains run sequentially in one JVM; two
+    * CONCURRENT JVMs would race overwrite-vs-lazy-read on this path.
+    * Production callers pass their own (job-scoped, e.g. run-id-
+    * suffixed) path to [[buildSubstringIndex]] — the fixed constant is
+    * the GATE's path, not a library default. */
   val SubstringIndexArtifactPath = "/tmp/graft_artifacts/substr_idx"
 
   /** Gated query: index the original documents, then incrementally

@@ -79,7 +79,11 @@ object Profiling {
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"),
-        sum(when(col("v") > 0, 1L).otherwise(0L)).as("n_pos"),
+        // NaN guard on the positive bucket: both Spark and DuckDB order
+        // NaN above every number, so an unguarded v > 0 would count a
+        // NaN in n_pos AND n_nan — breaking the partition law exactly
+        // when the NaN-leak anomaly this card exists to surface occurs
+        sum(when(col("v") > 0 && !isnan(col("v")), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("v") < 0, 1L).otherwise(0L)).as("n_neg"),
         sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_zero"),
         sum(when(isnan(col("v")), 1L).otherwise(0L)).as("n_nan"))
@@ -88,15 +92,23 @@ object Profiling {
   def profEmbeddingCard(spark: SparkSession, dir: String): DataFrame =
     embeddingCard(Tables.embeddings(spark, dir))
 
+  /** Oracle: DuckDB's zipped unnest (positions zipped with values) is
+    * the posexplode twin — it emits one row per ACTUAL element, so a
+    * ragged corpus (a truncated 63-wide vector, an over-long one)
+    * produces the same per-dim counts in both engines, where a fixed
+    * 1..Dim grid would silently diverge. */
   val profEmbeddingCardSql: String = s"""
-    SELECT i AS dim, COUNT(*) AS n,
-           MIN(embedding[i]) AS min_v, MAX(embedding[i]) AS max_v,
-           CAST(SUM(CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-           CAST(SUM(CASE WHEN embedding[i] < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-           CAST(SUM(CASE WHEN embedding[i] = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-           CAST(SUM(CASE WHEN isnan(embedding[i]) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan
-    FROM embeddings, (SELECT unnest(range(1, ${Similarity.Dim + 1})) AS i) t
-    GROUP BY i ORDER BY dim"""
+    WITH ev AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings)
+    SELECT dim, COUNT(*) AS n,
+           MIN(v) AS min_v, MAX(v) AS max_v,
+           CAST(SUM(CASE WHEN v > 0 AND NOT isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan
+    FROM ev GROUP BY dim ORDER BY dim"""
 
   /** Join-key skew diagnosis: the report that decides whether a key
     * needs [[Skew]]'s salting or can rely on AQE's skew-join split.

@@ -583,22 +583,10 @@ object TextAnalysis {
   def txBigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisal(Tables.documents(spark, dir))
 
+  // built from the same CTE builder the composed dd_curate_semantic
+  // oracle uses, so the two can never drift
   val txBigramSurprisalSql: String = s"""
-    WITH grams AS (
-      SELECT doc_id, unnest(${Portable.ngramsSql("text", 2)}) AS g
-      FROM documents),
-    big AS (SELECT g, COUNT(*) AS cnt2 FROM grams GROUP BY g),
-    ctx AS (
-      SELECT string_split(g, ' ')[1] AS w1, COUNT(*) AS cnt1
-      FROM grams GROUP BY 1),
-    perdoc AS (
-      SELECT doc_id, COUNT(*) AS n_bigrams,
-             CAST(SUM(CAST(length(bin(cnt1 // cnt2)) - 1 AS BIGINT)) AS BIGINT)
-               AS sum_bits
-      FROM grams
-      JOIN big USING (g)
-      JOIN ctx ON string_split(grams.g, ' ')[1] = ctx.w1
-      GROUP BY doc_id)
+    WITH ${bigramScoreCtesOf("documents")}
     SELECT doc_id, n_bigrams, sum_bits,
            sum_bits * 1000 // n_bigrams AS mean_millibits
     FROM perdoc ORDER BY doc_id"""

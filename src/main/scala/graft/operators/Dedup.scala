@@ -454,7 +454,7 @@ object Dedup {
 
   /** The `pipe` corpus CTE shared by every pipeline-composition oracle
     * (mirrors [[pipelineCorpus]]). */
-  private val pipeSql: String = """
+  private[operators] val pipeSql: String = """
     pipe AS (
       SELECT doc_id, text FROM aug
       UNION ALL

@@ -206,4 +206,41 @@ object Multimodal {
       SELECT doc_id, text, unnest(range(0, (length(text) - 1) // $HopBytes + 1)) AS seg_idx
       FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0)
     ORDER BY doc_id, seg_idx"""
+
+  /** Exact dedup of the BINARY payload column — the asset-store dedup a
+    * media pipeline runs before any decode: identical payload bytes
+    * (re-uploaded images, mirrored files) collapse to one kept copy by
+    * 128-bit content digest. The [[graft.operators.Dedup.survivors]]
+    * posture applied at the binary tier: ONLY (doc_id, digest) ever
+    * shuffles — payload bytes stay at the scan, which at 100 TB of
+    * media is the difference between a 16-byte/row exchange and moving
+    * the asset store through the cluster. Runs over the pipeline corpus
+    * (planted byte-exact copies at doc_id+20000) so the gate exercises
+    * real collapses, and emits every row with a `keep` verdict so the
+    * oracle pins the full digest→representative mapping, not just the
+    * survivor set. */
+  def mmExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val m = Dedup.pipelineCorpus(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val digests = graft.Caches.persist(
+      m.select(col("doc_id"), md5(col("payload")).as("payload_md5")))
+    val keep = digests.groupBy(col("payload_md5"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    digests.join(keep, "payload_md5")
+      .select(col("doc_id"), col("payload_md5"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: md5 over the VARCHAR equals md5 over its UTF-8 bytes —
+    * the same equivalence [[media]]'s `text.cast("binary")` payload
+    * synthesis relies on. */
+  val mmExactDedupSql: String = s"""
+    WITH aug AS (${Dedup.augmentedSql}),
+    ${Dedup.pipeSql},
+    d AS (SELECT doc_id, md5(text) AS payload_md5 FROM pipe),
+    k AS (SELECT payload_md5, MIN(doc_id) AS keep_id FROM d GROUP BY payload_md5)
+    SELECT doc_id, payload_md5, doc_id = keep_id AS keep
+    FROM d JOIN k USING (payload_md5)
+    ORDER BY doc_id"""
 }

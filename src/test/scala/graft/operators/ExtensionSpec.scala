@@ -461,6 +461,23 @@ class ExtensionSpec extends SparkSpec {
     assert(got(2L)._5 == 1 && got(2L)._6 == 1, "dim 2 sign counts")
   }
 
+  test("binary payload dedup: every planted byte-copy loses to its source") {
+    val rows = Multimodal.mmExactDedup(spark, sf())
+      .as[(Long, String, Boolean)].collect()
+    graft.Caches.releaseAll()
+    val keep = rows.map(r => r._1 -> r._3).toMap
+    val planted = rows.map(_._1).filter(_ >= 20000)
+    assert(planted.nonEmpty, "pipeline corpus must plant byte-exact copies")
+    planted.foreach { id =>
+      assert(!keep(id), s"planted copy $id must not be kept")
+      assert(keep(id - 20000), s"source of $id must be kept")
+    }
+    // digest law: within a digest group exactly one keeper, the min id
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.count(_._3) == 1 && g.filter(_._3).head._1 == g.map(_._1).min)
+    }
+  }
+
   test("near-dup runs with a sign family beyond the gated MaxPlanes") {
     // 4 tables x 14 planes = 56 > MaxPlanes(48): signs generate on demand
     val pairs = Similarity.cosineNearDupPairs(spark, sf(), 4, 14)

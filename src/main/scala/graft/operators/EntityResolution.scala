@@ -152,4 +152,51 @@ object EntityResolution {
 
   val erFuzzyMatchSql: String = erOracleSql(1)
   val erFuzzyMatchD2Sql: String = erOracleSql(2)
+
+  /** Entity CLUSTERS from the fuzzy pairs — the golden-record step that
+    * turns pair-wise matches into resolved entities: connected
+    * components over the match graph ([[Cluster.connectedComponents]]),
+    * min-id label as the entity id, the label-carrier flagged
+    * `canonical` (a production run would pick the survivor by
+    * recency/completeness — same plan, different ranking key).
+    * Pair-wise output alone under-links chains (a~b, b~c with a≁c is
+    * ONE entity); components close the chain — the same argument as
+    * [[graft.operators.Dedup.ddCluster]] for duplicate groups, here
+    * applied to the record-linkage graph. Rows not in any pair are
+    * singleton entities and are absent, as from the pair relation.
+    *
+    * Scale shape: blocking as [[fuzzyMatchPairs]]; clustering is one
+    * shuffle per round over the (pair-graph-sized) vertex set, rounds =
+    * component diameter — near-dup name graphs are shallow. */
+  def erCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyMatchPairs(Tables.customer(spark, dir),
+      "c_custkey", "c_name")
+    Cluster.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("c_custkey"), col("cluster_id").as("entity_id"),
+        (col("id") === col("cluster_id")).as("canonical"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Oracle: the quadratic pair ground truth closed transitively by a
+    * recursive CTE — the [[graft.operators.Similarity.simSemanticDedupSql]]
+    * recursion tail over the ER match graph. */
+  val erClusterSql: String = s"""
+    WITH RECURSIVE p AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM p),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    labels AS (
+      SELECT src AS c_custkey, LEAST(src, MIN(dst)) AS entity_id
+      FROM reach GROUP BY src)
+    SELECT c_custkey, entity_id, c_custkey = entity_id AS canonical
+    FROM labels ORDER BY c_custkey"""
 }

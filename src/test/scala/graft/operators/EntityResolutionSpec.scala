@@ -98,6 +98,37 @@ class EntityResolutionSpec extends SparkSpec {
       "fixture should contain genuinely-distance-2 pairs")
   }
 
+  test("entity clusters equal a union-find over the pairs; canonical is the min id") {
+    val pairs = EntityResolution.erFuzzyMatch(spark, sf())
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    graft.Caches.releaseAll()
+    val ent = EntityResolution.erCluster(spark, sf())
+      .as[(Long, Long, Boolean)].collect()
+    graft.Caches.releaseAll()
+    assert(ent.nonEmpty)
+    val label = ent.map(r => r._1 -> r._2).toMap
+    // ground truth: driver-side union-find over the same pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(x => x -> find(x)).toMap
+    assert(label.keySet == roots.keySet, "vertex sets differ")
+    // same partition, min-id labels
+    label.foreach { case (id, e) => assert(e == roots(id), s"label of $id") }
+    // canonical law: exactly one per entity, the min
+    ent.groupBy(_._2).foreach { case (e, ms) =>
+      assert(e == ms.map(_._1).min, s"entity $e label not min")
+      assert(ms.count(_._3) == 1 && ms.find(_._3).get._1 == e,
+        s"entity $e canonical flag")
+    }
+  }
+
   test("radius 3 is rejected loudly (wants a different blocker, not C(len,3))") {
     val e = intercept[IllegalArgumentException] {
       EntityResolution.fuzzyMatchPairs(

@@ -28,7 +28,8 @@ object ScaleProbe {
     "dd_ngram_jaccard", "dd_ssjoin_prefix", "tok_encode", "qc_score",
     "dd_substring_incremental", "dd_substring_verify", "dd_substring_backfill",
     "tx_bigram_surprisal", "sim_knn_graph", "dd_curate_semantic",
-    "sim_knn_from_index", "prof_embedding_card", "mm_exact_dedup")
+    "sim_knn_from_index", "prof_embedding_card", "mm_exact_dedup",
+    "sim_cluster_card")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

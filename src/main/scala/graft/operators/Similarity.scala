@@ -449,6 +449,62 @@ object Similarity {
   val simIvfFromCodebookSql: String = ivfTopKSqlWith(
     s"SELECT centroid_id, ce FROM read_parquet('$IvfArtifactPath/*.parquet')")
 
+  /** IVF cell card — the index-balance report that tunes nlist/nprobe:
+    * per cell, member count, corpus share in integer ppm, and the
+    * min/max member-to-centroid cosine (the cell's angular "radius").
+    * A skewed share column says the codebook under-fits a dense region
+    * (recall loss at fixed nprobe); a low min_csim says a cell is too
+    * wide (wasted exact-verify work). Every aggregate is
+    * order-independent (count/min/max/integer div — no float SUM), so
+    * the report gates hash-exact through the same persisted codebook
+    * artifact as [[simIvfFromCodebook]].
+    *
+    * Scale shape: one corpus pass against the broadcast k-row codebook
+    * (the assignment pass every IVF build already pays), then a
+    * map-side-combined aggregate into k groups — corpus-size-
+    * independent output. */
+  def ivfCellCard(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val total = e.count()
+    val assign = e.crossJoin(broadcast(cent))
+      .withColumn("csim", Portable.cosine(col("embedding"), col("ce")))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+    assign.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("csim")).as("min_csim"), max(col("csim")).as("max_csim"))
+      .select(col("centroid_id"), col("n"),
+        expr(s"n * 1000000L div ${total}L").as("share_ppm"),
+        col("min_csim"), col("max_csim"))
+      .orderBy(col("centroid_id"))
+  }
+
+  def simClusterCard(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    trainIvfCodebook(e)
+      .coalesce(1).write.mode("overwrite").parquet(IvfArtifactPath)
+    ivfCellCard(e, spark.read.parquet(IvfArtifactPath))
+  }
+
+  lazy val simClusterCardSql: String = s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cent AS (SELECT centroid_id, ce
+             FROM read_parquet('$IvfArtifactPath/*.parquet')),
+    tot AS (SELECT COUNT(*) AS t FROM e),
+    sim AS (
+      SELECT e.vec_id, centroid_id,
+             ${Portable.cosineSql("e.embedding", "ce", Dim)} AS csim,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${Portable.cosineSql("e.embedding", "ce", Dim)} DESC,
+                        centroid_id) AS rn
+      FROM e, cent),
+    a AS (SELECT vec_id, centroid_id, csim FROM sim WHERE rn = 1)
+    SELECT centroid_id, COUNT(*) AS n,
+           COUNT(*) * 1000000 // t AS share_ppm,
+           MIN(csim) AS min_csim, MAX(csim) AS max_csim
+    FROM a, tot GROUP BY centroid_id, t ORDER BY centroid_id"""
+
   /** Embedding-cosine near-duplicate pairs over the FULL table: candidate
     * pairs share a bucket in any of [[NEARDUP_TABLES]] 8-plane tables
     * (equi-join on (tbl, bucket) — 2^8 buckets per table), then exact

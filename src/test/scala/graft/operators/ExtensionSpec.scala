@@ -461,6 +461,36 @@ class ExtensionSpec extends SparkSpec {
     assert(got(2L)._5 == 1 && got(2L)._6 == 1, "dim 2 sign counts")
   }
 
+  test("IVF cell card matches a driver-side assignment recomputation") {
+    val card = Similarity.simClusterCard(spark, sf())
+      .as[(Long, Long, Long, Double, Double)].collect()
+    graft.Caches.releaseAll()
+    val e = graft.sources.Tables.embeddings(spark, sf())
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val cb = spark.read.parquet(Similarity.IvfArtifactPath)
+      .select($"centroid_id", $"ce").as[(Long, Array[Float])].collect()
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d, nx, ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val assigned = e.map { case (_, v) =>
+      cb.map { case (cid, ce) => (cid, cos(v, ce)) }
+        .minBy { case (cid, c) => (-c, cid) }
+    }
+    val expect = assigned.groupBy(_._1).map { case (cid, ms) =>
+      (cid, ms.length.toLong, ms.length.toLong * 1000000L / e.length,
+        ms.map(_._2).min, ms.map(_._2).max)
+    }.toSet
+    assert(card.toSet == expect, "card diverges from driver recomputation")
+    assert(card.map(_._2).sum == e.length, "members must partition the corpus")
+    card.foreach { case (cid, _, _, mn, mx) =>
+      assert(mn <= mx, s"cell $cid min>max") }
+  }
+
   test("binary payload dedup: every planted byte-copy loses to its source") {
     val rows = Multimodal.mmExactDedup(spark, sf())
       .as[(Long, String, Boolean)].collect()

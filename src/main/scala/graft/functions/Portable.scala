@@ -93,4 +93,30 @@ object Portable {
   def cosineSql(x: String, y: String, dim: Int): String =
     s"""(${dotDoubleSql(x, y, dim)} /
         (sqrt(${dotDoubleSql(x, x, dim)}) * sqrt(${dotDoubleSql(y, y, dim)})))"""
+
+  /** Recursive-CTE connected-components tail — THE oracle statement of
+    * "min reachable id in the undirected pair graph", shared by every
+    * clustering oracle (semantic dedup, duplicate clusters, entity
+    * resolution, the semantic-curation capstone) so the closure
+    * semantics exist in exactly one place. Defines
+    * `${prefix}edges` / `${prefix}reach` / `${prefix}labels` from a
+    * pair relation exposing `id_a`/`id_b`; `labels` carries
+    * (`idName`, `labelName`). Quadratic in component size — fine for an
+    * oracle, never for the engine (that side is
+    * [[graft.operators.Cluster]]). Callers must open `WITH RECURSIVE`. */
+  def closureLabelsSql(pairsRel: String, idName: String,
+                       labelName: String = "cluster_id",
+                       prefix: String = ""): String = s"""
+    ${prefix}edges AS (
+      SELECT id_a AS src, id_b AS dst FROM $pairsRel
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM $pairsRel),
+    ${prefix}reach AS (
+      SELECT src, dst FROM ${prefix}edges
+      UNION
+      SELECT r.src, e2.dst
+      FROM ${prefix}reach r JOIN ${prefix}edges e2 ON r.dst = e2.src),
+    ${prefix}labels AS (
+      SELECT src AS $idName, LEAST(src, MIN(dst)) AS $labelName
+      FROM ${prefix}reach GROUP BY src)"""
 }

@@ -843,17 +843,7 @@ object Dedup {
       SELECT em.vec_id, em.embedding
       FROM embeddings em JOIN clean c ON em.vec_id = c.doc_id),
     ${Similarity.neardupCtesAfterE},
-    sem_edges AS (
-      SELECT id_a AS src, id_b AS dst FROM nd_pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM nd_pairs),
-    sem_reach AS (
-      SELECT src, dst FROM sem_edges
-      UNION
-      SELECT r.src, e2.dst FROM sem_reach r JOIN sem_edges e2 ON r.dst = e2.src),
-    sem_labels AS (
-      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
-      FROM sem_reach GROUP BY src),
+    ${Portable.closureLabelsSql("nd_pairs", "vec_id", prefix = "sem_")},
     sem_drop AS (
       SELECT vec_id FROM sem_labels WHERE vec_id <> cluster_id)
     SELECT doc_id, md5(clean_text) AS clean_md5, n_removed
@@ -1024,17 +1014,7 @@ object Dedup {
   val ddClusterSql: String = s"""
     WITH RECURSIVE aug AS ($augmentedSql),
     ${lshCtesSql("aug")},
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM lsh_pairs),
-    reach AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-    labels AS (
-      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-      FROM reach GROUP BY src)
+    ${Portable.closureLabelsSql("lsh_pairs", "doc_id")}
     SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""
 
   // --------------------------------------------------------- span dedup

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Portable
 import graft.sources.Tables
 
 /** Entity resolution: fuzzy record matching with an EXACT recall
@@ -72,7 +73,16 @@ object EntityResolution {
     * looser candidate precision) and wants a different blocker
     * (q-gram/LSH) rather than a deeper neighborhood. */
   def fuzzyMatchPairs(rows: DataFrame, idCol: String, nameCol: String,
-                      maxDist: Int = 1): DataFrame = {
+                      maxDist: Int = 1): DataFrame =
+    fuzzyMatchPairsUnordered(rows, idCol, nameCol, maxDist)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The unordered core — consumers that immediately destroy order
+    * (clustering's symmetrize/distinct in [[erCluster]]) take this and
+    * skip the gated wrapper's global sort (a range-partition + sort
+    * exchange over the whole pair relation, bought for nothing). */
+  def fuzzyMatchPairsUnordered(rows: DataFrame, idCol: String,
+                               nameCol: String, maxDist: Int): DataFrame = {
     val variants = variantHashes(rows, idCol, nameCol, maxDist)
     val a = variants.select(col("id").as("id_a"), col("variant"))
     val b = variants.select(col("id").as("id_b"), col("variant"))
@@ -84,7 +94,6 @@ object EntityResolution {
       .distinct()
     val names = rows.select(col(idCol).as("id"), col(nameCol).as("name"))
     verifyPairs(candidates, names, maxDist)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** The ids-only blocking relation — (id, 8-byte variant hash), one row
@@ -169,8 +178,8 @@ object EntityResolution {
     * shuffle per round over the (pair-graph-sized) vertex set, rounds =
     * component diameter — near-dup name graphs are shallow. */
   def erCluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = fuzzyMatchPairs(Tables.customer(spark, dir),
-      "c_custkey", "c_name")
+    val pairs = fuzzyMatchPairsUnordered(Tables.customer(spark, dir),
+      "c_custkey", "c_name", maxDist = 1)
     Cluster.connectedComponents(
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       .select(col("id").as("c_custkey"), col("cluster_id").as("entity_id"),
@@ -186,17 +195,7 @@ object EntityResolution {
       SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
       FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       WHERE levenshtein(a.c_name, b.c_name) <= 1),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM p
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM p),
-    reach AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-    labels AS (
-      SELECT src AS c_custkey, LEAST(src, MIN(dst)) AS entity_id
-      FROM reach GROUP BY src)
+    ${Portable.closureLabelsSql("p", "c_custkey", labelName = "entity_id")}
     SELECT c_custkey, entity_id, c_custkey = entity_id AS canonical
     FROM labels ORDER BY c_custkey"""
 }

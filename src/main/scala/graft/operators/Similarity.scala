@@ -464,18 +464,27 @@ object Similarity {
     * map-side-combined aggregate into k groups — corpus-size-
     * independent output. */
   def ivfCellCard(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("centroid_id"))
-    val total = e.count()
-    val assign = e.crossJoin(broadcast(cent))
-      .withColumn("csim", Portable.cosine(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-    assign.groupBy(col("centroid_id"))
+    // one corpus pass: the SAME assignment relation every IVF search
+    // uses ([[assignCells]] — shared so the card's cells can never
+    // drift from the quantizer's)
+    val perCell = assignCells(e, cent)
+      .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("n"),
         min(col("csim")).as("min_csim"), max(col("csim")).as("max_csim"))
-      .select(col("centroid_id"), col("n"),
-        expr(s"n * 1000000L div ${total}L").as("share_ppm"),
+    // LEFT join from the codebook: an EMPTY cell is the loudest
+    // imbalance signal the card exists to surface — it must read as an
+    // n=0 row, not a silently missing centroid_id. The denominator
+    // folds over the ≤k aggregated rows (assignment partitions the
+    // corpus, so Σn = corpus count) — no second corpus scan, no eager
+    // driver action; the window runs over k rows, partitioned by a
+    // literal so it can never be mistaken for a corpus-sized sort.
+    val wAll = Window.partitionBy(lit(1))
+    cent.select(col("centroid_id"))
+      .join(perCell, Seq("centroid_id"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("share_ppm", expr("n * 1000000L div total"))
+      .select(col("centroid_id"), col("n"), col("share_ppm"),
         col("min_csim"), col("max_csim"))
       .orderBy(col("centroid_id"))
   }
@@ -491,7 +500,6 @@ object Similarity {
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     cent AS (SELECT centroid_id, ce
              FROM read_parquet('$IvfArtifactPath/*.parquet')),
-    tot AS (SELECT COUNT(*) AS t FROM e),
     sim AS (
       SELECT e.vec_id, centroid_id,
              ${Portable.cosineSql("e.embedding", "ce", Dim)} AS csim,
@@ -499,11 +507,21 @@ object Similarity {
                ORDER BY ${Portable.cosineSql("e.embedding", "ce", Dim)} DESC,
                         centroid_id) AS rn
       FROM e, cent),
-    a AS (SELECT vec_id, centroid_id, csim FROM sim WHERE rn = 1)
-    SELECT centroid_id, COUNT(*) AS n,
-           COUNT(*) * 1000000 // t AS share_ppm,
-           MIN(csim) AS min_csim, MAX(csim) AS max_csim
-    FROM a, tot GROUP BY centroid_id, t ORDER BY centroid_id"""
+    a AS (SELECT vec_id, centroid_id, csim FROM sim WHERE rn = 1),
+    per_cell AS (
+      SELECT centroid_id, COUNT(*) AS n,
+             MIN(csim) AS min_csim, MAX(csim) AS max_csim
+      FROM a GROUP BY centroid_id),
+    card AS (
+      SELECT cent.centroid_id, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+             min_csim, max_csim
+      FROM cent LEFT JOIN per_cell USING (centroid_id))
+    SELECT centroid_id, n,
+           -- DuckDB SUM(BIGINT) widens to HUGEINT (→ float64 through
+           -- pandas); cast back so the integer division stays BIGINT
+           n * 1000000 // CAST(SUM(n) OVER () AS BIGINT) AS share_ppm,
+           min_csim, max_csim
+    FROM card ORDER BY centroid_id"""
 
   /** Embedding-cosine near-duplicate pairs over the FULL table: candidate
     * pairs share a bucket in any of [[NEARDUP_TABLES]] 8-plane tables
@@ -709,17 +727,7 @@ object Similarity {
 
   val simSemanticDedupAutoSql: String = s"""
     WITH RECURSIVE $autoNearDupCtesSql,
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM nd_pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM nd_pairs),
-    reach AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
-    labels AS (
-      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
-      FROM reach GROUP BY src)
+    ${Portable.closureLabelsSql("nd_pairs", "vec_id")}
     SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
     FROM labels ORDER BY vec_id"""
 
@@ -854,17 +862,7 @@ object Similarity {
 
   val simSemanticDedupSql: String = s"""
     WITH RECURSIVE $neardupCtesSql,
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM nd_pairs
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM nd_pairs),
-    reach AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
-    labels AS (
-      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
-      FROM reach GROUP BY src)
+    ${Portable.closureLabelsSql("nd_pairs", "vec_id")}
     SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
     FROM labels ORDER BY vec_id"""
 

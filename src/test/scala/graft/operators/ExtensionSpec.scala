@@ -463,7 +463,7 @@ class ExtensionSpec extends SparkSpec {
 
   test("IVF cell card matches a driver-side assignment recomputation") {
     val card = Similarity.simClusterCard(spark, sf())
-      .as[(Long, Long, Long, Double, Double)].collect()
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect()
     graft.Caches.releaseAll()
     val e = graft.sources.Tables.embeddings(spark, sf())
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
@@ -481,14 +481,39 @@ class ExtensionSpec extends SparkSpec {
       cb.map { case (cid, ce) => (cid, cos(v, ce)) }
         .minBy { case (cid, c) => (-c, cid) }
     }
-    val expect = assigned.groupBy(_._1).map { case (cid, ms) =>
-      (cid, ms.length.toLong, ms.length.toLong * 1000000L / e.length,
-        ms.map(_._2).min, ms.map(_._2).max)
+    val byCell = assigned.groupBy(_._1)
+    val expect = cb.map(_._1).map { cid =>
+      byCell.get(cid) match {
+        case Some(ms) =>
+          (cid, ms.length.toLong, ms.length.toLong * 1000000L / e.length,
+            Some(ms.map(_._2).min), Some(ms.map(_._2).max))
+        case None => (cid, 0L, 0L, None, None)
+      }
     }.toSet
     assert(card.toSet == expect, "card diverges from driver recomputation")
     assert(card.map(_._2).sum == e.length, "members must partition the corpus")
     card.foreach { case (cid, _, _, mn, mx) =>
-      assert(mn <= mx, s"cell $cid min>max") }
+      (mn, mx) match {
+        case (Some(a), Some(b)) => assert(a <= b, s"cell $cid min>max")
+        case _ =>
+      }
+    }
+    // planted empty cell: every vector nearest centroid A leaves B as an
+    // explicit n=0 row — the imbalance signal must never be a silently
+    // missing centroid_id
+    val ve = Seq(
+      (10L, Array.fill(Similarity.Dim)(1.0f)),
+      (11L, Array.fill(Similarity.Dim)(1.0f)),
+      (12L, Array.fill(Similarity.Dim)(0.9f))).toDF("vec_id", "embedding")
+    val cc = Seq(
+      (0L, Array.fill(Similarity.Dim)(1.0f)),
+      (1L, Array.fill(Similarity.Dim)(-1.0f))).toDF("centroid_id", "ce")
+    val tiny = Similarity.ivfCellCard(ve, cc)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect()
+    graft.Caches.releaseAll()
+    assert(tiny.map(t => t._1 -> (t._2, t._3)).toMap ==
+      Map(0L -> (3L, 1000000L), 1L -> (0L, 0L)),
+      s"empty cell must read n=0 share=0: ${tiny.toSeq}")
   }
 
   test("binary payload dedup: every planted byte-copy loses to its source") {

@@ -518,6 +518,46 @@ class StreamingSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("streaming ANN pair store survives restart; pairs land exactly once") {
+    val in = Files.createTempDirectory("graft_annstore_in_").toString
+    val store = Files.createTempDirectory("graft_annstore_").toString
+    val ckpt = Files.createTempDirectory("graft_annstore_ckpt_").toString
+    val emb = Tables.embeddings(spark, sf())
+      .select($"vec_id", $"embedding")
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 =!= 0)
+    half1.coalesce(1).write.mode("overwrite").parquet(in)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    def startQ() = StreamingPipeline.startAnnPairStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, ckpt)
+    val q = startQ()
+    q.processAllAvailable(); q.stop()
+    def pairsInStore() = spark.read
+      .schema("id_a BIGINT, id_b BIGINT, cosine DOUBLE")
+      .parquet(s"$store/pairs/b*")
+      .as[(Long, Long, Double)].collect().toSeq
+    def batchPairs(df: org.apache.spark.sql.DataFrame) = {
+      val r = graft.operators.Similarity.nearDupPairsOf(df)
+        .as[(Long, Long, Double)].collect().toSeq
+      graft.Caches.releaseAll()
+      r
+    }
+    assert(pairsInStore().sorted == batchPairs(half1).sorted,
+      "store after half 1 diverges from the batch band join over half 1")
+    // restart from the checkpoint, stream the second half
+    half2.coalesce(1).write.mode("append").parquet(in)
+    val q2 = startQ()
+    q2.processAllAvailable(); q2.stop()
+    val after = pairsInStore()
+    assert(after.sorted == batchPairs(emb).sorted,
+      "store after restart diverges from the full batch band join")
+    assert(after.distinct.size == after.size,
+      "a pair was emitted by two different batches")
+  }
+
   test("gate: replayed incremental agg store equals the batch query bit-for-bit") {
     val streamed = StreamingGates.streamAggStore(spark, sf()).collect().toSeq
     val batch = graft.operators.Incremental.aggIncrementalOrders(spark, sf())

@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   * `count()` lets Spark elide aggregate/projection work (column pruning
   * reduces counts to scan+tally), which would under-report honest query
   * cost. One untimed warmup query amortizes session/codegen startup out
-  * of the first measurement, and each query is timed over three runs with
-  * the MIN reported — single local[32] runs jitter ±20% from JIT/GC,
-  * which would drown real per-query regressions.
+  * of the first measurement, and each query is timed over three runs —
+  * the MIN is the comparison number (single local[32] runs jitter ±20%
+  * from JIT/GC, which would drown real per-query regressions) and the
+  * MEDIAN rides along in BENCH_FULL.json so cross-session drift (disk
+  * contention — min-of-3 only protects within a session) is diagnosable
+  * from the artifact itself.
   *
   * Session hygiene between queries (BENCH_r02 lesson): caches are
   * released BLOCKING, the catalog cache is cleared, and a GC runs
@@ -74,17 +77,30 @@ object Bench {
         Caches.releaseAll(blocking = true)
         (elapsed, ok)
       }
-      name -> (if (runs.forall(_._2)) Some(runs.map(_._1).min) else None)
+      // record min AND median: min is the comparison number (JIT/GC
+      // jitter suppression within a session), but cross-session drift
+      // adjudication needs the spread IN the artifact — a min far below
+      // the median flags load skew without a full rerun (VERDICT r9: a
+      // 21.9 s driver reading vs 9.4 s judge reading on an unchanged
+      // plan had to be settled by re-benching the whole suite)
+      name -> (if (runs.forall(_._2)) {
+        val ts = runs.map(_._1).sorted
+        Some((ts.head, ts(ts.size / 2)))
+      } else None)
     }
     val timed = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
     // millisecond precision, not the double's full 12 digits — sub-ms
     // digits are pure jitter at local[32].
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = timed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // BENCH_FULL carries the (min, median) pair per query; the compact
+    // stdout line and the headline total stay min-based (the established
+    // comparison protocol) — the median is the drift diagnostic
+    val qs = timed.map { case (k, (mn, md)) =>
+        "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"med\":" + fmt(md) + "}"
+      }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = timed.map(_._2).sum
+    val total = timed.map(_._2._1).sum
     // The driver's capture of this process's stdout is bounded (~2000
     // chars, and r6/r7 showed it may read from either end), so stdout
     // carries ONLY a compact summary line — printed as both the FIRST
@@ -101,8 +117,8 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
-    val slowest = timed.sortBy { case (_, v) => -v }.take(12)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val slowest = timed.sortBy { case (_, v) => -v._1 }.take(12)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }.mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${timed.size},"failed":$failedJson,"sf":"$sfDir","full":"$fullPath","queries":$slowest}"""
     println(compact)

@@ -56,13 +56,20 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       } finally Caches.releaseAll()
     }
+    // best-of-two timing via two EXPLICIT sequential evaluations of the
+    // by-name argument — the old inline `math.min(f(x), f(x))` computed
+    // the same thing but read as a copy-paste bug, inviting a wrong "fix"
+    // to a single run
+    def bestOf2(run: => Double): Double = {
+      val r1 = run; val r2 = run; math.min(r1, r2)
+    }
     def time(name: String, dir: String): Double =
       timed(SparkEntry.queries(name)(spark, dir))
     // warmup
     time("tx_token_stats", dirSmall)
     selected.foreach { name =>
-      val s = math.min(time(name, dirSmall), time(name, dirSmall))
-      val b = math.min(time(name, dirBig), time(name, dirBig))
+      val s = bestOf2(time(name, dirSmall))
+      val b = bestOf2(time(name, dirBig))
       println(f"[probe] $name%-22s small=$s%7.2fs big=$b%7.2fs ratio=${b / s}%5.1fx")
     }
     // production auto-plane k-NN graph: the pinned-plane gated form
@@ -71,8 +78,8 @@ object ScaleProbe {
     if (only.isEmpty || only("sim_knn_graph_auto")) {
       def timeKnn(dir: String): Double =
         timed(graft.operators.Similarity.knnGraphAuto(spark, dir))
-      val ks = math.min(timeKnn(dirSmall), timeKnn(dirSmall))
-      val kb = math.min(timeKnn(dirBig), timeKnn(dirBig))
+      val ks = bestOf2(timeKnn(dirSmall))
+      val kb = bestOf2(timeKnn(dirBig))
       println(f"[probe] sim_knn_graph_auto     small=$ks%7.2fs big=$kb%7.2fs ratio=${kb / ks}%5.1fx")
     }
     // special sections: all in a full run; the ER probe is also
@@ -85,15 +92,15 @@ object ScaleProbe {
     // in-bucket pairs at 10× data)
     def timeNd(dir: String, planes: Int): Double =
       timed(graft.operators.Similarity.cosineNearDupPairs(spark, dir, 4, planes))
-    val nd8 = math.min(timeNd(dirBig, 8), timeNd(dirBig, 8))
-    val nd11 = math.min(timeNd(dirBig, 11), timeNd(dirBig, 11))
+    val nd8 = bestOf2(timeNd(dirBig, 8))
+    val nd11 = bestOf2(timeNd(dirBig, 11))
     println(f"[probe] neardup@big planes=8 ${nd8}%.2fs vs planes=11 ${nd11}%.2fs")
     // the production entry point derives planes from the corpus count —
     // its growth at 10× data is the number that must stay ~linear
     def timeAuto(dir: String): Double =
       timed(graft.operators.Similarity.cosineNearDupAuto(spark, dir))
-    val as = math.min(timeAuto(dirSmall), timeAuto(dirSmall))
-    val ab = math.min(timeAuto(dirBig), timeAuto(dirBig))
+    val as = bestOf2(timeAuto(dirSmall))
+    val ab = bestOf2(timeAuto(dirBig))
     println(f"[probe] sim_cosine_neardup_auto small=$as%7.2fs big=$ab%7.2fs ratio=${ab / as}%5.1fx")
     // adversarial chain graph: min-label propagation needs DIAMETER
     // rounds (a 10k chain would blow the 64-round cap ~156x over);
@@ -127,8 +134,8 @@ object ScaleProbe {
       timed(graft.operators.EntityResolution.fuzzyMatchPairs(
         names, "id", "name", maxDist = 2))
     }
-    val er1 = math.min(erProbe(1500), erProbe(1500))
-    val er10 = math.min(erProbe(15000), erProbe(15000))
+    val er1 = bestOf2(erProbe(1500))
+    val er10 = bestOf2(erProbe(15000))
     println(f"[probe] er_fuzzy_d2 1.5k=${er1}%.2fs 15k=${er10}%.2fs ratio=${er10 / er1}%4.1fx")
     spark.stop()
   }

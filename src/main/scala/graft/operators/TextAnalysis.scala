@@ -380,10 +380,14 @@ object TextAnalysis {
   def txStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-    // unpartitioned window is fine HERE: it runs over the per-stratum
-    // aggregate (strata-count rows), never the corpus
+    // single-partition window is fine HERE: it runs over the per-stratum
+    // aggregate (strata-count rows), never the corpus. partitionBy(lit(1))
+    // rather than an empty spec — semantically identical (one partition
+    // either way), but the empty spec makes WindowExec emit a
+    // "No Partition Defined" warning per run, burying real warnings in
+    // the bench tail (the ivfCellCard pattern).
     val target = min(col("n"))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
     val rates = counts
       .select(col("lang"),
         floor(target * 1000.0 / col("n")).cast("long").as("permille"))
@@ -696,11 +700,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         size(Portable.words(col("text"))).cast("long").as("n_words"))
     val counts = lens.groupBy(col("lang")).agg(sum(col("n_words")).as("toks"))
-    // unpartitioned window over the 5-row PER-STRATUM AGGREGATE (the
-    // txStratifiedSample pattern), never the corpus
+    // single-partition window over the 5-row PER-STRATUM AGGREGATE (the
+    // txStratifiedSample pattern — lit(1), not an empty spec, to keep
+    // WindowExec's no-partition warning out of the logs), never the corpus
     val rates = counts
       .withColumn("total", sum(col("toks"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
       .withColumn("alloc", expr("(total DIV 4) * "
         + "CASE " + BUDGET_SHARES.map { case (l, pm) =>
             s"WHEN lang = '$l' THEN ${pm}L" }.mkString(" ") + " END DIV 1000"))
@@ -987,7 +992,7 @@ object TextAnalysis {
     * with the smallest content-independent selection hashes.
     *
     * Scale shape: the apportionment runs on the ≤|strata|-row count
-    * aggregate (the [[txStratifiedSample]] posture — unpartitioned
+    * aggregate (the [[txStratifiedSample]] posture — single-partition
     * windows touch ~20 rows, never the corpus); quotas broadcast back;
     * the per-stratum ranked pick is one hash-partitioned window. At
     * 100 TB with fat strata, swap the full rank window for the
@@ -995,12 +1000,14 @@ object TextAnalysis {
     * implied rate, then the exact window over the ~quota survivors —
     * the same candidates-then-verify shape [[Dedup]] uses. */
   def temperatureMix(docs: DataFrame, stratum: Column): DataFrame = {
-    val tiny = org.apache.spark.sql.expressions.Window.partitionBy()
+    // lit(1) partition, not an empty spec: same single partition over the
+    // ≤|strata|-row aggregate, without WindowExec's no-partition warning
+    val tiny = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val quotas = docs.groupBy(stratum.as("stratum"))
       .agg(count(lit(1)).as("n"))
       .withColumn("wt", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
-      .withColumn("budget", expr("SUM(n) OVER () DIV 4"))
-      .withColumn("wsum", expr("SUM(wt) OVER ()"))
+      .withColumn("budget", expr("SUM(n) OVER (PARTITION BY 1) DIV 4"))
+      .withColumn("wsum", expr("SUM(wt) OVER (PARTITION BY 1)"))
       .withColumn("base", expr("budget * wt DIV wsum"))
       .withColumn("rem", expr("(budget * wt) % wsum"))
       .withColumn("extra_rank",

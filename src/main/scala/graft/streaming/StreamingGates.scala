@@ -508,21 +508,34 @@ object StreamingGates {
     val in = tmp("graft_sgate_bm25_in_")
     val idx = tmp("graft_sgate_bm25_idx_")
     val ckpt = tmp("graft_sgate_bm25_ckpt_")
-    (0 until 3).foreach { i =>
+    def chunk(i: Int): Unit =
       docs.filter(pmod(col("doc_id"), lit(3)) === i)
         .coalesce(1).write.mode("append").parquet(in)
-    }
     val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-    val q = StreamingPipeline.startSearchIndexStore(src, idx, ckpt)
+    def startQ() = StreamingPipeline.startSearchIndexStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      idx, ckpt)
+    chunk(0); chunk(1)
+    val q = startQ()
     try q.processAllAvailable() finally q.stop()
-    val postings = spark.read
-      .schema("term STRING, doc_id BIGINT, tf BIGINT")
-      .parquet(s"$idx/postings/b*")
-    val lens = spark.read
-      .schema("doc_id BIGINT, n_words INT")
-      .parquet(s"$idx/lens/b*")
+    // mid-stream compaction at a restart boundary (the streamEr
+    // posture): postings rows are per-doc facts, so snapshot ∪ later
+    // deltas ≡ union-of-all-deltas and the probe below proves it
+    // against the from-scratch oracle
+    StreamingPipeline.compactDeltas(spark, s"$idx/postings",
+      "term STRING, doc_id BIGINT, tf BIGINT", uptoVersion = 1)
+    StreamingPipeline.compactDeltas(spark, s"$idx/lens",
+      "doc_id BIGINT, n_words INT", uptoVersion = 1)
+    chunk(2)
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    // serve via the store reader, not a `b*` glob — the compaction
+    // retired the folded delta dirs
+    val postings = StreamingPipeline.storeContents(spark, s"$idx/postings",
+      "term STRING, doc_id BIGINT, tf BIGINT")
+    val lens = StreamingPipeline.storeContents(spark, s"$idx/lens",
+      "doc_id BIGINT, n_words INT")
     SearchIndex.bm25TopKFromIndex(postings, lens, Search.QueryTerms)
   }
 
@@ -534,22 +547,42 @@ object StreamingGates {
     * oracle — the quadratic DuckDB ground truth — so the compare proves
     * incrementally-linked ≡ from-scratch-blocked ≡ exhaustive: every
     * pair is found exactly once, in the batch where its later member
-    * arrives. */
+    * arrives.
+    *
+    * The replay deliberately crosses a MID-STREAM COMPACTION at a
+    * checkpoint-restart boundary: after batches 0–1 commit, both state
+    * families fold into `v=1` snapshots ([[StreamingPipeline.compactDeltas]]
+    * — per-batch read cost drops from O(#batches) dirs to snapshot +
+    * recent deltas, the long-run viability condition), then batch 2
+    * arrives through a RESTARTED query. The gate's oracle hash therefore
+    * pins compacted ≡ union-of-deltas AND restart-across-compaction in
+    * one signal. */
   def streamEr(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
     val in = tmp("graft_sgate_er_in_")
     val store = tmp("graft_sgate_er_store_")
     val ckpt = tmp("graft_sgate_er_ckpt_")
-    (0 until 3).foreach { i =>
+    def chunk(i: Int): Unit =
       cust.filter(pmod(col("id"), lit(3)) === i)
         .coalesce(1).write.mode("append").parquet(in)
-    }
     val schema = StructType.fromDDL("id BIGINT, name STRING")
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-    val q = StreamingPipeline.startErPairStore(src, store, ckpt, maxDist = 1)
+    def startQ() = StreamingPipeline.startErPairStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, ckpt, maxDist = 1)
+    chunk(0); chunk(1)
+    val q = startQ()
     try q.processAllAvailable() finally q.stop()
+    // batches 0 and 1 are checkpoint-committed and the stream is
+    // quiesced — compactDeltas' contract; fold both state families
+    StreamingPipeline.compactDeltas(spark, s"$store/variants",
+      "id BIGINT, variant BIGINT", uptoVersion = 1)
+    StreamingPipeline.compactDeltas(spark, s"$store/names",
+      "id BIGINT, name STRING", uptoVersion = 1)
+    chunk(2)
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
     spark.read
       .schema("id_a BIGINT, id_b BIGINT, name_a STRING, name_b STRING")
       .parquet(s"$store/pairs/b*")
@@ -562,22 +595,35 @@ object StreamingGates {
     * exact-cosine verify), then read every batch's emitted pairs. Gated
     * against the batch `sim_cosine_neardup` oracle — so the compare
     * proves the incrementally-maintained band index emits exactly the
-    * full-corpus pair set, each pair once, with bit-identical cosines. */
+    * full-corpus pair set, each pair once, with bit-identical cosines.
+    * Like [[streamEr]], the replay crosses a mid-stream compaction of
+    * both state families (bands, vectors) at a checkpoint-restart
+    * boundary, so the oracle hash also pins compacted ≡
+    * union-of-deltas. */
   def streamAnnNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val in = tmp("graft_sgate_ann_in_")
     val store = tmp("graft_sgate_ann_store_")
     val ckpt = tmp("graft_sgate_ann_ckpt_")
-    (0 until 3).foreach { i =>
+    def chunk(i: Int): Unit =
       emb.filter(pmod(col("vec_id"), lit(3)) === i)
         .coalesce(1).write.mode("append").parquet(in)
-    }
     val schema = StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
-    val q = StreamingPipeline.startAnnPairStore(src, store, ckpt)
+    def startQ() = StreamingPipeline.startAnnPairStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, ckpt)
+    chunk(0); chunk(1)
+    val q = startQ()
     try q.processAllAvailable() finally q.stop()
+    StreamingPipeline.compactDeltas(spark, s"$store/bands",
+      "vec_id BIGINT, band_key INT", uptoVersion = 1)
+    StreamingPipeline.compactDeltas(spark, s"$store/vectors",
+      "vec_id BIGINT, embedding ARRAY<FLOAT>", uptoVersion = 1)
+    chunk(2)
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
     spark.read
       .schema("id_a BIGINT, id_b BIGINT, cosine DOUBLE")
       .parquet(s"$store/pairs/b*")

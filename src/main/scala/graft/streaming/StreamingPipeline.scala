@@ -304,7 +304,11 @@ object StreamingPipeline {
     * as a stream-level groupBy it would be an unbounded stateful agg,
     * unsupported and wrong); writes are idempotent per-batch dirs, so
     * checkpoint + versioned write = effective exactly-once, the
-    * [[startSubstringDedupStore]] crash argument. */
+    * [[startSubstringDedupStore]] crash argument. Serve the index with
+    * [[storeContents]] (snapshot + later deltas), and sweep `postings/`
+    * and `lens/` with [[compactDeltas]] on a long-running stream so the
+    * probe-time read lists O(recent deltas), not O(#batches) — the
+    * `stream_bm25` gate probes across such a sweep. */
   def startSearchIndexStore(docs: DataFrame, indexDir: String,
                             checkpointDir: String): StreamingQuery =
     docs.writeStream
@@ -340,7 +344,20 @@ object StreamingPipeline {
     * arrives: a crash-replayed batch rewrites its own three dirs and
     * reads the index strictly below its id (the
     * [[startCdcSnapshotStore]] crash argument), so checkpoint +
-    * versioned overwrite = effective exactly-once. */
+    * versioned overwrite = effective exactly-once.
+    *
+    * Input contract: ids are append-only and UNIQUE across the stream's
+    * lifetime (the same append-only contract the CDC stores state for
+    * `_seq`). An id re-arriving in a later batch would hold TWO name
+    * rows in `priorN ∪ batch`, and `verifyPairs`' id joins would fan out
+    * into duplicate/contradictory pairs — dedup re-deliveries upstream,
+    * or key the entity feed by (id, version) before ingest.
+    *
+    * Long-running streams: run [[compactDeltas]] on `variants/` and
+    * `names/` periodically (quiesced, committed batches only) — without
+    * a sweep the per-batch `deltasBelow` read lists O(#batches) delta
+    * dirs, the small-files failure; the `stream_er` gate replays ACROSS
+    * such a sweep. */
   def startErPairStore(rows: DataFrame, storeDir: String,
                        checkpointDir: String, maxDist: Int): StreamingQuery =
     rows.writeStream
@@ -399,7 +416,12 @@ object StreamingPipeline {
     * changes once both members arrived), which is exactly why this gate
     * exists for near-dup and deliberately NOT for the k-NN graph — a
     * node's top-k is revised by every later arrival, so a streamed
-    * top-k would need retraction, not append. */
+    * top-k would need retraction, not append.
+    *
+    * Same input contract and compaction posture as [[startErPairStore]]:
+    * vec_ids append-only unique; sweep `bands/` and `vectors/` with
+    * [[compactDeltas]] on a long-running stream (the `stream_ann_neardup`
+    * gate replays across such a sweep). */
   def startAnnPairStore(vectors: DataFrame, storeDir: String,
                         checkpointDir: String): StreamingQuery =
     vectors.writeStream
@@ -443,25 +465,129 @@ object StreamingPipeline {
       }
       .start()
 
-  /** Union of all `b<k>` delta dirs with k strictly below
-    * `beforeVersion` (replay isolation, as [[latestSnapshot]]); empty
-    * relation when none exist yet (batch 0 has no history — legitimate,
-    * unlike a CDC stream with no seeded base). */
+  /** Version-dir name patterns of the delta stores: `b<id>` per-batch
+    * deltas and `v=<id>` compaction snapshots (a snapshot holds the fold
+    * of every delta with id ≤ its own). Strict integer parse — sibling
+    * dirs like `pairs` or an underscore-prefixed staging dir never
+    * match. */
+  private val DeltaName = "^b(\\d+)$".r
+  private val SnapshotName = "^v=(-?\\d+)$".r
+
+  /** Versioned subdirectories of `dir` via Hadoop FileSystem —
+    * path-scheme aware, unlike a `java.io.File` listing, which on a
+    * non-local (or mistyped) store path returns nothing and is
+    * indistinguishable from the legitimate "no versions yet" state of
+    * batch 0, silently dropping ALL cross-batch history. `None` = the
+    * dir itself does not exist (no batch has written yet); `Some(empty)`
+    * = exists with no versioned children. */
+  private def listVersions(spark: SparkSession, dir: String,
+                           pattern: scala.util.matching.Regex): Option[Seq[Long]] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) None
+    else Some(fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => pattern.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toLong)))
+  }
+
+  /** The store state strictly below `beforeVersion` (replay isolation,
+    * as [[latestSnapshot]]): the newest compaction snapshot `v=<j>` with
+    * j < beforeVersion — if [[compactDeltas]] has run — plus every
+    * `b<k>` delta dir with j < k < beforeVersion. Empty relation when
+    * neither exists yet (batch 0 has no history — legitimate, unlike a
+    * CDC stream with no seeded base). Per-batch read cost is therefore
+    * O(deltas since the last compaction), not O(stream lifetime) — the
+    * small-files failure a long-running stream hits without a sweep.
+    *
+    * Fails loudly if a snapshot at or above `beforeVersion` exists: that
+    * snapshot folded a batch this replay must not see, so the store can
+    * no longer serve "strictly below" — compaction ran over uncommitted
+    * batches, violating [[compactDeltas]]'s quiesced-stream contract. */
   def deltasBelow(spark: SparkSession, dir: String, schema: String,
                   beforeVersion: Long): DataFrame = {
-    val base = new java.io.File(dir)
-    val versions = Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
-      .map(_.getName.stripPrefix("b").toLong)
-      .filter(_ < beforeVersion)
     val st = StructType.fromDDL(schema)
-    if (versions.isEmpty)
+    val snaps = listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
+    require(snaps.forall(_ < beforeVersion),
+      s"delta store $dir holds compaction snapshot v=${snaps.max} covering " +
+        s"batch ids >= $beforeVersion — a replay of batch $beforeVersion can no " +
+        "longer read strictly-below state; compact only batches the " +
+        "checkpoint has committed (quiesce the stream first)")
+    val snap = snaps.sorted.lastOption
+    val deltas = listVersions(spark, dir, DeltaName).getOrElse(Seq.empty)
+      .filter(k => k < beforeVersion && snap.forall(k > _))
+    val paths = snap.map(v => s"$dir/v=$v").toSeq ++
+      deltas.sorted.map(k => s"$dir/b$k")
+    if (paths.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), st)
-    else
-      spark.read.schema(st)
-        .parquet(versions.sorted.map(v => s"$dir/b$v"): _*)
+    else spark.read.schema(st).parquet(paths: _*)
   }
+
+  /** Compaction sweep for a `b<id>` delta store family: fold the prior
+    * snapshot (if any) and every delta with id ≤ `uptoVersion` into ONE
+    * `v=<uptoVersion>` snapshot, then retire the folded delta dirs and
+    * superseded snapshots. Folding is a plain union — these stores hold
+    * per-row facts ((id, variant-hash), (vec_id, band_key), postings
+    * rows), so snapshot ∪ later-deltas ≡ union-of-all-deltas by
+    * construction, which the mid-stream-compaction gates
+    * ([[graft.streaming.StreamingGates.streamEr]] /
+    * [[graft.streaming.StreamingGates.streamAnnNearDup]] /
+    * [[graft.streaming.StreamingGates.streamBm25]]) pin against the
+    * batch oracles.
+    *
+    * Crash safety: the fold is written to an underscore-prefixed staging
+    * dir (invisible to [[deltasBelow]]'s version listing AND to Hadoop
+    * data listing) and renamed into place — an atomic namespace op on
+    * local FS/HDFS — so a half-written snapshot can never shadow the
+    * deltas it was folding. A crash AFTER the rename leaves already-
+    * folded `b` dirs behind, which readers skip (ids ≤ snapshot) and the
+    * next sweep deletes. Run while the writing stream is quiesced
+    * (between micro-batches, or stopped — the gates compact at a
+    * restart boundary), and only up to a batch id the checkpoint has
+    * COMMITTED: compacting an uncommitted batch breaks replay isolation,
+    * which [[deltasBelow]] then refuses loudly rather than serving
+    * wrong history. */
+  def compactDeltas(spark: SparkSession, dir: String, schema: String,
+                    uptoVersion: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val snaps = listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
+    require(snaps.forall(_ <= uptoVersion),
+      s"delta store $dir already compacted past $uptoVersion (v=${snaps.max})")
+    val unfolded = listVersions(spark, dir, DeltaName).getOrElse(Seq.empty)
+      .filter(k => k <= uptoVersion && snaps.sorted.lastOption.forall(k > _))
+    if (!(snaps.contains(uptoVersion) && unfolded.isEmpty)) {
+      // the staging WRITE executes the read of the old snapshot + deltas;
+      // only then does the rename publish it under the versioned name
+      val staging = new Path(base, s"_compact_staging_v$uptoVersion")
+      fs.delete(staging, true)
+      deltasBelow(spark, dir, schema, uptoVersion + 1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val target = new Path(base, s"v=$uptoVersion")
+      fs.delete(target, true)
+      require(fs.rename(staging, target),
+        s"compactDeltas: rename $staging -> $target failed")
+    }
+    // retire EVERYTHING v=<uptoVersion> now covers — every delta ≤ upto
+    // and every older snapshot, not just the ones this run folded, so a
+    // sweep that crashed between its rename and its deletes is fully
+    // reclaimed by the next run. A crash anywhere in this loop leaves
+    // dirs readers already skip (ids ≤ the newest snapshot).
+    listVersions(spark, dir, DeltaName).getOrElse(Seq.empty)
+      .filter(_ <= uptoVersion)
+      .foreach(k => fs.delete(new Path(base, s"b$k"), true))
+    snaps.filter(_ < uptoVersion)
+      .foreach(v => fs.delete(new Path(base, s"v=$v"), true))
+  }
+
+  /** Full current contents of a delta store family — newest snapshot
+    * plus every later delta. The serving read for compacted stores (a
+    * raw `b*` glob stops seeing folded history once [[compactDeltas]]
+    * has retired the delta dirs). */
+  def storeContents(spark: SparkSession, dir: String, schema: String): DataFrame =
+    deltasBelow(spark, dir, schema, Long.MaxValue)
 
   /** Streaming substring-dedup ingest: each document micro-batch is
     * dedup'd CAUSALLY — against the base corpus plus every batch up to

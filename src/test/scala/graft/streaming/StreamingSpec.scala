@@ -558,6 +558,54 @@ class StreamingSpec extends SparkSpec {
       "a pair was emitted by two different batches")
   }
 
+  test("compactDeltas: snapshot ≡ union of deltas, folded dirs retired, replay isolation guarded") {
+    val store = Files.createTempDirectory("graft_compact_").toString
+    val schema = "id BIGINT, v BIGINT"
+    (0 to 2).foreach { b =>
+      spark.range(b * 10, b * 10 + 5)
+        .select($"id", ($"id" * 2).as("v"))
+        .write.mode("overwrite").parquet(s"$store/b$b")
+    }
+    def contents(before: Long) =
+      StreamingPipeline.deltasBelow(spark, store, schema, before)
+        .as[(Long, Long)].collect().toSet
+    val all = contents(Long.MaxValue)
+    assert(all.size == 15)
+    StreamingPipeline.compactDeltas(spark, store, schema, uptoVersion = 1)
+    val names = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(names.contains("v=1") && !names.contains("b0") &&
+      !names.contains("b1") && names.contains("b2"),
+      s"sweep must fold b0,b1 into v=1 and retire them; got $names")
+    assert(contents(Long.MaxValue) == all,
+      "compaction must not change store contents")
+    // replay isolation across the sweep: batch 2's own read (strictly
+    // below 2) is exactly the first two batches' rows, via the snapshot
+    assert(contents(2L) == all.filter(_._1 < 20))
+    // a replay BELOW the snapshot fails loudly instead of serving
+    // history that includes batches it must not see
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.deltasBelow(spark, store, schema, 1L)
+    }
+    // idempotent re-run of the same sweep
+    StreamingPipeline.compactDeltas(spark, store, schema, uptoVersion = 1)
+    assert(contents(Long.MaxValue) == all)
+    // the next sweep folds the remaining delta and retires the
+    // superseded snapshot
+    StreamingPipeline.compactDeltas(spark, store, schema, uptoVersion = 2)
+    val names2 = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(names2.contains("v=2") && !names2.contains("v=1") &&
+      !names2.contains("b2"), s"second sweep left $names2")
+    assert(contents(Long.MaxValue) == all)
+    // compacting backward is rejected
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.compactDeltas(spark, store, schema, uptoVersion = 1)
+    }
+    // a store dir no batch has written yet reads as empty (legitimate
+    // batch-0 state), not as an error
+    assert(StreamingPipeline.deltasBelow(spark, s"$store/_nope", schema, 5L)
+      .count() == 0)
+  }
+
   test("gate: replayed incremental agg store equals the batch query bit-for-bit") {
     val streamed = StreamingGates.streamAggStore(spark, sf()).collect().toSeq
     val batch = graft.operators.Incremental.aggIncrementalOrders(spark, sf())

@@ -29,7 +29,10 @@ object ScaleProbe {
     "dd_substring_incremental", "dd_substring_verify", "dd_substring_backfill",
     "tx_bigram_surprisal", "sim_knn_graph", "dd_curate_semantic",
     "sim_knn_from_index", "prof_embedding_card", "mm_exact_dedup",
-    "sim_cluster_card")
+    // the production auto-plane k-NN graph: the pinned-plane sim_knn_graph
+    // carries the documented n²/2^planes candidate term; the auto form
+    // must stay ~linear (same law as sim_cosine_neardup_auto)
+    "sim_cluster_card", "sim_knn_graph_auto")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)
@@ -71,16 +74,6 @@ object ScaleProbe {
       val s = bestOf2(time(name, dirSmall))
       val b = bestOf2(time(name, dirBig))
       println(f"[probe] $name%-22s small=$s%7.2fs big=$b%7.2fs ratio=${b / s}%5.1fx")
-    }
-    // production auto-plane k-NN graph: the pinned-plane gated form
-    // above carries the documented n²/2^planes candidate term; the
-    // auto form must stay ~linear (same law as sim_cosine_neardup_auto)
-    if (only.isEmpty || only("sim_knn_graph_auto")) {
-      def timeKnn(dir: String): Double =
-        timed(graft.operators.Similarity.knnGraphAuto(spark, dir))
-      val ks = bestOf2(timeKnn(dirSmall))
-      val kb = bestOf2(timeKnn(dirBig))
-      println(f"[probe] sim_knn_graph_auto     small=$ks%7.2fs big=$kb%7.2fs ratio=${kb / ks}%5.1fx")
     }
     // special sections: all in a full run; the ER probe is also
     // individually addressable (it needs no probe corpus — names are

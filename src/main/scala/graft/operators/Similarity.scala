@@ -824,6 +824,39 @@ object Similarity {
     SELECT vec_id, nbr_id, cosine, rk FROM ranked WHERE rk <= $KNN_GRAPH_K
     ORDER BY vec_id, rk"""
 
+  /** Gated form of [[knnGraphAuto]] — the PRODUCTION k-NN graph entry
+    * point (corpus-derived plane count) under a hash-exact oracle, not
+    * just the probe assertion. The pinned-constant [[simKnnGraph]] gates
+    * the candidates-then-rank shape; this gates the auto SIZING — the
+    * 3.6×-vs-288×-at-30× difference SCALING.md measures — by composing
+    * the dynamic-plane banding CTEs the `sim_neardup_auto` oracle
+    * already proves ([[autoNearDupCtesSql]]: plane count = the Scala
+    * [[autoPlanes]] integer formula verbatim, sign rows from the shared
+    * MD5-parity family) with [[simKnnGraphSql]]'s symmetric-candidates +
+    * per-node rank tail. */
+  def simKnnGraphAuto(spark: SparkSession, dir: String): DataFrame =
+    knnGraphAuto(spark, dir)
+
+  val simKnnGraphAutoSql: String = s"""
+    WITH $autoNearDupCtesSql,
+    kcand AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS nbr_id
+      FROM banded a JOIN banded b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    kscored AS (
+      SELECT kcand.vec_id, kcand.nbr_id,
+             ${Portable.cosineSql("ea.embedding", "eb.embedding", Dim)} AS cosine
+      FROM kcand
+      JOIN e ea ON ea.vec_id = kcand.vec_id
+      JOIN e eb ON eb.vec_id = kcand.nbr_id),
+    kranked AS (
+      SELECT vec_id, nbr_id, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, nbr_id) AS rk
+      FROM kscored)
+    SELECT vec_id, nbr_id, cosine, rk FROM kranked WHERE rk <= $KNN_GRAPH_K
+    ORDER BY vec_id, rk"""
+
   // ------------------------------------------------------- semantic dedup
 
   /** SemDeDup-shaped embedding dedup (Abbas et al. 2023, "SemDeDup:

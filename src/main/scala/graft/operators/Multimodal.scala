@@ -243,4 +243,151 @@ object Multimodal {
     SELECT doc_id, payload_md5, doc_id = keep_id AS keep
     FROM d JOIN k USING (payload_md5)
     ORDER BY doc_id"""
+
+  // ------------------------------------------- chunk-level binary near-dup
+
+  /** Rolling-hash window width (bytes) of the content-defined chunker. */
+  val ChunkW = 16
+
+  /** Boundary divisor — a cut lands where the window hash ≡ 0 (mod this),
+    * so expected chunk length ≈ this many bytes. 32 for the gate corpus
+    * (median doc ~310 bytes → ~10 chunks/doc); a real asset store tunes
+    * this to KB–MB chunks — pure constant, same plan. */
+  val ChunkDivisor = 32
+
+  /** Mutations are planted only on payloads long enough to carry several
+    * chunks (> this many bytes): linking an append/truncate by chunk
+    * containment is information-theoretically impossible on a payload of
+    * ~1 chunk (its only chunk is the thing that changed). */
+  val ChunkMutMinLen = 256
+
+  /** Containment threshold for emitting a near-dup pair. */
+  val ChunkContainment = 0.5
+
+  /** Planted append suffix — long enough (~72 bytes ≈ one expected chunk)
+    * that the appended variant grows real new chunk content rather than
+    * only perturbing the final chunk. */
+  val AppendTail =
+    " [[chunk-append-tail 0123456789abcdefghijklmnopqrstuvwxyz 9876543210]]"
+
+  /** Corpus for the chunk near-dup gate: the pipeline corpus (exact
+    * copies at +20000, head-trimmed near-dups at +10000) EXTENDED with
+    * byte-level mutations no whole-payload digest can link —
+    * appended payloads (+30000: docs 0..24 with [[AppendTail]] glued on)
+    * and truncated payloads (+40000: docs 25..49 clipped to ¾ length).
+    * These are the re-encoded/extended/clipped asset-store arrivals
+    * [[mmExactDedup]]'s planted byte-exact copies deliberately are not. */
+  def chunkCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val appended = docs
+      .filter(col("doc_id") < 25 && length(col("text")) > ChunkMutMinLen)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat(col("text"), lit(AppendTail)).as("text"))
+    val truncated = docs
+      .filter(col("doc_id") >= 25 && col("doc_id") < 50 &&
+        length(col("text")) > ChunkMutMinLen)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        expr("substring(text, 1, cast((3 * length(text)) div 4 as int))")
+          .as("text"))
+    Dedup.pipelineCorpus(spark, dir)
+      .unionByName(appended).unionByName(truncated)
+  }
+
+  /** Chunk-level near-duplicate pairs over the binary payload column —
+    * the asset-store near-dup [[mmExactDedup]] structurally cannot be:
+    * content-defined chunking ([[graft.functions.CdcChunkHash60s]], one
+    * codegen'd rolling-hash kernel) splits each payload at
+    * content-determined positions, so an append/truncate/prepend
+    * disturbs only the chunks it touches and every later boundary
+    * REALIGNS (self-synchronization — a fixed-size blocker would shift
+    * every subsequent block and share nothing). Pairs sharing enough
+    * distinct chunks clear a containment threshold:
+    * shared / min(|chunks_a|, |chunks_b|) ≥ [[ChunkContainment]].
+    *
+    * Scale shape: ONLY (doc_id, 8-byte chunk hash) rows ever shuffle —
+    * payload bytes stay at the scan (the [[mmExactDedup]] argument, here
+    * surviving mutation). The chunk-hash equi-join is bounded by real
+    * content overlap, never n²; the containment tail is one count
+    * aggregate per colliding pair. At 100 TB the additions are a
+    * document-frequency cap on pathologically hot chunks (shared
+    * boilerplate headers — the stop-shingle treatment) and FastCDC
+    * min/max chunk clamps (see the kernel scaladoc); both are
+    * constant-factor tuning of this exact plan. */
+  def mmChunkNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = chunkCorpus(spark, dir)
+    val rows = graft.Caches.persist(corpus.select(col("doc_id"),
+      explode(graft.functions.CdcChunkHash60s.chunkHashes(
+        col("text").cast("binary"), ChunkW, ChunkDivisor)).as("h")))
+    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = rows.select(col("doc_id").as("id_a"), col("h"))
+    val b = rows.select(col("doc_id").as("id_b"), col("h"))
+    val shared = a.join(b, "h").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("containment",
+        col("shared") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= ChunkContainment)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        col("n_a"), col("n_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The boundary predicate's window hash, unrolled as explicit SQL
+    * terms: Σ byte(q−j)·B^j mod P — the window-local formulation the
+    * kernel's rolling update equals algebraically (CdcChunkSpec pins
+    * the identity). `ord` = codepoint = byte on the ASCII corpus. */
+  private def chunkWindowSumSql(w: Int): String =
+    (0 until w).map { j =>
+      val pw = (0 until j).foldLeft(1L)((r, _) =>
+        r * graft.functions.CdcChunkHash60Kernel.B % graft.functions.Portable.P)
+      s"ord(substring(text, (q - $j)::INT, 1))::BIGINT * $pw"
+    }.mkString("(", " + ", ")")
+
+  /** Oracle: the identical chunking stated positionally — candidate cut
+    * positions by the window-hash rule, forced end cut, per-chunk
+    * hash60 of the substring slice, distinct per doc, then the same
+    * shared/containment tail. */
+  val mmChunkNearDupSql: String = {
+    val P = graft.functions.Portable.P
+    s"""
+    WITH aug AS (${Dedup.augmentedSql}),
+    ${Dedup.pipeSql},
+    mcorp AS (
+      SELECT doc_id, text FROM pipe
+      UNION ALL
+      SELECT doc_id + 30000 AS doc_id, text || '$AppendTail' AS text
+      FROM documents WHERE doc_id < 25 AND length(text) > $ChunkMutMinLen
+      UNION ALL
+      SELECT doc_id + 40000 AS doc_id,
+             substring(text, 1, (3 * length(text)) // 4) AS text
+      FROM documents
+      WHERE doc_id >= 25 AND doc_id < 50 AND length(text) > $ChunkMutMinLen),
+    ce AS (
+      SELECT doc_id, text,
+             list_sort(list_distinct(list_append(
+               list_filter(range($ChunkW, length(text) + 1), q ->
+                 ${chunkWindowSumSql(ChunkW)} % $P % $ChunkDivisor = 0),
+               length(text)::BIGINT))) AS ends
+      FROM mcorp WHERE length(text) > 0),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ends) + 1), i ->
+               ${graft.functions.Portable.hash60Sql(
+                 """substring(text,
+                   (CASE WHEN i = 1 THEN 1 ELSE ends[i - 1] + 1 END)::INT,
+                   (ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END)::INT)""")}))) AS h
+      FROM ce),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM ch GROUP BY doc_id),
+    pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, shared, na.n AS n_a, nb.n AS n_b,
+           shared / least(na.n, nb.n) AS containment
+    FROM pr JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+    WHERE shared / least(na.n, nb.n) >= $ChunkContainment
+    ORDER BY id_a, id_b"""
+  }
 }

@@ -56,7 +56,14 @@ object Bench {
     }
     finally Caches.releaseAll(blocking = true)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only filter: SPARK_GRAFT_BENCH_ONLY="q1_pricing_summary,q3_..."
+    // times just those queries (the driver never sets it — full run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // untimed inter-query hygiene: drop every cached block synchronously
       // so this query's measurement starts from a clean storage/heap state
       Caches.releaseAll(blocking = true)

@@ -48,25 +48,6 @@ import graft.sources.Tables
   */
 object EntityResolution {
 
-  /** `D_k` generator as a Spark SQL expression string: the array of all
-    * distinct strings obtained by deleting at most `maxDist` (1 or 2)
-    * characters from `col`. Slot 0 of each deletion pass = "no deletion
-    * here", so the union over passes covers every deletion count ≤ k. */
-  private def deletionVariantsExpr(colName: String, maxDist: Int): String = {
-    val del1 =
-      s"""transform(sequence(0, length($colName)),
-          i -> case when i = 0 then $colName
-               else concat(substr($colName, 1, i - 1), substr($colName, i + 1)) end)"""
-    maxDist match {
-      case 1 => s"array_distinct($del1)"
-      case 2 =>
-        s"""array_distinct(flatten(transform($del1,
-            v -> transform(sequence(0, length(v)),
-                 j -> case when j = 0 then v
-                      else concat(substr(v, 1, j - 1), substr(v, j + 1)) end))))"""
-    }
-  }
-
   /** All pairs (idA < idB) with `levenshtein(name_a, name_b) <= maxDist`.
     * `maxDist` ∈ {1, 2}: the variant count per row is ~len+1 at 1 and
     * ~C(len,2) at 2 — radius 3+ squares it again (C(len,3) plus far
@@ -83,7 +64,13 @@ object EntityResolution {
     * exchange over the whole pair relation, bought for nothing). */
   def fuzzyMatchPairsUnordered(rows: DataFrame, idCol: String,
                                nameCol: String, maxDist: Int): DataFrame = {
-    val variants = variantHashes(rows, idCol, nameCol, maxDist)
+    // persisted: BOTH sides of the variant self-join consume this
+    // relation, and the differing id_a/id_b projections block exchange
+    // reuse — without the persist the (compute-bound, ~L²/2 string
+    // builds per row at maxDist=2) generation runs twice, measured ~2×
+    // on the sf0.1 d2 gate. Same rule as Dedup.nearDupPairsOf's banded.
+    val variants = graft.Caches.persist(
+      variantHashes(rows, idCol, nameCol, maxDist))
     val a = variants.select(col("id").as("id_a"), col("variant"))
     val b = variants.select(col("id").as("id_b"), col("variant"))
     // one pair can share several variants; dedup BEFORE the name
@@ -103,11 +90,16 @@ object EntityResolution {
     * it per batch as the accumulated match index, so stream ≡ batch is
     * by construction, not by parallel implementation.
     *
-    * Variants ship as xxhash64, not strings: equal variants keep equal
-    * hashes (recall unchanged); a cross-string hash collision can only
-    * ADD a candidate, which the exact levenshtein verify kills — the
-    * generate-with-guarantee/verify-exact contract, with a ~2× narrower
-    * shuffle on realistic name lengths. */
+    * Variants ship as 60-bit slice hashes, not strings
+    * ([[graft.functions.DelVariantHash60s]] — one codegen'd kernel,
+    * MD5 streamed over the byte ranges around the deleted codepoints,
+    * NO variant string ever allocated; it replaced a nested
+    * transform/concat/array_distinct/xxhash64 chain that built ~C(L,2)
+    * strings per row and dominated the sf0.1 d2 gate at ~7.7 s): equal
+    * variants keep equal hashes (recall unchanged); a cross-string hash
+    * collision can only ADD a candidate, which the exact levenshtein
+    * verify kills — the generate-with-guarantee/verify-exact contract,
+    * with a ~2× narrower shuffle on realistic name lengths. */
   def variantHashes(rows: DataFrame, idCol: String, nameCol: String,
                     maxDist: Int): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
@@ -120,9 +112,9 @@ object EntityResolution {
     val spread = rows.repartition(
       rows.sparkSession.sparkContext.defaultParallelism, col(idCol))
     spread.select(
-        col(idCol).as("id"),
-        explode(expr(deletionVariantsExpr(nameCol, maxDist))).as("v"))
-      .select(col("id"), xxhash64(col("v")).as("variant"))
+      col(idCol).as("id"),
+      explode(graft.functions.DelVariantHash60s.variantHashes(
+        col(nameCol), maxDist)).as("variant"))
   }
 
   /** Exact-levenshtein verify + name join-back over DEDUPED candidate

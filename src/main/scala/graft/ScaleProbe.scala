@@ -32,7 +32,13 @@ object ScaleProbe {
     // the production auto-plane k-NN graph: the pinned-plane sim_knn_graph
     // carries the documented n²/2^planes candidate term; the auto form
     // must stay ~linear (same law as sim_cosine_neardup_auto)
-    "sim_cluster_card", "sim_knn_graph_auto")
+    "sim_cluster_card", "sim_knn_graph_auto",
+    // ER family over the probe corpus's replicated customer table
+    // (fresh dense keys per replica — the collision-heavy case); output
+    // itself grows ~n·log²n at radius 2, so healthy ratios are ~10-20×
+    // at 10× rows while a quadratic blocker would read ~100×
+    "er_fuzzy_match", "er_fuzzy_match_d2", "er_cluster", "stream_er",
+    "mm_chunk_neardup")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -30,6 +30,27 @@ object StreamingGates {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Run `f` with `spark.sql.shuffle.partitions` lowered to `n`,
+    * restoring the session value after. The stateful gates replay a few
+    * thousand rows through 3–4 micro-batches, but every stateful
+    * operator pays per-partition state-store fixed cost (HDFS-backed
+    * store open/commit/snapshot × partitions × batches — state ops also
+    * pin the partition count at first start and disable AQE coalescing),
+    * so 32 session partitions were pure overhead: ~40% of
+    * `stream_stream_join`'s wall time, measured. Correctness cannot
+    * depend on the partition count — every gate's fold is
+    * order-insensitive by design (decimal partials, count aggregates,
+    * per-key state, inner joins) and each gate still hash-matches its
+    * batch twin's oracle, which is the point of the gates. Production
+    * streams size this by state volume (and use the RocksDB provider);
+    * the replay corpora are deliberately tiny. */
+  private def withFewShufflePartitions[A](spark: SparkSession, n: Int = 8)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Time-range replay chunker: assign each event to one of `n` chunks by
     * equal-width TIME ranges (chunk ∈ 1..n), so every event in chunk i+1
     * is later than every event in chunk i — the changelog arrival
@@ -169,7 +190,7 @@ object StreamingGates {
     * per-window fold order-insensitive, so micro-batch boundaries
     * cannot leak into the sums and the hash compare proves
     * stream ≡ batch ≡ oracle. */
-  def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame = {
+  def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame = withFewShufflePartitions(spark) {
     val events = Tables.events(spark, dir)
     val in = tmp("graft_sgate_win_in_")
     val out = tmp("graft_sgate_win_out_")
@@ -219,7 +240,7 @@ object StreamingGates {
     * stand-in for a Kafka topic), not operator cost; the operator's own
     * state is bounded by the watermark horizon, never by user
     * lifetime. */
-  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = withFewShufflePartitions(spark) {
     val events = Tables.events(spark, dir)
     val in = tmp("graft_sgate_sess_in_")
     val out = tmp("graft_sgate_sess_out_")
@@ -267,7 +288,7 @@ object StreamingGates {
     * path as the batch report) yields `prof_drift_report`'s relation —
     * gated against that query's oracle, so the compare proves
     * stream ≡ batch ≡ oracle for the mix-drift monitor too. */
-  def streamMixDrift(spark: SparkSession, dir: String): DataFrame = {
+  def streamMixDrift(spark: SparkSession, dir: String): DataFrame = withFewShufflePartitions(spark) {
     import graft.operators.Profiling
     val events = Tables.events(spark, dir)
     val in = tmp("graft_sgate_mix_in_")
@@ -445,7 +466,7 @@ object StreamingGates {
     * 2-hour delay ≥ 2× the 1-hour join window no evicted click can
     * still match. State stays watermark-bounded — the production
     * contract this gate exists to pin. */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = withFewShufflePartitions(spark) {
     val events = Tables.events(spark, dir)
     val inL = tmp("graft_sgate_ssj_l_")
     val inR = tmp("graft_sgate_ssj_r_")

@@ -66,6 +66,25 @@ COPY (
 ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("documents", "embeddings"):
+# Customer table for the ER probes (er_fuzzy_match/_d2, er_cluster,
+# stream_er): replica i>0 gets fresh keys AND the name re-derived from
+# the NEW key — exactly what a larger TPC-H customer table looks like
+# (denser zero-padded key space, the adversarially collision-heavy ER
+# case), with no planted cross-replica duplicates.
+cust_off = con.execute(f"SELECT max(c_custkey) + 1 FROM '{SRC}/customer.parquet'").fetchone()[0]
+con.sql(f"""
+COPY (
+  SELECT c_custkey + i * {cust_off} AS c_custkey,
+         CASE WHEN i = 0 THEN c_name
+              ELSE 'Customer#' ||
+                   lpad(CAST(c_custkey + i * {cust_off} AS VARCHAR), 9, '0')
+         END AS c_name,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM '{SRC}/customer.parquet', range({N}) t(i)
+  ORDER BY c_custkey
+) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("documents", "embeddings", "customer"):
     n = con.execute(f"SELECT COUNT(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
     print(f"{OUT}/{t}.parquet: {n} rows")

@@ -117,8 +117,13 @@ object Bench {
     // regardless of how many queries the suite grows to. The complete
     // per-query map is NOT printed; it is written to BENCH_FULL.json
     // (repo cwd by default), which no capture bound can truncate.
+    // a filtered dev run must be distinguishable from a full-suite
+    // record by more than its "n": stamp it explicitly so a partial
+    // total can never be mistaken for a suite total in a comparison
+    val filteredTag =
+      if (only.isEmpty) "" else s""","filtered":true"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$filteredTag}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case e: Throwable =>
@@ -127,7 +132,7 @@ object Bench {
     val slowest = timed.sortBy { case (_, v) => -v._1 }.take(12)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${timed.size},"failed":$failedJson,"sf":"$sfDir","full":"$fullPath","queries":$slowest}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${timed.size},"failed":$failedJson,"sf":"$sfDir","full":"$fullPath","queries":$slowest$filteredTag}"""
     println(compact)
     println(compact)
     spark.stop()

@@ -10,6 +10,33 @@ import org.apache.spark.sql.SparkSession
   * `runMain graft.ScaleProbe <dirSmall> <dirBig> [query ...]` — trailing
   * names restrict the run to those probes (the special sections still
   * run only in a full, unfiltered run). */
+/** Output-cardinality probe: `runMain graft.CountQuery <dir> <name...>`
+  * prints each gated query's output row count on `dir`. Companion to
+  * [[ScaleProbe]] — for output-growth-bound operators (ER blocking,
+  * near-dup pairs) the honest scale law is wall-clock ∝ OUTPUT, and
+  * this measures the output side of that ratio. */
+object CountQuery {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Caches.quietCheckpointFreeWarnings()
+    args.drop(1).foreach { name =>
+      val n = try SparkEntry.queries(name)(spark, dir).count()
+              finally Caches.releaseAll()
+      println(s"[count] $name $dir rows=$n")
+    }
+    spark.stop()
+  }
+}
+
 object ScaleProbe {
   private val Probes = Seq(
     "dd_exact", "dd_minhash_lsh", "dd_simhash",
@@ -38,7 +65,15 @@ object ScaleProbe {
     // itself grows ~n·log²n at radius 2, so healthy ratios are ~10-20×
     // at 10× rows while a quadratic blocker would read ~100×
     "er_fuzzy_match", "er_fuzzy_match_d2", "er_cluster", "stream_er",
-    "mm_chunk_neardup")
+    "mm_chunk_neardup",
+    // the AUTO-plane persisted-index paths: the pinned from-index twins
+    // carry the documented n²/2^planes term at 30× (30.8×/11.9×,
+    // SCALING.md); these must stay ~linear — the build-once/probe-many
+    // answer to that row
+    "sim_neardup_from_index_auto", "sim_knn_from_index_auto",
+    // df-capped chunk near-dup (hot chunks dropped pre-join) and the
+    // clamped chunker — both expected ~mm_chunk_neardup-shaped
+    "mm_chunk_neardup_cap", "mm_chunk_clamped")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

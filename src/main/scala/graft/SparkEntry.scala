@@ -209,12 +209,27 @@ object SparkEntry {
     // from-scratch twins: the hash compare proves build+probe ≡ in-query
     "sim_neardup_from_index" -> (graft.operators.AnnIndex.simNearDupFromIndex _),
     "sim_knn_from_index" -> (graft.operators.AnnIndex.simKnnGraphFromIndex _),
+    // the AUTO-sized persisted index (corpus-derived plane count stored
+    // WITH the index, read back from its marker file at probe time) —
+    // oracled against the same dynamic-plane SQL as the in-query auto
+    // paths, so build-once/probe-many is hash-proved at any corpus size
+    "sim_neardup_from_index_auto" ->
+      (graft.operators.AnnIndex.simNearDupFromIndexAuto _),
+    "sim_knn_from_index_auto" ->
+      (graft.operators.AnnIndex.simKnnFromIndexAuto _),
     "tx_bm25_from_index" -> (graft.operators.SearchIndex.txBm25FromIndex _),
     "sim_quantize" -> (Similarity.simQuantizeGated _),
     "sim_semantic_dedup" -> (Similarity.simSemanticDedup _),
     // Multimodal
     "mm_exact_dedup" -> (Multimodal.mmExactDedup _),
     "mm_chunk_neardup" -> (Multimodal.mmChunkNearDup _),
+    // hot-chunk df cap (stop-shingle treatment at the binary tier),
+    // hash-exact against a planted boilerplate-header family; the
+    // clamped FastCDC chunker is rows-only (stateful cut rule — no
+    // positional SQL twin; kernel pinned vs a scalar reference in
+    // CdcChunkSpec, the BPE-fit pattern)
+    "mm_chunk_neardup_cap" -> (Multimodal.mmChunkNearDupCap _),
+    "mm_chunk_clamped" -> (Multimodal.mmChunkNearDupClamped _),
     "mm_extract_features" -> (Multimodal.mmExtractFeatures _),
     "mm_frame_sample" -> (Multimodal.mmFrameSample _),
     "mm_resize" -> (Multimodal.mmResize _),
@@ -374,11 +389,14 @@ object SparkEntry {
     "sim_knn_graph" -> Similarity.simKnnGraphSql,
     "sim_neardup_from_index" -> Similarity.simCosineNearDupSql,
     "sim_knn_from_index" -> Similarity.simKnnGraphSql,
+    "sim_neardup_from_index_auto" -> Similarity.simCosineNearDupAutoSql,
+    "sim_knn_from_index_auto" -> Similarity.simKnnGraphAutoSql,
     "tx_bm25_from_index" -> Search.txBm25TopKSql,
     "sim_quantize" -> Similarity.simQuantizeSql,
     "sim_semantic_dedup" -> Similarity.simSemanticDedupSql,
     "mm_exact_dedup" -> Multimodal.mmExactDedupSql,
     "mm_chunk_neardup" -> Multimodal.mmChunkNearDupSql,
+    "mm_chunk_neardup_cap" -> Multimodal.mmChunkNearDupCapSql,
     "mm_extract_features" -> Multimodal.mmExtractFeaturesSql,
     "mm_frame_sample" -> Multimodal.mmFrameSampleSql,
     "mm_resize" -> Multimodal.mmResizeSql,

@@ -37,11 +37,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * acceptance, mirrored bit-for-bit by the oracle.
   *
   * Production notes: expected chunk length ≈ `divisor` bytes; FastCDC's
-  * min/max chunk-size clamps and gear table are constant-factor tuning of
-  * this same kernel (a min size skips the w·min bytes after each cut, a
-  * max size forces a cut) — deliberately omitted here because they make
-  * the boundary decision STATEFUL, which has no positional SQL twin; the
-  * gate pins the stateless rule end to end. ASCII-payload note: the
+  * min/max chunk-size clamps are [[CdcChunkHash60Kernel.computeClamped]]
+  * (gated rows-only — clamping makes the boundary decision STATEFUL,
+  * which has no positional SQL twin, so it is spec-pinned against an
+  * independent scalar reference instead; THIS stateless rule stays the
+  * hash-exact anchor both share at minLen=1/maxLen=∞). ASCII-payload note: the
   * oracle recomputes bytes as `ord(substring(text, …))` codepoints, equal
   * to UTF-8 bytes for the ASCII corpus (the [[graft.operators.Multimodal]]
   * chars==bytes note); a non-ASCII corpus would need a BLOB-typed oracle.
@@ -100,6 +100,67 @@ object CdcChunkHash60Kernel {
     while (m < arr.length) { arr(m) = out.get(m); m += 1 }
     new GenericArrayData(arr)
   }
+
+  /** FastCDC-style min/max-clamped chunking — the production guard
+    * against DEGENERATE content the plain divisor rule has no answer
+    * for: a byte pattern whose window hash hits the divisor every
+    * position (e.g. long zero runs — H = 0 forever) yields 1-byte
+    * chunks, and a pattern that never hits it yields one payload-sized
+    * chunk; `minLen` suppresses boundary tests until a chunk has
+    * `minLen` bytes and `maxLen` forces a cut, so every chunk length
+    * lies in [minLen, maxLen] (except the final remainder, which may be
+    * shorter). The price is STATE: a cut decision now depends on the
+    * previous cut position, so — unlike [[compute]] — the rule has no
+    * positional SQL twin (position q cuts or not depending on history);
+    * the gate is therefore rows-only, with the kernel pinned against an
+    * independent scalar Scala reference in CdcChunkSpec
+    * (the BPE-fit no-oracle pattern). The rolling window itself is
+    * untouched (it may straddle the previous cut, as in LBFS), so
+    * `minLen = 1, maxLen = ∞` degenerates EXACTLY to [[compute]] —
+    * spec-pinned, which anchors the clamped rule to the oracled one.
+    * Self-synchronization survives clamping in the FastCDC sense:
+    * boundaries realign once a divisor cut fires clear of the clamps. */
+  def computeClamped(payload: Array[Byte], w: Int, divisor: Int,
+                     minLen: Int, maxLen: Int): ArrayData = {
+    require(minLen >= 1 && maxLen >= minLen,
+      s"chunk clamps need 1 <= minLen <= maxLen; got [$minLen, $maxLen]")
+    val len = payload.length
+    if (len == 0) return new GenericArrayData(Array.emptyLongArray)
+    val p = Portable.P
+    val bw = powB(w)
+    val d = md.get()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    def emit(from: Int, until: Int): Unit = {
+      d.reset()
+      d.update(payload, from, until - from)
+      val dig = d.digest()
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (dig(k) & 0xffL); k += 1 }
+      v = v >>> 4
+      if (seen.add(v)) out.add(v)
+    }
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < len) {
+      h = (h * B + (payload(i) & 0xffL)) % p
+      if (i >= w) h = (h - (payload(i - w) & 0xffL) * bw % p + p) % p
+      val q = i + 1
+      val chunkLen = q - start
+      if ((q >= w && chunkLen >= minLen && h % divisor == 0) ||
+          chunkLen == maxLen || q == len) {
+        emit(start, q)
+        start = q
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var m = 0
+    while (m < arr.length) { arr(m) = out.get(m); m += 1 }
+    new GenericArrayData(arr)
+  }
 }
 
 /** Codegen'd `array<long>` of distinct 60-bit chunk hashes of a binary
@@ -124,4 +185,32 @@ case class CdcChunkHash60s(child: Expression, w: Int, divisor: Int)
 object CdcChunkHash60s {
   def chunkHashes(c: Column, w: Int, divisor: Int): Column =
     Bridge.column(CdcChunkHash60s(Bridge.expression(c), w, divisor))
+}
+
+/** Codegen'd clamped twin of [[CdcChunkHash60s]] —
+  * [[CdcChunkHash60Kernel.computeClamped]] as an expression; same
+  * output type, chunk lengths clamped to [minLen, maxLen]. */
+case class CdcChunkHash60sClamped(child: Expression, w: Int, divisor: Int,
+                                  minLen: Int, maxLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(x: Any): Any =
+    CdcChunkHash60Kernel.computeClamped(
+      x.asInstanceOf[Array[Byte]], w, divisor, minLen, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.CdcChunkHash60Kernel.computeClamped($x, $w, $divisor, $minLen, $maxLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHash60sClamped =
+    copy(child = newChild)
+}
+
+object CdcChunkHash60sClamped {
+  def chunkHashes(c: Column, w: Int, divisor: Int,
+                  minLen: Int, maxLen: Int): Column =
+    Bridge.column(CdcChunkHash60sClamped(Bridge.expression(c), w, divisor,
+      minLen, maxLen))
 }

@@ -26,6 +26,19 @@ object Portable {
 
   /** hash60 reduced into [0, P) for overflow-safe affine permutations. */
   def hashP(c: Column): Column = pmod(hash60(c), lit(P))
+
+  /** Constant-but-NON-FOLDABLE single-partition window key. Spark 4's
+    * `EliminateWindowPartitions` optimizer rule strips FOLDABLE keys
+    * (`lit(k)` included) from window partitionSpecs, leaving them empty
+    * — and WindowExec warns "No Partition Defined … single partition"
+    * on every run for empty specs, burying real warnings in bench
+    * logs. `coalesce(anchor, 0) % 1` evaluates to one partition but
+    * survives the rule (attribute references are never foldable). Use
+    * ONLY over frames that are tiny by contract — the single partition
+    * is still real. PlanSpec pins the absence of empty partitionSpecs
+    * suite-wide. */
+  def onePartition(anchor: Column): Column =
+    pmod(coalesce(anchor.cast("long"), lit(0L)), lit(1L))
   def hashPSql(x: String): String = s"(${hash60Sql(x)} % $P + $P) % $P"
 
   /** Word array of a space-separated text. */

@@ -193,4 +193,133 @@ object AnnIndex {
     Similarity.banded(q, tables, planes, signs)
       .select(col("vec_id"), bandKey(planes))
   }
+
+  // ------------------------------------------------ auto-sized index
+
+  /** Banding constants persisted WITH the index. An index whose plane
+    * count is derived from the corpus ([[Similarity.autoPlanes]]) is
+    * useless unless every later probe can recover the SAME constants —
+    * a probe banded under a different geometry joins against the index
+    * with silently-wrong collisions (no error, just missing
+    * candidates). So the build writes them as a marker file inside the
+    * table directory and [[readIndexMeta]] refuses to guess: a missing
+    * or corrupt marker is a loud error, never a default. */
+  final case class IndexMeta(tables: Int, planes: Int, buckets: Int)
+
+  /** Marker filename — underscore-prefixed, so Spark's file index
+    * treats it as metadata and never reads it as parquet data. */
+  private val MetaFile = "_graft_ann_meta"
+  private val MetaFormatVersion = 1
+
+  private def fs(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Persist the banding constants into the index table directory.
+    * Plain java.util.Properties over Hadoop FS streams — readable on
+    * any filesystem the index itself lives on, no format dependency. */
+  private def writeIndexMeta(spark: SparkSession, dir: String,
+                             meta: IndexMeta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    val out = fs(spark, p).create(p, true)
+    try {
+      val props = new java.util.Properties()
+      props.setProperty("format", MetaFormatVersion.toString)
+      props.setProperty("tables", meta.tables.toString)
+      props.setProperty("planes", meta.planes.toString)
+      props.setProperty("buckets", meta.buckets.toString)
+      props.store(out, "graft ANN index banding constants")
+    } finally out.close()
+  }
+
+  /** Read the persisted banding constants back. Loud on absence or on a
+    * format version this build does not understand — the ADVICE-noted
+    * failure mode (a store written by an older build silently probed
+    * with mismatched constants) fails HERE instead of returning wrong
+    * candidates. */
+  def readIndexMeta(spark: SparkSession, dir: String): IndexMeta = {
+    val p = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    val f = fs(spark, p)
+    require(f.exists(p),
+      s"no $MetaFile marker under $dir — not an auto-built graft ANN " +
+        "index (or written by a pre-marker build); rebuild with " +
+        "buildNearDupIndexAuto rather than guessing banding constants")
+    val in = f.open(p)
+    val props = new java.util.Properties()
+    try props.load(in) finally in.close()
+    val ver = props.getProperty("format")
+    require(ver == MetaFormatVersion.toString,
+      s"ANN index meta format $ver != supported $MetaFormatVersion")
+    IndexMeta(props.getProperty("tables").toInt,
+      props.getProperty("planes").toInt, props.getProperty("buckets").toInt)
+  }
+
+  /** Build the persisted band index with the plane count DERIVED from
+    * the corpus row count ([[Similarity.autoPlanes]] — planes grow
+    * log₂(n), holding per-bucket occupancy and therefore candidate
+    * density ~linear in n) and persist the constants with the index.
+    * This is the production build-once/probe-many entry point: the
+    * pinned-constant [[buildNearDupIndex]] exists for the
+    * constant-mirroring oracles, but at 30× data its n²/2^planes
+    * candidate term costs ~30× (SCALING.md: `sim_knn_from_index`
+    * 30.8× pinned vs ~linear auto). Returns the catalog relation plus
+    * the derived meta; later sessions recover the same meta via
+    * [[readIndexMeta]]. */
+  def buildNearDupIndexAuto(spark: SparkSession, e: DataFrame, table: String,
+                            basePath: String,
+                            tables: Int = Similarity.NEARDUP_TABLES,
+                            buckets: Int = 32): (DataFrame, IndexMeta) = {
+    val planes = Similarity.autoPlanes(e.count())
+    val idx = buildNearDupIndex(spark, e, table, basePath, tables, planes, buckets)
+    val meta = IndexMeta(tables, planes, buckets)
+    writeIndexMeta(spark, s"$basePath/$table", meta)
+    (idx, meta)
+  }
+
+  /** Band an ad-hoc query batch under a persisted index's OWN constants
+    * (from its marker file) — the only correct way to probe an
+    * auto-built index, since its plane count depends on the corpus it
+    * was built from. */
+  def queryBandsFor(meta: IndexMeta, q: DataFrame): DataFrame =
+    queryBands(q, meta.tables, meta.planes)
+
+  /** Open a previously auto-built index: catalog relation + the
+    * persisted constants, read back from disk (NOT from session
+    * state — this is the cross-session path). */
+  def openAutoIndex(spark: SparkSession, table: String,
+                    basePath: String): (DataFrame, IndexMeta) =
+    (spark.table(table), readIndexMeta(spark, s"$basePath/$table"))
+
+  /** Gated query: near-dup pairs through the AUTO-sized persisted
+    * index — build with corpus-derived planes, re-open the index from
+    * disk (meta marker round-trip is load-bearing, not decorative),
+    * probe via the Exchange-free bucketed self-join. Oracle: the SAME
+    * dynamic-plane SQL as `sim_neardup_auto`
+    * ([[Similarity.simCosineNearDupAutoSql]] — plane count recomputed
+    * from the corpus row count inside the query), so the hash compare
+    * proves persisted-auto-index ≡ in-query-auto at ANY corpus size,
+    * closing the r10 gap where the from-index paths carried only the
+    * pinned constants. */
+  def simNearDupFromIndexAuto(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (_, built) =
+      buildNearDupIndexAuto(spark, e, "graft_gate_ann_auto_idx", scratch)
+    val (idx, meta) = openAutoIndex(spark, "graft_gate_ann_auto_idx", scratch)
+    require(meta == built, s"index meta round-trip drift: $meta != $built")
+    Similarity.verifyCandidatePairs(e, nearDupCandidates(idx))
+  }
+
+  /** Gated query: the k-NN graph through the AUTO-sized persisted
+    * index — [[simKnnGraphFromIndex]]'s shape with
+    * [[buildNearDupIndexAuto]]'s sizing, oracled against the
+    * dynamic-plane [[Similarity.simKnnGraphAutoSql]]. */
+  def simKnnFromIndexAuto(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (_, built) =
+      buildNearDupIndexAuto(spark, e, "graft_gate_knn_auto_idx", scratch)
+    val (idx, meta) = openAutoIndex(spark, "graft_gate_knn_auto_idx", scratch)
+    require(meta == built, s"index meta round-trip drift: $meta != $built")
+    Similarity.knnFromCandidates(
+      e.select(col("vec_id"), col("embedding")),
+      knnCandidates(idx), Similarity.KNN_GRAPH_K)
+  }
 }

@@ -204,10 +204,13 @@ object Dsir {
       .filter(col("is_target") === 0)
       .orderBy(ord: _*)
       .limit(n)
-      // lit(0) partition: ≤ SelectN rows here; keeps WindowExec's
-      // no-partition warning out of bench logs (see Search.bm25Rank)
+      // onePartition key: ≤ SelectN rows here; keeps WindowExec's
+      // no-partition warning out of bench logs (see Search.bm25Rank —
+      // lit(0) no longer works: EliminateWindowPartitions strips it)
       .withColumn("sel_rank",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(ord: _*)))
+        row_number().over(Window
+          .partitionBy(graft.functions.Portable.onePartition(col("doc_id")))
+          .orderBy(ord: _*)))
       .select(col("sel_rank"), col("doc_id"), col("dsir_score"))
       .orderBy(col("sel_rank"))
   }

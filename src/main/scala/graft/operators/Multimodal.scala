@@ -318,7 +318,21 @@ object Multimodal {
     val rows = graft.Caches.persist(corpus.select(col("doc_id"),
       explode(graft.functions.CdcChunkHash60s.chunkHashes(
         col("text").cast("binary"), ChunkW, ChunkDivisor)).as("h")))
-    val sizes = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    chunkPairTail(rows)
+  }
+
+  /** ONE shared/containment tail over a distinct (doc_id, h) chunk
+    * relation — shared by the plain, df-capped, and clamped variants so
+    * the pair semantics cannot drift between them. `sizesOf` lets the
+    * df-capped variant count per-doc sizes over ALL chunks while the
+    * pair join runs on the capped relation: a filter must only ever
+    * REMOVE evidence — recomputing denominators post-filter guts short
+    * boilerplate-heavy docs and inflates the surviving ratio (measured:
+    * one straddling chunk crossing the 0.5 threshold). */
+  private def chunkPairTail(rows: DataFrame,
+                            sizesOf: DataFrame = null): DataFrame = {
+    val szRel = Option(sizesOf).getOrElse(rows)
+    val sizes = szRel.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = rows.select(col("doc_id").as("id_a"), col("h"))
     val b = rows.select(col("doc_id").as("id_b"), col("h"))
     val shared = a.join(b, "h").filter(col("id_a") < col("id_b"))
@@ -345,14 +359,9 @@ object Multimodal {
       s"ord(substring(text, (q - $j)::INT, 1))::BIGINT * $pw"
     }.mkString("(", " + ", ")")
 
-  /** Oracle: the identical chunking stated positionally — candidate cut
-    * positions by the window-hash rule, forced end cut, per-chunk
-    * hash60 of the substring slice, distinct per doc, then the same
-    * shared/containment tail. */
-  val mmChunkNearDupSql: String = {
-    val P = graft.functions.Portable.P
-    s"""
-    WITH aug AS (${Dedup.augmentedSql}),
+  /** The chunk-mutation corpus as SQL CTEs ending in `mcorp` — shared
+    * by the plain and df-capped oracles. */
+  private val chunkCorpusCtesSql: String = s"""aug AS (${Dedup.augmentedSql}),
     ${Dedup.pipeSql},
     mcorp AS (
       SELECT doc_id, text FROM pipe
@@ -363,14 +372,20 @@ object Multimodal {
       SELECT doc_id + 40000 AS doc_id,
              substring(text, 1, (3 * length(text)) // 4) AS text
       FROM documents
-      WHERE doc_id >= 25 AND doc_id < 50 AND length(text) > $ChunkMutMinLen),
-    ce AS (
+      WHERE doc_id >= 25 AND doc_id < 50 AND length(text) > $ChunkMutMinLen)"""
+
+  /** `mcorp` → per-doc distinct chunk hashes `ch(doc_id, h)`: candidate
+    * cut positions by the window-hash rule, forced end cut, per-chunk
+    * hash60 of the substring slice. Shared by both chunk oracles. */
+  private def chunkHashCtesSql(corpus: String): String = {
+    val P = graft.functions.Portable.P
+    s"""ce AS (
       SELECT doc_id, text,
              list_sort(list_distinct(list_append(
                list_filter(range($ChunkW, length(text) + 1), q ->
                  ${chunkWindowSumSql(ChunkW)} % $P % $ChunkDivisor = 0),
                length(text)::BIGINT))) AS ends
-      FROM mcorp WHERE length(text) > 0),
+      FROM $corpus WHERE length(text) > 0),
     ch AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(range(1, len(ends) + 1), i ->
@@ -378,16 +393,133 @@ object Multimodal {
                  """substring(text,
                    (CASE WHEN i = 1 THEN 1 ELSE ends[i - 1] + 1 END)::INT,
                    (ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END)::INT)""")}))) AS h
-      FROM ce),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM ch GROUP BY doc_id),
+      FROM ce)"""
+  }
+
+  /** Shared/containment tail: pair join over `chr(doc_id, h)`, per-doc
+    * sizes over `sizesFrom` (= `chr` unless a df cap separates the two —
+    * see [[chunkPairTail]]'s denominator note). */
+  private def chunkPairTailSql(sizesFrom: String = "chr"): String = s"""sz AS (SELECT doc_id, COUNT(*) AS n FROM $sizesFrom GROUP BY doc_id),
     pr AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM chr a JOIN chr b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b, shared, na.n AS n_a, nb.n AS n_b,
            shared / least(na.n, nb.n) AS containment
     FROM pr JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
     WHERE shared / least(na.n, nb.n) >= $ChunkContainment
     ORDER BY id_a, id_b"""
+
+  /** Oracle: the identical chunking stated positionally, then the
+    * shared/containment tail over every chunk. */
+  val mmChunkNearDupSql: String = s"""
+    WITH $chunkCorpusCtesSql,
+    ${chunkHashCtesSql("mcorp")},
+    chr AS (SELECT doc_id, h FROM ch),
+    ${chunkPairTailSql()}"""
+
+  // -------------------------------------------- hot-chunk df cap variant
+
+  /** Document-frequency cap on chunks entering the pair join — the
+    * stop-shingle treatment ([[graft.operators.Dedup]]'s df pruning) at
+    * the binary tier. A chunk shared by more than this many documents is
+    * boilerplate (container headers, codec preambles, license blocks),
+    * and its df² candidate contribution is exactly the quadratic mass
+    * the 100 TB plan must not pay; genuine mutation linkage rides on
+    * RARE chunks (df 2–4 on this corpus), far below the cap. */
+  val HotChunkDfCap = 16
+
+  /** Planted boilerplate preamble (~130 bytes ≈ 4 expected chunks) —
+    * prepended to the [[chunkCapCorpus]] header family so the cap has a
+    * genuinely hot chunk set (df ≈ family size ≫ cap) to kill. ASCII
+    * and quote-free, per the oracle's codepoint≡byte contract. */
+  val BoilerplateHeader =
+    "[[asset-preamble v1 :: standard container header block :: " +
+      "aaaabbbbccccddddeeeeffffgggghhhhiiiijjjjkkkkllllmmmmnnnnoooo]] "
+
+  /** [[chunkCorpus]] extended with a BOILERPLATE family: docs 50..149
+    * re-ingested at +50000 with [[BoilerplateHeader]] prepended. The
+    * header's internal chunks are byte-identical across the whole
+    * family (cut positions inside the header depend only on header
+    * bytes), so their df ≈ 100 ≫ [[HotChunkDfCap]] — the planted hot
+    * chunks — while each member still shares its ORIGINAL's content
+    * chunks (df ~2) for legitimate prepend-mutation linkage. */
+  def chunkCapCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val headed = docs
+      .filter(col("doc_id") >= 50 && col("doc_id") < 150)
+      .select((col("doc_id") + 50000).as("doc_id"),
+        concat(lit(BoilerplateHeader), col("text")).as("text"))
+    chunkCorpus(spark, dir).unionByName(headed)
+  }
+
+  /** [[mmChunkNearDup]] with the hot-chunk df cap, over the corpus with
+    * the planted boilerplate family: chunks with df > [[HotChunkDfCap]]
+    * drop BEFORE the pair join, while per-doc sizes stay over ALL
+    * chunks — the cap prunes EVIDENCE, never denominators. (The
+    * post-filter-denominator alternative inflates ratios: a short
+    * mostly-boilerplate doc loses its header chunks from min(n_a, n_b)
+    * and a single surviving straddle chunk crosses the threshold —
+    * measured on this corpus before the semantics were fixed.) Two
+    * effects, both oracle-pinned: the df² join mass of the hot chunks
+    * never shuffles, and boilerplate-only pairs (two short docs whose
+    * overlap is the shared header) stop clearing the threshold —
+    * the capped gate's planted header family links each member to its
+    * original through CONTENT chunks only. */
+  def mmChunkNearDupCap(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = chunkCapCorpus(spark, dir)
+    val rows = graft.Caches.persist(corpus.select(col("doc_id"),
+      explode(graft.functions.CdcChunkHash60s.chunkHashes(
+        col("text").cast("binary"), ChunkW, ChunkDivisor)).as("h")))
+    // rows are distinct (doc_id, h) by kernel construction, so count = df
+    val rare = rows.join(
+      rows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= HotChunkDfCap).select(col("h")),
+      "h")
+    val kept = graft.Caches.persist(rare.select(col("doc_id"), col("h")))
+    chunkPairTail(kept, sizesOf = rows)
+  }
+
+  /** Oracle for the capped variant: the same chunk CTEs over the
+    * extended corpus, one df aggregate, chunks at df ≤ cap survive into
+    * the shared pair tail. */
+  val mmChunkNearDupCapSql: String = s"""
+    WITH $chunkCorpusCtesSql,
+    hcorp AS (
+      SELECT doc_id, text FROM mcorp
+      UNION ALL
+      SELECT doc_id + 50000 AS doc_id, '$BoilerplateHeader' || text AS text
+      FROM documents WHERE doc_id >= 50 AND doc_id < 150),
+    ${chunkHashCtesSql("hcorp")},
+    cdf AS (SELECT h, COUNT(*) AS df FROM ch GROUP BY h),
+    chr AS (SELECT ch.doc_id, ch.h FROM ch JOIN cdf USING (h)
+            WHERE cdf.df <= $HotChunkDfCap),
+    ${chunkPairTailSql("ch")}"""
+
+  // ------------------------------------------------ clamped-chunker gate
+
+  /** FastCDC-style chunk clamps for the gated clamped variant: expected
+    * chunk ≈ [[ChunkDivisor]] bytes, lengths forced into
+    * [divisor/2, 2·divisor]. */
+  val ChunkMinLen: Int = ChunkDivisor / 2
+  val ChunkMaxLen: Int = ChunkDivisor * 2
+
+  /** [[mmChunkNearDup]] under the min/max-clamped chunker
+    * ([[graft.functions.CdcChunkHash60sClamped]]) — the production
+    * config for adversarial content (zero runs → 1-byte chunks,
+    * divisor-avoiding bytes → payload-sized chunks; the clamps bound
+    * both). Gated ROWS-ONLY: clamping makes the cut decision stateful
+    * (each cut depends on the previous one), which has no positional
+    * SQL twin — the kernel is instead pinned against an independent
+    * scalar Scala reference in `CdcChunkSpec` (equality, clamp bounds,
+    * minLen=1/maxLen=∞ ≡ the oracled stateless rule), the
+    * BPE-fit no-oracle pattern. */
+  def mmChunkNearDupClamped(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = chunkCorpus(spark, dir)
+    val rows = graft.Caches.persist(corpus.select(col("doc_id"),
+      explode(graft.functions.CdcChunkHash60sClamped.chunkHashes(
+        col("text").cast("binary"), ChunkW, ChunkDivisor,
+        ChunkMinLen, ChunkMaxLen)).as("h")))
+    chunkPairTail(rows)
   }
 }

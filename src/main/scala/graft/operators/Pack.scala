@@ -106,7 +106,11 @@ object Pack {
       .agg(sum(col(weightCol)).as("__tot"))
       .withColumn("__off",
         coalesce(sum(col("__tot")).over(
-          Window.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          // onePartition key: the offsets frame is ≤ #buckets rows by
+          // construction; a bare orderBy window has an EMPTY
+          // partitionSpec and warns per run (see Portable.onePartition)
+          Window.partitionBy(graft.functions.Portable.onePartition(col("__bkt")))
+            .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__bkt"), col("__off"))
     val inBucket = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))

@@ -259,14 +259,18 @@ object Profiling {
         coalesce(col("__ka").cast("string"), col("__kb").cast("string")).as("category"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-    // global windows over the |categories|-row frame — tiny by contract
+    // global windows over the |categories|-row frame — tiny by
+    // contract. PARTITION BY n_a % 1 (constant, non-foldable, same key
+    // in all four windows so they collapse into one WindowExec): an
+    // empty OVER () warns per run, and a foldable key gets stripped
+    // back to empty by EliminateWindowPartitions (Portable.onePartition)
     val shares = j
       .withColumn("share_ppm_a",
-        expr("case when sum(n_a) over () = 0 then 0L " +
-          "else n_a * 1000000L div sum(n_a) over () end"))
+        expr("case when sum(n_a) over (partition by n_a % 1) = 0 then 0L " +
+          "else n_a * 1000000L div sum(n_a) over (partition by n_a % 1) end"))
       .withColumn("share_ppm_b",
-        expr("case when sum(n_b) over () = 0 then 0L " +
-          "else n_b * 1000000L div sum(n_b) over () end"))
+        expr("case when sum(n_b) over (partition by n_a % 1) = 0 then 0L " +
+          "else n_b * 1000000L div sum(n_b) over (partition by n_a % 1) end"))
       .withColumn("delta_ppm", abs(col("share_ppm_a") - col("share_ppm_b")))
     // coalesce: sums over a zero-category frame (both slices empty) are
     // NULL in both engines — the convention pins the summary row to 0s

@@ -171,12 +171,13 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topN)
     // rank over the already-limited topN rows — a 10-row window, not a
-    // corpus-wide one. partitionBy(lit(0)) is semantically identical for
-    // a single partition but keeps WindowExec's no-partition warning out
-    // of bench logs, so remaining warnings there are always real.
+    // corpus-wide one. Portable.onePartition, not lit(0): Spark 4's
+    // EliminateWindowPartitions strips foldable keys, resurrecting
+    // WindowExec's no-partition warning (PlanSpec pins the sweep).
     ranked
       .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))))
+        Window.partitionBy(Portable.onePartition(col("doc_id")))
+          .orderBy(col("score").desc, col("doc_id"))))
       .select(Seq(col("rank"), col("doc_id"), col("n_words")) ++
         terms.indices.map(i => col(s"tf_$i")): _*)
       .orderBy(col("rank"))
@@ -278,9 +279,10 @@ object Search {
       .orderBy(col("cosine").desc, col("doc_id"))
       .limit(HybridDepth)
       // rank over the already-limited depth rows, as in bm25Rank
-      // (lit(0) partition: see the warning note there)
+      // (onePartition key: see the warning note there)
       .withColumn("den_rank", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("cosine").desc, col("doc_id"))))
+        Window.partitionBy(Portable.onePartition(col("doc_id")))
+          .orderBy(col("cosine").desc, col("doc_id"))))
       .select(col("doc_id"), col("den_rank"))
     val fused = lex.join(den, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -293,7 +295,7 @@ object Search {
       .limit(HybridTopN)
     fused
       .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0))
+        Window.partitionBy(Portable.onePartition(col("doc_id")))
           .orderBy(col("rrf_ppm").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("rrf_ppm"),
         col("lex_rank"), col("den_rank"))

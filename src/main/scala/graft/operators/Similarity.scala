@@ -476,9 +476,10 @@ object Similarity {
     // n=0 row, not a silently missing centroid_id. The denominator
     // folds over the ≤k aggregated rows (assignment partitions the
     // corpus, so Σn = corpus count) — no second corpus scan, no eager
-    // driver action; the window runs over k rows, partitioned by a
-    // literal so it can never be mistaken for a corpus-sized sort.
-    val wAll = Window.partitionBy(lit(1))
+    // driver action; the window runs over k rows, single-partitioned
+    // by a constant non-foldable key (a literal gets stripped by
+    // EliminateWindowPartitions — see Portable.onePartition).
+    val wAll = Window.partitionBy(Portable.onePartition(col("centroid_id")))
     cent.select(col("centroid_id"))
       .join(perCell, Seq("centroid_id"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))

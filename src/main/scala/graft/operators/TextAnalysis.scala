@@ -381,13 +381,14 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     // single-partition window is fine HERE: it runs over the per-stratum
-    // aggregate (strata-count rows), never the corpus. partitionBy(lit(1))
-    // rather than an empty spec — semantically identical (one partition
-    // either way), but the empty spec makes WindowExec emit a
-    // "No Partition Defined" warning per run, burying real warnings in
-    // the bench tail (the ivfCellCard pattern).
+    // aggregate (strata-count rows), never the corpus. The key is
+    // constant but NON-FOLDABLE (Portable.onePartition): lit(1) gets
+    // stripped by Spark 4's EliminateWindowPartitions, and the empty
+    // spec makes WindowExec emit a "No Partition Defined" warning per
+    // run, burying real warnings in the bench tail.
     val target = min(col("n"))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
+      .over(org.apache.spark.sql.expressions.Window
+        .partitionBy(Portable.onePartition(col("n"))))
     val rates = counts
       .select(col("lang"),
         floor(target * 1000.0 / col("n")).cast("long").as("permille"))
@@ -701,11 +702,13 @@ object TextAnalysis {
         size(Portable.words(col("text"))).cast("long").as("n_words"))
     val counts = lens.groupBy(col("lang")).agg(sum(col("n_words")).as("toks"))
     // single-partition window over the 5-row PER-STRATUM AGGREGATE (the
-    // txStratifiedSample pattern — lit(1), not an empty spec, to keep
-    // WindowExec's no-partition warning out of the logs), never the corpus
+    // txStratifiedSample pattern — a non-foldable onePartition key, to
+    // keep WindowExec's no-partition warning out of the logs), never
+    // the corpus
     val rates = counts
       .withColumn("total", sum(col("toks"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(Portable.onePartition(col("toks")))))
       .withColumn("alloc", expr("(total DIV 4) * "
         + "CASE " + BUDGET_SHARES.map { case (l, pm) =>
             s"WHEN lang = '$l' THEN ${pm}L" }.mkString(" ") + " END DIV 1000"))
@@ -1000,14 +1003,21 @@ object TextAnalysis {
     * implied rate, then the exact window over the ~quota survivors —
     * the same candidates-then-verify shape [[Dedup]] uses. */
   def temperatureMix(docs: DataFrame, stratum: Column): DataFrame = {
-    // lit(1) partition, not an empty spec: same single partition over the
-    // ≤|strata|-row aggregate, without WindowExec's no-partition warning
-    val tiny = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // single-partition window over the ≤|strata|-row aggregate. The key
+    // must be constant but NON-FOLDABLE: Spark 4's
+    // EliminateWindowPartitions optimizer rule strips foldable keys
+    // (lit(1) included), silently resurrecting WindowExec's
+    // "No Partition Defined" warning the key existed to avoid —
+    // `n % 1` (n = the group count, ≥ 1, never null) survives the rule
+    // and still evaluates to one partition. PlanSpec pins the absence
+    // of empty partitionSpecs suite-wide.
+    val tiny = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("n"), lit(1L)))
     val quotas = docs.groupBy(stratum.as("stratum"))
       .agg(count(lit(1)).as("n"))
       .withColumn("wt", expr("CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
-      .withColumn("budget", expr("SUM(n) OVER (PARTITION BY 1) DIV 4"))
-      .withColumn("wsum", expr("SUM(wt) OVER (PARTITION BY 1)"))
+      .withColumn("budget", expr("SUM(n) OVER (PARTITION BY n % 1) DIV 4"))
+      .withColumn("wsum", expr("SUM(wt) OVER (PARTITION BY n % 1)"))
       .withColumn("base", expr("budget * wt DIV wsum"))
       .withColumn("rem", expr("(budget * wt) % wsum"))
       .withColumn("extra_rank",

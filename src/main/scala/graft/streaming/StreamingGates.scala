@@ -44,11 +44,33 @@ object StreamingGates {
     * batch twin's oracle, which is the point of the gates. Production
     * streams size this by state volume (and use the RocksDB provider);
     * the replay corpora are deliberately tiny. */
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** RocksDB ships with Spark 4 but the jni jar may be absent in a
+    * stripped deployment — probe once and fall back silently to the
+    * default (HDFS-backed) provider, which is semantically identical. */
+  private lazy val rocksDbAvailable: Boolean =
+    try { Class.forName("org.rocksdb.RocksDB"); Class.forName(RocksDbProvider); true }
+    catch { case _: Throwable => false }
+
   private def withFewShufflePartitions[A](spark: SparkSession, n: Int = 8)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
+    val prevProv = spark.conf.get(provKey)
     spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+    // the RocksDB provider skips the default provider's per-batch HDFS
+    // snapshot/commit round-trips (the dominant fixed cost of these
+    // tiny-state gates — and the production answer at 100× state, where
+    // the in-memory HashMap provider's heap footprint is the limit).
+    // Semantics are identical — each gate still hash-matches its batch
+    // twin's oracle, which is the point of the gates.
+    if (rocksDbAvailable) spark.conf.set(provKey, RocksDbProvider)
+    try f finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(provKey, prevProv)
+    }
   }
 
   /** Time-range replay chunker: assign each event to one of `n` chunks by
@@ -90,20 +112,34 @@ object StreamingGates {
     * `agg_incremental_orders` — proving the streamed fold bit-equal to
     * the full recompute (decimal partials make the fold
     * order-insensitive, so WHICH rows share a micro-batch cannot leak
-    * into the result). */
+    * into the result). A [[StreamingPipeline.retainVersions]] sweep
+    * runs MID-STREAM (quiesced between micro-batches, after the
+    * checkpoint committed the folded batches), so the hash compare also
+    * pins that retiring superseded store versions never touches the
+    * serving fold — retention is priced into the gate, not just
+    * unit-tested. */
   def streamAggStore(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val in = tmp("graft_sgate_agg_in_")
     val store = tmp("graft_sgate_agg_store_")
     val ckpt = tmp("graft_sgate_agg_ckpt_")
-    (0 until 3).foreach { i =>
+    def feed(i: Int): Unit =
       orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
         .coalesce(1).write.mode("append").parquet(in)
-    }
+    feed(0)
     val src = spark.readStream.schema(orders.schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
     val q = StreamingPipeline.startIncrementalAggStore(src, store, ckpt)
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      feed(1)
+      q.processAllAvailable()
+      // two committed versions exist (v=0, v=1); retire all but the
+      // newest, then batch 2 folds against the surviving v=1
+      StreamingPipeline.retainVersions(spark, store, keep = 1)
+      feed(2)
+      q.processAllAvailable()
+    } finally q.stop()
     Incremental.finalizeStats(StreamingPipeline.latestPartials(spark, store))
       .orderBy(col("o_custkey"))
   }
@@ -135,6 +171,11 @@ object StreamingGates {
         changes.filter(col("_seq") === seq)
           .coalesce(1).write.mode("append").parquet(in)
         q.processAllAvailable()
+        // mid-stream retention: after the seq-1 batch commits, retire
+        // everything but its snapshot (the v=-1 seed goes); the seq-2
+        // fold then reads the surviving version — the hash compare
+        // proves the sweep invisible to the serving fold
+        if (seq == 1L) StreamingPipeline.retainVersions(spark, store, keep = 1)
       }
     } finally q.stop()
     StreamingPipeline.latestSnapshot(spark, store, orders.schema)
@@ -174,6 +215,8 @@ object StreamingGates {
         changes.filter(col("_seq") === seq)
           .coalesce(1).write.mode("append").parquet(in)
         q.processAllAvailable()
+        // same mid-stream retention pin as streamCdcStore
+        if (seq == 1L) StreamingPipeline.retainVersions(spark, store, keep = 1)
       }
     } finally q.stop()
     StreamingPipeline.latestSnapshot(spark, store, histSchema)
@@ -392,6 +435,12 @@ object StreamingGates {
           .select(col("doc_id"), col("text"))
           .coalesce(1).write.mode("append").parquet(in)
         q.processAllAvailable()
+        // mid-stream retention on the v=<id> index store (the
+        // streamAggStore pin): after batch 1 commits, versions
+        // {-1, 0, 1} exist; retire all but v=1 — batch 2 reads the
+        // newest-below, which the sweep preserved
+        if (i == 1)
+          StreamingPipeline.retainVersions(spark, store, keep = 1)
       }
     } finally q.stop()
     spark.read

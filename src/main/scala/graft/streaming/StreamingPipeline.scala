@@ -367,6 +367,10 @@ object StreamingPipeline {
         val spark = batch.sparkSession
         val b = batch.localCheckpoint(true)
         try {
+          // stamp (or check) the variant-hash family BEFORE touching the
+          // store: a kernel change across builds must refuse loudly, not
+          // silently stop matching prior batches (see [[ErVariantFormat]])
+          ensureFormat(spark, s"$storeDir/variants", ErVariantFormat)
           val vb = graft.operators.EntityResolution
             .variantHashes(b, "id", "name", maxDist).localCheckpoint(true)
           try {
@@ -433,6 +437,9 @@ object StreamingPipeline {
         try {
           import graft.operators.Similarity
           val planes = Similarity.NEARDUP_PLANES
+          // same loud hash-family refusal as the ER variant store: band
+          // keys are outputs of the hyperplane sign family
+          ensureFormat(spark, s"$storeDir/bands", AnnBandFormat)
           val bands = Similarity
             .banded(b, Similarity.NEARDUP_TABLES, planes)
             .select(col("vec_id"),
@@ -539,7 +546,9 @@ object StreamingPipeline {
     * Crash safety: the fold is written to an underscore-prefixed staging
     * dir (invisible to [[deltasBelow]]'s version listing AND to Hadoop
     * data listing) and renamed into place — an atomic namespace op on
-    * local FS/HDFS — so a half-written snapshot can never shadow the
+    * local FS/HDFS, and ENFORCED: object-store schemes (where rename is
+    * copy+delete) are refused loudly — so a half-written snapshot can
+    * never shadow the
     * deltas it was folding. A crash AFTER the rename leaves already-
     * folded `b` dirs behind, which readers skip (ids ≤ snapshot) and the
     * next sweep deletes. Run while the writing stream is quiesced
@@ -553,6 +562,18 @@ object StreamingPipeline {
     import org.apache.hadoop.fs.Path
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    // the crash-safety argument below rests on rename being an ATOMIC
+    // namespace op — true on local FS and HDFS, false on object stores
+    // (S3A/GCS/ABFS rename = copy+delete, so a crash mid-"rename" can
+    // leave a partial v=N that SHADOWS the deltas it was folding).
+    // Refuse loudly there; the object-store path needs a
+    // completeness-marker protocol (or a table format) instead.
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    require(!Set("s3a", "s3n", "s3", "gs", "abfs", "abfss", "wasb", "wasbs")
+        .contains(scheme.toLowerCase(java.util.Locale.ROOT)),
+      s"compactDeltas on $scheme:// — rename is copy+delete on object " +
+        "stores, so the atomic-publish crash argument does not hold; " +
+        "compact via an atomic-commit table format there")
     val snaps = listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
     require(snaps.forall(_ <= uptoVersion),
       s"delta store $dir already compacted past $uptoVersion (v=${snaps.max})")
@@ -588,6 +609,89 @@ object StreamingPipeline {
     * has retired the delta dirs). */
   def storeContents(spark: SparkSession, dir: String, schema: String): DataFrame =
     deltasBelow(spark, dir, schema, Long.MaxValue)
+
+  /** Format stamps for the persisted BLOCKING stores whose rows are
+    * outputs of a specific hash family ([[startErPairStore]]'s deletion-
+    * variant hashes, [[startAnnNearDupStore]]'s hyperplane band keys).
+    * Nothing else pins the family: a build that changes kernel or sign
+    * constants (as r10 did, xxhash64 → md5-60) silently stops matching
+    * a store written by the older build — new-batch hashes never equal
+    * stored ones, so cross-batch pairs are just MISSING, no error. The
+    * stamp turns that into a loud refusal. Bump the string whenever the
+    * corresponding hash family changes. */
+  val ErVariantFormat = "er-delvariant-md5-60/v1"
+  val AnnBandFormat = "ann-hyperplane-md5-parity-md5-60/v1"
+
+  private val FormatMarker = "_graft_format"
+
+  /** First writer stamps the store; every later writer (and any serving
+    * reader that calls this) must present the same format string or
+    * fail loudly — never silently match nothing. */
+  def ensureFormat(spark: SparkSession, dir: String, format: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(base, FormatMarker)
+    if (!fs.exists(p)) {
+      fs.mkdirs(base)
+      val out = fs.create(p, false)
+      try out.write(format.getBytes("UTF-8")) finally out.close()
+    } else {
+      val in = fs.open(p)
+      val found =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      require(found == format,
+        s"store $dir was written under hash-family format '$found'; this " +
+          s"build produces '$format' — new hashes would never match stored " +
+          "ones (silently missing cross-batch pairs). Rebuild the store or " +
+          "run the matching build.")
+    }
+  }
+
+  /** Retention sweep for the `v=<id>` FULL-SNAPSHOT store families
+    * ([[startIncrementalAggStore]] / [[startCdcSnapshotStore]] /
+    * [[startScd2HistoryStore]] / [[startSubstringDedupStore]]'s index):
+    * every version is a complete store copy, so the stream leaves one
+    * copy per micro-batch forever — unbounded disk on a long-running
+    * stream. This retires every version below the newest `keep`,
+    * the [[compactDeltas]] counterpart for stores where folding is
+    * already done per batch and only RETENTION is the policy knob.
+    *
+    * Crash safety is deletion-only (no staging needed — nothing is
+    * rewritten): versions retire OLDEST-FIRST, so a crash mid-sweep
+    * leaves a contiguous suffix of versions and the serving read
+    * ([[latestSnapshot]] / [[latestPartials]], newest-below) is
+    * unaffected at every intermediate state; re-running is idempotent.
+    *
+    * Contract, same as [[compactDeltas]]: run quiesced (between
+    * micro-batches or stopped) and only when the checkpoint has
+    * COMMITTED past the retired versions — a replayed batch whose
+    * strictly-below version was retired fails LOUDLY in
+    * [[latestSnapshot]] ("no version below b") rather than silently
+    * folding against newer state; that loud error is the designed
+    * refusal, exactly [[deltasBelow]]'s posture when compaction
+    * outruns the checkpoint. Likewise a time-travel read pinned to a
+    * retired version errors on the missing path instead of serving a
+    * different version. Refuses delta-store families (`b<id>` dirs
+    * present): those retire through [[compactDeltas]], whose snapshot
+    * accounting this sweep would corrupt. */
+  def retainVersions(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"retainVersions(keep=$keep): must keep >= 1 version")
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return Seq.empty
+    val deltas = listVersions(spark, dir, DeltaName).getOrElse(Seq.empty)
+    require(deltas.isEmpty,
+      s"$dir holds b<id> delta dirs (${deltas.sorted.take(3).mkString(",")}…) — " +
+        "a delta-store family; retire its history via compactDeltas, not " +
+        "a snapshot retention sweep")
+    val versions = listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
+    val retired = versions.sorted.dropRight(keep)
+    retired.foreach(v => fs.delete(new Path(base, s"v=$v"), true))
+    retired
+  }
 
   /** Streaming substring-dedup ingest: each document micro-batch is
     * dedup'd CAUSALLY — against the base corpus plus every batch up to

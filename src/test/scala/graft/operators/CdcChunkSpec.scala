@@ -101,4 +101,143 @@ class CdcChunkSpec extends SparkSpec {
       assert(a < b && c >= Multimodal.ChunkContainment && c <= 1.0)
     }
   }
+
+  // ------------------------------------------------- clamped chunker
+
+  /** Independent scalar reference for the CLAMPED rule — positional
+    * window sums (no rolling state) with the stateful cut selection
+    * applied sequentially. This is the spec-side truth the rows-only
+    * `mm_chunk_clamped` gate leans on (the BPE-fit pattern: stateful
+    * rules have no positional SQL twin). Returns (hashes, cut ends) so
+    * the clamp-bound assertions can inspect chunk LENGTHS too. */
+  private def naiveClamped(bytes: Array[Byte], w: Int, div: Int,
+                           minLen: Int, maxLen: Int): (Seq[Long], Seq[Int]) = {
+    val P = Portable.P
+    val B = CdcChunkHash60Kernel.B
+    val len = bytes.length
+    if (len == 0) return (Seq.empty, Seq.empty)
+    val pow = Iterator.iterate(1L)(_ * B % P).take(w).toArray
+    def h(q: Int): Long =
+      (0 until w).map(j => (bytes(q - 1 - j) & 0xffL) * pow(j)).sum % P
+    val ends = scala.collection.mutable.ArrayBuffer[Int]()
+    var start = 0
+    (1 to len).foreach { q =>
+      val cl = q - start
+      if ((q >= w && cl >= minLen && h(q) % div == 0) || cl == maxLen || q == len) {
+        ends += q; start = q
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var s0 = 0
+    val out = ends.toSeq.map { e =>
+      md.reset(); md.update(bytes, s0, e - s0)
+      val dig = md.digest()
+      var v = 0L
+      (0 until 8).foreach(k => v = (v << 8) | (dig(k) & 0xffL))
+      s0 = e
+      v >>> 4
+    }
+    (out.distinct, ends.toSeq)
+  }
+
+  private val MinL = Multimodal.ChunkMinLen
+  private val MaxL = Multimodal.ChunkMaxLen
+
+  private def kernelClamped(bytes: Array[Byte]): Seq[Long] =
+    CdcChunkHash60Kernel.computeClamped(bytes, W, Div, MinL, MaxL)
+      .toLongArray().toSeq
+
+  test("clamped kernel equals the scalar reference; clamps bound chunk lengths") {
+    val rnd = new scala.util.Random(11)
+    val cases: Seq[Array[Byte]] =
+      Seq(0, 1, 15, 16, 17, 31, 32, 33, 100, 1000, 5000)
+        .map(n => Array.fill[Byte](n)(rnd.nextInt(256).toByte)) ++ Seq(
+        // the two degenerate contents the clamps exist for: a zero run
+        // cuts at EVERY position unclamped (window hash 0 ≡ 0 mod div),
+        // and 0x01-runs almost never hit the divisor
+        Array.fill[Byte](1000)(0.toByte),
+        Array.fill[Byte](1000)(1.toByte))
+    cases.foreach { bytes =>
+      val (refHashes, ends) = naiveClamped(bytes, W, Div, MinL, MaxL)
+      assert(kernelClamped(bytes) == refHashes,
+        s"clamped kernel != reference at len=${bytes.length}")
+      // every chunk length in [minLen, maxLen] except a final remainder
+      val lens =
+        if (ends.isEmpty) Seq.empty
+        else (0 +: ends).sliding(2).map(p => p(1) - p(0)).toSeq
+      lens.dropRight(1).foreach(l =>
+        assert(l >= MinL && l <= MaxL, s"interior chunk length $l outside clamps"))
+      if (lens.nonEmpty) assert(lens.last <= MaxL)
+    }
+    // the zero run specifically: unclamped degenerates to 1-byte cuts
+    // past the first window; clamped yields exactly minLen-sized chunks
+    val zeros = Array.fill[Byte](320)(0.toByte)
+    val (_, zEnds) = naiveClamped(zeros, W, Div, MinL, MaxL)
+    assert((0 +: zEnds).sliding(2).forall(p => p(1) - p(0) == MinL),
+      "zero-run chunks must all be exactly minLen under the clamp")
+  }
+
+  test("minLen=1 / maxLen=MaxValue degenerates to the oracled stateless rule") {
+    val rnd = new scala.util.Random(13)
+    Seq(0, 1, 40, 500, 3000).foreach { n =>
+      val bytes = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      assert(
+        CdcChunkHash60Kernel.computeClamped(bytes, W, Div, 1, Int.MaxValue)
+          .toLongArray().toSeq == kernel(bytes),
+        s"clamped(1, ∞) must equal the stateless kernel at len=$n")
+    }
+    intercept[IllegalArgumentException] {
+      CdcChunkHash60Kernel.computeClamped(Array[Byte](1, 2, 3), W, Div, 0, 10)
+    }
+    intercept[IllegalArgumentException] {
+      CdcChunkHash60Kernel.computeClamped(Array[Byte](1, 2, 3), W, Div, 8, 4)
+    }
+  }
+
+  test("mm_chunk_clamped still links the planted mutations") {
+    val pairs = Multimodal.mmChunkNearDupClamped(spark, sf())
+      .select($"id_a", $"id_b", $"containment")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    graft.Caches.releaseAll()
+    // byte-exact copies must stay containment 1.0 under any chunking;
+    // the byte-level mutations must still clear the threshold (clamping
+    // preserves self-synchronization in the FastCDC sense)
+    val copies = pairs.keys.filter { case (a, b) => a < 10000 && b == a + 20000 }
+    assert(copies.nonEmpty)
+    copies.foreach(k => assert(pairs(k) == 1.0))
+    assert(pairs.keys.exists { case (a, b) => b == a + 30000 },
+      "appended variants must link under the clamped chunker")
+    assert(pairs.keys.exists { case (a, b) => b == a + 40000 },
+      "truncated variants must link under the clamped chunker")
+  }
+
+  // ------------------------------------------------- hot-chunk df cap
+
+  test("df cap keeps content linkage and kills boilerplate-only pairs") {
+    val dir = sf()
+    val capped = Multimodal.mmChunkNearDupCap(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    graft.Caches.releaseAll()
+    // long originals still link to their header-prepended variants
+    // through CONTENT chunks (realigned past the header) alone
+    val longOrig = Multimodal.chunkCapCorpus(spark, dir)
+      .filter($"doc_id" >= 50 && $"doc_id" < 150 &&
+        length($"text") > Multimodal.ChunkMutMinLen)
+      .select($"doc_id").as[Long].collect()
+    graft.Caches.releaseAll()
+    assert(longOrig.nonEmpty)
+    longOrig.foreach { d =>
+      assert(capped.contains((d, d + 50000)),
+        s"header-prepended $d must link to its original via content chunks")
+    }
+    // no pair rides on the boilerplate header alone: any capped pair
+    // WITHIN the header family must be explained by its originals also
+    // pairing (the header's chunks have df ≈ 100 > cap and are dropped)
+    val withinFamily = capped.filter { case (a, b) => a >= 50000 && b >= 50000 }
+    withinFamily.foreach { case (a, b) =>
+      assert(capped.contains((a - 50000, b - 50000)),
+        s"family pair ($a,$b) not backed by its originals — header leakage")
+    }
+  }
 }

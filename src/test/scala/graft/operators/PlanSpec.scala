@@ -26,6 +26,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no Window runs with an empty partitionSpec (the 'No Partition Defined' warning)") {
+    // an empty partitionSpec is exactly what triggers Spark's "No
+    // Partition Defined for Window operation" warning AND a
+    // single-partition global sort of the window input; every
+    // deliberately-tiny window (rank tails, per-corpus stats frames)
+    // must say so with partitionBy(lit(1)) — same execution, no
+    // warning flood burying real signals in the bench tail, and this
+    // static check pins the sweep so it cannot regress
+    // AQE OFF for the walk: with it on, executedPlan is an unexpanded
+    // AdaptiveSparkPlan leaf and collect() sees no Window at all (the
+    // PlanGold lesson)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+        try {
+          val bad = fn(spark, sf()).queryExecution.executedPlan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+          }
+          if (bad.isEmpty) None else Some(s"$name (${bad.size})")
+        } finally Caches.releaseAll()
+      }
+      assert(offenders.isEmpty,
+        s"Windows with no partitionSpec in: ${offenders.mkString(", ")} — " +
+          "partition by a constant NON-FOLDABLE key where a key is " +
+          "semantically absent (lit(1) gets stripped by " +
+          "EliminateWindowPartitions)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("dimension joins broadcast; scans push filters; top-k never global-sorts") {
     val broadcastExpected = Seq("q2_customer_by_region", "q3_shipping_priority",
       "q15_top_supplier_revenue", "q16_nations_having")

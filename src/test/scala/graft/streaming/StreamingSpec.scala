@@ -606,6 +606,61 @@ class StreamingSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("retainVersions: retires all but newest keep, idempotent, guards") {
+    val store = Files.createTempDirectory("graft_retain_").toString
+    (-1 to 2).foreach { v =>
+      spark.range(5).select($"id", lit(v).as("ver"))
+        .write.mode("overwrite").parquet(s"$store/v=$v")
+    }
+    def names = new java.io.File(store).listFiles().map(_.getName).toSet
+    // retire everything below the newest 2 — oldest-first
+    val retired = StreamingPipeline.retainVersions(spark, store, keep = 2)
+    assert(retired == Seq(-1L, 0L), s"retired $retired")
+    assert(names == Set("v=1", "v=2"), s"left $names")
+    // serving read (newest-below) unaffected
+    assert(StreamingPipeline.latestSnapshot(spark, store,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, ver INT")).agg(max($"ver")).head.getInt(0) == 2)
+    // idempotent re-run
+    assert(StreamingPipeline.retainVersions(spark, store, keep = 2).isEmpty)
+    assert(names == Set("v=1", "v=2"))
+    // a replay below the retired horizon fails LOUDLY in the serving
+    // read instead of silently folding against newer state
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.latestSnapshot(spark, store,
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, ver INT"), beforeVersion = 1L)
+    }
+    // keep must be >= 1 (keep=0 would retire the serving version)
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.retainVersions(spark, store, keep = 0)
+    }
+    // refuses delta-store families — those retire via compactDeltas
+    val deltaStore = Files.createTempDirectory("graft_retain_delta_").toString
+    spark.range(3).write.mode("overwrite").parquet(s"$deltaStore/b0")
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.retainVersions(spark, deltaStore, keep = 1)
+    }
+    // a dir that does not exist yet is a no-op, not an error
+    assert(StreamingPipeline.retainVersions(spark, s"$store/_nope", 1).isEmpty)
+  }
+
+  test("ensureFormat: first writer stamps; mismatched hash family refuses loudly") {
+    val dir = Files.createTempDirectory("graft_fmt_").toString + "/variants"
+    StreamingPipeline.ensureFormat(spark, dir, "er-delvariant-md5-60/v1")
+    // same format re-checks fine (every later batch)
+    StreamingPipeline.ensureFormat(spark, dir, "er-delvariant-md5-60/v1")
+    // a build with a different hash family must refuse, not silently
+    // write hashes that never match the stored ones
+    val e = intercept[IllegalArgumentException] {
+      StreamingPipeline.ensureFormat(spark, dir, "er-delvariant-xxhash64/v0")
+    }
+    assert(e.getMessage.contains("hash-family format"))
+    // the marker file is invisible to the delta-version listing
+    spark.range(3).selectExpr("id", "id AS variant")
+      .write.mode("overwrite").parquet(s"$dir/b0")
+    assert(StreamingPipeline.deltasBelow(spark, dir,
+      "id BIGINT, variant BIGINT", 5L).count() == 3)
+  }
+
   test("gate: replayed incremental agg store equals the batch query bit-for-bit") {
     val streamed = StreamingGates.streamAggStore(spark, sf()).collect().toSeq
     val batch = graft.operators.Incremental.aggIncrementalOrders(spark, sf())

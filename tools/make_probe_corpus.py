@@ -70,14 +70,16 @@ COPY (
 # stream_er): replica i>0 gets fresh keys AND the name re-derived from
 # the NEW key — exactly what a larger TPC-H customer table looks like
 # (denser zero-padded key space, the adversarially collision-heavy ER
-# case), with no planted cross-replica duplicates.
+# case), with no planted cross-replica duplicates. printf('%09d'),
+# not lpad: DuckDB's lpad TRUNCATES strings longer than the target
+# length, so a key past 1e9 would silently collide names across
+# replicas — printf pads short keys and leaves long ones intact.
 cust_off = con.execute(f"SELECT max(c_custkey) + 1 FROM '{SRC}/customer.parquet'").fetchone()[0]
 con.sql(f"""
 COPY (
   SELECT c_custkey + i * {cust_off} AS c_custkey,
          CASE WHEN i = 0 THEN c_name
-              ELSE 'Customer#' ||
-                   lpad(CAST(c_custkey + i * {cust_off} AS VARCHAR), 9, '0')
+              ELSE printf('Customer#%09d', c_custkey + i * {cust_off})
          END AS c_name,
          c_nationkey, c_acctbal, c_mktsegment
   FROM '{SRC}/customer.parquet', range({N}) t(i)

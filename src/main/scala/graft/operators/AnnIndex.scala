@@ -289,6 +289,24 @@ object AnnIndex {
                     basePath: String): (DataFrame, IndexMeta) =
     (spark.table(table), readIndexMeta(spark, s"$basePath/$table"))
 
+  /** Incremental append through the PERSISTED constants: the pinned
+    * [[appendVectors]] trusts the caller to re-supply the build's
+    * (tables, planes, buckets) — exactly the silent-mismatch trap the
+    * marker file closes (a banding mismatch mixes sign geometries with
+    * no error, just missing collisions). This reads the marker and
+    * appends under it, so an auto-built index can never be appended
+    * under a different geometry. The planes stay the BUILD-time
+    * derivation by design — occupancy drifts up as appends accumulate,
+    * and the rebuild cadence (re-derive planes when the corpus has
+    * grown ~2×, i.e. one plane's worth) is the maintenance policy, not
+    * a per-append decision. */
+  def appendVectorsAuto(spark: SparkSession, newVectors: DataFrame,
+                        table: String, basePath: String): DataFrame = {
+    val meta = readIndexMeta(spark, s"$basePath/$table")
+    appendVectors(spark, newVectors, table, meta.tables, meta.planes,
+      meta.buckets)
+  }
+
   /** Gated query: near-dup pairs through the AUTO-sized persisted
     * index — build with corpus-derived planes, re-open the index from
     * disk (meta marker round-trip is load-bearing, not decorative),

@@ -149,4 +149,50 @@ class AnnIndexSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
     }
   }
+
+  test("auto index: meta round-trips, append reads the persisted constants") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_auto").toFile
+    try {
+      val e = Tables.embeddings(spark, sf())
+      val half = e.filter(col("vec_id") % 2 === 0)
+      val rest = e.filter(col("vec_id") % 2 =!= 0)
+      val (_, built) = AnnIndex.buildNearDupIndexAuto(spark, half,
+        "ann_idx_auto", tmp.getAbsolutePath, buckets = 8)
+      // the marker is the cross-session source of truth
+      val (_, meta) =
+        AnnIndex.openAutoIndex(spark, "ann_idx_auto", tmp.getAbsolutePath)
+      assert(meta == built)
+      assert(meta.planes == Similarity.autoPlanes(half.count()))
+      // append under the PERSISTED constants (no caller-supplied config)
+      val idx =
+        AnnIndex.appendVectorsAuto(spark, rest, "ann_idx_auto", tmp.getAbsolutePath)
+      // ≡ a from-scratch build of the full corpus at the index's own
+      // constants — the banding geometry did not drift across the append
+      val tmp2 = java.nio.file.Files.createTempDirectory("graft_ann_auto_f").toFile
+      try {
+        val full = AnnIndex.buildNearDupIndex(spark, e, "ann_idx_auto_full",
+          tmp2.getAbsolutePath, meta.tables, meta.planes, meta.buckets)
+        val got = AnnIndex.nearDupCandidates(idx)
+          .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+          .collect().toSet
+        val want = AnnIndex.nearDupCandidates(full)
+          .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+          .collect().toSet
+        assert(got == want, "auto append diverges from full build")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS ann_idx_auto_full")
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp2)
+      }
+      // probing with queryBandsFor(meta) collides exactly as the build
+      val q = e.filter(col("vec_id") < Similarity.QuerySetSize)
+      assert(AnnIndex.probeBands(idx, AnnIndex.queryBandsFor(meta, q)).count() > 0)
+      // a dir with no marker refuses instead of guessing constants
+      intercept[IllegalArgumentException] {
+        AnnIndex.readIndexMeta(spark, tmp.getAbsolutePath + "/nope")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_idx_auto")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
 }

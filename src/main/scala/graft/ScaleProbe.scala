@@ -73,7 +73,11 @@ object ScaleProbe {
     "sim_neardup_from_index_auto", "sim_knn_from_index_auto",
     // df-capped chunk near-dup (hot chunks dropped pre-join) and the
     // clamped chunker — both expected ~mm_chunk_neardup-shaped
-    "mm_chunk_neardup_cap", "mm_chunk_clamped")
+    "mm_chunk_neardup_cap", "mm_chunk_clamped",
+    // √n-cell IVF through the persisted trained codebook: train cost
+    // ~n·√n per k-means pass, probe share ∝ nprobe/√n — the auto
+    // sizing for the second ANN family
+    "sim_ivf_auto_from_codebook")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -217,6 +217,12 @@ object SparkEntry {
       (graft.operators.AnnIndex.simNearDupFromIndexAuto _),
     "sim_knn_from_index_auto" ->
       (graft.operators.AnnIndex.simKnnFromIndexAuto _),
+    // IVF with √n-derived cell count, served through the persisted
+    // trained codebook (the sim_ivf_from_codebook artifact mechanism
+    // at the auto-derived k) — corpus-derived constants for the
+    // second ANN family
+    "sim_ivf_auto_from_codebook" ->
+      ((s: SparkSession, d: String) => Similarity.simIvfAutoFromCodebook(s, d)),
     "tx_bm25_from_index" -> (graft.operators.SearchIndex.txBm25FromIndex _),
     "sim_quantize" -> (Similarity.simQuantizeGated _),
     "sim_semantic_dedup" -> (Similarity.simSemanticDedup _),
@@ -391,6 +397,7 @@ object SparkEntry {
     "sim_knn_from_index" -> Similarity.simKnnGraphSql,
     "sim_neardup_from_index_auto" -> Similarity.simCosineNearDupAutoSql,
     "sim_knn_from_index_auto" -> Similarity.simKnnGraphAutoSql,
+    "sim_ivf_auto_from_codebook" -> Similarity.simIvfAutoFromCodebookSql,
     "tx_bm25_from_index" -> Search.txBm25TopKSql,
     "sim_quantize" -> Similarity.simQuantizeSql,
     "sim_semantic_dedup" -> Similarity.simSemanticDedupSql,

@@ -259,19 +259,24 @@ object Profiling {
         coalesce(col("__ka").cast("string"), col("__kb").cast("string")).as("category"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-    // global windows over the |categories|-row frame — tiny by
-    // contract. PARTITION BY n_a % 1 (constant, non-foldable, same key
-    // in all four windows so they collapse into one WindowExec): an
+    // global window over the |categories|-row frame — tiny by
+    // contract. PARTITION BY n_a % 1 (constant, non-foldable): an
     // empty OVER () warns per run, and a foldable key gets stripped
-    // back to empty by EliminateWindowPartitions (Portable.onePartition)
+    // back to empty by EliminateWindowPartitions (Portable.onePartition).
+    // Both totals compute in ONE projection so Catalyst plans ONE
+    // WindowExec — the per-withColumn form planned two chained
+    // Window(Sort(Exchange)) stages (+1.2 s on the mix-drift gate,
+    // measured), because the interleaved Projects block CollapseWindow
     val shares = j
+      .select(col("*"),
+        expr("sum(n_a) over (partition by n_a % 1)").as("__tot_a"),
+        expr("sum(n_b) over (partition by n_a % 1)").as("__tot_b"))
       .withColumn("share_ppm_a",
-        expr("case when sum(n_a) over (partition by n_a % 1) = 0 then 0L " +
-          "else n_a * 1000000L div sum(n_a) over (partition by n_a % 1) end"))
+        expr("case when __tot_a = 0 then 0L else n_a * 1000000L div __tot_a end"))
       .withColumn("share_ppm_b",
-        expr("case when sum(n_b) over (partition by n_a % 1) = 0 then 0L " +
-          "else n_b * 1000000L div sum(n_b) over (partition by n_a % 1) end"))
+        expr("case when __tot_b = 0 then 0L else n_b * 1000000L div __tot_b end"))
       .withColumn("delta_ppm", abs(col("share_ppm_a") - col("share_ppm_b")))
+      .drop("__tot_a", "__tot_b")
     // coalesce: sums over a zero-category frame (both slices empty) are
     // NULL in both engines — the convention pins the summary row to 0s
     val tvd = shares

@@ -449,6 +449,49 @@ object Similarity {
   val simIvfFromCodebookSql: String = ivfTopKSqlWith(
     s"SELECT centroid_id, ce FROM read_parquet('$IvfArtifactPath/*.parquet')")
 
+  /** Corpus-derived IVF cell count — the √n rule (the standard IVF
+    * sizing guidance: cells ≈ √n balances assignment cost n·k against
+    * probe cost n·nprobe/k), rounded UP to a power of two and floored
+    * at the gated [[IVF_CENTROIDS]]. Same posture as [[autoPlanes]]:
+    * a pinned cell count is a scale trap — at 100× corpus a 16-cell
+    * quantizer probes 25% of everything forever, while √n cells keep
+    * the probed share ∝ nprobe/√n. Capped at 2¹⁴ cells (beyond that
+    * the broadcast codebook and the k-means fit want a hierarchical
+    * quantizer, not a bigger flat one). `nprobe` stays the recall
+    * knob: fixed nprobe over more cells probes a SMALLER corpus
+    * share — production raises nprobe with recall requirements, not
+    * with corpus size. */
+  def autoNlist(corpusRows: Long): Int = {
+    require(corpusRows > 0, "empty corpus")
+    val target = math.sqrt(corpusRows.toDouble)
+    var k = IVF_CENTROIDS
+    while (k < target && k < (1 << 14)) k <<= 1
+    k
+  }
+
+  /** Fixed artifact path for the gated auto-sized trained codebook. */
+  val IvfAutoArtifactPath = "/tmp/graft_artifacts/ivf_codebook_auto"
+
+  /** Gated HASH-EXACT: IVF serving through a persisted codebook whose
+    * cell count derives from the corpus ([[autoNlist]]) — the
+    * [[simIvfFromCodebook]] artifact mechanism extended to the auto
+    * sizing, completing the corpus-derived-constants story for the
+    * second ANN family (hyperplane banding got [[autoPlanes]] +
+    * the persisted auto index; IVF gets √n cells + this). Training
+    * stays an iterative fixpoint with no closed-form oracle, but the
+    * SERVING relation given the frozen artifact is pure SQL, so the
+    * oracle reads the same parquet codebook and the hash compare pins
+    * assignment, probing, and ranking at the auto-derived k. */
+  def simIvfAutoFromCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    trainIvfCodebook(e, autoNlist(e.count()))
+      .coalesce(1).write.mode("overwrite").parquet(IvfAutoArtifactPath)
+    ivfTopKWith(e, spark.read.parquet(IvfAutoArtifactPath))
+  }
+
+  val simIvfAutoFromCodebookSql: String = ivfTopKSqlWith(
+    s"SELECT centroid_id, ce FROM read_parquet('$IvfAutoArtifactPath/*.parquet')")
+
   /** IVF cell card — the index-balance report that tunes nlist/nprobe:
     * per cell, member count, corpus share in integer ppm, and the
     * min/max member-to-centroid cosine (the cell's angular "radius").

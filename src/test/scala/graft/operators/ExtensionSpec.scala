@@ -212,6 +212,30 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.85, s"IVF ANN recall@5 $recall below 0.85 floor")
   }
 
+  test("autoNlist: √n rule, power of two, floored and capped") {
+    import Similarity.{autoNlist, IVF_CENTROIDS}
+    // floor: tiny corpora keep the gated cell count
+    assert(autoNlist(1) == IVF_CENTROIDS && autoNlist(256) == IVF_CENTROIDS)
+    // the √n band: k/2 < √n ≤ k once past the floor
+    Seq(2000L, 60000L, 1000000L, 100000000L).foreach { n =>
+      val k = autoNlist(n)
+      val r = math.sqrt(n.toDouble)
+      assert(k >= IVF_CENTROIDS && (k & (k - 1)) == 0, s"n=$n k=$k not pow2")
+      assert(k >= r && (k == IVF_CENTROIDS || k / 2 < r),
+        s"n=$n k=$k off the √n band")
+      assert(autoNlist(n) <= autoNlist(n * 10), "monotone")
+    }
+    // cap: never past 2^14 (hierarchical-quantizer territory)
+    assert(autoNlist(Long.MaxValue / 2) == (1 << 14))
+    intercept[IllegalArgumentException] { autoNlist(0) }
+    // the auto gate's codebook really is auto-sized (not the pinned 16)
+    val n = graft.sources.Tables.embeddings(spark, sf("sf0.01")).count()
+    Similarity.simIvfAutoFromCodebook(spark, sf("sf0.01")).count()
+    graft.Caches.releaseAll()
+    val k = spark.read.parquet(Similarity.IvfAutoArtifactPath).count()
+    assert(k == autoNlist(n), s"persisted auto codebook has $k cells, want ${autoNlist(n)}")
+  }
+
   test("k-means codebook: objective descends, training is deterministic, recall holds") {
     val e = graft.sources.Tables.embeddings(spark, sf("sf0.01"))
     val standIn = e.filter($"vec_id" < Similarity.IVF_CENTROIDS)

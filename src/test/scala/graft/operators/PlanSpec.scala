@@ -12,7 +12,8 @@ class PlanSpec extends SparkSpec {
     * the 16-row IVF codebook) — both O(corpus · small-constant). */
   private val bnljAllowed = Set("sim_bruteforce_topk", "sim_prefix_topk",
     "sim_ivf_topk", "sim_ivf_trained", "sim_ivf_from_codebook",
-    "sim_ivf_pq_topk", "sim_mips_topk", "tx_hybrid_rrf", "sim_cluster_card")
+    "sim_ivf_auto_from_codebook", "sim_ivf_pq_topk", "sim_mips_topk",
+    "tx_hybrid_rrf", "sim_cluster_card")
 
   test("no gated query plans a CartesianProduct, and BNLJ only where sanctioned") {
     SparkEntry.queries.foreach { case (name, fn) =>

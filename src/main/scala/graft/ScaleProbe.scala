@@ -2,14 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scale-growth probe: times the document/embedding scale-path queries
-  * on two directories (typically sf0.1 and a replicated N× copy) and
-  * prints the growth ratio per query. Sub-linear-to-linear growth is the
-  * empirical check behind SCALING.md's claims — a quadratic pair scan
-  * would show ~N² here. Usage:
-  * `runMain graft.ScaleProbe <dirSmall> <dirBig> [query ...]` — trailing
-  * names restrict the run to those probes (the special sections still
-  * run only in a full, unfiltered run). */
 /** Output-cardinality probe: `runMain graft.CountQuery <dir> <name...>`
   * prints each gated query's output row count on `dir`. Companion to
   * [[ScaleProbe]] — for output-growth-bound operators (ER blocking,
@@ -37,6 +29,14 @@ object CountQuery {
   }
 }
 
+/** Scale-growth probe: times the document/embedding scale-path queries
+  * on two directories (typically sf0.1 and a replicated N× copy) and
+  * prints the growth ratio per query. Sub-linear-to-linear growth is the
+  * empirical check behind SCALING.md's claims — a quadratic pair scan
+  * would show ~N² here. Usage:
+  * `runMain graft.ScaleProbe <dirSmall> <dirBig> [query ...]` — trailing
+  * names restrict the run to those probes (the special sections still
+  * run only in a full, unfiltered run). */
 object ScaleProbe {
   private val Probes = Seq(
     "dd_exact", "dd_minhash_lsh", "dd_simhash",
@@ -77,7 +77,13 @@ object ScaleProbe {
     // √n-cell IVF through the persisted trained codebook: train cost
     // ~n·√n per k-means pass, probe share ∝ nprobe/√n — the auto
     // sizing for the second ANN family
-    "sim_ivf_auto_from_codebook")
+    "sim_ivf_auto_from_codebook",
+    // PII redaction — byte-linear narrow projection, the
+    // tx_token_stats family
+    "tx_pii_audit",
+    // cross near-dup: batch-vs-history banding, no intra-history
+    // candidate mass — expected sub-minhashLsh growth
+    "dd_cross_neardup")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

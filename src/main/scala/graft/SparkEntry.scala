@@ -143,6 +143,10 @@ object SparkEntry {
     "dd_ssjoin_auto" -> (Dedup.ddSsjoinAuto _),
     "dd_containment" -> (Dedup.ddContainment _),
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _),
+    // daily-ingest cross near-dup: batch bands join HISTORY bands only
+    // (no intra-history pairing); oracle = the full LSH chain filtered
+    // to cross pairs, proving cross-banding ≡ self-join-then-filter
+    "dd_cross_neardup" -> (Dedup.ddCrossNearDup _),
     "dd_simhash" -> (Dedup.ddSimhash _),
     "dd_simhash_r4" -> (Dedup.ddSimhashR4 _),
     "dd_pipeline" -> (Dedup.ddPipeline _),
@@ -223,6 +227,11 @@ object SparkEntry {
     // second ANN family
     "sim_ivf_auto_from_codebook" ->
       ((s: SparkSession, d: String) => Similarity.simIvfAutoFromCodebook(s, d)),
+    // PII audit over a planted-PII corpus (emails/phones/IPs/SSNs +
+    // negative controls): per-type counts on the original text + the
+    // scrub, through the SAME piiPatterns/redact primitives tx_redact
+    // pins — one narrow codegen'd projection, hash-exact
+    "tx_pii_audit" -> (TextAnalysis.txPiiAudit _),
     "tx_bm25_from_index" -> (graft.operators.SearchIndex.txBm25FromIndex _),
     "sim_quantize" -> (Similarity.simQuantizeGated _),
     "sim_semantic_dedup" -> (Similarity.simSemanticDedup _),
@@ -325,6 +334,7 @@ object SparkEntry {
     "tx_split_assign" -> TextAnalysis.txSplitAssignSql,
     "tx_stratified_sample" -> TextAnalysis.txStratifiedSampleSql,
     "tx_word_freq" -> TextAnalysis.txWordFreqSql,
+    "tx_pii_audit" -> TextAnalysis.txPiiAuditSql,
     "tx_epoch_mix" -> TextAnalysis.txEpochMixSql,
     "tx_pack_sequences" -> Pack.txPackSequencesSql,
     "tx_chunk_overlap" -> TextAnalysis.txChunkOverlapSql,
@@ -354,6 +364,7 @@ object SparkEntry {
     "dd_ssjoin_auto" -> Dedup.ddNgramJaccardSql,
     "dd_containment" -> Dedup.ddContainmentSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
+    "dd_cross_neardup" -> Dedup.ddCrossNearDupSql,
     "dd_simhash" -> Dedup.ddSimhashSql,
     "dd_simhash_r4" -> Dedup.ddSimhashR4Sql,
     "dd_pipeline" -> Dedup.ddPipelineSql,

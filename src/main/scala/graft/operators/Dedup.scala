@@ -340,16 +340,8 @@ object Dedup {
     * the unit [[ddMinhashLsh]] runs on the augmented corpus and
     * [[ddPipeline]] runs on exact-dedup survivors. */
   def minhashLshPairs(corpus: DataFrame): DataFrame = {
-    val sigs = signaturesOf(corpus)
-    // band signature = concat of the R member hashes; ONE posexplode pass
-    // (a per-band union would re-run the K-aggregate signature computation
-    // once per band per join side), persisted for the self-join's two
-    // consumers — 4 short rows per doc
-    val sigCols = (0 until BANDS).map { bnd =>
-      concat_ws("_", (bnd * R until (bnd + 1) * R).map(k => col(s"mh_$k")): _*)
-    }
-    val banded = graft.Caches.persist(sigs
-      .select(col("doc_id"), posexplode(array(sigCols: _*)).as(Seq("band", "sig"))))
+    // persisted for the self-join's two consumers — 4 short rows per doc
+    val banded = graft.Caches.persist(bandedRowsOf(corpus))
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -359,6 +351,74 @@ object Dedup {
     // exact verification on the candidate set only
     verifyPairs(candidates, shingleRowsOf(corpus))
   }
+
+  /** (doc_id, band, sig) LSH band rows of a corpus — band signature =
+    * concat of the R member hashes; ONE posexplode pass (a per-band
+    * union would re-run the signature computation once per band per
+    * join side). Shared by the self-join ([[minhashLshPairs]]) and the
+    * cross-join ([[crossNearDupPairs]]) so the two can never band
+    * differently. */
+  private def bandedRowsOf(corpus: DataFrame): DataFrame = {
+    val sigCols = (0 until BANDS).map { bnd =>
+      concat_ws("_", (bnd * R until (bnd + 1) * R).map(k => col(s"mh_$k")): _*)
+    }
+    signaturesOf(corpus)
+      .select(col("doc_id"), posexplode(array(sigCols: _*)).as(Seq("band", "sig")))
+  }
+
+  /** Cross-corpus near-dup — the daily-ingest shape for NEAR duplicates,
+    * the MinHash twin of [[ddIncremental]]'s exact-digest probe: band
+    * the (huge) history and the (small) new batch separately and join
+    * ONLY across the two sides, so the C(|history|,2) intra-history
+    * candidate mass a full [[minhashLshPairs]] over history ∪ batch
+    * would generate never materializes — per-ingest cost is batch
+    * bands ⋈ history collisions, not history². Output: one row per
+    * (history doc, batch doc) near-dup pair; intra-batch duplicates are
+    * deliberately out of scope (run the within-batch dedup first, then
+    * probe survivors — the [[ddPipeline]] composition order).
+    *
+    * Caller contract: history and batch doc_ids are disjoint, with
+    * every history id below every batch id (the append-only ingest
+    * convention the streaming stores state for batch ids) — that makes
+    * cross-banding provably equal to the full self-join FILTERED to
+    * cross pairs (orientation a < b puts the history doc first), which
+    * is exactly how the oracle states it.
+    *
+    * 100 TB shape: the history band relation is computed once per
+    * corpus refresh and persisted BUCKETED on (band, sig) (the
+    * [[graft.operators.AnnIndex]] posture at the text tier — probes
+    * then plan Exchange-free on the history side); the batch side is
+    * ingest-sized, so AQE broadcasts it. Verification joins shingle
+    * hashes back by id for candidate docs only. */
+  def crossNearDupPairs(history: DataFrame, batch: DataFrame): DataFrame = {
+    val h = bandedRowsOf(history)
+      .select(col("doc_id").as("id_a"), col("band"), col("sig"))
+    val b = bandedRowsOf(batch)
+      .select(col("doc_id").as("id_b"), col("band"), col("sig"))
+    val candidates = h.join(b, Seq("band", "sig"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyPairs(candidates, shingleRowsOf(history.unionByName(batch)))
+  }
+
+  /** Gated query: cross near-dup over the augmented corpus split at the
+    * planted-variant boundary — base docs (< 10000) are the history,
+    * the appended near-dup variants (≥ 10000) the new batch. Oracle:
+    * the FULL [[ddMinhashLshSql]] chain filtered to cross pairs, so the
+    * hash compare proves cross-banding ≡ self-join-then-filter (no
+    * cross pair lost, no intra-side pair invented). */
+  def ddCrossNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val aug = graft.Caches.persist(augmented(spark, dir))
+    crossNearDupPairs(
+      aug.filter(col("doc_id") < 10000),
+      aug.filter(col("doc_id") >= 10000))
+  }
+
+  val ddCrossNearDupSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    ${lshCtesSql("aug")}
+    SELECT id_a, id_b, jaccard FROM lsh_pairs
+    WHERE id_a < 10000 AND id_b >= 10000
+    ORDER BY id_a, id_b"""
 
   /** Exact hashed-shingle-Jaccard verification of candidate pairs
     * (id_a, id_b) against a shingle-hash relation (doc_id, h) — the

@@ -224,7 +224,12 @@ object TextAnalysis {
   val piiPatterns: Seq[(String, String)] = Seq(
     "[EMAIL]" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "[PHONE]" -> "\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -]?[0-9]{2,4}",
-    "[IP]"    -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+    "[IP]"    -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    // r11: SSN and the dashed US phone form — disjoint from each other
+    // (middle group 2 vs 3 digits) and from the forms above; the
+    // `tx_pii_audit` gate plants both plus negative controls
+    "[SSN]"   -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "[PHONE]" -> "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b")
 
   /** PII redaction — training-data hygiene's scrubber: replace every
     * email / phone / IP occurrence with a typed placeholder token, at
@@ -1076,4 +1081,91 @@ object TextAnalysis {
     FROM rk JOIN q USING (source)
     WHERE pick_rank <= quota
     ORDER BY rk.doc_id"""
+
+  // ----------------------------------------------- PII audit (r11)
+
+  /** Gate corpus for the PII AUDIT pass: the (PII-free) documents table
+    * extended with PLANTED PII — docs 0..59 re-ingested at +60000 with
+    * one deterministic doc-id-derived span appended (type rotates by
+    * id mod 4 over email / dashed phone / IP / SSN), plus one +70000
+    * doc carrying all four types AND two negative controls (a 3-group
+    * dotted version string and a non-conforming digit run) whose
+    * survival the oracle hash pins. Spark and the oracle derive the
+    * same strings from the same ids (format_string ≡ printf). */
+  def piiCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 60)
+      .select((col("doc_id") + 60000).as("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            format_string(" contact user%05d@example.com now", col("doc_id")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            format_string(" call 415-555-%04d today", pmod(col("doc_id"), lit(10000))))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            format_string(" host 10.0.%d.%d up",
+              pmod(col("doc_id"), lit(200)), pmod(col("doc_id"), lit(100))))
+          .otherwise(
+            format_string(" ssn 123-45-%04d noted", pmod(col("doc_id"), lit(10000)))))
+          .as("text"))
+    val mixed = docs.filter(col("doc_id") === 60)
+      .select((col("doc_id") + 70000).as("doc_id"),
+        concat(col("text"), lit(" alice@example.com 415-555-0000 10.0.0.1" +
+          " 123-45-6789 version 1.2.3 order 12-34-56")).as("text"))
+    docs.unionByName(planted).unionByName(mixed)
+  }
+
+  /** Per-type PII occurrence counts + the scrubbed text, over the
+    * SHARED [[piiPatterns]]/[[redact]] primitives the `tx_redact` gate
+    * already pins — this gate adds the AUDIT surface a compliance pass
+    * needs (which types, how many, counted on the ORIGINAL text before
+    * scrubbing) and the negative-control pins. Counts group patterns
+    * by their replacement token (both phone forms land in n_phone).
+    * Scale shape: one narrow codegen'd projection, zero shuffle. */
+  def piiAudit(docs: DataFrame): DataFrame = {
+    val byToken = piiPatterns.groupBy(_._1).toSeq.sortBy(_._1)
+    val counts = byToken.map { case (token, pats) =>
+      val name = "n_" + token.stripPrefix("[").stripSuffix("]")
+        .toLowerCase(java.util.Locale.ROOT)
+      pats.map { case (_, re) => regexp_count(col("text"), lit(re)).cast("long") }
+        .reduce(_ + _).as(name)
+    }
+    docs.select(Seq(col("doc_id")) ++ counts ++
+        Seq(redact(col("text")).as("redacted_text")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: the audit over the planted corpus. */
+  def txPiiAudit(spark: SparkSession, dir: String): DataFrame =
+    piiAudit(piiCorpus(spark, dir))
+
+  val txPiiAuditSql: String = {
+    val corpus = s"""pii AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 60000 AS doc_id,
+             text || CASE doc_id % 4
+               WHEN 0 THEN printf(' contact user%05d@example.com now', doc_id)
+               WHEN 1 THEN printf(' call 415-555-%04d today', doc_id % 10000)
+               WHEN 2 THEN printf(' host 10.0.%d.%d up', doc_id % 200, doc_id % 100)
+               ELSE printf(' ssn 123-45-%04d noted', doc_id % 10000) END AS text
+      FROM documents WHERE doc_id < 60
+      UNION ALL
+      SELECT doc_id + 70000 AS doc_id,
+             text || ' alice@example.com 415-555-0000 10.0.0.1' ||
+                     ' 123-45-6789 version 1.2.3 order 12-34-56' AS text
+      FROM documents WHERE doc_id = 60)"""
+    val counts = piiPatterns.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (token, pats) =>
+        val name = "n_" + token.stripPrefix("[").stripSuffix("]")
+          .toLowerCase(java.util.Locale.ROOT)
+        pats.map { case (_, re) =>
+          s"len(regexp_extract_all(text, '$re'))" }.mkString("CAST(", " + ", s" AS BIGINT) AS $name")
+      }.mkString(",\n           ")
+    s"""
+    WITH $corpus
+    SELECT doc_id,
+           $counts,
+           ${redactSql("text")} AS redacted_text
+    FROM pii ORDER BY doc_id"""
+  }
 }

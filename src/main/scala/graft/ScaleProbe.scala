@@ -83,7 +83,10 @@ object ScaleProbe {
     "tx_pii_audit",
     // cross near-dup: batch-vs-history banding, no intra-history
     // candidate mass — expected sub-minhashLsh growth
-    "dd_cross_neardup")
+    "dd_cross_neardup",
+    // quality-ranked survivor pick: dd_cluster's plan + a narrow score
+    // projection + cluster-partitioned rank — expected ~dd_cluster
+    "dd_cluster_keep_best")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

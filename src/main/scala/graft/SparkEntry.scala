@@ -147,6 +147,9 @@ object SparkEntry {
     // (no intra-history pairing); oracle = the full LSH chain filtered
     // to cross pairs, proving cross-banding ≡ self-join-then-filter
     "dd_cross_neardup" -> (Dedup.ddCrossNearDup _),
+    // quality-ranked survivor selection: keep the best-quality member
+    // per near-dup cluster (the production policy min-id stands in for)
+    "dd_cluster_keep_best" -> (Dedup.ddClusterKeepBest _),
     "dd_simhash" -> (Dedup.ddSimhash _),
     "dd_simhash_r4" -> (Dedup.ddSimhashR4 _),
     "dd_pipeline" -> (Dedup.ddPipeline _),
@@ -365,6 +368,7 @@ object SparkEntry {
     "dd_containment" -> Dedup.ddContainmentSql,
     "dd_minhash_lsh" -> Dedup.ddMinhashLshSql,
     "dd_cross_neardup" -> Dedup.ddCrossNearDupSql,
+    "dd_cluster_keep_best" -> Dedup.ddClusterKeepBestSql,
     "dd_simhash" -> Dedup.ddSimhashSql,
     "dd_simhash_r4" -> Dedup.ddSimhashR4Sql,
     "dd_pipeline" -> Dedup.ddPipelineSql,

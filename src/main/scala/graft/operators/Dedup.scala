@@ -1077,6 +1077,55 @@ object Dedup {
     ${Portable.closureLabelsSql("lsh_pairs", "doc_id")}
     SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""
 
+  /** QUALITY-ranked survivor selection — the production policy
+    * [[ddCluster]]'s min-id representative stands in for: within each
+    * near-dup cluster keep the HIGHEST-quality member (the composite
+    * [[TextAnalysis.quality]] score the `tx_quality_score` gate proves
+    * bit-identical across engines), ties broken by doc_id. Min-id is
+    * an arbitrary-but-deterministic placeholder; real curation keeps
+    * the longest/cleanest duplicate and deletes the rest — this gate
+    * pins that policy end to end (clustering ∘ scoring ∘ per-cluster
+    * argmax) under one oracle hash.
+    *
+    * Scale shape: everything up to the rank is [[ddCluster]]'s plan;
+    * the quality score is one narrow codegen'd projection; the rank
+    * window partitions by `cluster_id` over CLUSTER-sized groups
+    * (bounded by near-dup cluster size — and exact-dedup-first keeps
+    * those small, the [[ddPipeline]] composition argument), never the
+    * corpus. */
+  def ddClusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val aug = graft.Caches.persist(augmented(spark, dir))
+    val pairs = minhashLshPairs(aug)
+    val labels = Cluster.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val scored = aug.select(col("doc_id"),
+      graft.operators.TextAnalysis.quality.as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    labels.join(scored, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rk") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ddClusterKeepBestSql: String = s"""
+    WITH RECURSIVE aug AS ($augmentedSql),
+    ${lshCtesSql("aug")},
+    ${Portable.closureLabelsSql("lsh_pairs", "doc_id")},
+    scored AS (
+      SELECT doc_id, ${graft.operators.TextAnalysis.qualitySql("text")} AS quality
+      FROM aug),
+    ranked AS (
+      SELECT l.doc_id, l.cluster_id, s.quality,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY s.quality DESC, l.doc_id) AS rk
+      FROM labels l JOIN scored s USING (doc_id))
+    SELECT doc_id, cluster_id, quality, rk = 1 AS keep
+    FROM ranked ORDER BY doc_id"""
+
   // --------------------------------------------------------- span dedup
 
   /** Span width for the gated query. Real text at 100 TB wants wider

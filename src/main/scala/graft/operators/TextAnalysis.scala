@@ -125,11 +125,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The composite quality formula over a text expression, as ONE SQL
+    * scalar — the oracle-side twin of [[quality]], shared by the
+    * per-doc score oracle and the survivor-selection oracle
+    * (`dd_cluster_keep_best`) so the formula cannot drift between
+    * them. Pure +,*,/ of small rationals and least() — bit-identical
+    * doubles in both engines. */
+  def qualitySql(x: String): String = {
+    val en = langProfiles.toMap.apply("en")
+    val nChars = s"CAST(length($x) AS DOUBLE)"
+    val nWords = s"CAST(len(string_split($x, ' ')) AS DOUBLE)"
+    val punct = s"CAST(len(regexp_extract_all($x, '[.,!?;:]')) AS DOUBLE)"
+    val stop = s"CAST(len(regexp_extract_all($x, '$en')) AS DOUBLE)"
+    s"""(least($nWords / 100.0, 1.0) * 0.5
+             + least($stop / $nWords * 10.0, 1.0) * 0.3
+             + (1.0 - least($punct / $nChars * 20.0, 1.0)) * 0.2)"""
+  }
+
   val txQualityScoreSql: String = {
     val en = langProfiles.toMap.apply("en")
     s"""
     WITH c AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              CAST(length(text) AS DOUBLE) AS n_chars,
              CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
              CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
@@ -140,9 +157,7 @@ object TextAnalysis {
            punct / n_chars AS punct_ratio,
            digits / n_chars AS digit_ratio,
            stop / n_words AS stopword_ratio,
-           least(n_words / 100.0, 1.0) * 0.5
-             + least(stop / n_words * 10.0, 1.0) * 0.3
-             + (1.0 - least(punct / n_chars * 20.0, 1.0)) * 0.2 AS quality
+           ${qualitySql("text")} AS quality
     FROM c ORDER BY doc_id"""
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, Dsir, EntityResolution, Bpe, Funnel, Graph, QualityClassifier, HeavyHitters, Incremental, Layout, Mips, Multimodal, Pack, Parity, PartitionedWrite, Pca, Pq, Profiling, RangeJoin, Relational, Search, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, BloomJoin, Cdc, Compaction, Dedup, Diff, Dsir, EntityResolution, Bpe, Funnel, Graph, QualityClassifier, HeavyHitters, Incremental, Layout, Mips, Multimodal, Pack, Parity, PartitionedWrite, Pca, Pq, Profiling, RangeJoin, Relational, Search, SemiStructured, Similarity, Sketches, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,9 @@ object SparkEntry {
     "q18_events_hourly" -> (Relational.q18EventsHourly _),
     "q19_user_sessions" -> (Relational.q19UserSessions _),
     "q20_event_type_pivot" -> (Relational.q20EventTypePivot _),
+    // semi-structured promotion: explicit-schema from_json over the
+    // events props payload, one parse per row, typed per-type stats
+    "ev_json_extract" -> (SemiStructured.evJsonExtract _),
     "q21_asof_last_purchase" -> (AsOfJoin.q21AsofLastPurchase _),
     "q22_range_ship_window" -> (RangeJoin.q22RangeShipWindow _),
     "q23_salted_event_stats" -> (Skew.q23SaltedEventStats _),
@@ -85,6 +88,9 @@ object SparkEntry {
     "stream_qc_score" -> (graft.streaming.StreamingGates.streamQcScore _),
     "stream_stream_join" -> (graft.streaming.StreamingGates.streamStreamJoin _),
     "stream_bm25" -> (graft.streaming.StreamingGates.streamBm25 _),
+    // per-batch mergeable Misra-Gries sketches ∪ exact verify ≡ the
+    // batch heavy-hitter oracle (no heavy word lost at batch boundaries)
+    "stream_heavy_hitters" -> (graft.streaming.StreamingGates.streamHeavyHitters _),
     "stream_er" -> (graft.streaming.StreamingGates.streamEr _),
     "stream_ann_neardup" -> (graft.streaming.StreamingGates.streamAnnNearDup _),
     // Write-path layout & maintenance
@@ -95,6 +101,8 @@ object SparkEntry {
     "tx_token_stats" -> (TextAnalysis.txTokenStats _),
     "tx_lang_id" -> (TextAnalysis.txLangId _),
     "tx_quality_score" -> (TextAnalysis.txQualityScore _),
+    // published Gopher/MassiveText rule pack: per-rule booleans + pass
+    "tx_gopher_rules" -> (TextAnalysis.txGopherRules _),
     "tx_fingerprint" -> (TextAnalysis.txFingerprint _),
     "tx_vocab_topk" -> (TextAnalysis.txVocabTopK _),
     "tx_hash_sample" -> (TextAnalysis.txHashSample _),
@@ -289,6 +297,7 @@ object SparkEntry {
     "q18_events_hourly" -> Relational.q18EventsHourlySql,
     "q19_user_sessions" -> Relational.q19UserSessionsSql,
     "q20_event_type_pivot" -> Relational.q20EventTypePivotSql,
+    "ev_json_extract" -> SemiStructured.evJsonExtractSql,
     "q21_asof_last_purchase" -> AsOfJoin.q21AsofLastPurchaseSql,
     "q22_range_ship_window" -> RangeJoin.q22RangeShipWindowSql,
     "q23_salted_event_stats" -> Skew.q23SaltedEventStatsSql,
@@ -321,6 +330,7 @@ object SparkEntry {
     "stream_qc_score" -> QualityClassifier.qcScoreSql,
     "stream_stream_join" -> graft.streaming.StreamingGates.streamStreamJoinSql,
     "stream_bm25" -> Search.txBm25TopKSql,
+    "stream_heavy_hitters" -> HeavyHitters.txHeavyHittersSql,
     "stream_er" -> EntityResolution.erFuzzyMatchSql,
     "stream_ann_neardup" -> Similarity.simCosineNearDupSql,
     "layout_zorder" -> Layout.layoutZorderSql,
@@ -329,6 +339,7 @@ object SparkEntry {
     "tx_token_stats" -> TextAnalysis.txTokenStatsSql,
     "tx_lang_id" -> TextAnalysis.txLangIdSql,
     "tx_quality_score" -> TextAnalysis.txQualityScoreSql,
+    "tx_gopher_rules" -> TextAnalysis.txGopherRulesSql,
     "tx_fingerprint" -> TextAnalysis.txFingerprintSql,
     "tx_vocab_topk" -> TextAnalysis.txVocabTopKSql,
     "tx_hash_sample" -> TextAnalysis.txHashSampleSql,

@@ -35,7 +35,7 @@ object HeavyHitters {
 
   /** Misra-Gries summary: capacity-bounded count map. Mutable within a
     * partition fold; merge adds pointwise then re-compresses. */
-  private[operators] final class MGSummary(val capacity: Int) extends Serializable {
+  private[graft] final class MGSummary(val capacity: Int) extends Serializable {
     val counts = new scala.collection.mutable.HashMap[String, Long]
     var total = 0L
 
@@ -88,29 +88,47 @@ object HeavyHitters {
 
   /** Exact (word, cnt) for every word with cnt > total/thresholdDenom.
     * `capacity` must be >= thresholdDenom for exactness (asserted). */
+  /** Pass 1 as a reusable unit: one shuffle-free Misra-Gries summary of
+    * the whole input (a <= capacity map on the driver). Folds whole
+    * documents — the per-token explode stays in codegen'd pass 2;
+    * crossing the RDD boundary per token costs more than the
+    * aggregation itself. Also the per-MICRO-BATCH unit of the streaming
+    * maintenance ([[graft.streaming.StreamingPipeline.startHeavyHitterStore]]):
+    * MG summaries are mergeable with the same error bound (Agarwal et
+    * al., "Mergeable Summaries", PODS'12), so per-batch summaries of
+    * capacity C union to a candidate set that still contains every word
+    * with global frequency > N/(C+1) — if Σ_b freq_b > Σ_b N_b/(C+1),
+    * some batch has freq_b > N_b/(C+1) and MG keeps it there. */
+  private[graft] def mgSummary(docs: DataFrame, textCol: String,
+                               capacity: Int): MGSummary = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol)).as[String].rdd
+      .treeAggregate(new MGSummary(capacity))(
+        (s, t) => s.addDoc(t), (a, b) => a.merge(b))
+  }
+
+  /** Pass 2 as a reusable unit: exact counts of `candidates` only — the
+    * corpus re-scan is filtered to the broadcast candidate set BEFORE
+    * the aggregation, so the exchange carries at most |candidates|
+    * words' partials, never the long tail. Shared by the batch operator
+    * and the streaming gate's serve path, so stream ≡ batch by
+    * construction on the verify side. */
+  private[graft] def exactVerify(docs: DataFrame, textCol: String,
+                                 candidates: Seq[String], threshold: Long): DataFrame =
+    docs.select(explode(Portable.words(col(textCol))).as("w"))
+      .filter(col("w").isInCollection(candidates))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > threshold)
+      .orderBy(col("w"))
+
   def heavyHitters(docs: DataFrame, textCol: String, thresholdDenom: Long,
                    capacity: Int): DataFrame = {
     require(capacity >= thresholdDenom,
       s"capacity $capacity < 1/threshold $thresholdDenom: sketch error could cross the report bar")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val words = docs.select(explode(Portable.words(col(textCol))).as("w"))
-
-    // pass 1: shuffle-free candidate discovery (one <= capacity map on
-    // the driver). Folds whole documents — the per-token explode stays
-    // in codegen'd pass 2; crossing the RDD boundary per token costs
-    // more than the aggregation itself.
-    val summary = docs.select(col(textCol)).as[String].rdd
-      .treeAggregate(new MGSummary(capacity))(
-        (s, t) => s.addDoc(t), (a, b) => a.merge(b))
-    val threshold = summary.total / thresholdDenom
-    val candidates = summary.counts.keys.toSeq
-
-    // pass 2: exact verify — only candidate words reach the exchange
-    words.filter(col("w").isInCollection(candidates))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > threshold)
-      .orderBy(col("w"))
+    val summary = mgSummary(docs, textCol, capacity)
+    exactVerify(docs, textCol, summary.counts.keys.toSeq,
+      summary.total / thresholdDenom)
   }
 
   /** Gate pins denom=1000, capacity=4000 (error <= N/4001 < N/1000). */

@@ -161,6 +161,90 @@ object TextAnalysis {
     FROM c ORDER BY doc_id"""
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * appendix A — the MassiveText quality heuristics), the
+    * published-rule counterpart of the learned [[QualityClassifier]]
+    * and the composite [[quality]] score: per document, one boolean per
+    * rule plus the conjunction, so downstream selection can either hard
+    * filter on `pass` or inspect which rule fired (the ablation-driven
+    * workflow the paper describes).
+    *
+    * Rules kept (all computable bit-identically in both engines —
+    * integer counts and count/count double ratios, no transcendentals):
+    * word count in [50, 100000]; mean word length in [3, 10]; symbol
+    * (`#`/`...`)-to-word ratio < 0.1; > 80% of words contain an
+    * alphabetic character; at least 2 of the paper's 8 stop words
+    * present. The paper's line-shape rules (bullet/ellipsis line
+    * ratios) are dropped: the corpus is single-line, so they would be
+    * vacuously true and hash-invisible.
+    *
+    * Scale shape: ONE narrow codegen'd projection per document — five
+    * regexp passes and a word split, zero shuffles, zero joins; the
+    * sort is the gate's determinism tail, not the operator. */
+  def txGopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir))
+
+  private[operators] def gopherRules(docs: DataFrame): DataFrame = {
+    val nWords = size(Portable.words(col("text"))).cast("double")
+    val mwl = length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val sym = (regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") / nWords
+    // words-containing-a-letter counted by REGEX, not a higher-order
+    // filter() lambda: HOFs are interpreted and break whole-stage
+    // codegen at this projection (seen in the plan golden); the pattern
+    // stays codegen'd. Each match consumes its own leading delimiter
+    // ((?:^| )), so adjacent qualifying words cannot overlap-skip.
+    val alphaFrac = regexp_count(col("text"), lit("(?:^| )[^ ]*[A-Za-z][^ ]*"))
+      .cast("double") / nWords
+    val stopHits = GopherStopWords
+      .map(w => when(col("text").rlike(s"\\b$w\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val wcOk = nWords >= 50.0 && nWords <= 100000.0
+    val mwlOk = mwl >= 3.0 && mwl <= 10.0
+    val symOk = sym < 0.1
+    val alphaOk = alphaFrac > 0.8
+    val stopOk = stopHits >= 2
+    docs
+      .select(col("doc_id"), wcOk.as("wc_ok"), mwlOk.as("mwl_ok"),
+        symOk.as("sym_ok"), alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+        (wcOk && mwlOk && symOk && alphaOk && stopOk).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The paper's stop-word list (appendix A1.1): "the, be, to, of, and,
+    * that, have, with". */
+  private[operators] val GopherStopWords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  val txGopherRulesSql: String = {
+    val stopHits = GopherStopWords
+      .map(w => s"CASE WHEN regexp_matches(text, '\\b$w\\b') THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    s"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) AS wchars,
+             CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+               + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) AS sym,
+             CAST(len(regexp_extract_all(text, '(?:^| )[^ ]*[A-Za-z][^ ]*'))
+               AS DOUBLE) AS alpha_words,
+             $stopHits AS stop_hits
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             n_words >= 50.0 AND n_words <= 100000.0 AS wc_ok,
+             wchars / n_words >= 3.0 AND wchars / n_words <= 10.0 AS mwl_ok,
+             sym / n_words < 0.1 AS sym_ok,
+             alpha_words / n_words > 0.8 AS alpha_ok,
+             stop_hits >= 2 AS stop_ok
+      FROM c)
+    SELECT doc_id, wc_ok, mwl_ok, sym_ok, alpha_ok, stop_ok,
+           wc_ok AND mwl_ok AND sym_ok AND alpha_ok AND stop_ok AS pass
+    FROM r ORDER BY doc_id"""
+  }
+
   /** Corpus vocabulary: the 50 most frequent word tokens with counts and
     * document frequency — the vocab/contamination scan of a training-data
     * pipeline. Partial-aggregated groupBy on the token, top-k via

@@ -601,6 +601,57 @@ object StreamingGates {
     SearchIndex.bm25TopKFromIndex(postings, lens, Search.QueryTerms)
   }
 
+  /** Replay `documents` as a 3-batch stream through the streaming
+    * heavy-hitter maintenance ([[StreamingPipeline.startHeavyHitterStore]]:
+    * one <= capacity Misra-Gries summary per micro-batch, written as
+    * sketch/totals deltas), then serve: union the per-batch candidate
+    * words, sum the exact per-batch totals, and run the SAME exact
+    * verify pass as the batch operator over the corpus
+    * ([[graft.operators.HeavyHitters.exactVerify]]). Gated against the
+    * batch `tx_heavy_hitters` oracle — the naive full-vocabulary GROUP
+    * BY in DuckDB — so the hash compare proves that per-batch mergeable
+    * sketches lose no heavy hitter across batch boundaries (the
+    * Agarwal-mergeability bound, pinned by data instead of trusted).
+    * Like [[streamBm25]], the replay crosses a mid-stream
+    * [[StreamingPipeline.compactDeltas]] sweep of both families at a
+    * checkpoint-restart boundary, so the same hash also pins
+    * compacted ≡ union-of-deltas for additive sketch rows. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HeavyHitters
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val in = tmp("graft_sgate_hh_in_")
+    val store = tmp("graft_sgate_hh_store_")
+    val ckpt = tmp("graft_sgate_hh_ckpt_")
+    def chunk(i: Int): Unit =
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    def startQ() = StreamingPipeline.startHeavyHitterStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, ckpt, capacity = 4000)
+    chunk(0); chunk(1)
+    val q = startQ()
+    try q.processAllAvailable() finally q.stop()
+    StreamingPipeline.compactDeltas(spark, s"$store/sketch",
+      "w STRING, cnt BIGINT", uptoVersion = 1)
+    StreamingPipeline.compactDeltas(spark, s"$store/totals",
+      "total BIGINT", uptoVersion = 1)
+    chunk(2)
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    // serve: candidates ∪ totals from the store (<= capacity × #batches
+    // rows — the collect is bounded by construction), exact verify over
+    // the streamed corpus with the batch operator's own pass 2
+    val candidates = StreamingPipeline.storeContents(spark, s"$store/sketch",
+        "w STRING, cnt BIGINT")
+      .select(col("w")).distinct().collect().map(_.getString(0)).toSeq
+    val total = StreamingPipeline.storeContents(spark, s"$store/totals",
+        "total BIGINT")
+      .agg(sum(col("total"))).head().getLong(0)
+    HeavyHitters.exactVerify(docs, "text", candidates, total / 1000L)
+  }
+
   /** Replay `customer` as a 3-batch stream through the streaming
     * entity-resolution ingest ([[StreamingPipeline.startErPairStore]]:
     * per-batch deletion-variant index deltas, new-vs-history +

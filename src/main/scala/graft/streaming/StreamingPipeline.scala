@@ -326,6 +326,54 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming heavy-hitter maintenance: one shuffle-free Misra-Gries
+    * summary PER MICRO-BATCH ([[graft.operators.HeavyHitters.mgSummary]]
+    * — a <= capacity map per batch), written as `b<batchId>` delta dirs:
+    * `sketch/` holds the batch's (w, cnt) residual counters, `totals/`
+    * its exact token count. Nothing corpus-shaped is ever kept in
+    * stream state — the long tail (billions of distinct tokens at
+    * 100 TB) never leaves the executors, in any batch.
+    *
+    * Why the union of per-batch summaries is a sound candidate set
+    * (Agarwal et al., "Mergeable Summaries", PODS'12): each batch's MG
+    * summary underestimates any word by at most N_b/(capacity+1) and
+    * KEEPS every word with batch frequency above that. If a word's
+    * global count exceeds N/(capacity+1) = Σ_b N_b/(capacity+1), then
+    * by averaging some batch has freq_b > N_b/(capacity+1), so the word
+    * survives that batch's sketch and the union contains it. Serving
+    * with report threshold N/denom therefore stays EXACT whenever
+    * capacity >= denom, the same bound as the batch operator — the
+    * sketch only prunes, the exact verify pass decides
+    * ([[graft.operators.HeavyHitters.exactVerify]] over the lake,
+    * filtered to the <= capacity × #batches candidate words).
+    *
+    * Both families are per-batch additive facts, so [[compactDeltas]]'s
+    * plain-union fold applies verbatim (snapshot ∪ later deltas ≡
+    * union-of-all-deltas — candidates are DISTINCT w, totals are
+    * SUM(total), both union-insensitive); the `stream_heavy_hitters`
+    * gate replays across a mid-stream sweep at a restart boundary.
+    * Writes are idempotent per-batch overwrites, so checkpoint +
+    * versioned write = effective exactly-once (the
+    * [[startSubstringDedupStore]] crash argument). */
+  def startHeavyHitterStore(docs: DataFrame, storeDir: String,
+                            checkpointDir: String, capacity: Int): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val b = batch.localCheckpoint(true)
+        try {
+          val s = graft.operators.HeavyHitters.mgSummary(b, "text", capacity)
+          s.counts.toSeq.toDF("w", "cnt").coalesce(1)
+            .write.mode("overwrite").parquet(s"$storeDir/sketch/b$batchId")
+          Seq(s.total).toDF("total").coalesce(1)
+            .write.mode("overwrite").parquet(s"$storeDir/totals/b$batchId")
+        } finally graft.Caches.freeCheckpoint(b)
+      }
+      .start()
+
   /** Streaming entity-resolution ingest: maintain the deletion-variant
     * blocking index ([[graft.operators.EntityResolution.variantHashes]])
     * across micro-batches and match each NEW batch against everything

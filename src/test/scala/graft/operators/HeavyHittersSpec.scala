@@ -50,6 +50,27 @@ class HeavyHittersSpec extends SparkSpec {
     assert(HeavyHitters.heavyHitters(docs, "text", 10L, 100).count() == 0L)
   }
 
+  test("per-batch sketch union loses no heavy hitter (the streaming-store bound)") {
+    // the startHeavyHitterStore serve recipe, run directly: split the
+    // skewed corpus into 3 disjoint "micro-batches", sketch each with a
+    // TIGHT capacity, union the candidates, sum the exact totals, and
+    // exact-verify — must equal the naive single-pass plan, per the
+    // mergeable-summaries averaging argument in the scaladoc
+    val rows = (1 to 40).flatMap(i => Seq.fill(5000 / i)(s"hot$i")) ++
+      (1 to 20000).map(i => s"tail$i")
+    val docs = rows.grouped(97).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(7)
+    val batches = (0 to 2).map(i => docs.filter(pmod($"doc_id", lit(3)) === i))
+    val summaries = batches.map(b => HeavyHitters.mgSummary(b, "text", 100))
+    val candidates = summaries.flatMap(_.counts.keys).distinct
+    val total = summaries.map(_.total).sum
+    val got = HeavyHitters.exactVerify(docs, "text", candidates, total / 100L)
+      .as[(String, Long)].collect().toMap
+    assert(got == naive(docs, 100L))
+    assert(got.nonEmpty)
+  }
+
   test("a null text row is tolerated, matching the relational plan") {
     val docs = Seq((1L, "a a b"), (2L, null), (3L, "a c"))
       .toDF("doc_id", "text")

@@ -87,6 +87,28 @@ COPY (
 ) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("documents", "embeddings", "customer"):
+# Events table for the payload/relational probes (ev_json_extract):
+# replica i>0 shifts ids/users and re-derives the JSON payload from the
+# new event id — fresh key space, same payload shape and event_type
+# distribution, timestamps offset by i days so replicas do not stack
+# inside one time window.
+ev_off = con.execute(f"SELECT max(event_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0]
+user_off = con.execute(f"SELECT max(user_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0]
+con.sql(f"""
+COPY (
+  SELECT event_id + i * {ev_off} AS event_id,
+         ts + to_days(CAST(i AS INTEGER)) AS ts,
+         user_id + i * {user_off} AS user_id,
+         event_type,
+         value,
+         CASE WHEN i = 0 THEN props
+              ELSE '{{"k": ' || CAST((event_id * 31 + i) % 100 AS VARCHAR) || '}}'
+         END AS props
+  FROM '{SRC}/events.parquet', range({N}) t(i)
+  ORDER BY event_id
+) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("documents", "embeddings", "customer", "events"):
     n = con.execute(f"SELECT COUNT(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
     print(f"{OUT}/{t}.parquet: {n} rows")

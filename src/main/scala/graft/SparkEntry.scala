@@ -91,6 +91,9 @@ object SparkEntry {
     // per-batch mergeable Misra-Gries sketches ∪ exact verify ≡ the
     // batch heavy-hitter oracle (no heavy word lost at batch boundaries)
     "stream_heavy_hitters" -> (graft.streaming.StreamingGates.streamHeavyHitters _),
+    // right-to-be-forgotten: tombstone + physical excluding-fold +
+    // retirement mid-stream ≡ from-scratch index on the survivors
+    "stream_bm25_delete" -> (graft.streaming.StreamingGates.streamBm25Delete _),
     "stream_er" -> (graft.streaming.StreamingGates.streamEr _),
     "stream_ann_neardup" -> (graft.streaming.StreamingGates.streamAnnNearDup _),
     // Write-path layout & maintenance
@@ -331,6 +334,7 @@ object SparkEntry {
     "stream_stream_join" -> graft.streaming.StreamingGates.streamStreamJoinSql,
     "stream_bm25" -> Search.txBm25TopKSql,
     "stream_heavy_hitters" -> HeavyHitters.txHeavyHittersSql,
+    "stream_bm25_delete" -> graft.streaming.StreamingGates.streamBm25DeleteSql,
     "stream_er" -> EntityResolution.erFuzzyMatchSql,
     "stream_ann_neardup" -> Similarity.simCosineNearDupSql,
     "layout_zorder" -> Layout.layoutZorderSql,

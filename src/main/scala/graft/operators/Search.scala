@@ -186,7 +186,7 @@ object Search {
   /** The BM25 CTE chain through `ranked` (top-`topN` scored docs), shared
     * by the plain-retrieval oracle and the hybrid-fusion oracle so the
     * lexical leg can never drift between them. */
-  private def bm25RankedCtes(topN: Int): String = {
+  private def bm25RankedCtes(topN: Int, rel: String = "documents"): String = {
     val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
     val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
       s"COALESCE(SUM(CASE WHEN term = '$t' THEN tf END), 0) AS tf_$i" }
@@ -203,9 +203,9 @@ object Search {
     }.mkString(" + ")
     s"""lens AS (
       SELECT doc_id, CAST(len(${Portable.wordsSql("text")}) AS INT) AS n_words
-      FROM documents),
+      FROM $rel),
     tok AS (
-      SELECT doc_id, unnest(${Portable.wordsSql("text")}) AS term FROM documents),
+      SELECT doc_id, unnest(${Portable.wordsSql("text")}) AS term FROM $rel),
     td AS (
       SELECT term, doc_id, COUNT(*) AS tf FROM tok
       WHERE term IN ($termList) GROUP BY term, doc_id),
@@ -228,6 +228,22 @@ object Search {
 
   val txBm25TopKSql: String = s"""
     WITH ${bm25RankedCtes(SearchTopN)}
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+           doc_id, n_words,
+           ${QueryTerms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")}
+    FROM ranked ORDER BY rank"""
+
+  /** Oracle for the tombstone-delete gate
+    * ([[graft.streaming.StreamingGates.streamBm25Delete]]): the SAME
+    * bm25 chain as [[txBm25TopKSql]] over the corpus MINUS the deleted
+    * slice — from-scratch-on-the-survivors is exactly what a
+    * right-to-be-forgotten delete must be indistinguishable from.
+    * Every statistic the score depends on (df, N, avg_len) shifts with
+    * the deletion, so a store that only masked rows but served stale
+    * aggregates would hash-mismatch here. */
+  def txBm25TopKExcludingSql(pred: String): String = s"""
+    WITH docs_kept AS (SELECT doc_id, text FROM documents WHERE NOT ($pred)),
+    ${bm25RankedCtes(SearchTopN, "docs_kept")}
     SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
            doc_id, n_words,
            ${QueryTerms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")}

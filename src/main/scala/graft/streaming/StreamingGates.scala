@@ -601,6 +601,70 @@ object StreamingGates {
     SearchIndex.bm25TopKFromIndex(postings, lens, Search.QueryTerms)
   }
 
+  /** The slice deleted mid-stream by [[streamBm25Delete]], as one SQL
+    * predicate shared verbatim by the gate (Spark `expr`) and its
+    * oracle ([[graft.operators.Search.txBm25TopKExcludingSql]]) so the
+    * deleted set cannot drift between them. Drawn from the first two
+    * replay chunks only — a deleted id must never re-arrive, the
+    * stores' append-only input contract. */
+  private val Bm25DeleteSliceSql = "(doc_id % 3) < 2 AND (doc_id % 7) = 3"
+
+  val streamBm25DeleteSql: String =
+    graft.operators.Search.txBm25TopKExcludingSql(Bm25DeleteSliceSql)
+
+  /** [[streamBm25]] with a RIGHT-TO-BE-FORGOTTEN delete in the middle:
+    * after batches 0–1 commit, a slice of already-ingested doc_ids is
+    * tombstoned ([[StreamingPipeline.writeTombstones]]), BOTH index
+    * families are folded with physical exclusion
+    * ([[StreamingPipeline.compactDeltasExcluding]] — the snapshot bytes
+    * no longer contain the deleted rows), and the tombstones are then
+    * RETIRED before batch 2 arrives through a restarted query. Serving
+    * still goes through [[StreamingPipeline.contentsExcludingTombstones]]
+    * (now a no-op anti-join), so the oracle hash — the full bm25 chain
+    * recomputed from scratch on the surviving corpus — certifies that
+    * the PHYSICAL fold alone removed every trace: document rows, term
+    * frequencies, AND the deleted docs' contribution to df/N/avg_len
+    * (a masking-only store serving stale corpus statistics would
+    * mismatch). The masking phase between delete and fold is pinned by
+    * unit test ([[graft.streaming]] StreamingSpec), where the
+    * tombstones are still live. */
+  def streamBm25Delete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Search, SearchIndex}
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val in = tmp("graft_sgate_bm25d_in_")
+    val idx = tmp("graft_sgate_bm25d_idx_")
+    val ckpt = tmp("graft_sgate_bm25d_ckpt_")
+    def chunk(i: Int): Unit =
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    def startQ() = StreamingPipeline.startSearchIndexStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      idx, ckpt)
+    chunk(0); chunk(1)
+    val q = startQ()
+    try q.processAllAvailable() finally q.stop()
+    // quiesced at a committed boundary: register the delete, fold both
+    // families with physical exclusion, then retire the tombstones —
+    // every family is now past the delete, the retirement contract
+    val tid = StreamingPipeline.writeTombstones(spark, idx,
+      docs.filter(expr(Bm25DeleteSliceSql)).select(col("doc_id")))
+    StreamingPipeline.compactDeltasExcluding(spark, s"$idx/postings",
+      "term STRING, doc_id BIGINT, tf BIGINT", uptoVersion = 1, idx, "doc_id")
+    StreamingPipeline.compactDeltasExcluding(spark, s"$idx/lens",
+      "doc_id BIGINT, n_words INT", uptoVersion = 1, idx, "doc_id")
+    StreamingPipeline.retireTombstones(spark, idx, tid)
+    chunk(2)
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val postings = StreamingPipeline.contentsExcludingTombstones(spark,
+      s"$idx/postings", "term STRING, doc_id BIGINT, tf BIGINT", idx, "doc_id")
+    val lens = StreamingPipeline.contentsExcludingTombstones(spark,
+      s"$idx/lens", "doc_id BIGINT, n_words INT", idx, "doc_id")
+    SearchIndex.bm25TopKFromIndex(postings, lens, Search.QueryTerms)
+  }
+
   /** Replay `documents` as a 3-batch stream through the streaming
     * heavy-hitter maintenance ([[StreamingPipeline.startHeavyHitterStore]]:
     * one <= capacity Misra-Gries summary per micro-batch, written as

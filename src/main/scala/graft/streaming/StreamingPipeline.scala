@@ -606,7 +606,32 @@ object StreamingPipeline {
     * which [[deltasBelow]] then refuses loudly rather than serving
     * wrong history. */
   def compactDeltas(spark: SparkSession, dir: String, schema: String,
-                    uptoVersion: Long): Unit = {
+                    uptoVersion: Long): Unit =
+    compactDeltas(spark, dir, schema, uptoVersion, None)
+
+  /** [[compactDeltas]] with PHYSICAL tombstone application: the staged
+    * fold anti-joins the store's current tombstone set
+    * ([[storeTombstones]] of `storeRoot`, matched on `keyCol`), so
+    * deleted keys' rows are genuinely absent from the published
+    * snapshot's bytes — the erasure half of a right-to-be-forgotten
+    * delete, not just a serving-time mask. Crash argument unchanged:
+    * the fold (now filtered) is staged and renamed atomically; a crash
+    * before the rename leaves the old state (tombstones still mask at
+    * serve via [[contentsExcludingTombstones]]), after it the folded
+    * dirs are skipped. Tombstones themselves are NOT retired here — a
+    * store usually has several data families (postings + lens, variants
+    * + names) sharing one tombstone set, and retiring on the first
+    * family's sweep would un-delete the key everywhere else. Retire
+    * them explicitly with [[retireTombstones]] once EVERY family has
+    * folded past the delete. */
+  def compactDeltasExcluding(spark: SparkSession, dir: String, schema: String,
+                             uptoVersion: Long, storeRoot: String,
+                             keyCol: String): Unit =
+    compactDeltas(spark, dir, schema, uptoVersion, Some((storeRoot, keyCol)))
+
+  private def compactDeltas(spark: SparkSession, dir: String, schema: String,
+                            uptoVersion: Long,
+                            exclude: Option[(String, String)]): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
@@ -632,8 +657,11 @@ object StreamingPipeline {
       // only then does the rename publish it under the versioned name
       val staging = new Path(base, s"_compact_staging_v$uptoVersion")
       fs.delete(staging, true)
-      deltasBelow(spark, dir, schema, uptoVersion + 1)
-        .write.mode("overwrite").parquet(staging.toString)
+      val folded = deltasBelow(spark, dir, schema, uptoVersion + 1)
+      exclude.fold(folded) { case (storeRoot, keyCol) =>
+        val tomb = storeTombstones(spark, storeRoot)
+        folded.join(tomb, folded(keyCol) === tomb("tomb_id"), "left_anti")
+      }.write.mode("overwrite").parquet(staging.toString)
       val target = new Path(base, s"v=$uptoVersion")
       fs.delete(target, true)
       require(fs.rename(staging, target),
@@ -657,6 +685,75 @@ object StreamingPipeline {
     * has retired the delta dirs). */
   def storeContents(spark: SparkSession, dir: String, schema: String): DataFrame =
     deltasBelow(spark, dir, schema, Long.MaxValue)
+
+  // ------------------------------------------------------- tombstones
+
+  /** Register a right-to-be-forgotten delete against a delta store: the
+    * given keys (one BIGINT column, any name) are appended as a
+    * `tombstones/b<k>` delta under the store root — shared by every
+    * data family in the store, because deleting an entity must hide it
+    * from ALL of them (postings AND lens, variants AND names) in the
+    * same logical instant. Returns the tombstone delta id (pass it to
+    * [[retireTombstones]] once every family has physically folded past
+    * the delete).
+    *
+    * Semantics are two-phase, matching how object erasure actually
+    * works at scale: (1) immediately, every serving read that goes
+    * through [[contentsExcludingTombstones]] stops returning the keys'
+    * rows (a bounded anti-join — tombstone volume is delete volume, not
+    * corpus volume); (2) durably, the next
+    * [[compactDeltasExcluding]] sweep rewrites the folded snapshot
+    * WITHOUT those rows, removing the bytes. Duplicate tombstones are
+    * harmless (anti-join), so the call is idempotent at the key level;
+    * call it from the driver while the writing stream is quiesced, the
+    * [[compactDeltas]] discipline. A deleted key must not re-arrive in
+    * a later batch (the stores' append-only unique-id input contract
+    * already requires this); if it did, the tombstone would mask the
+    * new rows too — that is the correct reading of "forgotten". */
+  def writeTombstones(spark: SparkSession, storeRoot: String,
+                      ids: DataFrame): Long = {
+    require(ids.schema.fields.length == 1,
+      s"tombstones must be a single key column, got ${ids.schema.simpleString}")
+    val dir = s"$storeRoot/tombstones"
+    val next = listVersions(spark, dir, DeltaName)
+      .getOrElse(Seq.empty).maxOption.map(_ + 1L).getOrElse(0L)
+    ids.toDF("tomb_id").write.mode("overwrite").parquet(s"$dir/b$next")
+    next
+  }
+
+  /** All currently-registered tombstone keys for a store (empty
+    * relation when none have ever been written). */
+  def storeTombstones(spark: SparkSession, storeRoot: String): DataFrame =
+    storeContents(spark, s"$storeRoot/tombstones", "tomb_id BIGINT")
+
+  /** [[storeContents]] minus tombstoned keys — the serving read for any
+    * data family of a store that supports deletes. The anti-join's
+    * build side is the tombstone set (delete-sized, broadcastable),
+    * never the family. */
+  def contentsExcludingTombstones(spark: SparkSession, familyDir: String,
+                                  schema: String, storeRoot: String,
+                                  keyCol: String): DataFrame = {
+    val data = storeContents(spark, familyDir, schema)
+    val tomb = storeTombstones(spark, storeRoot)
+    data.join(tomb, data(keyCol) === tomb("tomb_id"), "left_anti")
+  }
+
+  /** Retire tombstone deltas with id <= `upto` — call ONLY after every
+    * data family of the store has been folded past the corresponding
+    * deletes with [[compactDeltasExcluding]] (retiring earlier would
+    * un-delete the keys in any family still holding their rows).
+    * Idempotent; a crash mid-loop leaves dirs whose re-application is
+    * harmless (anti-joining already-removed keys is a no-op). */
+  def retireTombstones(spark: SparkSession, storeRoot: String,
+                       upto: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = s"$storeRoot/tombstones"
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    listVersions(spark, dir, DeltaName).getOrElse(Seq.empty)
+      .filter(_ <= upto)
+      .foreach(k => fs.delete(new Path(base, s"b$k"), true))
+  }
 
   /** Format stamps for the persisted BLOCKING stores whose rows are
     * outputs of a specific hash family ([[startErPairStore]]'s deletion-

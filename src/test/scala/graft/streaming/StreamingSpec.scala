@@ -606,6 +606,56 @@ class StreamingSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("tombstones: serving mask first, physical removal at the fold, then retirement") {
+    val store = Files.createTempDirectory("graft_tomb_").toString
+    val fam = s"$store/rows"
+    val schema = "id BIGINT, v BIGINT"
+    (0 to 1).foreach { b =>
+      spark.range(b * 10, b * 10 + 5)
+        .select($"id", ($"id" * 2).as("v"))
+        .write.mode("overwrite").parquet(s"$fam/b$b")
+    }
+    def excluded = StreamingPipeline
+      .contentsExcludingTombstones(spark, fam, schema, store, "id")
+      .as[(Long, Long)].collect().toSet
+    def raw = StreamingPipeline.storeContents(spark, fam, schema)
+      .as[(Long, Long)].collect().toSet
+    // no tombstones yet: the excluding read is the plain read
+    assert(excluded == raw && raw.size == 10)
+    // multi-column tombstones are rejected, not silently mis-keyed
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.writeTombstones(spark, store,
+        spark.range(1).select($"id", $"id".as("x")))
+    }
+    // phase 1 — MASK: registered keys vanish from the serving read
+    // while the raw family still holds their rows (bytes not yet gone)
+    val t0 = StreamingPipeline.writeTombstones(spark, store,
+      Seq(1L, 3L, 11L).toDF("id"))
+    assert(t0 == 0L)
+    assert(excluded == raw.filterNot(r => Set(1L, 3L, 11L)(r._1)))
+    assert(raw.exists(_._1 == 1L), "mask phase must not touch the family")
+    // delta ids increment; duplicate tombstones are harmless
+    assert(StreamingPipeline.writeTombstones(spark, store,
+      Seq(3L).toDF("id")) == 1L)
+    // phase 2 — FOLD: the snapshot is written WITHOUT the keys' rows
+    StreamingPipeline.compactDeltasExcluding(spark, fam, schema,
+      uptoVersion = 1, store, "id")
+    val snap = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(s"$fam/v=1").as[(Long, Long)].collect().toSet
+    assert(!snap.exists(r => Set(1L, 3L, 11L)(r._1)),
+      "physically folded snapshot still contains deleted rows")
+    assert(snap.size == 7)
+    assert(raw == snap, "post-fold plain read must equal the snapshot")
+    // phase 3 — RETIRE: tombstone dirs go away; both reads now agree
+    StreamingPipeline.retireTombstones(spark, store, upto = 1L)
+    assert(StreamingPipeline.storeTombstones(spark, store).count() == 0)
+    assert(excluded == snap)
+    // retirement is idempotent
+    StreamingPipeline.retireTombstones(spark, store, upto = 1L)
+    assert(excluded == snap)
+  }
+
   test("retainVersions: retires all but newest keep, idempotent, guards") {
     val store = Files.createTempDirectory("graft_retain_").toString
     (-1 to 2).foreach { v =>

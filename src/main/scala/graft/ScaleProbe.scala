@@ -86,7 +86,18 @@ object ScaleProbe {
     "dd_cross_neardup",
     // quality-ranked survivor pick: dd_cluster's plan + a narrow score
     // projection + cluster-partitioned rank — expected ~dd_cluster
-    "dd_cluster_keep_best")
+    "dd_cluster_keep_best",
+    // per-batch Misra-Gries sketches: store grows by <= capacity rows
+    // per batch regardless of corpus size — expected ~byte-linear
+    // (the corpus pass), the tx_heavy_hitters law plus gate fixed cost
+    "stream_heavy_hitters",
+    // one native JSON parse per row + a tiny-key aggregate — byte-linear
+    "ev_json_extract",
+    // five regexp passes in one codegen'd projection — byte-linear
+    "tx_gopher_rules",
+    // tombstone + excluding-fold + retire mid-stream: the fold is one
+    // union-and-filter rewrite of snapshot-sized state — ~stream_bm25
+    "stream_bm25_delete")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -58,6 +58,17 @@ object StreamingGates {
     * the conf is one line in the session builder there. Semantics are
     * identical either way — the gates hash-match their batch oracles
     * under both providers (verified before reverting). */
+  /** NOT applied to the foreachBatch store gates either (except
+    * [[streamNearDup]]), again a MEASURED decision: wrapping all 11
+    * foreachBatch gates (r11 A/B at sf0.1) cost +5.0 s net — 9 of 11
+    * slower by +0.1 to +1.5 s each — because their per-batch jobs do
+    * real CPU work on corpus-sized batches (shingling, variant
+    * hashing, levenshtein verify) and 8 partitions underuses the 32
+    * cores; the stateful gates' win came from state-store fixed cost ×
+    * partitions, which foreachBatch does not pay. [[streamNearDup]] is
+    * the exception and keeps the wrap: it runs TWO streaming queries
+    * whose per-batch work is small index probes, and measured 9.1/9.3 s
+    * wrapped vs 9.4–13.9 s unwrapped (lower AND tighter). */
   private def withFewShufflePartitions[A](spark: SparkSession, n: Int = 8)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -460,7 +471,7 @@ object StreamingGates {
     * events carry one fixed timestamp: eviction never fires during the
     * replay (the corpus IS the horizon), keeping the candidate set
     * equal to the batch self-join's by construction. */
-  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = withFewShufflePartitions(spark) {
     val corpus = Dedup.augmented(spark, dir)
     val in = tmp("graft_sgate_nd_in_")
     val store = tmp("graft_sgate_nd_store_")

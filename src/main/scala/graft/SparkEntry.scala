@@ -94,6 +94,9 @@ object SparkEntry {
     // right-to-be-forgotten: tombstone + physical excluding-fold +
     // retirement mid-stream ≡ from-scratch index on the survivors
     "stream_bm25_delete" -> (graft.streaming.StreamingGates.streamBm25Delete _),
+    // entity erasure in the ER store: multi-key exclusion purges pairs
+    // touching an erased id from either side ≡ ER on the survivors
+    "stream_er_delete" -> (graft.streaming.StreamingGates.streamErDelete _),
     "stream_er" -> (graft.streaming.StreamingGates.streamEr _),
     "stream_ann_neardup" -> (graft.streaming.StreamingGates.streamAnnNearDup _),
     // Write-path layout & maintenance
@@ -335,6 +338,7 @@ object SparkEntry {
     "stream_bm25" -> Search.txBm25TopKSql,
     "stream_heavy_hitters" -> HeavyHitters.txHeavyHittersSql,
     "stream_bm25_delete" -> graft.streaming.StreamingGates.streamBm25DeleteSql,
+    "stream_er_delete" -> graft.streaming.StreamingGates.streamErDeleteSql,
     "stream_er" -> EntityResolution.erFuzzyMatchSql,
     "stream_ann_neardup" -> Similarity.simCosineNearDupSql,
     "layout_zorder" -> Layout.layoutZorderSql,

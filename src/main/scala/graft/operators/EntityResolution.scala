@@ -154,6 +154,22 @@ object EntityResolution {
   val erFuzzyMatchSql: String = erOracleSql(1)
   val erFuzzyMatchD2Sql: String = erOracleSql(2)
 
+  /** Oracle for the entity-erasure gate
+    * ([[graft.streaming.StreamingGates.streamErDelete]]): the SAME
+    * quadratic ground truth over the customers MINUS the deleted slice.
+    * ER pairs are pairwise-local (whether a,b match depends on nobody
+    * else), so delete-then-continue must be INDISTINGUISHABLE from
+    * never having ingested the deleted records — which is exactly this
+    * filtered recompute. */
+  def erFuzzyMatchExcludingSql(pred: String): String = s"""
+    WITH kept AS (
+      SELECT c_custkey, c_name FROM customer WHERE NOT ($pred))
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b
+    FROM kept a JOIN kept b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY id_a, id_b"""
+
   /** Entity CLUSTERS from the fuzzy pairs — the golden-record step that
     * turns pair-wise matches into resolved entities: connected
     * components over the match graph ([[Cluster.connectedComponents]]),

@@ -777,6 +777,67 @@ object StreamingGates {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The entity slice erased mid-stream by [[streamErDelete]], over a
+    * nameable key column so the SAME predicate serves the gate (key
+    * `id`) and the oracle (key `c_custkey`). Chunks 0–1 only — erased
+    * ids must never re-arrive. */
+  private def erDeleteSlice(key: String): String =
+    s"($key % 3) < 2 AND ($key % 11) = 5"
+
+  val streamErDeleteSql: String =
+    graft.operators.EntityResolution.erFuzzyMatchExcludingSql(
+      erDeleteSlice("c_custkey"))
+
+  /** [[streamEr]] with ENTITY ERASURE in the middle — the GDPR-shaped
+    * case the tombstone machinery exists for: after batches 0–1 commit,
+    * a slice of ingested customer ids is tombstoned and ALL THREE store
+    * families are folded with physical exclusion — `variants` and
+    * `names` on their entity id, and the emitted `pairs` on BOTH
+    * endpoint ids (the multi-key [[StreamingPipeline.compactDeltasExcluding]]:
+    * a pair touching an erased entity from either side is itself
+    * personal data about that entity and must go). Tombstones are then
+    * retired, batch 2 arrives through a restarted query and links
+    * against the PURGED history, and the served pairs are gated against
+    * the quadratic ground truth recomputed on the survivors. ER pairs
+    * are pairwise-local, so the hash compare certifies full erasure:
+    * no pair with an erased endpoint survives anywhere (old batches,
+    * the fold, or new matching), and no survivor pair is lost. */
+  def streamErDelete(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val in = tmp("graft_sgate_erd_in_")
+    val store = tmp("graft_sgate_erd_store_")
+    val ckpt = tmp("graft_sgate_erd_ckpt_")
+    def chunk(i: Int): Unit =
+      cust.filter(pmod(col("id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    val schema = StructType.fromDDL("id BIGINT, name STRING")
+    def startQ() = StreamingPipeline.startErPairStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, ckpt, maxDist = 1)
+    chunk(0); chunk(1)
+    val q = startQ()
+    try q.processAllAvailable() finally q.stop()
+    val tid = StreamingPipeline.writeTombstones(spark, store,
+      cust.filter(expr(erDeleteSlice("id"))).select(col("id")))
+    StreamingPipeline.compactDeltasExcluding(spark, s"$store/variants",
+      "id BIGINT, variant BIGINT", uptoVersion = 1, store, "id")
+    StreamingPipeline.compactDeltasExcluding(spark, s"$store/names",
+      "id BIGINT, name STRING", uptoVersion = 1, store, "id")
+    StreamingPipeline.compactDeltasExcluding(spark, s"$store/pairs",
+      "id_a BIGINT, id_b BIGINT, name_a STRING, name_b STRING",
+      uptoVersion = 1, store, Seq("id_a", "id_b"))
+    StreamingPipeline.retireTombstones(spark, store, tid)
+    chunk(2)
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    StreamingPipeline.contentsExcludingTombstones(spark, s"$store/pairs",
+        "id_a BIGINT, id_b BIGINT, name_a STRING, name_b STRING",
+        store, Seq("id_a", "id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Replay `embeddings` as a 3-batch stream through the streaming ANN
     * near-dup ingest ([[StreamingPipeline.startAnnPairStore]]: per-batch
     * band-index deltas, new-vs-history + new-vs-self candidates, shared

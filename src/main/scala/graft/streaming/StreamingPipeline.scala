@@ -627,11 +627,20 @@ object StreamingPipeline {
   def compactDeltasExcluding(spark: SparkSession, dir: String, schema: String,
                              uptoVersion: Long, storeRoot: String,
                              keyCol: String): Unit =
-    compactDeltas(spark, dir, schema, uptoVersion, Some((storeRoot, keyCol)))
+    compactDeltas(spark, dir, schema, uptoVersion, Some((storeRoot, Seq(keyCol))))
+
+  /** Multi-key variant: a row is removed when ANY of `keyCols` is
+    * tombstoned — the shape for RELATIONSHIP families (ER/ANN pair
+    * stores key rows by TWO entity ids, and erasing an entity must
+    * remove every pair touching it from either side). */
+  def compactDeltasExcluding(spark: SparkSession, dir: String, schema: String,
+                             uptoVersion: Long, storeRoot: String,
+                             keyCols: Seq[String]): Unit =
+    compactDeltas(spark, dir, schema, uptoVersion, Some((storeRoot, keyCols)))
 
   private def compactDeltas(spark: SparkSession, dir: String, schema: String,
                             uptoVersion: Long,
-                            exclude: Option[(String, String)]): Unit = {
+                            exclude: Option[(String, Seq[String])]): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
@@ -658,9 +667,8 @@ object StreamingPipeline {
       val staging = new Path(base, s"_compact_staging_v$uptoVersion")
       fs.delete(staging, true)
       val folded = deltasBelow(spark, dir, schema, uptoVersion + 1)
-      exclude.fold(folded) { case (storeRoot, keyCol) =>
-        val tomb = storeTombstones(spark, storeRoot)
-        folded.join(tomb, folded(keyCol) === tomb("tomb_id"), "left_anti")
+      exclude.fold(folded) { case (storeRoot, keyCols) =>
+        antiJoinTombstones(spark, folded, storeRoot, keyCols)
       }.write.mode("overwrite").parquet(staging.toString)
       val target = new Path(base, s"v=$uptoVersion")
       fs.delete(target, true)
@@ -732,10 +740,29 @@ object StreamingPipeline {
     * never the family. */
   def contentsExcludingTombstones(spark: SparkSession, familyDir: String,
                                   schema: String, storeRoot: String,
-                                  keyCol: String): DataFrame = {
-    val data = storeContents(spark, familyDir, schema)
-    val tomb = storeTombstones(spark, storeRoot)
-    data.join(tomb, data(keyCol) === tomb("tomb_id"), "left_anti")
+                                  keyCol: String): DataFrame =
+    contentsExcludingTombstones(spark, familyDir, schema, storeRoot, Seq(keyCol))
+
+  /** Multi-key variant — see the multi-key [[compactDeltasExcluding]]:
+    * a row is hidden when ANY key column is tombstoned. */
+  def contentsExcludingTombstones(spark: SparkSession, familyDir: String,
+                                  schema: String, storeRoot: String,
+                                  keyCols: Seq[String]): DataFrame =
+    antiJoinTombstones(spark,
+      storeContents(spark, familyDir, schema), storeRoot, keyCols)
+
+  /** One anti-join per key column, each against a freshly-aliased read
+    * of the tombstone set (reusing one DataFrame across joins would
+    * trip self-join attribute ambiguity). */
+  private def antiJoinTombstones(spark: SparkSession, data: DataFrame,
+                                 storeRoot: String,
+                                 keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "excluding read needs at least one key column")
+    keyCols.zipWithIndex.foldLeft(data) { case (acc, (k, i)) =>
+      val tomb = storeTombstones(spark, storeRoot)
+        .select(col("tomb_id").as(s"_tomb_id_$i"))
+      acc.join(tomb, acc(k) === tomb(s"_tomb_id_$i"), "left_anti")
+    }
   }
 
   /** Retire tombstone deltas with id <= `upto` — call ONLY after every

@@ -656,6 +656,28 @@ class StreamingSpec extends SparkSpec {
     assert(excluded == snap)
   }
 
+  test("multi-key tombstones: a pair row dies when EITHER endpoint is erased") {
+    val store = Files.createTempDirectory("graft_tomb2_").toString
+    val fam = s"$store/pairs"
+    val schema = "id_a BIGINT, id_b BIGINT"
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b").write.mode("overwrite").parquet(s"$fam/b0")
+    StreamingPipeline.writeTombstones(spark, store, Seq(3L).toDF("id"))
+    def served = StreamingPipeline
+      .contentsExcludingTombstones(spark, fam, schema, store,
+        Seq("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(served == Set((1L, 2L), (5L, 6L)),
+      "pairs touching id 3 from either side must be hidden")
+    // the excluding fold removes them physically too
+    StreamingPipeline.compactDeltasExcluding(spark, fam, schema,
+      uptoVersion = 0, store, Seq("id_a", "id_b"))
+    val snap = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(s"$fam/v=0").as[(Long, Long)].collect().toSet
+    assert(snap == Set((1L, 2L), (5L, 6L)))
+  }
+
   test("retainVersions: retires all but newest keep, idempotent, guards") {
     val store = Files.createTempDirectory("graft_retain_").toString
     (-1 to 2).foreach { v =>

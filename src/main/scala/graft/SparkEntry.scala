@@ -78,6 +78,9 @@ object SparkEntry {
     // Streaming family, driven to completion in-query and gated against
     // the SAME oracle SQL as their batch twins (stream ≡ batch ≡ oracle)
     "stream_agg_store" -> (graft.streaming.StreamingGates.streamAggStore _),
+    // retract stream: signed partials make ingest-then-retract
+    // ≡ never-ingested, bit-exact against the filtered flat recompute
+    "stream_agg_retract" -> (graft.streaming.StreamingGates.streamAggRetract _),
     "stream_neardup" -> (graft.streaming.StreamingGates.streamNearDup _),
     "stream_sessionize" -> (graft.streaming.StreamingGates.streamSessionize _),
     "stream_windowed_agg" -> (graft.streaming.StreamingGates.streamWindowedAgg _),
@@ -326,6 +329,7 @@ object SparkEntry {
     "agg_incremental_orders" -> Incremental.aggIncrementalOrdersSql,
     // streaming gates share their batch twins' oracles by design
     "stream_agg_store" -> Incremental.aggIncrementalOrdersSql,
+    "stream_agg_retract" -> graft.streaming.StreamingGates.streamAggRetractSql,
     "stream_neardup" -> Dedup.ddMinhashLshSql,
     "stream_sessionize" -> Relational.q19UserSessionsSql,
     "stream_windowed_agg" -> Relational.q18EventsHourlySql,

@@ -51,6 +51,50 @@ object Incremental {
       col("total_dec").cast("double").as("total_price"),
       (col("total_dec").cast("double") / col("n_orders")).as("avg_price"))
 
+  // ------------------------------------------------- retract stream
+
+  /** Signed partials — the Flink-style retract-stream algebra: each row
+    * carries `_sign` ∈ {+1, −1} (insert / retraction), and the partial
+    * state is the SIGNED (count, decimal sum). Both components are
+    * group-invertible, so retracting rows is the same fold as ingesting
+    * them — and because the sums are decimal, the inverse is EXACT (a
+    * float sum would cancel with rounding error and drift from the
+    * recompute). This is the aggregate-tier half of a
+    * right-to-be-forgotten delete: the delta stores remove the ROWS
+    * ([[graft.streaming.StreamingPipeline.writeTombstones]]); this
+    * removes their CONTRIBUTION from a materialized rollup without
+    * rescanning history. */
+  def orderPartialsSigned(rows: DataFrame): DataFrame =
+    rows.groupBy(col("o_custkey"))
+      .agg(sum(col("_sign").cast("long")).as("n_orders"),
+        sum(dec(col("o_totalprice")) * col("_sign")).as("total_dec"))
+
+  /** Fold a signed delta into stored partials. Keys whose signed count
+    * reaches zero are DROPPED — a fully-retracted key must disappear
+    * from the store, not linger as a zero row a reader could mistake
+    * for a real customer with no orders. Negative counts (someone
+    * retracted rows never ingested) are left in place for
+    * [[finalizeStatsChecked]] to refuse loudly — checking here would
+    * force an action per micro-batch. */
+  def mergeSignedDelta(historyPartials: DataFrame, delta: DataFrame): DataFrame =
+    historyPartials.unionByName(orderPartialsSigned(delta))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("total_dec")).as("total_dec"))
+      .filter(col("n_orders") =!= 0)
+
+  /** [[finalizeStats]] plus the retract-stream sanity gate: a negative
+    * signed count means a retraction arrived for rows that were never
+    * ingested (an upstream replay bug) — refuse loudly instead of
+    * serving a negative order count. One pass over |keys| partial rows. */
+  def finalizeStatsChecked(partials: DataFrame): DataFrame = {
+    val p = graft.Caches.persist(partials)
+    val bad = p.filter(col("n_orders") < 0).count()
+    require(bad == 0,
+      s"$bad keys have negative signed counts — retraction without ingest")
+    finalizeStats(p)
+  }
+
   /** Pinned history/delta boundary for the gated query. */
   val SPLIT = "1999-01-01"
 
@@ -72,6 +116,23 @@ object Incremental {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
              AS avg_price
     FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey"""
+
+  /** Oracle for the retract-stream gate
+    * ([[graft.streaming.StreamingGates.streamAggRetract]]): the flat
+    * GROUP BY over the orders MINUS the retracted slice — ingesting
+    * then exactly-retracting rows must be indistinguishable from never
+    * having ingested them, including keys vanishing entirely when all
+    * their orders are retracted. */
+  def aggIncrementalExcludingSql(pred: String): String = s"""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_price
+    FROM orders
+    WHERE NOT ($pred)
     GROUP BY o_custkey
     ORDER BY o_custkey"""
 }

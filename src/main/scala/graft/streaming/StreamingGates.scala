@@ -147,6 +147,60 @@ object StreamingGates {
       .orderBy(col("o_custkey"))
   }
 
+  /** The order slice retracted mid-stream by [[streamAggRetract]] —
+    * drawn from the first two ingest chunks, so every retraction
+    * matches rows the store has already folded. */
+  private val AggRetractSliceSql = "(o_orderkey % 3) < 2 AND (o_orderkey % 13) = 7"
+
+  val streamAggRetractSql: String =
+    Incremental.aggIncrementalExcludingSql(AggRetractSliceSql)
+
+  /** [[streamAggStore]] on a RETRACT STREAM — the aggregate-tier half
+    * of a right-to-be-forgotten delete: after two insert batches, a
+    * batch of `_sign = −1` rows retracts a slice of the already-folded
+    * orders THROUGH THE STREAM ITSELF (a retraction is just another
+    * micro-batch — exactly-once and crash-safety inherit from the
+    * versioned fold, no driver-side version surgery), then a third
+    * insert batch folds on top. Gated against the flat GROUP BY over
+    * the orders MINUS the slice: ingest-then-retract must be
+    * bit-indistinguishable from never-ingested — the decimal partials
+    * make the inverse fold exact where float sums would drift — and
+    * keys whose every order was retracted must VANISH from serving,
+    * not linger as zero rows. Serving goes through
+    * [[graft.operators.Incremental.finalizeStatsChecked]], whose
+    * negative-count guard (retraction without ingest refused loudly)
+    * is pinned in IncrementalSpec. */
+  def streamAggRetract(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val in = tmp("graft_sgate_aggr_in_")
+    val store = tmp("graft_sgate_aggr_store_")
+    val ckpt = tmp("graft_sgate_aggr_ckpt_")
+    def feed(rows: org.apache.spark.sql.DataFrame): Unit =
+      rows.coalesce(1).write.mode("append").parquet(in)
+    def insert(i: Int) =
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
+        .withColumn("_sign", lit(1))
+    val retraction = orders.filter(expr(AggRetractSliceSql))
+      .withColumn("_sign", lit(-1))
+    feed(insert(0))
+    val src = spark.readStream
+      .schema(insert(0).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = StreamingPipeline.startSignedAggStore(src, store, ckpt)
+    try {
+      q.processAllAvailable()
+      feed(insert(1))
+      q.processAllAvailable()
+      feed(retraction)
+      q.processAllAvailable()
+      feed(insert(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    Incremental.finalizeStatsChecked(
+        StreamingPipeline.latestPartials(spark, store))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Replay the synthetic orders changelog in `_seq` order (one
     * micro-batch per seq epoch — the CDC topic contract) through the
     * versioned streaming snapshot store

@@ -1101,6 +1101,34 @@ object StreamingPipeline {
       }
       .start()
 
+  /** [[startIncrementalAggStore]] for a RETRACT STREAM: rows carry
+    * `_sign` ∈ {+1, −1} and each micro-batch folds SIGNED partials
+    * ([[graft.operators.Incremental.mergeSignedDelta]]) into the prior
+    * version. A retraction is therefore just another micro-batch
+    * arriving through the normal checkpointed stream — exactly-once,
+    * crash-safety, and replay isolation all inherit from the existing
+    * versioned-fold argument with NO new machinery (the alternative, a
+    * driver-side rewrite of the newest version, would collide with the
+    * stream's own batch-id version namespace and lose the idempotent
+    * replay property). Decimal partials make the inverse fold EXACT:
+    * ingest-then-retract ≡ never-ingested, bit-for-bit, which the
+    * `stream_agg_retract` gate pins against the filtered flat
+    * recompute. Serve with
+    * [[graft.operators.Incremental.finalizeStatsChecked]] — it refuses
+    * negative signed counts (retraction without ingest) loudly. */
+  def startSignedAggStore(rows: DataFrame, storeDir: String,
+                          checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = latestPartials(spark, storeDir, beforeVersion = batchId)
+        graft.operators.Incremental.mergeSignedDelta(prior, batch)
+          .write.mode("overwrite").parquet(s"$storeDir/v=$batchId")
+      }
+      .start()
+
   /** Streaming CDC snapshot store — [[graft.operators.Cdc.applyChangelog]]
     * folded per micro-batch into a versioned snapshot: each batch
     * applies its changelog slice to the prior snapshot version and

@@ -54,4 +54,41 @@ class IncrementalSpec extends SparkSpec {
       .orderBy($"o_custkey").collect().toSeq
     assert(got == full(sf()).collect().toSeq)
   }
+
+  test("signed retraction: ingest-then-retract is bit-equal to never-ingested") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val slice = $"o_orderkey" % 17 === 3
+    val inserted = Incremental.orderPartialsSigned(
+      orders.withColumn("_sign", lit(1)))
+    val retracted = Incremental.mergeSignedDelta(inserted,
+      orders.filter(slice).withColumn("_sign", lit(-1)))
+    val got = Incremental.finalizeStatsChecked(retracted)
+      .orderBy($"o_custkey").collect().toSeq
+    val want = Incremental.finalizeStats(
+        Incremental.orderPartials(orders.filter(!slice)))
+      .orderBy($"o_custkey").collect().toSeq
+    assert(got == want)
+  }
+
+  test("a fully-retracted key vanishes from the store, not a zero row") {
+    val rows = Seq((1L, 10L, 5.0), (2L, 10L, 7.0), (3L, 20L, 9.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val ins = Incremental.orderPartialsSigned(rows.withColumn("_sign", lit(1)))
+    val after = Incremental.mergeSignedDelta(ins,
+      rows.filter($"o_custkey" === 10L).withColumn("_sign", lit(-1)))
+    assert(after.select($"o_custkey").as[Long].collect().toSeq == Seq(20L))
+  }
+
+  test("retraction without ingest is refused loudly, not served negative") {
+    val rows = Seq((1L, 10L, 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val phantom = Seq((9L, 99L, 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val bad = Incremental.mergeSignedDelta(
+      Incremental.orderPartialsSigned(rows.withColumn("_sign", lit(1))),
+      phantom.withColumn("_sign", lit(-1)))
+    intercept[IllegalArgumentException] {
+      Incremental.finalizeStatsChecked(bad).collect()
+    }
+  }
 }

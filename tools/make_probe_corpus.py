@@ -109,6 +109,24 @@ COPY (
 ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("documents", "embeddings", "customer", "events"):
+# Orders table for the incremental-agg / retract-stream probes: replica
+# i>0 shifts order and customer keys past the source ranges; prices and
+# dates keep the source distribution.
+ord_off = con.execute(f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+ocust_off = con.execute(f"SELECT max(o_custkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+con.sql(f"""
+COPY (
+  SELECT o_orderkey + i * {ord_off} AS o_orderkey,
+         o_custkey + i * {ocust_off} AS o_custkey,
+         o_orderstatus,
+         o_totalprice,
+         o_orderdate,
+         o_orderpriority
+  FROM '{SRC}/orders.parquet', range({N}) t(i)
+  ORDER BY o_orderkey
+) TO '{OUT}/orders.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("documents", "embeddings", "customer", "events", "orders"):
     n = con.execute(f"SELECT COUNT(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
     print(f"{OUT}/{t}.parquet: {n} rows")

@@ -102,6 +102,9 @@ object SparkEntry {
     "stream_er_delete" -> (graft.streaming.StreamingGates.streamErDelete _),
     "stream_er" -> (graft.streaming.StreamingGates.streamEr _),
     "stream_ann_neardup" -> (graft.streaming.StreamingGates.streamAnnNearDup _),
+    // vector erasure in the ANN store: bands/vectors purged on vec_id,
+    // pairs on both endpoints ≡ banded chain on the survivors
+    "stream_ann_delete" -> (graft.streaming.StreamingGates.streamAnnDelete _),
     // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
     "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
@@ -345,6 +348,7 @@ object SparkEntry {
     "stream_er_delete" -> graft.streaming.StreamingGates.streamErDeleteSql,
     "stream_er" -> EntityResolution.erFuzzyMatchSql,
     "stream_ann_neardup" -> Similarity.simCosineNearDupSql,
+    "stream_ann_delete" -> graft.streaming.StreamingGates.streamAnnDeleteSql,
     "layout_zorder" -> Layout.layoutZorderSql,
     "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
     "k4_partition_prune" -> PartitionedWrite.k4PartitionPruneSql,

@@ -693,6 +693,18 @@ object Similarity {
     SELECT id_a, id_b, cosine FROM nd_pairs
     ORDER BY id_a, id_b"""
 
+  /** Oracle for the vector-erasure gate
+    * ([[graft.streaming.StreamingGates.streamAnnDelete]]): the SAME
+    * banded near-dup chain with the deleted vectors filtered out of the
+    * `e` head — erase-then-continue must equal never-ingested. Near-dup
+    * pairs are pairwise-local (banding only generates candidates; the
+    * exact cosine decides), so the filtered recompute is exact. */
+  def simCosineNearDupExcludingSql(pred: String): String = s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE NOT ($pred)),
+    $neardupCtesAfterE
+    SELECT id_a, id_b, cosine FROM nd_pairs
+    ORDER BY id_a, id_b"""
+
   /** Plane head-room of the auto oracles' sign relation: enough rows
     * for [[autoPlanes]] up to 16 planes/table, i.e. corpora to
     * [[NEARDUP_TARGET_OCCUPANCY]]·2¹⁶ ≈ 10⁶ vectors. Past that the

@@ -933,6 +933,59 @@ object StreamingGates {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The vector slice erased mid-stream by [[streamAnnDelete]] (chunks
+    * 0–1 only — erased ids never re-arrive). */
+  private def annDeleteSlice(key: String): String =
+    s"($key % 3) < 2 AND ($key % 9) = 4"
+
+  val streamAnnDeleteSql: String =
+    graft.operators.Similarity.simCosineNearDupExcludingSql(
+      annDeleteSlice("vec_id"))
+
+  /** [[streamAnnNearDup]] with VECTOR ERASURE in the middle — the third
+    * store family under the tombstone machinery (documents/bm25,
+    * entities/ER, and now vectors/ANN): a slice of ingested vec_ids is
+    * tombstoned after batches 0–1, `bands` and `vectors` fold with
+    * exclusion on vec_id and the emitted `pairs` on BOTH endpoints
+    * (an embedding IS personal data when it encodes a person's content,
+    * and a near-dup pair naming it is too), tombstones retire, batch 2
+    * links against the purged band index, and the served pairs are
+    * gated against the banded chain recomputed on the survivors. */
+  def streamAnnDelete(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val in = tmp("graft_sgate_annd_in_")
+    val store = tmp("graft_sgate_annd_store_")
+    val ckpt = tmp("graft_sgate_annd_ckpt_")
+    def chunk(i: Int): Unit =
+      emb.filter(pmod(col("vec_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    val schema = StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    def startQ() = StreamingPipeline.startAnnPairStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, ckpt)
+    chunk(0); chunk(1)
+    val q = startQ()
+    try q.processAllAvailable() finally q.stop()
+    val tid = StreamingPipeline.writeTombstones(spark, store,
+      emb.filter(expr(annDeleteSlice("vec_id"))).select(col("vec_id")))
+    StreamingPipeline.compactDeltasExcluding(spark, s"$store/bands",
+      "vec_id BIGINT, band_key INT", uptoVersion = 1, store, "vec_id")
+    StreamingPipeline.compactDeltasExcluding(spark, s"$store/vectors",
+      "vec_id BIGINT, embedding ARRAY<FLOAT>", uptoVersion = 1, store, "vec_id")
+    StreamingPipeline.compactDeltasExcluding(spark, s"$store/pairs",
+      "id_a BIGINT, id_b BIGINT, cosine DOUBLE",
+      uptoVersion = 1, store, Seq("id_a", "id_b"))
+    StreamingPipeline.retireTombstones(spark, store, tid)
+    chunk(2)
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    StreamingPipeline.contentsExcludingTombstones(spark, s"$store/pairs",
+        "id_a BIGINT, id_b BIGINT, cosine DOUBLE", store, Seq("id_a", "id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Oracle for [[streamStreamJoin]]: the batch interval join the
     * stream claims to equal — every (click, purchase) pair per user
     * with the purchase inside [click, click + 1h]. Timestamps surface

@@ -97,7 +97,13 @@ object ScaleProbe {
     "tx_gopher_rules",
     // tombstone + excluding-fold + retire mid-stream: the fold is one
     // union-and-filter rewrite of snapshot-sized state — ~stream_bm25
-    "stream_bm25_delete")
+    "stream_bm25_delete",
+    // entity/vector erasure and aggregate retraction: each is its base
+    // gate's replay plus delete-sized anti-joins and one snapshot
+    // rewrite per family — expected ~the base gate's law
+    "stream_er_delete", "stream_ann_delete", "stream_agg_retract",
+    // the base ANN ingest, for attributing stream_ann_delete's ratio
+    "stream_ann_neardup")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -656,6 +656,35 @@ class StreamingSpec extends SparkSpec {
     assert(excluded == snap)
   }
 
+  test("delta stores tolerate ADDITIVE schema evolution across batches") {
+    // a long-running stream's writer gains a column mid-life: older
+    // deltas must read back with NULL for the new column (never a
+    // crash), and a reader still on the old schema must keep working —
+    // the parquet read-schema contract, pinned here so a refactor to a
+    // stricter reader cannot silently break store upgrades
+    val store = Files.createTempDirectory("graft_evolve_").toString
+    Seq((1L, 10L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$store/b0")
+    Seq((2L, 20L, "x")).toDF("id", "v", "tag")
+      .write.mode("overwrite").parquet(s"$store/b1")
+    val widened = StreamingPipeline
+      .storeContents(spark, store, "id BIGINT, v BIGINT, tag STRING")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(widened == Set((1L, 10L, None), (2L, 20L, Some("x"))))
+    val narrow = StreamingPipeline
+      .storeContents(spark, store, "id BIGINT, v BIGINT")
+      .as[(Long, Long)].collect().toSet
+    assert(narrow == Set((1L, 10L), (2L, 20L)))
+    // compaction folds through the WIDENED schema without losing the
+    // old rows or the new column
+    StreamingPipeline.compactDeltas(spark, store,
+      "id BIGINT, v BIGINT, tag STRING", uptoVersion = 1)
+    val after = StreamingPipeline
+      .storeContents(spark, store, "id BIGINT, v BIGINT, tag STRING")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(after == widened)
+  }
+
   test("multi-key tombstones: a pair row dies when EITHER endpoint is erased") {
     val store = Files.createTempDirectory("graft_tomb2_").toString
     val fam = s"$store/pairs"

@@ -283,8 +283,15 @@ object AnnIndex {
     queryBands(q, meta.tables, meta.planes)
 
   /** Open a previously auto-built index: catalog relation + the
-    * persisted constants, read back from disk (NOT from session
-    * state — this is the cross-session path). */
+    * persisted constants. The BANDING CONSTANTS are read back from the
+    * on-disk marker (never from session state), so the geometry half is
+    * genuinely session-independent; the RELATION half still resolves
+    * `table` through the catalog, so a fresh session needs the same
+    * metastore (or must re-register the table over `basePath/table` —
+    * Spark's bucketed-by-band layout is catalog metadata, not
+    * self-describing parquet, which is why this does not read by bare
+    * path: a path read would silently lose the bucket spec and the
+    * Exchange-free probe join with it). */
   def openAutoIndex(spark: SparkSession, table: String,
                     basePath: String): (DataFrame, IndexMeta) =
     (spark.table(table), readIndexMeta(spark, s"$basePath/$table"))

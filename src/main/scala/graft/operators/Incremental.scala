@@ -70,28 +70,39 @@ object Incremental {
         sum(dec(col("o_totalprice")) * col("_sign")).as("total_dec"))
 
   /** Fold a signed delta into stored partials. Keys whose signed count
-    * reaches zero are DROPPED — a fully-retracted key must disappear
-    * from the store, not linger as a zero row a reader could mistake
-    * for a real customer with no orders. Negative counts (someone
-    * retracted rows never ingested) are left in place for
-    * [[finalizeStatsChecked]] to refuse loudly — checking here would
-    * force an action per micro-batch. */
+    * AND signed sum both reach zero are DROPPED — a fully-retracted key
+    * must disappear from the store, not linger as a zero row a reader
+    * could mistake for a real customer with no orders. A key at count 0
+    * with a NONZERO sum is kept: that is a retraction whose row count
+    * matched but whose prices did not (an upstream bug), and silently
+    * vanishing it would hide the evidence from
+    * [[finalizeStatsChecked]]'s refusal — same reason negative counts
+    * are left in place rather than checked here (a per-micro-batch
+    * action). */
   def mergeSignedDelta(historyPartials: DataFrame, delta: DataFrame): DataFrame =
     historyPartials.unionByName(orderPartialsSigned(delta))
       .groupBy(col("o_custkey"))
       .agg(sum(col("n_orders")).as("n_orders"),
         sum(col("total_dec")).as("total_dec"))
-      .filter(col("n_orders") =!= 0)
+      .filter(col("n_orders") =!= 0 || col("total_dec") =!= dec(lit(0)))
 
   /** [[finalizeStats]] plus the retract-stream sanity gate: a negative
     * signed count means a retraction arrived for rows that were never
-    * ingested (an upstream replay bug) — refuse loudly instead of
-    * serving a negative order count. One pass over |keys| partial rows. */
+    * ingested, and a zero count with a nonzero sum (the only way a zero
+    * count survives [[mergeSignedDelta]]'s filter) means a retraction's
+    * prices disagreed with the rows it claimed to retract — both are
+    * upstream replay bugs; refuse loudly instead of serving a negative
+    * order count or dividing by zero. One pass over |keys| partial
+    * rows. */
   def finalizeStatsChecked(partials: DataFrame): DataFrame = {
     val p = graft.Caches.persist(partials)
     val bad = p.filter(col("n_orders") < 0).count()
     require(bad == 0,
       s"$bad keys have negative signed counts — retraction without ingest")
+    val mismatched = p.filter(col("n_orders") === 0).count()
+    require(mismatched == 0,
+      s"$mismatched keys have zero signed counts but nonzero signed sums — " +
+        "a retraction's prices disagreed with the ingested rows it retracted")
     finalizeStats(p)
   }
 

@@ -319,7 +319,13 @@ object TextAnalysis {
 
   /** PII patterns redacted by [[redact]] — RE2-compatible (the syntax
     * subset Java regex and DuckDB share), applied longest-first so an
-    * email is not half-eaten by a shorter pattern. */
+    * email is not half-eaten by a shorter pattern.
+    *
+    * DELIBERATELY a Seq with DUPLICATE tokens ("[PHONE]" appears twice,
+    * for the international and the dashed-US forms): every consumer
+    * must FOLD over it in order. Never convert it to a Map (the
+    * `langProfiles.toMap` idiom elsewhere in this file) — that would
+    * silently drop one of the phone patterns. */
   val piiPatterns: Seq[(String, String)] = Seq(
     "[EMAIL]" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "[PHONE]" -> "\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -]?[0-9]{2,4}",

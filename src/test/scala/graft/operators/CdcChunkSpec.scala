@@ -119,13 +119,23 @@ class CdcChunkSpec extends SparkSpec {
     val pow = Iterator.iterate(1L)(_ * B % P).take(w).toArray
     def h(q: Int): Long =
       (0 until w).map(j => (bytes(q - 1 - j) & 0xffL) * pow(j)).sum % P
+    // Structurally INDEPENDENT statement of the clamp rule (the kernel
+    // scans positions and tests a compound condition per byte; a shared
+    // bug in that condition would pass both sides — ADVICE r11): first
+    // enumerate EVERY divisor position of the whole input, then select
+    // cuts greedily — from each chunk start, the next cut is whichever
+    // comes first of (a) the earliest divisor position at least minLen
+    // away, (b) the maxLen clamp, (c) end of input. Only the rolling
+    // hash arithmetic is shared, and that is pinned separately by the
+    // unclamped kernel's own reference.
+    val divisorPositions = (w to len).filter(q => h(q) % div == 0)
     val ends = scala.collection.mutable.ArrayBuffer[Int]()
     var start = 0
-    (1 to len).foreach { q =>
-      val cl = q - start
-      if ((q >= w && cl >= minLen && h(q) % div == 0) || cl == maxLen || q == len) {
-        ends += q; start = q
-      }
+    while (start < len) {
+      val nextDiv = divisorPositions.find(_ >= start + minLen)
+        .getOrElse(Int.MaxValue)
+      val cut = math.min(math.min(nextDiv.toLong, start.toLong + maxLen), len.toLong).toInt
+      ends += cut; start = cut
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     var s0 = 0

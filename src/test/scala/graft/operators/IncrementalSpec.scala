@@ -91,4 +91,25 @@ class IncrementalSpec extends SparkSpec {
       Incremental.finalizeStatsChecked(bad).collect()
     }
   }
+
+  test("count-matched price-mismatched retraction is refused, not vanished") {
+    // one ingested order, then a retraction with the SAME key and row
+    // count but a DIFFERENT price: the signed count nets to 0 but the
+    // signed sum does not — the key must SURVIVE the fold (dropping it
+    // would silently forgive the mismatch) and the checked serve must
+    // refuse it loudly
+    val rows = Seq((1L, 10L, 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val wrongPrice = Seq((1L, 10L, 7.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val folded = Incremental.mergeSignedDelta(
+      Incremental.orderPartialsSigned(rows.withColumn("_sign", lit(1))),
+      wrongPrice.withColumn("_sign", lit(-1)))
+    assert(folded.count() == 1, "mismatched key must not vanish from the store")
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.finalizeStatsChecked(folded).collect()
+    }
+    assert(ex.getMessage.contains("zero signed counts"))
+    graft.Caches.releaseAll()
+  }
 }

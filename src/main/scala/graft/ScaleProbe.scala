@@ -103,7 +103,20 @@ object ScaleProbe {
     // rewrite per family — expected ~the base gate's law
     "stream_er_delete", "stream_ann_delete", "stream_agg_retract",
     // the base ANN ingest, for attributing stream_ann_delete's ratio
-    "stream_ann_neardup")
+    "stream_ann_neardup",
+    // the AUTO-geometry streaming ANN store: planes derived from the
+    // corpus at store creation — must kill the pinned store's
+    // n²/2^planes law (8.6–9.1× @30× in r11) the way the batch auto
+    // paths killed the pinned from-index one
+    "stream_ann_neardup_auto", "stream_ann_delete_auto",
+    // signed decrement of the window-count index + out-family fold:
+    // expected ~stream_substring_dedup plus delete-sized arithmetic
+    "stream_substring_delete",
+    // the full auto-index lifecycle (build half → append → rebuild when
+    // stale → probe); at probe scales the rebuild branch FIRES, so this
+    // measures build+rebuild+probe — expected ~2× the from-index-auto
+    // path's cost, still ~linear in n
+    "sim_neardup_rebuild")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

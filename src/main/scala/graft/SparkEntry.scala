@@ -88,6 +88,12 @@ object SparkEntry {
     "stream_cdc_scd2" -> (graft.streaming.StreamingGates.streamCdcScd2 _),
     "stream_mix_drift" -> (graft.streaming.StreamingGates.streamMixDrift _),
     "stream_substring_dedup" -> (graft.streaming.StreamingGates.streamSubstringDedup _),
+    // count-shaped index erasure: an erase batch SUBTRACTS the forgotten
+    // docs' window counts through the stream (signed fold, zeros vanish,
+    // negatives refuse), so duplicates of forgotten text stop being
+    // suppressed — gated against the causal oracle on the survivors
+    "stream_substring_delete" ->
+      (graft.streaming.StreamingGates.streamSubstringDelete _),
     "stream_qc_score" -> (graft.streaming.StreamingGates.streamQcScore _),
     "stream_stream_join" -> (graft.streaming.StreamingGates.streamStreamJoin _),
     "stream_bm25" -> (graft.streaming.StreamingGates.streamBm25 _),
@@ -105,6 +111,14 @@ object SparkEntry {
     // vector erasure in the ANN store: bands/vectors purged on vec_id,
     // pairs on both endpoints ≡ banded chain on the survivors
     "stream_ann_delete" -> (graft.streaming.StreamingGates.streamAnnDelete _),
+    // the AUTO-GEOMETRY streaming store (planes derived from the corpus
+    // at creation, stamped in the format marker, recovered on restart),
+    // gated against the dynamic-plane oracles — the scale path for the
+    // streaming ANN family, replacing the pinned store's n²/2^planes law
+    "stream_ann_neardup_auto" ->
+      (graft.streaming.StreamingGates.streamAnnNearDupAuto _),
+    "stream_ann_delete_auto" ->
+      (graft.streaming.StreamingGates.streamAnnDeleteAuto _),
     // Write-path layout & maintenance
     "layout_zorder" -> (Layout.layoutZorder _),
     "k2_compact_roundtrip" -> (Compaction.k2CompactRoundtrip _),
@@ -244,6 +258,12 @@ object SparkEntry {
       (graft.operators.AnnIndex.simNearDupFromIndexAuto _),
     "sim_knn_from_index_auto" ->
       (graft.operators.AnnIndex.simKnnFromIndexAuto _),
+    // the full auto-index LIFECYCLE: build on half, append the rest
+    // under the stamped geometry, rebuild when shouldRebuild fires
+    // (occupancy stale by ≥1 plane), probe — hash-exact against the
+    // dynamic-plane oracle on either branch
+    "sim_neardup_rebuild" ->
+      (graft.operators.AnnIndex.simNearDupRebuild _),
     // IVF with √n-derived cell count, served through the persisted
     // trained codebook (the sim_ivf_from_codebook artifact mechanism
     // at the auto-derived k) — corpus-derived constants for the
@@ -340,6 +360,8 @@ object SparkEntry {
     "stream_cdc_scd2" -> Cdc.cdcScd2OrdersSql,
     "stream_mix_drift" -> Profiling.profDriftReportSql,
     "stream_substring_dedup" -> Dedup.streamSubstringDedupSql,
+    "stream_substring_delete" ->
+      graft.streaming.StreamingGates.streamSubstringDeleteSql,
     "stream_qc_score" -> QualityClassifier.qcScoreSql,
     "stream_stream_join" -> graft.streaming.StreamingGates.streamStreamJoinSql,
     "stream_bm25" -> Search.txBm25TopKSql,
@@ -349,6 +371,9 @@ object SparkEntry {
     "stream_er" -> EntityResolution.erFuzzyMatchSql,
     "stream_ann_neardup" -> Similarity.simCosineNearDupSql,
     "stream_ann_delete" -> graft.streaming.StreamingGates.streamAnnDeleteSql,
+    "stream_ann_neardup_auto" -> Similarity.simCosineNearDupAutoSql,
+    "stream_ann_delete_auto" ->
+      graft.streaming.StreamingGates.streamAnnDeleteAutoSql,
     "layout_zorder" -> Layout.layoutZorderSql,
     "k2_compact_roundtrip" -> Compaction.k2CompactRoundtripSql,
     "k4_partition_prune" -> PartitionedWrite.k4PartitionPruneSql,
@@ -439,6 +464,7 @@ object SparkEntry {
     "sim_knn_from_index" -> Similarity.simKnnGraphSql,
     "sim_neardup_from_index_auto" -> Similarity.simCosineNearDupAutoSql,
     "sim_knn_from_index_auto" -> Similarity.simKnnGraphAutoSql,
+    "sim_neardup_rebuild" -> Similarity.simCosineNearDupAutoSql,
     "sim_ivf_auto_from_codebook" -> Similarity.simIvfAutoFromCodebookSql,
     "tx_bm25_from_index" -> Search.txBm25TopKSql,
     "sim_quantize" -> Similarity.simQuantizeSql,

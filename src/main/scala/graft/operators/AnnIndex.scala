@@ -347,4 +347,51 @@ object AnnIndex {
       e.select(col("vec_id"), col("embedding")),
       knnCandidates(idx), Similarity.KNN_GRAPH_K)
   }
+
+  // ---------------------------------------------------- rebuild cadence
+
+  /** Rebuild-cadence law for the auto index: [[appendVectorsAuto]]
+    * deliberately keeps the BUILD-time geometry (per-append re-derivation
+    * would desynchronize old and new rows' sign families), so appends
+    * drift per-bucket occupancy up — ~2× corpus growth is one plane's
+    * worth. This is the maintenance trigger: rebuild when the planes the
+    * CURRENT count derives exceed the stamped ones by ≥1. Without it the
+    * pinned-plane n²/2^planes candidate law (SCALING.md: 30.8× @30× for
+    * the pinned from-index path) re-emerges through long-lived appends;
+    * with it the build-once/probe-many lifecycle closes:
+    * build → probe many → appends drift occupancy → [[shouldRebuild]]
+    * fires → rebuild at the new geometry → probe many. */
+  def shouldRebuild(meta: IndexMeta, currentCount: Long): Boolean =
+    Similarity.autoPlanes(currentCount) > meta.planes
+
+  /** Gated query: the FULL auto-index lifecycle — build on half the
+    * corpus (a capacity estimate the corpus then outgrows), append the
+    * other half under the stamped geometry, consult [[shouldRebuild]]
+    * with the count read from the index itself, rebuild at the fresh
+    * derivation when stale, then probe. The final geometry is
+    * autoPlanes(full corpus) on EITHER branch (rebuild re-derives;
+    * no-rebuild means the halves derive equal planes), so the gate
+    * shares the dynamic-plane oracle
+    * ([[Similarity.simCosineNearDupAutoSql]]) and stays hash-exact at
+    * any corpus size — including probe corpora where the append
+    * genuinely forces the rebuild branch (AnnIndexSpec pins
+    * rebuilt ≡ fresh-built on such a corpus directly). */
+  def simNearDupRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val table = "graft_gate_ann_rebuild_idx"
+    buildNearDupIndexAuto(spark,
+      e.filter(col("vec_id") % 2 === 0), table, scratch)
+    appendVectorsAuto(spark,
+      e.filter(col("vec_id") % 2 =!= 0), table, scratch)
+    val (idx0, meta) = openAutoIndex(spark, table, scratch)
+    // corpus size from the index itself (distinct ids over the narrow
+    // band relation), not from a side channel — the production call has
+    // only the index
+    val n = idx0.select(col("vec_id")).distinct().count()
+    val idx =
+      if (shouldRebuild(meta, n))
+        buildNearDupIndexAuto(spark, e, table, scratch)._1
+      else idx0
+    Similarity.verifyCandidatePairs(e, nearDupCandidates(idx))
+  }
 }

@@ -1604,4 +1604,77 @@ object Dedup {
              AS clean_text,
            CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
     FROM flags GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Oracle for the substring-index ERASURE gate
+    * ([[graft.streaming.StreamingGates.streamSubstringDelete]]): the
+    * prefix-causal relation of [[streamSubstringDedupSql]] with an
+    * erasure between stream batches 1 and 2 (chunk timeline: chunks 0–1
+    * ingest, the erase batch decrements, chunk 2 ingests against the
+    * decremented index). Per append window in chunk c, the visible
+    * count is therefore
+    *
+    *   c ∈ {0,1}:  ALL base counts + ALL append counts over chunks ≤ c
+    *               (the erase has not happened yet — and an output row
+    *               emitted then is causal history, EXCEPT the erased
+    *               docs' own rows, which the tombstone fold purges);
+    *   c = 2:      KEPT base counts + KEPT append counts over chunks ≤ 2
+    *               (duplicates of forgotten text must STOP being
+    *               suppressed — the property this gate exists to pin).
+    *
+    * `pred` names the erased doc_ids (base docs and chunk-0/1 append
+    * docs only — erased ids never re-arrive). Erased docs are absent
+    * from the output rows entirely. */
+  def streamSubstringDeleteSql(pred: String): String = s"""
+    WITH aug AS ($augmentedSql),
+    t AS (SELECT doc_id, ${Portable.wordsSql("text")} AS ws FROM aug),
+    er AS (SELECT doc_id FROM aug WHERE $pred),
+    winb AS (
+      SELECT h, COUNT(*) AS cnt_all,
+             SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS cnt_kept
+      FROM (
+        SELECT ${Portable.hash60Sql(s"array_to_string(ws[i:(i + ${SUB_W - 1})], ' ')")} AS h,
+               doc_id NOT IN (SELECT doc_id FROM er) AS kept
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${SUB_W - 2})) AS i
+              FROM t WHERE doc_id < 10000))
+      GROUP BY h),
+    wina AS (
+      SELECT doc_id, i AS pos, (doc_id - 10000) % 3 AS c,
+             doc_id NOT IN (SELECT doc_id FROM er) AS kept,
+             ${Portable.hash60Sql(s"array_to_string(ws[i:(i + ${SUB_W - 1})], ' ')")} AS h
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${SUB_W - 2})) AS i
+            FROM t WHERE doc_id >= 10000)),
+    aa AS (
+      SELECT h, c, COUNT(*) AS n_all,
+             SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+      FROM wina GROUP BY h, c),
+    cum AS (
+      SELECT h, c,
+             SUM(n_all) OVER (PARTITION BY h ORDER BY c) AS cum_all,
+             SUM(n_kept) OVER (PARTITION BY h ORDER BY c) AS cum_kept
+      FROM aa),
+    vis AS (
+      SELECT w.doc_id, w.pos
+      FROM wina w
+      JOIN cum ON cum.h = w.h AND cum.c = w.c
+      LEFT JOIN winb ON winb.h = w.h
+      WHERE w.kept AND
+        (CASE WHEN w.c < 2 THEN COALESCE(winb.cnt_all, 0) + cum.cum_all
+              ELSE COALESCE(winb.cnt_kept, 0) + cum.cum_kept END) > 1),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + o AS tpos
+      FROM vis CROSS JOIN (SELECT unnest(range(0, $SUB_W)) AS o)),
+    tok AS (
+      SELECT doc_id, i AS tpos, ws[CAST(i AS INT)] AS tok
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+            FROM t WHERE doc_id >= 10000
+              AND doc_id NOT IN (SELECT doc_id FROM er))),
+    flags AS (
+      SELECT tok.doc_id, tok.tpos, tok.tok, cov.tpos IS NOT NULL AS rm
+      FROM tok LEFT JOIN cov
+        ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY tpos), '')
+             AS clean_text,
+           CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM flags GROUP BY doc_id ORDER BY doc_id"""
 }

@@ -726,7 +726,7 @@ object Similarity {
     * what lets the PRODUCTION auto entry points gate hash-exact at any
     * corpus size instead of only where the derived constant happens to
     * equal the pinned one. */
-  private val autoNearDupCtesSql: String = {
+  private def autoNearDupCtes(eWhere: String): String = {
     val occ = NEARDUP_TARGET_OCCUPANCY
     val signRows = mkSigns(NEARDUP_TABLES * AutoOracleMaxPlanes)
       .zipWithIndex.map { case (row, q) =>
@@ -746,7 +746,7 @@ object Similarity {
            FROM pp_raw),
     sgn(q, ws) AS (VALUES
       $signRows),
-    e AS (SELECT vec_id, embedding FROM embeddings),
+    e AS (SELECT vec_id, embedding FROM embeddings$eWhere),
     grid AS (
       SELECT t.t, i.i, pp.p
       FROM (SELECT unnest(range(0, $NEARDUP_TABLES)) AS t) t
@@ -776,8 +776,23 @@ object Similarity {
       SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= $NEARDUP_THRESHOLD)"""
   }
 
+  private val autoNearDupCtesSql: String = autoNearDupCtes("")
+
   val simCosineNearDupAutoSql: String = s"""
     WITH $autoNearDupCtesSql
+    SELECT id_a, id_b, cosine FROM nd_pairs
+    ORDER BY id_a, id_b"""
+
+  /** Oracle for the AUTO-geometry vector-erasure gate
+    * ([[graft.streaming.StreamingGates.streamAnnDeleteAuto]]): the
+    * dynamic-plane chain with the deleted vectors filtered out of the
+    * `e` head. The `n` CTE deliberately stays UNFILTERED — the store
+    * derived its plane count from the full corpus at creation and an
+    * erasure does not re-band (that is [[graft.streaming.StreamingPipeline.rebandAnnStore]]'s
+    * separate, occupancy-driven sweep), so the oracle must band the
+    * survivors under the creation-time geometry. */
+  def simCosineNearDupAutoExcludingSql(pred: String): String = s"""
+    WITH ${autoNearDupCtes(s" WHERE NOT ($pred)")}
     SELECT id_a, id_b, cosine FROM nd_pairs
     ORDER BY id_a, id_b"""
 

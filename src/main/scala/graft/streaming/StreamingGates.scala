@@ -506,6 +506,83 @@ object StreamingGates {
       .orderBy(col("doc_id"))
   }
 
+  /** The erased slice of [[streamSubstringDelete]]: base docs plus
+    * chunk-0/1 append docs (erased ids never re-arrive — chunk-2 ids
+    * are excluded by construction). One SQL predicate shared verbatim
+    * by the gate and its oracle. */
+  private val SubstringDeleteSliceSql =
+    "(doc_id < 10000 AND doc_id % 23 = 11) OR " +
+      "(doc_id >= 10000 AND (doc_id - 10000) % 3 < 2 AND doc_id % 13 = 5)"
+
+  val streamSubstringDeleteSql: String =
+    Dedup.streamSubstringDeleteSql(SubstringDeleteSliceSql)
+
+  /** [[streamSubstringDedup]] with RIGHT-TO-BE-FORGOTTEN erasure in the
+    * middle — the count-shaped index's delete path (VERDICT r11 §missing
+    * #2: tombstone masking cannot forget a COUNT; a deleted doc's window
+    * counts kept suppressing duplicates of text no longer in the
+    * corpus). After chunks 0–1 commit, an erase batch of `_sign = −1`
+    * docs (base docs AND already-ingested append docs) arrives THROUGH
+    * THE STREAM ([[StreamingPipeline.startSignedSubstringDedupStore]]:
+    * their window counts are recomputed and SUBTRACTED at the fold,
+    * zeros vanish, negatives refuse loudly), the erased docs' own
+    * emitted output rows are purged via the composed
+    * [[StreamingPipeline.eraseFromStore]] on the out family, and chunk 2
+    * then dedups against the DECREMENTED index. The oracle states the
+    * full causal relation in SQL — pre-erase batches saw all counts,
+    * the post-erase batch sees kept counts only — so the hash compare
+    * pins both halves: ingest-then-erase ≡ never-ingested for future
+    * visibility (duplicates of forgotten text STOP being suppressed),
+    * and erased docs leave the output entirely. */
+  def streamSubstringDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val aug = graft.Caches.track(Dedup.augmented(spark, dir).localCheckpoint(true))
+    val root = tmp("graft_sgate_subd_")
+    val in = s"$root/in"
+    val out = s"$root/out"
+    val store = s"$root/index"
+    val ckpt = s"$root/ckpt"
+    Dedup.buildSubstringIndex(spark,
+      aug.filter(col("doc_id") < 10000), Dedup.SUB_W, s"$store/v=-1")
+    val app = aug.filter(col("doc_id") >= 10000)
+    val outSchema = "doc_id BIGINT, clean_text STRING, n_removed BIGINT"
+    def feed(rows: DataFrame): Unit =
+      rows.coalesce(1).write.mode("append").parquet(in)
+    def insert(i: Int) =
+      app.filter(pmod(col("doc_id") - 10000, lit(3)) === i)
+        .select(col("doc_id"), col("text")).withColumn("_sign", lit(1))
+    val erasure = aug.filter(expr(SubstringDeleteSliceSql))
+      .select(col("doc_id"), col("text")).withColumn("_sign", lit(-1))
+    feed(insert(0))
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING, _sign INT")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = StreamingPipeline.startSignedSubstringDedupStore(
+      src, store, out, ckpt, Dedup.SUB_W)
+    try {
+      q.processAllAvailable()
+      feed(insert(1))
+      q.processAllAvailable()
+      // batch 2: the erase request, through the checkpointed stream —
+      // the index decrement inherits exactly-once from the versioned fold
+      feed(erasure)
+      q.processAllAvailable()
+      // quiesced at the committed boundary: purge the erased docs' OWN
+      // emitted output rows (they are the forgotten docs' text) — fold
+      // the out family with exclusion, retire tombstones, one call
+      StreamingPipeline.eraseFromStore(spark, root,
+        aug.filter(expr(SubstringDeleteSliceSql)).select(col("doc_id")),
+        Seq(StreamingPipeline.StoreFamily("out", outSchema, Seq("doc_id"))),
+        uptoVersion = 2)
+      // batch 3: chunk 2 dedups against the DECREMENTED index — windows
+      // whose only other copy was forgotten must come out UNCLEANED
+      feed(insert(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    StreamingPipeline.storeContents(spark, out, outSchema)
+      .orderBy(col("doc_id"))
+  }
+
   /** Replay the augmented near-dup corpus as a 3-batch document stream
     * through the FULL streaming near-dup pipeline — shingle store
     * ([[StreamingPipeline.startShingleStore]]) + batch-equivalent LSH
@@ -710,16 +787,18 @@ object StreamingGates {
     chunk(0); chunk(1)
     val q = startQ()
     try q.processAllAvailable() finally q.stop()
-    // quiesced at a committed boundary: register the delete, fold both
-    // families with physical exclusion, then retire the tombstones —
-    // every family is now past the delete, the retirement contract
-    val tid = StreamingPipeline.writeTombstones(spark, idx,
-      docs.filter(expr(Bm25DeleteSliceSql)).select(col("doc_id")))
-    StreamingPipeline.compactDeltasExcluding(spark, s"$idx/postings",
-      "term STRING, doc_id BIGINT, tf BIGINT", uptoVersion = 1, idx, "doc_id")
-    StreamingPipeline.compactDeltasExcluding(spark, s"$idx/lens",
-      "doc_id BIGINT, n_words INT", uptoVersion = 1, idx, "doc_id")
-    StreamingPipeline.retireTombstones(spark, idx, tid)
+    // quiesced at a committed boundary: the COMPOSED erasure registers
+    // the delete, folds every stamped family with physical exclusion,
+    // and only then retires the tombstones (the helper refuses a
+    // partial family list — the retire-last invariant is API-enforced)
+    StreamingPipeline.eraseFromStore(spark, idx,
+      docs.filter(expr(Bm25DeleteSliceSql)).select(col("doc_id")),
+      Seq(
+        StreamingPipeline.StoreFamily("postings",
+          "term STRING, doc_id BIGINT, tf BIGINT", Seq("doc_id")),
+        StreamingPipeline.StoreFamily("lens",
+          "doc_id BIGINT, n_words INT", Seq("doc_id"))),
+      uptoVersion = 1)
     chunk(2)
     val q2 = startQ()
     try q2.processAllAvailable() finally q2.stop()
@@ -873,16 +952,17 @@ object StreamingGates {
     chunk(0); chunk(1)
     val q = startQ()
     try q.processAllAvailable() finally q.stop()
-    val tid = StreamingPipeline.writeTombstones(spark, store,
-      cust.filter(expr(erDeleteSlice("id"))).select(col("id")))
-    StreamingPipeline.compactDeltasExcluding(spark, s"$store/variants",
-      "id BIGINT, variant BIGINT", uptoVersion = 1, store, "id")
-    StreamingPipeline.compactDeltasExcluding(spark, s"$store/names",
-      "id BIGINT, name STRING", uptoVersion = 1, store, "id")
-    StreamingPipeline.compactDeltasExcluding(spark, s"$store/pairs",
-      "id_a BIGINT, id_b BIGINT, name_a STRING, name_b STRING",
-      uptoVersion = 1, store, Seq("id_a", "id_b"))
-    StreamingPipeline.retireTombstones(spark, store, tid)
+    StreamingPipeline.eraseFromStore(spark, store,
+      cust.filter(expr(erDeleteSlice("id"))).select(col("id")),
+      Seq(
+        StreamingPipeline.StoreFamily("variants",
+          "id BIGINT, variant BIGINT", Seq("id")),
+        StreamingPipeline.StoreFamily("names",
+          "id BIGINT, name STRING", Seq("id")),
+        StreamingPipeline.StoreFamily("pairs",
+          "id_a BIGINT, id_b BIGINT, name_a STRING, name_b STRING",
+          Seq("id_a", "id_b"))),
+      uptoVersion = 1)
     chunk(2)
     val q2 = startQ()
     try q2.processAllAvailable() finally q2.stop()
@@ -903,7 +983,69 @@ object StreamingGates {
     * both state families (bands, vectors) at a checkpoint-restart
     * boundary, so the oracle hash also pins compacted ≡
     * union-of-deltas. */
-  def streamAnnNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def streamAnnNearDup(spark: SparkSession, dir: String): DataFrame =
+    annStoreReplay(spark, dir, auto = false, deleteSlice = None)
+
+  /** [[streamAnnNearDup]] through the AUTO-GEOMETRY store
+    * ([[StreamingPipeline.startAnnPairStoreAuto]]): the plane count is
+    * derived from the corpus size at store creation and recovered from
+    * the stamped format marker on every restart, so per-bucket occupancy
+    * — and with it the n²/2^planes candidate term that made the pinned
+    * streaming store the last superlinear law in a gated query — stays
+    * at the target as the corpus grows. Gated against the SAME
+    * dynamic-plane oracle as the in-query auto paths
+    * ([[graft.operators.Similarity.simCosineNearDupAutoSql]] — the SQL
+    * recomputes autoPlanes' integer formula from the corpus count), so
+    * the hash compare holds at ANY corpus size, not just where the
+    * derived constant equals the pinned one. */
+  def streamAnnNearDupAuto(spark: SparkSession, dir: String): DataFrame =
+    annStoreReplay(spark, dir, auto = true, deleteSlice = None)
+
+  /** The vector slice erased mid-stream by the delete gates (chunks
+    * 0–1 only — erased ids never re-arrive). */
+  private def annDeleteSlice(key: String): String =
+    s"($key % 3) < 2 AND ($key % 9) = 4"
+
+  val streamAnnDeleteSql: String =
+    graft.operators.Similarity.simCosineNearDupExcludingSql(
+      annDeleteSlice("vec_id"))
+
+  val streamAnnDeleteAutoSql: String =
+    graft.operators.Similarity.simCosineNearDupAutoExcludingSql(
+      annDeleteSlice("vec_id"))
+
+  /** [[streamAnnNearDup]] with VECTOR ERASURE in the middle — the third
+    * store family under the tombstone machinery (documents/bm25,
+    * entities/ER, and now vectors/ANN): a slice of ingested vec_ids is
+    * erased after batches 0–1 through the COMPOSED
+    * [[StreamingPipeline.eraseFromStore]] — `bands` and `vectors` fold
+    * with exclusion on vec_id and the emitted `pairs` on BOTH endpoints
+    * (an embedding IS personal data when it encodes a person's content,
+    * and a near-dup pair naming it is too), and tombstones retire only
+    * after every stamped family has folded (the helper refuses a
+    * partial family list). Batch 2 then links against the purged band
+    * index, and the served pairs are gated against the banded chain
+    * recomputed on the survivors. */
+  def streamAnnDelete(spark: SparkSession, dir: String): DataFrame =
+    annStoreReplay(spark, dir, auto = false,
+      deleteSlice = Some(annDeleteSlice("vec_id")))
+
+  /** [[streamAnnDelete]] through the auto-geometry store, against the
+    * dynamic-plane excluding oracle — erasure and auto-sizing composed
+    * in one hash signal. */
+  def streamAnnDeleteAuto(spark: SparkSession, dir: String): DataFrame =
+    annStoreReplay(spark, dir, auto = true,
+      deleteSlice = Some(annDeleteSlice("vec_id")))
+
+  /** Shared 3-batch replay drive of the streaming ANN near-dup store:
+    * chunks 0–1 ingest, a mid-stream quiesced sweep — plain compaction
+    * of the state families, or the composed erasure when `deleteSlice`
+    * is set — then chunk 2 through a RESTARTED query (for the auto
+    * store, the restart recovers the geometry from the stamped marker,
+    * which is the auto gates' extra load-bearing step). Serving reads
+    * go through the store reader (snapshot + later deltas). */
+  private def annStoreReplay(spark: SparkSession, dir: String, auto: Boolean,
+                             deleteSlice: Option[String]): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val in = tmp("graft_sgate_ann_in_")
@@ -913,76 +1055,48 @@ object StreamingGates {
       emb.filter(pmod(col("vec_id"), lit(3)) === i)
         .coalesce(1).write.mode("append").parquet(in)
     val schema = StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
-    def startQ() = StreamingPipeline.startAnnPairStore(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(in),
-      store, ckpt)
+    // the auto store sizes its geometry from the EXPECTED corpus rows at
+    // creation (one cheap footer count here; capacity planning in prod)
+    lazy val corpusRows = emb.count()
+    def startQ() = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      if (auto)
+        StreamingPipeline.startAnnPairStoreAuto(src, store, ckpt, corpusRows)
+      else StreamingPipeline.startAnnPairStore(src, store, ckpt)
+    }
+    val vecSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    val pairSchema = "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
     chunk(0); chunk(1)
     val q = startQ()
     try q.processAllAvailable() finally q.stop()
-    StreamingPipeline.compactDeltas(spark, s"$store/bands",
-      "vec_id BIGINT, band_key INT", uptoVersion = 1)
-    StreamingPipeline.compactDeltas(spark, s"$store/vectors",
-      "vec_id BIGINT, embedding ARRAY<FLOAT>", uptoVersion = 1)
+    deleteSlice match {
+      case Some(pred) =>
+        StreamingPipeline.eraseFromStore(spark, store,
+          emb.filter(expr(pred)).select(col("vec_id")),
+          Seq(
+            StreamingPipeline.StoreFamily("bands",
+              StreamingPipeline.AnnBandSchema, Seq("vec_id")),
+            StreamingPipeline.StoreFamily("vectors", vecSchema, Seq("vec_id")),
+            StreamingPipeline.StoreFamily("pairs", pairSchema,
+              Seq("id_a", "id_b"))),
+          uptoVersion = 1)
+      case None =>
+        StreamingPipeline.compactDeltas(spark, s"$store/bands",
+          StreamingPipeline.AnnBandSchema, uptoVersion = 1)
+        StreamingPipeline.compactDeltas(spark, s"$store/vectors",
+          vecSchema, uptoVersion = 1)
+    }
     chunk(2)
     val q2 = startQ()
     try q2.processAllAvailable() finally q2.stop()
-    spark.read
-      .schema("id_a BIGINT, id_b BIGINT, cosine DOUBLE")
-      .parquet(s"$store/pairs/b*")
-      .orderBy(col("id_a"), col("id_b"))
-  }
-
-  /** The vector slice erased mid-stream by [[streamAnnDelete]] (chunks
-    * 0–1 only — erased ids never re-arrive). */
-  private def annDeleteSlice(key: String): String =
-    s"($key % 3) < 2 AND ($key % 9) = 4"
-
-  val streamAnnDeleteSql: String =
-    graft.operators.Similarity.simCosineNearDupExcludingSql(
-      annDeleteSlice("vec_id"))
-
-  /** [[streamAnnNearDup]] with VECTOR ERASURE in the middle — the third
-    * store family under the tombstone machinery (documents/bm25,
-    * entities/ER, and now vectors/ANN): a slice of ingested vec_ids is
-    * tombstoned after batches 0–1, `bands` and `vectors` fold with
-    * exclusion on vec_id and the emitted `pairs` on BOTH endpoints
-    * (an embedding IS personal data when it encodes a person's content,
-    * and a near-dup pair naming it is too), tombstones retire, batch 2
-    * links against the purged band index, and the served pairs are
-    * gated against the banded chain recomputed on the survivors. */
-  def streamAnnDelete(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val in = tmp("graft_sgate_annd_in_")
-    val store = tmp("graft_sgate_annd_store_")
-    val ckpt = tmp("graft_sgate_annd_ckpt_")
-    def chunk(i: Int): Unit =
-      emb.filter(pmod(col("vec_id"), lit(3)) === i)
-        .coalesce(1).write.mode("append").parquet(in)
-    val schema = StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
-    def startQ() = StreamingPipeline.startAnnPairStore(
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(in),
-      store, ckpt)
-    chunk(0); chunk(1)
-    val q = startQ()
-    try q.processAllAvailable() finally q.stop()
-    val tid = StreamingPipeline.writeTombstones(spark, store,
-      emb.filter(expr(annDeleteSlice("vec_id"))).select(col("vec_id")))
-    StreamingPipeline.compactDeltasExcluding(spark, s"$store/bands",
-      "vec_id BIGINT, band_key INT", uptoVersion = 1, store, "vec_id")
-    StreamingPipeline.compactDeltasExcluding(spark, s"$store/vectors",
-      "vec_id BIGINT, embedding ARRAY<FLOAT>", uptoVersion = 1, store, "vec_id")
-    StreamingPipeline.compactDeltasExcluding(spark, s"$store/pairs",
-      "id_a BIGINT, id_b BIGINT, cosine DOUBLE",
-      uptoVersion = 1, store, Seq("id_a", "id_b"))
-    StreamingPipeline.retireTombstones(spark, store, tid)
-    chunk(2)
-    val q2 = startQ()
-    try q2.processAllAvailable() finally q2.stop()
-    StreamingPipeline.contentsExcludingTombstones(spark, s"$store/pairs",
-        "id_a BIGINT, id_b BIGINT, cosine DOUBLE", store, Seq("id_a", "id_b"))
+    // delete path: the excluding serving read (a no-op anti-join after
+    // retirement — pinned so the serving contract is exercised); plain
+    // path: the store reader (snapshot + later deltas)
+    (if (deleteSlice.isDefined)
+       StreamingPipeline.contentsExcludingTombstones(spark, s"$store/pairs",
+         pairSchema, store, Seq("id_a", "id_b"))
+     else StreamingPipeline.storeContents(spark, s"$store/pairs", pairSchema))
       .orderBy(col("id_a"), col("id_b"))
   }
 

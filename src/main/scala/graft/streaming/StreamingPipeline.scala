@@ -310,7 +310,8 @@ object StreamingPipeline {
     * probe-time read lists O(recent deltas), not O(#batches) — the
     * `stream_bm25` gate probes across such a sweep. */
   def startSearchIndexStore(docs: DataFrame, indexDir: String,
-                            checkpointDir: String): StreamingQuery =
+                            checkpointDir: String): StreamingQuery = {
+    stampFamilies(docs.sparkSession, indexDir, Seq("postings", "lens"))
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -325,6 +326,7 @@ object StreamingPipeline {
         } finally graft.Caches.freeCheckpoint(b)
       }
       .start()
+  }
 
   /** Streaming heavy-hitter maintenance: one shuffle-free Misra-Gries
     * summary PER MICRO-BATCH ([[graft.operators.HeavyHitters.mgSummary]]
@@ -356,7 +358,8 @@ object StreamingPipeline {
     * versioned write = effective exactly-once (the
     * [[startSubstringDedupStore]] crash argument). */
   def startHeavyHitterStore(docs: DataFrame, storeDir: String,
-                            checkpointDir: String, capacity: Int): StreamingQuery =
+                            checkpointDir: String, capacity: Int): StreamingQuery = {
+    stampFamilies(docs.sparkSession, storeDir, Seq("sketch", "totals"))
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -373,6 +376,7 @@ object StreamingPipeline {
         } finally graft.Caches.freeCheckpoint(b)
       }
       .start()
+  }
 
   /** Streaming entity-resolution ingest: maintain the deletion-variant
     * blocking index ([[graft.operators.EntityResolution.variantHashes]])
@@ -407,7 +411,10 @@ object StreamingPipeline {
     * dirs, the small-files failure; the `stream_er` gate replays ACROSS
     * such a sweep. */
   def startErPairStore(rows: DataFrame, storeDir: String,
-                       checkpointDir: String, maxDist: Int): StreamingQuery =
+                       checkpointDir: String, maxDist: Int): StreamingQuery = {
+    // stamp the COMPLETE family set up front: the composed erasure
+    // refuses any delete call that does not cover all of them
+    stampFamilies(rows.sparkSession, storeDir, Seq("variants", "names", "pairs"))
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -446,6 +453,7 @@ object StreamingPipeline {
         } finally graft.Caches.freeCheckpoint(b)
       }
       .start()
+  }
 
   /** Streaming ANN near-dup ingest — the embedding-space twin of
     * [[startErPairStore]]: maintain the hyperplane band index
@@ -476,6 +484,44 @@ object StreamingPipeline {
     * gate replays across such a sweep). */
   def startAnnPairStore(vectors: DataFrame, storeDir: String,
                         checkpointDir: String): StreamingQuery =
+    startAnnPairStoreImpl(vectors, storeDir, checkpointDir,
+      graft.operators.Similarity.NEARDUP_PLANES, AnnBandFormat)
+
+  /** AUTO-geometry variant of [[startAnnPairStore]] — the production
+    * entry point, closing the last superlinear law the pinned store
+    * carried (measured 8.6–9.1× @30×, SCALING.md): the plane count is
+    * derived from the expected corpus size at STORE CREATION
+    * ([[graft.operators.Similarity.autoPlanes]] — exactly
+    * [[graft.operators.AnnIndex.buildNearDupIndexAuto]]'s sizing, which
+    * holds per-bucket occupancy and therefore candidate density ~linear
+    * in n) and STAMPED INTO THE STORE'S FORMAT MARKER, so every later
+    * writer — appends, restarts, other sessions — recovers the same
+    * geometry from disk and a build presenting a different one is
+    * refused loudly (the [[ensureFormat]] posture; band keys from two
+    * plane counts silently never collide, which is missing pairs, not
+    * an error).
+    *
+    * If the store already exists, `corpusRows` is IGNORED in favor of
+    * the stamped geometry — restarting the stream with a stale estimate
+    * must not fork the store. For long-lived streams whose history
+    * outgrows the creation-time estimate, re-derive at a compaction
+    * boundary with [[rebandAnnStore]] (quiesced; rebuilds the band
+    * family under the new geometry and restamps the marker). */
+  def startAnnPairStoreAuto(vectors: DataFrame, storeDir: String,
+                            checkpointDir: String,
+                            corpusRows: Long): StreamingQuery = {
+    val spark = vectors.sparkSession
+    val planes = annStorePlanes(spark, storeDir).getOrElse(
+      graft.operators.Similarity.autoPlanes(corpusRows))
+    startAnnPairStoreImpl(vectors, storeDir, checkpointDir,
+      planes, autoAnnBandFormat(planes))
+  }
+
+  private def startAnnPairStoreImpl(vectors: DataFrame, storeDir: String,
+                                    checkpointDir: String, planes: Int,
+                                    format: String): StreamingQuery = {
+    stampFamilies(vectors.sparkSession, storeDir,
+      Seq("bands", "vectors", "pairs"))
     vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -484,21 +530,26 @@ object StreamingPipeline {
         val b = batch.localCheckpoint(true)
         try {
           import graft.operators.Similarity
-          val planes = Similarity.NEARDUP_PLANES
           // same loud hash-family refusal as the ER variant store: band
-          // keys are outputs of the hyperplane sign family
-          ensureFormat(spark, s"$storeDir/bands", AnnBandFormat)
+          // keys are outputs of the hyperplane sign family — and for the
+          // auto store the marker also pins the PLANE COUNT, so appends
+          // under a different geometry refuse instead of silently never
+          // colliding with stored bands
+          ensureFormat(spark, s"$storeDir/bands", format)
+          val signs =
+            if (Similarity.NEARDUP_TABLES * planes <= Similarity.MaxPlanes)
+              Similarity.planeSigns
+            else Similarity.mkSigns(Similarity.NEARDUP_TABLES * planes)
           val bands = Similarity
-            .banded(b, Similarity.NEARDUP_TABLES, planes)
-            .select(col("vec_id"),
-              (col("tbl") * (1 << planes) + col("bucket")).as("band_key"))
+            .banded(b, Similarity.NEARDUP_TABLES, planes, signs)
+            .select(col("vec_id"), bandKey(planes))
             .localCheckpoint(true)
           try {
             bands.write.mode("overwrite").parquet(s"$storeDir/bands/b$batchId")
             b.select(col("vec_id"), col("embedding"))
               .write.mode("overwrite").parquet(s"$storeDir/vectors/b$batchId")
             val priorB = deltasBelow(spark, s"$storeDir/bands",
-              "vec_id BIGINT, band_key INT", batchId)
+              AnnBandSchema, batchId)
             val priorV = deltasBelow(spark, s"$storeDir/vectors",
               "vec_id BIGINT, embedding ARRAY<FLOAT>", batchId)
             val newOld = bands
@@ -519,6 +570,79 @@ object StreamingPipeline {
         } finally graft.Caches.freeCheckpoint(b)
       }
       .start()
+  }
+
+  /** Flat band key (tbl, bucket) → one BIGINT — long arithmetic, because
+    * auto-derived plane counts can exceed the 31-bit shift the pinned
+    * store's int packing allowed. */
+  private def bandKey(planes: Int) =
+    (col("tbl").cast("long") * (1L << planes) + col("bucket")).as("band_key")
+
+  /** DDL of the band family (shared by both geometries). */
+  val AnnBandSchema = "vec_id BIGINT, band_key BIGINT"
+
+  /** Format string of the AUTO store: the pinned hash-family stamp plus
+    * the derived geometry — one string, so [[ensureFormat]]'s exact
+    * compare refuses BOTH a hash-family change and a plane-count
+    * mismatch with the same loud error. */
+  private[streaming] def autoAnnBandFormat(planes: Int): String =
+    s"$AnnBandFormat;tables=${graft.operators.Similarity.NEARDUP_TABLES};planes=$planes"
+
+  /** The plane count stamped in an AUTO store's format marker, if the
+    * store exists and was created by [[startAnnPairStoreAuto]]. A
+    * PINNED-format store returns None — callers must not silently
+    * reinterpret it as auto. */
+  def annStorePlanes(spark: SparkSession, storeDir: String): Option[Int] =
+    readFormat(spark, s"$storeDir/bands").flatMap { f =>
+      "planes=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)
+    }
+
+  /** RE-BAND a quiesced auto store at a compaction boundary: when the
+    * ingested history has outgrown the creation-time estimate (the
+    * stamped plane count is stale by ≥1 —
+    * [[graft.operators.AnnIndex.shouldRebuild]]'s law), rebuild the band
+    * family from the VECTORS family under the newly-derived geometry and
+    * restamp the marker, so per-bucket occupancy returns to the target
+    * and candidate density stays linear. The rebuild is published as the
+    * band family's `v=uptoVersion` snapshot through the same staged
+    * atomic publish as [[compactDeltas]] (vectors are the durable truth;
+    * bands are derived state, so recomputing them IS their fold), and
+    * already-emitted pairs need no retraction — near-dup emission is
+    * append-monotone and banding only generates candidates, the exact
+    * cosine decides. Returns the new plane count (== the old one when
+    * occupancy has not drifted a full plane — then nothing is touched).
+    *
+    * Contract: run while the stream is STOPPED at a checkpoint-committed
+    * boundary `uptoVersion` (the [[compactDeltas]] contract — the
+    * restarted stream recovers the new geometry from the marker). */
+  def rebandAnnStore(spark: SparkSession, storeDir: String,
+                     uptoVersion: Long): Int = {
+    import graft.operators.Similarity
+    val cur = annStorePlanes(spark, storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$storeDir/bands carries no auto geometry stamp — only stores " +
+          "created by startAnnPairStoreAuto can re-band"))
+    val vectors = storeContents(spark, s"$storeDir/vectors",
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val planes = Similarity.autoPlanes(vectors.count())
+    if (planes != cur) {
+      val signs =
+        if (Similarity.NEARDUP_TABLES * planes <= Similarity.MaxPlanes)
+          Similarity.planeSigns
+        else Similarity.mkSigns(Similarity.NEARDUP_TABLES * planes)
+      val rebanded = Similarity
+        .banded(vectors, Similarity.NEARDUP_TABLES, planes, signs)
+        .select(col("vec_id"), bandKey(planes))
+      publishSnapshot(spark, s"$storeDir/bands", rebanded, uptoVersion)
+      retireCovered(spark, s"$storeDir/bands", uptoVersion)
+      writeFormat(spark, s"$storeDir/bands", autoAnnBandFormat(planes))
+      // fold the vectors family to the same boundary so both families'
+      // per-batch reads stay O(recent deltas) after the re-band sweep
+      compactDeltas(spark, s"$storeDir/vectors",
+        "vec_id BIGINT, embedding ARRAY<FLOAT>", uptoVersion)
+    }
+    planes
+  }
 
   /** Version-dir name patterns of the delta stores: `b<id>` per-batch
     * deltas and `v=<id>` compaction snapshots (a snapshot holds the fold
@@ -562,7 +686,7 @@ object StreamingPipeline {
   def deltasBelow(spark: SparkSession, dir: String, schema: String,
                   beforeVersion: Long): DataFrame = {
     val st = StructType.fromDDL(schema)
-    val snaps = listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
+    val snaps = committedSnapshots(spark, dir)
     require(snaps.forall(_ < beforeVersion),
       s"delta store $dir holds compaction snapshot v=${snaps.max} covering " +
         s"batch ids >= $beforeVersion — a replay of batch $beforeVersion can no " +
@@ -591,20 +715,27 @@ object StreamingPipeline {
     * [[graft.streaming.StreamingGates.streamBm25]]) pin against the
     * batch oracles.
     *
-    * Crash safety: the fold is written to an underscore-prefixed staging
-    * dir (invisible to [[deltasBelow]]'s version listing AND to Hadoop
-    * data listing) and renamed into place — an atomic namespace op on
-    * local FS/HDFS, and ENFORCED: object-store schemes (where rename is
-    * copy+delete) are refused loudly — so a half-written snapshot can
-    * never shadow the
-    * deltas it was folding. A crash AFTER the rename leaves already-
-    * folded `b` dirs behind, which readers skip (ids ≤ snapshot) and the
-    * next sweep deletes. Run while the writing stream is quiesced
-    * (between micro-batches, or stopped — the gates compact at a
-    * restart boundary), and only up to a batch id the checkpoint has
-    * COMMITTED: compacting an uncommitted batch breaks replay isolation,
-    * which [[deltasBelow]] then refuses loudly rather than serving
-    * wrong history. */
+    * Crash safety is a COMPLETENESS-MARKER protocol: a snapshot counts
+    * as published only once a `_GRAFT_COMMITTED` marker exists inside
+    * its `v=<id>` dir — readers ([[deltasBelow]]) ignore unmarked
+    * snapshot dirs entirely, and the next sweep GC's them as crashed
+    * partials. On local FS/HDFS the fold is still staged
+    * (underscore-prefixed dir, invisible to version listing and Hadoop
+    * data listing) and atomically RENAMED into place with the marker
+    * already inside — the fast path, one namespace op. On OBJECT STORES
+    * (s3a/gs/abfs…, where rename is copy+delete and the old refusal
+    * left delta accumulation unbounded) the fold writes DIRECTLY to
+    * `v=<id>` and the marker lands last: a crash mid-write leaves an
+    * unmarked partial that shadows nothing — readers serve the old
+    * state, and re-running the sweep heals (delete partial, refold,
+    * mark). A crash AFTER publish leaves already-folded `b` dirs
+    * behind, which readers skip (ids ≤ snapshot) and the next sweep
+    * deletes. Run while the writing stream is quiesced (between
+    * micro-batches, or stopped — the gates compact at a restart
+    * boundary), and only up to a batch id the checkpoint has COMMITTED:
+    * compacting an uncommitted batch breaks replay isolation, which
+    * [[deltasBelow]] then refuses loudly rather than serving wrong
+    * history. */
   def compactDeltas(spark: SparkSession, dir: String, schema: String,
                     uptoVersion: Long): Unit =
     compactDeltas(spark, dir, schema, uptoVersion, None)
@@ -644,46 +775,104 @@ object StreamingPipeline {
     import org.apache.hadoop.fs.Path
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    // the crash-safety argument below rests on rename being an ATOMIC
-    // namespace op — true on local FS and HDFS, false on object stores
-    // (S3A/GCS/ABFS rename = copy+delete, so a crash mid-"rename" can
-    // leave a partial v=N that SHADOWS the deltas it was folding).
-    // Refuse loudly there; the object-store path needs a
-    // completeness-marker protocol (or a table format) instead.
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    require(!Set("s3a", "s3n", "s3", "gs", "abfs", "abfss", "wasb", "wasbs")
-        .contains(scheme.toLowerCase(java.util.Locale.ROOT)),
-      s"compactDeltas on $scheme:// — rename is copy+delete on object " +
-        "stores, so the atomic-publish crash argument does not hold; " +
-        "compact via an atomic-commit table format there")
-    val snaps = listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
+    // the fold must present the family's full stamped schema — a
+    // narrower fold would physically DROP a column from the published
+    // snapshot; refused here as a contract error instead of surfacing
+    // as silent data loss (or, for a type change, as a parquet read
+    // error deep inside the fold)
+    ensureSchemaCompat(spark, dir, schema)
+    // GC crashed partials first: a snapshot dir without its commit
+    // marker (direct-write path died mid-fold) shadows nothing — readers
+    // already skip it — but its bytes are garbage; reclaim before
+    // (re)folding so `v=uptoVersion` can be rewritten cleanly
+    val allSnaps = listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
+    val snaps = committedSnapshots(spark, dir)
+    (allSnaps.toSet -- snaps.toSet)
+      .foreach(v => fs.delete(new Path(base, s"v=$v"), true))
     require(snaps.forall(_ <= uptoVersion),
       s"delta store $dir already compacted past $uptoVersion (v=${snaps.max})")
     val unfolded = listVersions(spark, dir, DeltaName).getOrElse(Seq.empty)
       .filter(k => k <= uptoVersion && snaps.sorted.lastOption.forall(k > _))
     if (!(snaps.contains(uptoVersion) && unfolded.isEmpty)) {
+      val folded = deltasBelow(spark, dir, schema, uptoVersion + 1)
+      val contents = exclude.fold(folded) { case (storeRoot, keyCols) =>
+        antiJoinTombstones(spark, folded, storeRoot, keyCols)
+      }
+      publishSnapshot(spark, dir, contents, uptoVersion)
+    }
+    // retire EVERYTHING v=<uptoVersion> now covers — every delta ≤ upto
+    // and every older snapshot, not just the ones this run folded, so a
+    // sweep that crashed between its publish and its deletes is fully
+    // reclaimed by the next run. A crash anywhere in this loop leaves
+    // dirs readers already skip (ids ≤ the newest snapshot).
+    retireCovered(spark, dir, uptoVersion)
+  }
+
+  /** Completeness marker of the snapshot-publish protocol: a `v=<id>`
+    * snapshot is real only once this file exists inside it. Underscore
+    * prefix = invisible to Hadoop data listing, so parquet reads of the
+    * snapshot never see it as data. */
+  val CommitMarkerName = "_GRAFT_COMMITTED"
+
+  private val ObjectStoreSchemes =
+    Set("s3a", "s3n", "s3", "gs", "abfs", "abfss", "wasb", "wasbs")
+
+  /** Snapshot versions whose commit marker is present — the only ones
+    * readers may serve. (Unmarked `v=` dirs are crashed partials from
+    * the object-store direct-write path; [[compactDeltas]] GC's them.) */
+  private def committedSnapshots(spark: SparkSession, dir: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
+      .filter(v => fs.exists(new Path(base, s"v=$v/$CommitMarkerName")))
+  }
+
+  /** Publish `contents` as the family's `v=<uptoVersion>` snapshot.
+    * Local FS/HDFS: staged write (marker included) + atomic rename —
+    * the fast path, one namespace op, a crash never exposes a partial.
+    * Object stores (rename = copy+delete there): direct write, then
+    * the commit marker LAST — a crash mid-write leaves an unmarked dir
+    * readers ignore and the next sweep GC's; the marker create is the
+    * single atomic publish event. */
+  private def publishSnapshot(spark: SparkSession, dir: String,
+                              contents: DataFrame, uptoVersion: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val target = new Path(base, s"v=$uptoVersion")
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (ObjectStoreSchemes.contains(scheme.toLowerCase(java.util.Locale.ROOT))) {
+      fs.delete(target, true)
+      contents.write.mode("overwrite").parquet(target.toString)
+      val out = fs.create(new Path(target, CommitMarkerName), true)
+      try out.write(Array.emptyByteArray) finally out.close()
+    } else {
       // the staging WRITE executes the read of the old snapshot + deltas;
       // only then does the rename publish it under the versioned name
       val staging = new Path(base, s"_compact_staging_v$uptoVersion")
       fs.delete(staging, true)
-      val folded = deltasBelow(spark, dir, schema, uptoVersion + 1)
-      exclude.fold(folded) { case (storeRoot, keyCols) =>
-        antiJoinTombstones(spark, folded, storeRoot, keyCols)
-      }.write.mode("overwrite").parquet(staging.toString)
-      val target = new Path(base, s"v=$uptoVersion")
+      contents.write.mode("overwrite").parquet(staging.toString)
+      val out = fs.create(new Path(staging, CommitMarkerName), true)
+      try out.write(Array.emptyByteArray) finally out.close()
       fs.delete(target, true)
       require(fs.rename(staging, target),
-        s"compactDeltas: rename $staging -> $target failed")
+        s"publishSnapshot: rename $staging -> $target failed")
     }
-    // retire EVERYTHING v=<uptoVersion> now covers — every delta ≤ upto
-    // and every older snapshot, not just the ones this run folded, so a
-    // sweep that crashed between its rename and its deletes is fully
-    // reclaimed by the next run. A crash anywhere in this loop leaves
-    // dirs readers already skip (ids ≤ the newest snapshot).
+  }
+
+  /** Retire everything a committed `v=<uptoVersion>` snapshot covers:
+    * every delta dir with id ≤ upto and every older snapshot. */
+  private def retireCovered(spark: SparkSession, dir: String,
+                            uptoVersion: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     listVersions(spark, dir, DeltaName).getOrElse(Seq.empty)
       .filter(_ <= uptoVersion)
       .foreach(k => fs.delete(new Path(base, s"b$k"), true))
-    snaps.filter(_ < uptoVersion)
+    listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
+      .filter(_ < uptoVersion)
       .foreach(v => fs.delete(new Path(base, s"v=$v"), true))
   }
 
@@ -723,10 +912,48 @@ object StreamingPipeline {
     require(ids.schema.fields.length == 1,
       s"tombstones must be a single key column, got ${ids.schema.simpleString}")
     val dir = s"$storeRoot/tombstones"
-    val next = listVersions(spark, dir, DeltaName)
+    // tombstone delta ids must be MONOTONIC across retirements, not just
+    // across live deltas: after retireTombstones empties the directory a
+    // max-of-existing scheme would reuse id 0, and a caller holding a
+    // stale `upto` from before the retirement could then retire the new,
+    // unfolded tombstones — un-deleting keys with no error. A persisted
+    // high-water marker closes that: next = max(marker, max existing + 1),
+    // so a crash between the delta write and the marker update still
+    // yields a fresh id on the next call (the existing delta bumps the
+    // max), and retirement never lowers the floor.
+    val existingNext = listVersions(spark, dir, DeltaName)
       .getOrElse(Seq.empty).maxOption.map(_ + 1L).getOrElse(0L)
+    val next = math.max(existingNext, readTombstoneHighWater(spark, dir))
     ids.toDF("tomb_id").write.mode("overwrite").parquet(s"$dir/b$next")
+    writeTombstoneHighWater(spark, dir, next + 1L)
     next
+  }
+
+  /** High-water marker of [[writeTombstones]] — the smallest delta id
+    * the next write may use, preserved across [[retireTombstones]]. */
+  private val TombstoneHighWaterFile = "_graft_next_tomb_id"
+
+  private def readTombstoneHighWater(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, TombstoneHighWaterFile)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      val s =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      s.trim.toLong
+    }
+  }
+
+  private def writeTombstoneHighWater(spark: SparkSession, dir: String,
+                                      next: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, TombstoneHighWaterFile)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = f.create(p, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** All currently-registered tombstone keys for a store (empty
@@ -765,10 +992,100 @@ object StreamingPipeline {
     }
   }
 
+  /** One data family of a delta store, as the composed erasure API
+    * needs to know it: the family subdirectory under the store root,
+    * its DDL schema, and the key column(s) an erased id matches rows
+    * on (multi-key for relationship families — a pair touching an
+    * erased entity from EITHER side is personal data about it). */
+  final case class StoreFamily(name: String, schema: String,
+                               keyCols: Seq[String])
+
+  /** Marker file recording a store's complete data-family set — written
+    * once by the store-creating stream, so the composed erasure below
+    * can REFUSE a partial family list instead of silently leaving an
+    * erased key's rows alive in a family the caller forgot. */
+  private val FamiliesMarker = "_graft_families"
+
+  /** First writer stamps the store's family set; later writers must
+    * present the same set or fail loudly (a build that grew a family
+    * must migrate the stamp explicitly, not silently diverge from the
+    * erasure contract). */
+  def stampFamilies(spark: SparkSession, storeRoot: String,
+                    families: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(storeRoot)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(base, FamiliesMarker)
+    stampedFamilies(spark, storeRoot) match {
+      case Some(existing) =>
+        require(existing == families.toSet,
+          s"store $storeRoot stamps families ${existing.toSeq.sorted.mkString(",")} " +
+            s"but this writer declares ${families.sorted.mkString(",")} — " +
+            "migrate the stamp explicitly before changing the family set")
+      case None =>
+        fs.mkdirs(base)
+        val out = fs.create(p, false)
+        try out.write(families.sorted.mkString(",").getBytes("UTF-8"))
+        finally out.close()
+    }
+  }
+
+  /** The stamped family set, if the store carries one. */
+  def stampedFamilies(spark: SparkSession, storeRoot: String): Option[Set[String]] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(new Path(storeRoot), FamiliesMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      Some(s.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    }
+  }
+
+  /** COMPOSED right-to-be-forgotten erasure — the one-call form of the
+    * tombstone protocol, making the ordering invariant ("retire only
+    * after EVERY family has folded past the delete") unrepresentable
+    * instead of scaladoc-only: register the keys, fold every family
+    * with physical exclusion, and only then retire the tombstones.
+    * Call while the writing stream is quiesced at a checkpoint-committed
+    * boundary `uptoVersion` (the [[compactDeltas]] contract).
+    *
+    * If the store stamps its family set ([[stampFamilies]] — every
+    * store-creating stream in this module does), a partial `families`
+    * list is REFUSED loudly: a mis-ordered or incomplete caller would
+    * otherwise retire tombstones while some family still holds the
+    * erased keys' rows, un-deleting them with no error. Crash safety is
+    * the parts' own: each fold stages-and-publishes atomically, and a
+    * crash anywhere before the final retirement leaves tombstones live
+    * (serving reads still mask; re-running the erasure is idempotent —
+    * re-folding removed keys and re-retiring are both no-ops). */
+  def eraseFromStore(spark: SparkSession, storeRoot: String,
+                     ids: DataFrame, families: Seq[StoreFamily],
+                     uptoVersion: Long): Unit = {
+    stampedFamilies(spark, storeRoot).foreach { stamped =>
+      val covered = families.map(_.name).toSet
+      require(stamped.subsetOf(covered),
+        s"eraseFromStore($storeRoot): store stamps families " +
+          s"${stamped.toSeq.sorted.mkString(",")} but the call covers only " +
+          s"${covered.toSeq.sorted.mkString(",")} — an uncovered family would " +
+          "keep the erased keys' rows past tombstone retirement")
+    }
+    val tid = writeTombstones(spark, storeRoot, ids)
+    families.foreach { f =>
+      compactDeltasExcluding(spark, s"$storeRoot/${f.name}", f.schema,
+        uptoVersion, storeRoot, f.keyCols)
+    }
+    retireTombstones(spark, storeRoot, tid)
+  }
+
   /** Retire tombstone deltas with id <= `upto` — call ONLY after every
     * data family of the store has been folded past the corresponding
     * deletes with [[compactDeltasExcluding]] (retiring earlier would
-    * un-delete the keys in any family still holding their rows).
+    * un-delete the keys in any family still holding their rows); the
+    * composed [[eraseFromStore]] enforces exactly that ordering.
     * Idempotent; a crash mid-loop leaves dirs whose re-application is
     * harmless (anti-joining already-removed keys is a no-op). */
   def retireTombstones(spark: SparkSession, storeRoot: String,
@@ -799,25 +1116,98 @@ object StreamingPipeline {
   /** First writer stamps the store; every later writer (and any serving
     * reader that calls this) must present the same format string or
     * fail loudly — never silently match nothing. */
-  def ensureFormat(spark: SparkSession, dir: String, format: String): Unit = {
+  def ensureFormat(spark: SparkSession, dir: String, format: String): Unit =
+    readFormat(spark, dir) match {
+      case None => writeFormat(spark, dir, format)
+      case Some(found) =>
+        require(found == format,
+          s"store $dir was written under hash-family format '$found'; this " +
+            s"build produces '$format' — new hashes would never match stored " +
+            "ones (silently missing cross-batch pairs). Rebuild the store or " +
+            "run the matching build.")
+    }
+
+  /** The stamped format string, if the family carries one. */
+  private[streaming] def readFormat(spark: SparkSession,
+                                    dir: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(new Path(dir), FormatMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** (Re)stamp the family's format string — the re-band sweep's restamp
+    * path; normal writers go through [[ensureFormat]], which never
+    * overwrites. */
+  private[streaming] def writeFormat(spark: SparkSession, dir: String,
+                                     format: String): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    val p = new Path(base, FormatMarker)
-    if (!fs.exists(p)) {
+    fs.mkdirs(base)
+    val out = fs.create(new Path(base, FormatMarker), true)
+    try out.write(format.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Schema marker of a delta-store family — the DDL twin of the
+    * hash-family format stamp. */
+  private val SchemaMarker = "_graft_schema"
+
+  /** Stamp (first call) or check a family's schema: the presented
+    * schema must be an ADDITIVE WIDENING of the stamp — every stamped
+    * column present under the same name and exact type; new columns may
+    * be appended (old deltas null-fill them, the pinned evolution
+    * contract) and then widen the stamp for later callers. A type
+    * change, rename, or drop is refused LOUDLY with both schemas in the
+    * message — without this, a drifted build fails as a parquet decode
+    * error deep inside a fold (type change) or silently publishes a
+    * snapshot missing a column (drop). Wired into [[compactDeltas]] —
+    * the fold is where narrow-schema data loss would otherwise go
+    * unnoticed — and available to writers. */
+  def ensureSchemaCompat(spark: SparkSession, dir: String,
+                         schema: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val presented = StructType.fromDDL(schema)
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(base, SchemaMarker)
+    def stamp(ddl: String): Unit = {
       fs.mkdirs(base)
-      val out = fs.create(p, false)
-      try out.write(format.getBytes("UTF-8")) finally out.close()
-    } else {
+      val out = fs.create(p, true)
+      try out.write(ddl.getBytes("UTF-8")) finally out.close()
+    }
+    if (!fs.exists(p)) stamp(presented.toDDL)
+    else {
       val in = fs.open(p)
-      val found =
+      val stampedDdl =
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
-      require(found == format,
-        s"store $dir was written under hash-family format '$found'; this " +
-          s"build produces '$format' — new hashes would never match stored " +
-          "ones (silently missing cross-batch pairs). Rebuild the store or " +
-          "run the matching build.")
+      val stamped = StructType.fromDDL(stampedDdl)
+      val presentedByName = presented.fields.map(f => f.name -> f.dataType).toMap
+      val broken = stamped.fields.flatMap { f =>
+        presentedByName.get(f.name) match {
+          case None =>
+            Some(s"column '${f.name}' missing (dropped or renamed)")
+          case Some(t) if t != f.dataType =>
+            Some(s"column '${f.name}' changed type ${f.dataType.sql} -> ${t.sql}")
+          case _ => None
+        }
+      }
+      require(broken.isEmpty,
+        s"family $dir schema drift is not an additive widening:\n  " +
+          broken.mkString("\n  ") +
+          s"\n  stamped:   ${stamped.toDDL}\n  presented: ${presented.toDDL}" +
+          "\n  Additive evolution only: keep every stamped column at its " +
+          "stamped type; append new columns. Rebuild the store (or run " +
+          "the matching build) for anything else.")
+      val stampedNames = stamped.fields.map(_.name).toSet
+      if (presented.fields.exists(f => !stampedNames.contains(f.name)))
+        stamp(presented.toDDL) // widening: later callers check against it
     }
   }
 
@@ -901,6 +1291,79 @@ object StreamingPipeline {
           // free it here, or every micro-batch of the stream's lifetime
           // pins a batch-sized block set (Dataset.unpersist would be a
           // CacheManager no-op; see Caches.freeCheckpoint)
+        } finally graft.Caches.freeCheckpoint(b)
+      }
+      .start()
+  }
+
+  /** [[startSubstringDedupStore]] for a SIGNED document stream — the
+    * right-to-be-forgotten path for the (h, cnt) window-count index,
+    * closing the one delta-store family the r11 erasure theme missed:
+    * tombstone masking cannot forget a COUNT-shaped index (a deleted
+    * doc's window counts would keep suppressing future duplicates of
+    * text no longer in the corpus), so erasure here is ARITHMETIC — the
+    * [[startSignedAggStore]] retract algebra applied to window counts.
+    *
+    * Rows carry `_sign` ∈ {+1, −1}. Per micro-batch: `+1` docs are
+    * dedup'd causally against the pre-batch index exactly as the
+    * unsigned store (and their counts added); `−1` docs' window counts
+    * — recomputed from the text the erasure request carries — are
+    * SUBTRACTED at the fold, so ingest-then-erase ≡ never-ingested for
+    * every future batch's visibility test. Counts reaching exactly zero
+    * leave the index (a fully-forgotten window must not linger as a row
+    * readers could mistake for corpus text); a NEGATIVE count means an
+    * erasure arrived for text never ingested, refused loudly — the
+    * [[graft.operators.Incremental.finalizeStatsChecked]] posture,
+    * priced at delete volume because only batches carrying erasures pay
+    * the check. In a mixed batch the inserts dedup against the
+    * PRE-erase index (erasure takes effect from the next batch) — send
+    * erasures as their own batch for sharp semantics, as the
+    * `stream_substring_delete` gate does.
+    *
+    * An erased doc's own EMITTED output rows (written by the batch that
+    * ingested it) are a separate delta family under the caller's
+    * `outDir` — purge them with the tombstone machinery
+    * ([[eraseFromStore]] on the out family, keyed by doc_id); this
+    * store owns only the index arithmetic. Crash safety is unchanged
+    * from the unsigned store: idempotent versioned writes, replay reads
+    * strictly below, checkpoint + versioned write = exactly-once. */
+  def startSignedSubstringDedupStore(docs: DataFrame, indexStore: String,
+                                     outDir: String, checkpointDir: String,
+                                     w: Int): StreamingQuery = {
+    val idxSchema = StructType.fromDDL("h BIGINT, cnt BIGINT")
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint(true)
+        try {
+          import graft.operators.Dedup
+          val inserts = b.filter(col("_sign") === 1).drop("_sign")
+          val erases = b.filter(col("_sign") === -1).drop("_sign")
+          val idx = latestSnapshot(spark, indexStore, idxSchema,
+            beforeVersion = batchId)
+          Dedup.substringDedupIncremental(inserts, idx, w)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          val folded = idx
+            .unionByName(Dedup.substringWindowCounts(inserts, w))
+            .unionByName(Dedup.substringWindowCounts(erases, w)
+              .select(col("h"), (-col("cnt")).as("cnt")))
+            .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+          if (erases.isEmpty)
+            folded.write.mode("overwrite").parquet(s"$indexStore/v=$batchId")
+          else {
+            val f = folded.localCheckpoint(true)
+            try {
+              val neg = f.filter(col("cnt") < 0).count()
+              require(neg == 0,
+                s"$neg window hashes would go NEGATIVE folding batch " +
+                  s"$batchId's erasures — an erasure arrived for text " +
+                  "never ingested (stale or duplicated delete request)")
+              f.filter(col("cnt") > 0)
+                .write.mode("overwrite").parquet(s"$indexStore/v=$batchId")
+            } finally graft.Caches.freeCheckpoint(f)
+          }
         } finally graft.Caches.freeCheckpoint(b)
       }
       .start()

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the contention-window detector ([[Bench.contentionWindow]]) —
+  * the automated form of the adjudication the r9/r10/r11 judges each
+  * had to settle with a full-suite rerun: an alphabetically contiguous
+  * stretch of carryover queries all inflated ≥1.5× with min AND med
+  * elevated is the environment-contention signature, not a code
+  * regression (real regressions hit the scattered queries a diff
+  * touches). */
+class BenchSpec extends AnyFunSuite {
+
+  private def rec(names: Seq[String], t: Double = 1.0) =
+    names.map(n => n -> (t, t))
+
+  test("flags a contiguous ≥8-query run with min AND med elevated") {
+    val names = ('a' to 'z').map(n => s"q_$n")
+    val prev = rec(names).toMap
+    // 10 contiguous queries at 2× both statistics
+    val cur = names.map { n =>
+      val hot = n >= "q_h" && n <= "q_q"
+      n -> (if (hot) (2.0, 2.0) else (1.0, 1.0))
+    }
+    assert(Bench.contentionWindow(prev, cur) == Some(("q_h", "q_q")))
+  }
+
+  test("no flag when the run is short, scattered, or only min is elevated") {
+    val names = ('a' to 'z').map(n => s"q_$n")
+    val prev = rec(names).toMap
+    // 7 contiguous (below the ≥8 floor)
+    val short = names.map { n =>
+      n -> (if (n >= "q_h" && n <= "q_n") (2.0, 2.0) else (1.0, 1.0))
+    }
+    assert(Bench.contentionWindow(prev, short).isEmpty)
+    // 10 elevated but with a cold query splitting the run in half
+    val split = names.map { n =>
+      val hot = n >= "q_h" && n <= "q_q" && n != "q_l"
+      n -> (if (hot) (2.0, 2.0) else (1.0, 1.0))
+    }
+    assert(Bench.contentionWindow(prev, split).isEmpty)
+    // min elevated, med not: the one-slow-run shape min-of-3 absorbs
+    val minOnly = names.map { n =>
+      n -> (if (n >= "q_h" && n <= "q_q") (2.0, 1.0) else (1.0, 1.0))
+    }
+    assert(Bench.contentionWindow(prev, minOnly).isEmpty)
+  }
+
+  test("new queries are not carryover and do not break a run") {
+    val names = ('a' to 'z').map(n => s"q_$n")
+    val prev = rec(names).toMap
+    // q_l is NEW this round (absent from prev) and lands cold in the
+    // middle of the hot stretch — the carryover run stays contiguous
+    val cur = names.map { n =>
+      val hot = n >= "q_h" && n <= "q_q" && n != "q_l"
+      n -> (if (hot) (2.0, 2.0) else (1.0, 1.0))
+    }
+    assert(Bench.contentionWindow(prev - "q_l", cur) == Some(("q_h", "q_q")))
+  }
+
+  test("empty or missing previous record flags nothing") {
+    val cur = rec(('a' to 'z').map(n => s"q_$n"), 100.0)
+    assert(Bench.contentionWindow(Map.empty, cur).isEmpty)
+    assert(Bench.readRecord("/nonexistent/path.json").isEmpty)
+  }
+
+  test("readRecord parses the BENCH_FULL format this repo writes") {
+    val p = java.nio.file.Files.createTempFile("graft_bench_rec", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q1":{"min":1.500,"med":2.000},"q2_x":{"min":0.100,"med":0.150}},"failed":[],"sf":"/x"}""")
+    assert(Bench.readRecord(p.toString) ==
+      Map("q1" -> (1.5, 2.0), "q2_x" -> (0.1, 0.15)))
+  }
+}

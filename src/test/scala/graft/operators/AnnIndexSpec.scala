@@ -195,4 +195,53 @@ class AnnIndexSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(tmp)
     }
   }
+
+  test("rebuild cadence: appends drift occupancy; rebuilt index ≡ fresh-built") {
+    // a synthetic corpus big enough that half vs full derive DIFFERENT
+    // plane counts (gate tables never do at test scale): 2000 rows → 8
+    // planes, 5000 → 9, so the append makes the stamp stale by one and
+    // shouldRebuild must fire
+    import spark.implicits._
+    val dim = Similarity.Dim
+    val vecs = spark.range(5000).select($"id".as("vec_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), j -> " +
+        "cast(sin(vec_id * 31 + j * 17) as float))").as("embedding"))
+      .localCheckpoint(true)
+    val half = vecs.filter($"vec_id" < 2000)
+    val rest = vecs.filter($"vec_id" >= 2000)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_rb").toFile
+    try {
+      val (_, meta0) = AnnIndex.buildNearDupIndexAuto(spark, half,
+        "ann_idx_rb", tmp.getAbsolutePath, buckets = 8)
+      assert(meta0.planes == Similarity.autoPlanes(2000))
+      assert(!AnnIndex.shouldRebuild(meta0, 2000),
+        "fresh build must not immediately demand a rebuild")
+      AnnIndex.appendVectorsAuto(spark, rest, "ann_idx_rb", tmp.getAbsolutePath)
+      assert(AnnIndex.shouldRebuild(meta0, 5000),
+        "a full plane's worth of growth must trigger the rebuild")
+      // rebuild at the fresh derivation; ≡ a from-scratch build of the
+      // full corpus (same table name — the production in-place refresh)
+      val (rebuilt, meta1) = AnnIndex.buildNearDupIndexAuto(spark, vecs,
+        "ann_idx_rb", tmp.getAbsolutePath, buckets = 8)
+      assert(meta1.planes == Similarity.autoPlanes(5000) && meta1 != meta0)
+      val tmp2 = java.nio.file.Files.createTempDirectory("graft_ann_rb_f").toFile
+      try {
+        val fresh = AnnIndex.buildNearDupIndex(spark, vecs, "ann_idx_rb_fresh",
+          tmp2.getAbsolutePath, meta1.tables, meta1.planes, meta1.buckets)
+        assert(rebuilt.as[(Long, Long)].collect().toSet ==
+          fresh.as[(Long, Long)].collect().toSet,
+          "rebuilt index must equal a fresh build at the new geometry")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS ann_idx_rb_fresh")
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp2)
+      }
+      // the marker now serves the NEW geometry to later sessions
+      assert(AnnIndex.readIndexMeta(spark,
+        tmp.getAbsolutePath + "/ann_idx_rb") == meta1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_idx_rb")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      graft.Caches.freeCheckpoint(vecs)
+    }
+  }
 }

@@ -656,6 +656,202 @@ class StreamingSpec extends SparkSpec {
     assert(excluded == snap)
   }
 
+  test("tombstone delta ids stay monotonic ACROSS retirements") {
+    // a retirement empties the directory; if the next delete reused id
+    // 0, a caller holding a stale `upto` from before the retirement
+    // could retire the new, unfolded tombstones and un-delete keys.
+    // The persisted high-water marker makes ids monotonic forever.
+    val store = Files.createTempDirectory("graft_tomb_hwm_").toString
+    val t0 = StreamingPipeline.writeTombstones(spark, store, Seq(1L).toDF("id"))
+    val t1 = StreamingPipeline.writeTombstones(spark, store, Seq(2L).toDF("id"))
+    assert(t0 == 0L && t1 == 1L)
+    StreamingPipeline.retireTombstones(spark, store, upto = t1)
+    assert(StreamingPipeline.storeTombstones(spark, store).count() == 0)
+    val t2 = StreamingPipeline.writeTombstones(spark, store, Seq(3L).toDF("id"))
+    assert(t2 == 2L, s"post-retirement tombstone id reused: $t2")
+    // the stale `upto` from before the retirement no longer covers the
+    // new delta — retiring with it is a no-op on id 3's tombstone
+    StreamingPipeline.retireTombstones(spark, store, upto = t1)
+    assert(StreamingPipeline.storeTombstones(spark, store)
+      .as[Long].collect().toSet == Set(3L))
+  }
+
+  test("snapshot commit marker: a crashed partial serves old state; re-run heals") {
+    // the object-store publish path writes the snapshot files first and
+    // the _GRAFT_COMMITTED marker LAST — a crash in between leaves an
+    // unmarked v= dir. Simulate exactly that state and pin the protocol:
+    // readers ignore it (old state served), the next sweep GC's it and
+    // refolds.
+    val store = Files.createTempDirectory("graft_marker_").toString
+    val schema = "id BIGINT, v BIGINT"
+    (0 to 1).foreach { b =>
+      spark.range(b * 10, b * 10 + 5)
+        .select($"id", ($"id" * 2).as("v"))
+        .write.mode("overwrite").parquet(s"$store/b$b")
+    }
+    StreamingPipeline.compactDeltas(spark, store, schema, uptoVersion = 0)
+    assert(new java.io.File(s"$store/v=0/${StreamingPipeline.CommitMarkerName}")
+      .exists(), "published snapshot must carry the commit marker")
+    def contents = StreamingPipeline
+      .storeContents(spark, store, schema).as[(Long, Long)].collect().toSet
+    val before = contents
+    assert(before.size == 10)
+    // crashed partial: data files present, NO commit marker — and with
+    // garbage rows, so serving it would be visible
+    spark.range(900, 905).select($"id", lit(-1L).as("v"))
+      .write.mode("overwrite").parquet(s"$store/v=5")
+    assert(contents == before,
+      "an unmarked snapshot partial must be invisible to readers")
+    // the re-run sweep heals: GC the partial, fold the real state
+    StreamingPipeline.compactDeltas(spark, store, schema, uptoVersion = 1)
+    val names = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(!names.contains("v=5"), s"crashed partial not GC'd: $names")
+    assert(names.contains("v=1") && !names.contains("b0") && !names.contains("b1"))
+    assert(contents == before)
+  }
+
+  test("eraseFromStore refuses a partial family list on a stamped store") {
+    val store = Files.createTempDirectory("graft_erase_api_").toString
+    val schema = "id BIGINT, v BIGINT"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$store/rows/b0")
+    Seq((1L, 2L)).toDF("id_a", "id_b")
+      .write.mode("overwrite").parquet(s"$store/links/b0")
+    StreamingPipeline.stampFamilies(spark, store, Seq("rows", "links"))
+    // a second stamp with a DIFFERENT set refuses
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.stampFamilies(spark, store, Seq("rows"))
+    }
+    val rowsFam = StreamingPipeline.StoreFamily("rows", schema, Seq("id"))
+    val linksFam = StreamingPipeline.StoreFamily("links",
+      "id_a BIGINT, id_b BIGINT", Seq("id_a", "id_b"))
+    // partial family list: refused BEFORE any tombstone is written —
+    // otherwise retirement would un-delete id 1 in the uncovered family
+    val ex = intercept[IllegalArgumentException] {
+      StreamingPipeline.eraseFromStore(spark, store, Seq(1L).toDF("id"),
+        Seq(rowsFam), uptoVersion = 0)
+    }
+    assert(ex.getMessage.contains("links"))
+    assert(StreamingPipeline.storeTombstones(spark, store).count() == 0,
+      "refusal must happen before the tombstone write")
+    // the full list erases across every family and retires tombstones
+    StreamingPipeline.eraseFromStore(spark, store, Seq(1L).toDF("id"),
+      Seq(rowsFam, linksFam), uptoVersion = 0)
+    assert(StreamingPipeline.storeContents(spark, s"$store/rows", schema)
+      .as[(Long, Long)].collect().toSet == Set((2L, 20L)))
+    assert(StreamingPipeline.storeContents(spark, s"$store/links",
+      "id_a BIGINT, id_b BIGINT").count() == 0)
+    assert(StreamingPipeline.storeTombstones(spark, store).count() == 0,
+      "composed erasure must retire its tombstones after all folds")
+  }
+
+  test("ensureSchemaCompat: additive widening passes; type change, rename, drop refused") {
+    val dir = Files.createTempDirectory("graft_schema_guard_").toString
+    StreamingPipeline.ensureSchemaCompat(spark, dir, "id BIGINT, v BIGINT")
+    // identical: fine
+    StreamingPipeline.ensureSchemaCompat(spark, dir, "id BIGINT, v BIGINT")
+    // additive widening: fine, and the stamp widens for later callers
+    StreamingPipeline.ensureSchemaCompat(spark, dir,
+      "id BIGINT, v BIGINT, tag STRING")
+    // type change on a stamped column: refused, both schemas named
+    val tc = intercept[IllegalArgumentException] {
+      StreamingPipeline.ensureSchemaCompat(spark, dir,
+        "id BIGINT, v INT, tag STRING")
+    }
+    assert(tc.getMessage.contains("changed type") &&
+      tc.getMessage.contains("stamped") && tc.getMessage.contains("presented"))
+    // drop (now checked against the WIDENED stamp): refused
+    val dr = intercept[IllegalArgumentException] {
+      StreamingPipeline.ensureSchemaCompat(spark, dir, "id BIGINT, v BIGINT")
+    }
+    assert(dr.getMessage.contains("missing"))
+    // rename = drop + add under a new name: refused on the missing half
+    val rn = intercept[IllegalArgumentException] {
+      StreamingPipeline.ensureSchemaCompat(spark, dir,
+        "id BIGINT, v BIGINT, label STRING")
+    }
+    assert(rn.getMessage.contains("'tag'"))
+    // a compaction fold presenting a NARROW schema is the data-loss
+    // case the guard exists for: the fold would publish a snapshot
+    // physically missing the stamped column
+    Seq((1L, 2L, "a")).toDF("id", "v", "tag")
+      .write.mode("overwrite").parquet(s"$dir/b0")
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.compactDeltas(spark, dir, "id BIGINT, v BIGINT",
+        uptoVersion = 0)
+    }
+  }
+
+  /** Deterministic synthetic embedding corpus big enough that
+    * autoPlanes derives MORE than the pinned 8 planes (n=5000 → 9) —
+    * the gate tables never reach that at test scale, so the re-band
+    * and geometry-drift paths need their own corpus. */
+  private def synthVectors(n: Int) = {
+    val dim = graft.operators.Similarity.Dim
+    spark.range(n).select($"id".as("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        s"transform(sequence(0, ${dim - 1}), j -> " +
+          "cast(sin(vec_id * 31 + j * 17) as float))").as("embedding"))
+  }
+
+  test("auto ANN store: geometry stamped at creation, recovered on restart, re-band ≡ fresh build") {
+    val in = Files.createTempDirectory("graft_annauto_in_").toString
+    val store = Files.createTempDirectory("graft_annauto_").toString
+    val ckpt = Files.createTempDirectory("graft_annauto_ckpt_").toString
+    val vecs = synthVectors(5000).localCheckpoint(true)
+    val half1 = vecs.filter($"vec_id" % 2 === 0)
+    val half2 = vecs.filter($"vec_id" % 2 =!= 0)
+    half1.coalesce(1).write.mode("overwrite").parquet(in)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    // created with a DELIBERATELY low corpus estimate: derives the
+    // floor geometry (8 planes) that ingest will outgrow
+    def startQ(estimate: Long) = StreamingPipeline.startAnnPairStoreAuto(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, ckpt, corpusRows = estimate)
+    val q = startQ(1000L)
+    q.processAllAvailable(); q.stop()
+    assert(StreamingPipeline.annStorePlanes(spark, store).contains(8))
+    // a restart presenting a WILDLY different estimate still runs under
+    // the STAMPED geometry — the marker, not the argument, is authority
+    half2.coalesce(1).write.mode("append").parquet(in)
+    val q2 = startQ(1000000L)
+    q2.processAllAvailable(); q2.stop()
+    assert(StreamingPipeline.annStorePlanes(spark, store).contains(8),
+      "restart must recover the stamped geometry, not re-derive")
+    // a PINNED-format writer against the auto store refuses loudly
+    // (geometry lives in the format string; ensureFormat compares it)
+    val qBad = StreamingPipeline.startAnnPairStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, Files.createTempDirectory("graft_annauto_ckpt2_").toString)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try qBad.processAllAvailable() finally qBad.stop()
+    }
+    // RE-BAND at the quiesced boundary: occupancy outgrew the creation
+    // estimate (5000 rows → 9 planes); the band family must equal a
+    // FRESH banding of the stored vectors under the new geometry
+    val newPlanes = StreamingPipeline.rebandAnnStore(spark, store,
+      uptoVersion = 10)
+    assert(newPlanes == 9, s"re-band derived $newPlanes planes")
+    assert(StreamingPipeline.annStorePlanes(spark, store).contains(9))
+    val stored = StreamingPipeline.storeContents(spark, s"$store/bands",
+        StreamingPipeline.AnnBandSchema)
+      .as[(Long, Long)].collect().toSet
+    val signs = graft.operators.Similarity.mkSigns(
+      graft.operators.Similarity.NEARDUP_TABLES * 9)
+    val fresh = graft.operators.Similarity
+      .banded(vecs, graft.operators.Similarity.NEARDUP_TABLES, 9, signs)
+      .select($"vec_id",
+        ($"tbl".cast("long") * (1L << 9) + $"bucket").as("band_key"))
+      .as[(Long, Long)].collect().toSet
+    assert(stored == fresh, "re-banded store must equal a fresh build")
+    // idempotent: occupancy unchanged → no-op, same geometry
+    assert(StreamingPipeline.rebandAnnStore(spark, store, 11) == 9)
+    graft.Caches.freeCheckpoint(vecs)
+  }
+
   test("delta stores tolerate ADDITIVE schema evolution across batches") {
     // a long-running stream's writer gains a column mid-life: older
     // deltas must read back with NULL for the new column (never a

@@ -116,7 +116,10 @@ object ScaleProbe {
     // stale → probe); at probe scales the rebuild branch FIRES, so this
     // measures build+rebuild+probe — expected ~2× the from-index-auto
     // path's cost, still ~linear in n
-    "sim_neardup_rebuild")
+    "sim_neardup_rebuild",
+    // sketch-store erasure: base replay + one signed totals row + the
+    // survivor-filtered exact verify — expected ~stream_heavy_hitters
+    "stream_hh_delete")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -100,6 +100,11 @@ object SparkEntry {
     // per-batch mergeable Misra-Gries sketches ∪ exact verify ≡ the
     // batch heavy-hitter oracle (no heavy word lost at batch boundaries)
     "stream_heavy_hitters" -> (graft.streaming.StreamingGates.streamHeavyHitters _),
+    // sketch-store erasure: candidates only prune (headroom CHECKED),
+    // the threshold's token mass shifts via a signed totals delta —
+    // erase-then-serve ≡ heavy hitters of the survivors, bar included
+    "stream_hh_delete" ->
+      (graft.streaming.StreamingGates.streamHeavyHittersDelete _),
     // right-to-be-forgotten: tombstone + physical excluding-fold +
     // retirement mid-stream ≡ from-scratch index on the survivors
     "stream_bm25_delete" -> (graft.streaming.StreamingGates.streamBm25Delete _),
@@ -366,6 +371,8 @@ object SparkEntry {
     "stream_stream_join" -> graft.streaming.StreamingGates.streamStreamJoinSql,
     "stream_bm25" -> Search.txBm25TopKSql,
     "stream_heavy_hitters" -> HeavyHitters.txHeavyHittersSql,
+    "stream_hh_delete" ->
+      graft.streaming.StreamingGates.streamHeavyHittersDeleteSql,
     "stream_bm25_delete" -> graft.streaming.StreamingGates.streamBm25DeleteSql,
     "stream_er_delete" -> graft.streaming.StreamingGates.streamErDeleteSql,
     "stream_er" -> EntityResolution.erFuzzyMatchSql,

@@ -144,4 +144,20 @@ object HeavyHitters {
     FROM words GROUP BY w
     HAVING COUNT(*) > (SELECT n // 1000 FROM t)
     ORDER BY w"""
+
+  /** Oracle for the heavy-hitter erasure gate
+    * ([[graft.streaming.StreamingGates.streamHeavyHittersDelete]]): the
+    * naive full-vocabulary GROUP BY over the SURVIVING docs, threshold
+    * included — erase-then-serve must equal never-ingested, both in
+    * counts and in the N/1000 report bar (which shifts with the erased
+    * token mass). */
+  def txHeavyHittersExcludingSql(pred: String): String = s"""
+    WITH words AS (
+      SELECT unnest(${Portable.wordsSql("text")}) AS w
+      FROM documents WHERE NOT ($pred)),
+    t AS (SELECT COUNT(*) AS n FROM words)
+    SELECT w, COUNT(*) AS cnt
+    FROM words GROUP BY w
+    HAVING COUNT(*) > (SELECT n // 1000 FROM t)
+    ORDER BY w"""
 }

@@ -860,6 +860,80 @@ object StreamingGates {
     HeavyHitters.exactVerify(docs, "text", candidates, total / 1000L)
   }
 
+  /** The doc slice erased by [[streamHeavyHittersDelete]] (chunks 0–1
+    * only — erased ids never re-arrive). */
+  private val HhDeleteSliceSql = "(doc_id % 3) < 2 AND (doc_id % 6) = 1"
+
+  val streamHeavyHittersDeleteSql: String =
+    graft.operators.HeavyHitters.txHeavyHittersExcludingSql(HhDeleteSliceSql)
+
+  /** [[streamHeavyHitters]] with DOCUMENT ERASURE in the middle — the
+    * last streaming store family to get a delete story, and the one
+    * where masking/decrementing cannot work: a Misra-Gries residual is
+    * not invertible. The sound split
+    * ([[StreamingPipeline.startSignedHeavyHitterStore]]): candidates
+    * only prune (stored sketches keep the erased docs' words; the
+    * survivor-exact verify kills anything no longer heavy — sound while
+    * the capacity headroom covers the erased mass, CHECKED loudly
+    * here), and the report threshold's token mass shifts EXACTLY via a
+    * signed totals delta arriving through the checkpointed stream. The
+    * oracle is the naive GROUP BY over the survivors, threshold
+    * included — so the hash compare pins both the shifted N/1000 bar
+    * and the counts. */
+  def streamHeavyHittersDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HeavyHitters
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val in = tmp("graft_sgate_hhd_in_")
+    val store = tmp("graft_sgate_hhd_store_")
+    val ckpt = tmp("graft_sgate_hhd_ckpt_")
+    val capacity = 4000
+    def feed(rows: DataFrame): Unit =
+      rows.coalesce(1).write.mode("append").parquet(in)
+    def insert(i: Int) =
+      docs.filter(pmod(col("doc_id"), lit(3)) === i).withColumn("_sign", lit(1))
+    val erasure = docs.filter(expr(HhDeleteSliceSql)).withColumn("_sign", lit(-1))
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING, _sign INT")
+    def startQ() = StreamingPipeline.startSignedHeavyHitterStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      store, ckpt, capacity)
+    feed(insert(0)); feed(insert(1))
+    val q = startQ()
+    try q.processAllAvailable() finally q.stop()
+    // the erase batch arrives through a RESTARTED query, after a
+    // mid-stream compaction of both families (the base gate's pin —
+    // gross/net totals must survive the union fold)
+    StreamingPipeline.compactDeltas(spark, s"$store/sketch",
+      "w STRING, cnt BIGINT", uptoVersion = 1)
+    StreamingPipeline.compactDeltas(spark, s"$store/totals",
+      "total BIGINT", uptoVersion = 1)
+    feed(erasure)
+    feed(insert(2))
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    val candidates = StreamingPipeline.storeContents(spark, s"$store/sketch",
+        "w STRING, cnt BIGINT")
+      .select(col("w")).distinct().collect().map(_.getString(0)).toSeq
+    val totals = StreamingPipeline.storeContents(spark, s"$store/totals",
+        "total BIGINT")
+      .select(sum(col("total")).as("net"),
+        sum(when(col("total") > 0, col("total")).otherwise(0L)).as("gross"))
+      .head()
+    val (net, gross) = (totals.getLong(0), totals.getLong(1))
+    require(net >= 0, s"erased token mass exceeds ingested ($net net)")
+    // soundness bar for serving candidates past an erasure: a
+    // survivor-heavy word (f_surv > net/1000 ≤ f_tot) is guaranteed in
+    // the sketches only while f_tot > gross/(capacity+1) is implied —
+    // i.e. (capacity+1)·net ≥ 1000·gross. Past that, re-sketch the
+    // survivors instead of serving silently-unsound candidates.
+    require((capacity + 1L) * net >= 1000L * gross,
+      s"erased mass too large for the sketch headroom (net=$net, " +
+        s"gross=$gross, capacity=$capacity) — rebuild sketches from the " +
+        "surviving corpus before serving")
+    HeavyHitters.exactVerify(docs.filter(!expr(HhDeleteSliceSql)), "text",
+      candidates, net / 1000L)
+  }
+
   /** Replay `customer` as a 3-batch stream through the streaming
     * entity-resolution ingest ([[StreamingPipeline.startErPairStore]]:
     * per-batch deletion-variant index deltas, new-vs-history +

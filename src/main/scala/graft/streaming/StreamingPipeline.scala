@@ -378,6 +378,66 @@ object StreamingPipeline {
       .start()
   }
 
+  /** [[startHeavyHitterStore]] for a SIGNED document stream — the
+    * erasure story for the LAST streaming store family without one. A
+    * Misra-Gries residual is NOT invertible (compress events discard
+    * weight irrecoverably), so erasure here is split by what each half
+    * of the candidates-then-verify shape needs:
+    *
+    *   - CANDIDATES only prune — an erased doc's words staying in the
+    *     stored sketches is harmless (the survivor-exact verify kills
+    *     anything no longer heavy), and SOUND as long as the capacity
+    *     headroom covers the erased mass: a survivor-heavy word has
+    *     f_surv > N_surv/denom ≤ f_tot, and the per-batch sketches
+    *     guarantee every word with f_tot > N_gross/(capacity+1) is a
+    *     candidate — so candidates stay a superset of the survivor
+    *     heavy hitters whenever (capacity+1)·N_surv ≥ denom·N_gross
+    *     (with the gate's capacity 4000 vs denom 1000: up to ~75% of
+    *     the corpus erased). The serve path must CHECK that inequality
+    *     and refuse past it (re-sketch the survivors then) — the gate
+    *     does, loudly.
+    *   - the THRESHOLD's token mass must shift exactly: a `_sign = −1`
+    *     doc contributes NO sketch rows and a NEGATIVE total (its exact
+    *     token count, same tokenization as the sketch fold), so the
+    *     additive totals family nets to the SURVIVOR mass — integer
+    *     arithmetic, not sketch estimate, hence exact.
+    *
+    * Both families stay additive per-batch facts, so [[compactDeltas]]'s
+    * plain-union fold applies verbatim (rows are preserved, so the
+    * gross/net split — gross = positive rows, net = all rows — survives
+    * compaction). Crash safety unchanged: idempotent per-batch
+    * overwrites, replay recomputes the same deltas. */
+  def startSignedHeavyHitterStore(docs: DataFrame, storeDir: String,
+                                  checkpointDir: String,
+                                  capacity: Int): StreamingQuery = {
+    stampFamilies(docs.sparkSession, storeDir, Seq("sketch", "totals"))
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val b = batch.localCheckpoint(true)
+        try {
+          val ins = b.filter(col("_sign") === 1).drop("_sign")
+          val ers = b.filter(col("_sign") === -1).drop("_sign")
+          val s = graft.operators.HeavyHitters.mgSummary(ins, "text", capacity)
+          // exact token mass of the erased docs, same split-on-space
+          // tokenization as the sketch fold (Portable.words ≡ addDoc)
+          val erasedRow = ers
+            .select(sum(size(graft.functions.Portable.words(col("text"))))
+              .cast("long"))
+            .head()
+          val erased = if (erasedRow.isNullAt(0)) 0L else erasedRow.getLong(0)
+          s.counts.toSeq.toDF("w", "cnt").coalesce(1)
+            .write.mode("overwrite").parquet(s"$storeDir/sketch/b$batchId")
+          Seq(s.total - erased).toDF("total").coalesce(1)
+            .write.mode("overwrite").parquet(s"$storeDir/totals/b$batchId")
+        } finally graft.Caches.freeCheckpoint(b)
+      }
+      .start()
+  }
+
   /** Streaming entity-resolution ingest: maintain the deletion-variant
     * blocking index ([[graft.operators.EntityResolution.variantHashes]])
     * across micro-batches and match each NEW batch against everything

@@ -895,14 +895,16 @@ object StreamingPipeline {
     * the commit marker LAST — a crash mid-write leaves an unmarked dir
     * readers ignore and the next sweep GC's; the marker create is the
     * single atomic publish event. */
-  private def publishSnapshot(spark: SparkSession, dir: String,
-                              contents: DataFrame, uptoVersion: Long): Unit = {
+  private[streaming] def publishSnapshot(spark: SparkSession, dir: String,
+                              contents: DataFrame, uptoVersion: Long,
+                              forceObjectStoreProtocol: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val target = new Path(base, s"v=$uptoVersion")
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    if (ObjectStoreSchemes.contains(scheme.toLowerCase(java.util.Locale.ROOT))) {
+    if (forceObjectStoreProtocol ||
+        ObjectStoreSchemes.contains(scheme.toLowerCase(java.util.Locale.ROOT))) {
       fs.delete(target, true)
       contents.write.mode("overwrite").parquet(target.toString)
       val out = fs.create(new Path(target, CommitMarkerName), true)

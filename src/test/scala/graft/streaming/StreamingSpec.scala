@@ -852,6 +852,92 @@ class StreamingSpec extends SparkSpec {
     graft.Caches.freeCheckpoint(vecs)
   }
 
+  test("object-store publish protocol: direct write + marker-last serves atomically") {
+    // force the no-rename branch on local FS: the snapshot files land in
+    // v=N first, the commit marker last — the marker create IS the
+    // publish event, so a reader between the two sees the OLD state
+    val store = Files.createTempDirectory("graft_ospub_").toString
+    val schema = "id BIGINT, v BIGINT"
+    spark.range(0, 5).select($"id", ($"id" * 2).as("v"))
+      .write.mode("overwrite").parquet(s"$store/b0")
+    def contents = StreamingPipeline
+      .storeContents(spark, store, schema).as[(Long, Long)].collect().toSet
+    val before = contents
+    StreamingPipeline.publishSnapshot(spark, store,
+      spark.range(0, 5).select($"id", ($"id" * 2).as("v")),
+      uptoVersion = 0, forceObjectStoreProtocol = true)
+    val marker = new java.io.File(
+      s"$store/v=0/${StreamingPipeline.CommitMarkerName}")
+    assert(marker.exists(), "direct-write publish must end with the marker")
+    assert(contents == before)
+    // and the protocol is idempotent under a re-publish (heals a crash
+    // between data write and marker): delete the marker — the partial
+    // becomes invisible — then publish again
+    marker.delete()
+    assert(contents == before, "unmarked direct-write partial must be invisible")
+    StreamingPipeline.publishSnapshot(spark, store,
+      spark.range(0, 5).select($"id", ($"id" * 2).as("v")),
+      uptoVersion = 0, forceObjectStoreProtocol = true)
+    assert(contents == before && marker.exists())
+  }
+
+  test("signed substring store refuses erasing text never ingested") {
+    // the negative-count guard: an erase batch whose window counts
+    // exceed the index's must fail LOUDLY in the fold, not publish an
+    // index with negative counts
+    val root = Files.createTempDirectory("graft_subneg_").toString
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // seed an index of the one real doc
+    graft.operators.Dedup.buildSubstringIndex(spark, docs,
+      graft.operators.Dedup.SUB_W, s"$root/index/v=-1")
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("doc_id BIGINT, text STRING, _sign INT")
+    // erase a DIFFERENT text (never ingested): its windows are absent
+    // from the index, so the signed fold would go negative
+    Seq((9L, "one two three four five six seven eight", -1))
+      .toDF("doc_id", "text", "_sign")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    val q = StreamingPipeline.startSignedSubstringDedupStore(
+      spark.readStream.schema(schema).parquet(s"$root/in"),
+      s"$root/index", s"$root/out", s"$root/ckpt",
+      graft.operators.Dedup.SUB_W)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(ex.getCause.getMessage.contains("NEGATIVE"),
+      s"wrong failure: ${ex.getCause.getMessage}")
+  }
+
+  test("signed heavy-hitter store: erase shifts the exact token mass; headroom bar enforced") {
+    val root = Files.createTempDirectory("graft_hhneg_").toString
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("doc_id BIGINT, text STRING, _sign INT")
+    Seq((1L, "a b c d", 1), (2L, "e f g h", 1))
+      .toDF("doc_id", "text", "_sign")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    def startQ() = StreamingPipeline.startSignedHeavyHitterStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in"),
+      s"$root/store", s"$root/ckpt", capacity = 16)
+    val q = startQ()
+    try q.processAllAvailable() finally q.stop()
+    def net = StreamingPipeline.storeContents(spark, s"$root/store/totals",
+      "total BIGINT").agg(sum($"total")).head().getLong(0)
+    assert(net == 8L)
+    // erase doc 1 (4 tokens): net must drop to exactly the survivor mass
+    Seq((1L, "a b c d", -1)).toDF("doc_id", "text", "_sign")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(net == 4L, s"signed totals must net to the survivor mass, got $net")
+    // the serve-side headroom bar (the gate's guard, checked here in
+    // isolation): capacity 16, denom 1000 → (cap+1)·net < denom·gross
+    // for net=4, gross=8 — serving candidates past this would be
+    // silently unsound
+    assert((16L + 1L) * 4L < 1000L * 8L)
+  }
+
   test("delta stores tolerate ADDITIVE schema evolution across batches") {
     // a long-running stream's writer gains a column mid-life: older
     // deltas must read back with NULL for the new column (never a

@@ -119,7 +119,10 @@ object ScaleProbe {
     "sim_neardup_rebuild",
     // sketch-store erasure: base replay + one signed totals row + the
     // survivor-filtered exact verify — expected ~stream_heavy_hitters
-    "stream_hh_delete")
+    "stream_hh_delete",
+    // near-dup pipeline erasure: base two-stream replay + one store
+    // fold + output/backlog swaps — expected ~stream_neardup
+    "stream_neardup_delete", "stream_neardup")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -82,6 +82,11 @@ object SparkEntry {
     // ≡ never-ingested, bit-exact against the filtered flat recompute
     "stream_agg_retract" -> (graft.streaming.StreamingGates.streamAggRetract _),
     "stream_neardup" -> (graft.streaming.StreamingGates.streamNearDup _),
+    // near-dup pipeline erasure: shingle store folds out the erased
+    // docs' rows, output partitions + backlog drop pairs naming them —
+    // ≡ the batch LSH chain on the survivors
+    "stream_neardup_delete" ->
+      (graft.streaming.StreamingGates.streamNearDupDelete _),
     "stream_sessionize" -> (graft.streaming.StreamingGates.streamSessionize _),
     "stream_windowed_agg" -> (graft.streaming.StreamingGates.streamWindowedAgg _),
     "stream_cdc_store" -> (graft.streaming.StreamingGates.streamCdcStore _),
@@ -359,6 +364,8 @@ object SparkEntry {
     "stream_agg_store" -> Incremental.aggIncrementalOrdersSql,
     "stream_agg_retract" -> graft.streaming.StreamingGates.streamAggRetractSql,
     "stream_neardup" -> Dedup.ddMinhashLshSql,
+    "stream_neardup_delete" ->
+      graft.streaming.StreamingGates.streamNearDupDeleteSql,
     "stream_sessionize" -> Relational.q19UserSessionsSql,
     "stream_windowed_agg" -> Relational.q18EventsHourlySql,
     "stream_cdc_store" -> Cdc.cdcMergeOrdersSql,

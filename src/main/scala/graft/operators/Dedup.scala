@@ -477,6 +477,16 @@ object Dedup {
     WITH aug AS ($augmentedSql),
     ${lshTailSql("aug")}"""
 
+  /** Oracle for the near-dup pipeline erasure gate
+    * ([[graft.streaming.StreamingGates.streamNearDupDelete]]): the SAME
+    * LSH chain over the corpus minus the erased docs — verified pairs
+    * are pairwise-local (banding only generates candidates; the exact
+    * shingle jaccard decides), so erase-then-continue must equal
+    * never-ingested on the survivors. */
+  def ddMinhashLshExcludingSql(pred: String): String = s"""
+    WITH aug AS (SELECT * FROM ($augmentedSql) WHERE NOT ($pred)),
+    ${lshTailSql("aug")}"""
+
   // ------------------------------------------------ composed dedup pipeline
 
   /** Corpus for the composed pipeline: augmented ∪ EXACT copies of docs

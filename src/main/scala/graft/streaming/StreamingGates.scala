@@ -629,6 +629,67 @@ object StreamingGates {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The doc slice erased by [[streamNearDupDelete]] (chunks 0–1 only —
+    * erased ids never re-arrive). */
+  private val NearDupDeleteSliceSql = "(doc_id % 3) < 2 AND (doc_id % 8) = 2"
+
+  val streamNearDupDeleteSql: String =
+    Dedup.ddMinhashLshExcludingSql(NearDupDeleteSliceSql)
+
+  /** [[streamNearDup]] with DOCUMENT ERASURE between the two phases —
+    * the near-dup pipeline's stores were the last streaming surface
+    * without a delete path. Chunks 0–1 replay through store + verify,
+    * both streams quiesce, and
+    * [[StreamingPipeline.eraseFromNearDupStores]] runs the composed
+    * erase: tombstone + excluding fold of the shingle store (the bytes
+    * go), staged-swap rewrite of every verified-output partition and
+    * the backlog (pairs naming an erased doc from EITHER side go), then
+    * retirement. Chunk 2 then arrives through RESTARTED queries — its
+    * candidates against erased bucket members verify against the purged
+    * store, find no rows, and park in `_pending` (never the output).
+    * Gated against the batch LSH chain recomputed on the survivors:
+    * pre-erase survivor pairs kept, erased-endpoint pairs gone
+    * everywhere, post-erase pairs linked only among survivors — one
+    * hash. */
+  def streamNearDupDelete(spark: SparkSession, dir: String): DataFrame =
+    withFewShufflePartitions(spark) {
+    val corpus = Dedup.augmented(spark, dir)
+    val in = tmp("graft_sgate_ndd_in_")
+    val store = tmp("graft_sgate_ndd_store_")
+    val out = tmp("graft_sgate_ndd_out_")
+    val ck1 = tmp("graft_sgate_ndd_ck1_")
+    val ck2 = tmp("graft_sgate_ndd_ck2_")
+    def chunk(i: Int): Unit =
+      corpus.filter(pmod(col("doc_id"), lit(3)) === i)
+        .select(col("doc_id"), col("text"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(in)
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING, ts TIMESTAMP")
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    def drainStore() = {
+      val q = StreamingPipeline.startShingleStore(src, store, ck1)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def drainVerify() = {
+      val q = StreamingPipeline.startNearDupVerify(
+        StreamingPipeline.streamingNearDupCandidatesAll(src), store, out, ck2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    chunk(0); chunk(1)
+    drainStore(); drainVerify()
+    // quiesced at the committed boundary (store batches 0–1): erase
+    StreamingPipeline.eraseFromNearDupStores(spark, store, out,
+      corpus.filter(expr(NearDupDeleteSliceSql)).select(col("doc_id")),
+      uptoVersion = 1)
+    chunk(2)
+    drainStore(); drainVerify()
+    spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE").parquet(out)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Replay clicks and purchases as TWO separate time-ordered 3-chunk
     * file streams through the watermarked stream-stream interval join
     * ([[StreamingPipeline.streamStreamJoin]]: click ⋈ purchase per user

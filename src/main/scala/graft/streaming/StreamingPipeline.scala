@@ -270,24 +270,44 @@ object StreamingPipeline {
       .toDF()
   }
 
-  /** Ingest-side shingle-hash store: every micro-batch appends the
-    * (doc_id, h) hashed-shingle relation to `storeDir` — the document
-    * store the verify stage joins candidates against. Stored hashes are
-    * 8-byte longs, never bodies (same rule as the batch dedup family). */
+  /** Ingest-side shingle-hash store: every micro-batch writes the
+    * (doc_id, h) hashed-shingle relation as a `b<batchId>` delta dir —
+    * the document store the verify stage joins candidates against.
+    * Stored hashes are 8-byte longs, never bodies (same rule as the
+    * batch dedup family).
+    *
+    * Delta dirs, not a streaming FILE SINK (the pre-r12 form): the file
+    * sink's `_spark_metadata` transaction log makes the directory
+    * unrewritable — a right-to-be-forgotten rewrite would either be
+    * invisible (log still lists the old files) or wreck the log, and a
+    * restarted sink would then serve ONLY its own new files. As a
+    * standard delta family the store gets [[compactDeltas]],
+    * [[contentsExcludingTombstones]] and the erasure fold for free,
+    * with the same crash argument as every other store here (idempotent
+    * per-batch overwrite + checkpoint = effective exactly-once). Serve
+    * with [[shingleStoreContents]]. */
   def startShingleStore(docs: DataFrame, storeDir: String,
                         checkpointDir: String): StreamingQuery = {
     import graft.functions.{NgramHash60s, Portable}
-    docs
-      .select(col("doc_id"),
-        explode(NgramHash60s.shingleHashes(
-          col("text"), Portable.ShingleN, modP = Portable.P)).as("h"))
-      .writeStream
+    docs.writeStream
       .outputMode(OutputMode.Append)
-      .format("parquet")
-      .option("path", storeDir)
       .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .select(col("doc_id"),
+            explode(NgramHash60s.shingleHashes(
+              col("text"), Portable.ShingleN, modP = Portable.P)).as("h"))
+          .write.mode("overwrite").parquet(s"$storeDir/b$batchId")
+      }
       .start()
   }
+
+  /** Serving read of the shingle store (snapshot + later deltas),
+    * `.distinct()`-ed: at-least-once upstream delivery can hand a doc
+    * to two different batches, and doubled (doc_id, h) rows would
+    * double both n_shingles and n_common, inflating jaccard. */
+  def shingleStoreContents(spark: SparkSession, storeDir: String): DataFrame =
+    storeContents(spark, storeDir, "doc_id BIGINT, h BIGINT").distinct()
 
   /** Ingest-side SEARCH-INDEX maintenance: every document micro-batch
     * appends its own postings delta (term, doc_id, tf — one
@@ -1143,6 +1163,80 @@ object StreamingPipeline {
     retireTombstones(spark, storeRoot, tid)
   }
 
+  /** Right-to-be-forgotten for the streaming NEAR-DUP pipeline — the
+    * one store set whose layout [[eraseFromStore]] does not cover: the
+    * shingle store is a delta family (standard tombstone + excluding
+    * fold), but the VERIFY sink's output lives in `batch=<id>` partition
+    * dirs and its backlog in `_pending`, both written by the verify
+    * stream's own idempotent-overwrite protocol — so those are rewritten
+    * IN PLACE per partition (staged write + swap, the
+    * [[verifyPendingAndCompact]] backlog-swap pattern), preserving the
+    * layout a restarted verify stream expects. A verified pair naming an
+    * erased doc is personal data about it and goes from the output AND
+    * the backlog, both endpoints.
+    *
+    * Contract: run with BOTH streams quiesced at a boundary the
+    * checkpoint has committed (`uptoVersion` = the newest committed
+    * store batch). After the erase, candidates already parked in the
+    * CANDIDATE OPERATOR'S state (bucket members) may still name erased
+    * ids — they verify against the purged store, find no rows, and park
+    * in `_pending`, where the next erase (or a pending sweep followed by
+    * one) clears them; re-running this erasure is idempotent. Cost: the
+    * store fold prices as one snapshot rewrite, the output rewrite as
+    * one pass over the verified pairs — both delete-INDEPENDENT
+    * rewrites of store-sized data, the same price every excluding fold
+    * pays; the anti-join build side is delete-sized. */
+  def eraseFromNearDupStores(spark: SparkSession, storeDir: String,
+                             outDir: String, ids: DataFrame,
+                             uptoVersion: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val tomb = graft.Caches.persist(ids.toDF("__erased"))
+    try {
+      def minusIds(df: DataFrame, cols: Seq[String]): DataFrame =
+        cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+          val t = tomb.select(col("__erased").as(s"__e_$i"))
+          acc.join(t, acc(c) === t(s"__e_$i"), "left_anti")
+        }
+      // staged swap of one directory's contents — the backlog-swap
+      // pattern: the staging write EXECUTES the read of the old files,
+      // so the delete never races it
+      def swap(dir: Path, contents: DataFrame): Unit = {
+        val staging = new Path(dir.getParent,
+          s"_graft_erase_staging_${dir.getName.replace('=', '_')}")
+        fs.delete(staging, true)
+        contents.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(dir, true)
+        require(fs.rename(staging, dir), s"erase swap rename failed for $dir")
+      }
+      // 1. the shingle store: standard two-phase erasure on the delta
+      // family (mask is immediate via the tombstones; the fold removes
+      // the bytes)
+      val tid = writeTombstones(spark, storeDir, tomb.select(col("__erased")))
+      compactDeltasExcluding(spark, storeDir, "doc_id BIGINT, h BIGINT",
+        uptoVersion, storeDir, "doc_id")
+      // 2. every verified-output partition (incl. `batch=sweep-*`)
+      val outBase = new Path(outDir)
+      if (fs.exists(outBase)) {
+        fs.listStatus(outBase).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .foreach { s =>
+            swap(s.getPath, minusIds(
+              spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
+                .parquet(s.getPath.toString), Seq("id_a", "id_b")))
+          }
+        // 3. the backlog (flat rewrite — the same shape
+        // verifyPendingAndCompact leaves it in)
+        val pending = new Path(outBase, PendingDirName)
+        if (fs.exists(pending))
+          swap(pending, minusIds(pendingCandidates(spark, outDir),
+            Seq("id_a", "id_b")))
+      }
+      // every family holding erased rows has folded/rewritten — retire
+      retireTombstones(spark, storeDir, tid)
+    } finally tomb.unpersist()
+  }
+
   /** Retire tombstone deltas with id <= `upto` — call ONLY after every
     * data family of the store has been folded past the corresponding
     * deletes with [[compactDeltasExcluding]] (retiring earlier would
@@ -1472,9 +1566,8 @@ object StreamingPipeline {
           // a pair colliding in several bands arrives once per band
           val pairs = batch.select(col("doc_id").as("id_a"),
             col("matched_with").as("id_b")).distinct().persist()
-          val store = batch.sparkSession.read
-            .schema("doc_id BIGINT, h BIGINT").parquet(storeDir)
-            .distinct().persist()
+          val store =
+            shingleStoreContents(batch.sparkSession, storeDir).persist()
           try {
             val ids = store.select(col("doc_id")).distinct()
             val idsA = ids.withColumnRenamed("doc_id", "id_a")
@@ -1527,12 +1620,10 @@ object StreamingPipeline {
     * pairs; the production sweep is [[verifyPendingAndCompact]], which
     * also persists its output and retires resolved pairs. */
   def verifyPending(spark: SparkSession, storeDir: String, outDir: String,
-                    threshold: Double = 0.5): DataFrame = {
-    val store = spark.read.schema("doc_id BIGINT, h BIGINT")
-      .parquet(storeDir).distinct()
+                    threshold: Double = 0.5): DataFrame =
     graft.operators.Dedup.verifyPairs(
-      pendingCandidates(spark, outDir), store, threshold)
-  }
+      pendingCandidates(spark, outDir),
+      shingleStoreContents(spark, storeDir), threshold)
 
   /** The production backlog sweep: verify what is NOW verifiable,
     * persist the newly-verified pairs into the same `batch=<id>` output
@@ -1561,8 +1652,7 @@ object StreamingPipeline {
     val outPath = new Path(outDir)
     val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
     val pending = pendingCandidates(spark, outDir).persist()
-    val store = spark.read.schema("doc_id BIGINT, h BIGINT")
-      .parquet(storeDir).distinct().persist()
+    val store = shingleStoreContents(spark, storeDir).persist()
     try {
       val ids = store.select(col("doc_id")).distinct()
       val idsA = ids.withColumnRenamed("doc_id", "id_a")

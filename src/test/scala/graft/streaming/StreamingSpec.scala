@@ -938,6 +938,38 @@ class StreamingSpec extends SparkSpec {
     assert((16L + 1L) * 4L < 1000L * 8L)
   }
 
+  test("near-dup erasure purges the store, every output partition, AND the backlog") {
+    // the gate (stream_neardup_delete) erases while the backlog is
+    // empty; this pins the backlog half — a parked pair naming an
+    // erased doc is personal data too and must not survive to a later
+    // verifyPending sweep
+    val store = Files.createTempDirectory("graft_nde_store_").toString
+    val out = Files.createTempDirectory("graft_nde_out_").toString
+    Seq((1L, 11L), (2L, 22L), (3L, 33L)).toDF("doc_id", "h")
+      .write.mode("overwrite").parquet(s"$store/b0")
+    Seq((1L, 2L, 0.9), (2L, 3L, 0.8)).toDF("id_a", "id_b", "jaccard")
+      .write.mode("overwrite").parquet(s"$out/batch=0")
+    Seq((3L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+      .write.mode("overwrite")
+      .parquet(s"$out/${StreamingPipeline.PendingDirName}/batch=1")
+    StreamingPipeline.eraseFromNearDupStores(spark, store, out,
+      Seq(1L).toDF("doc_id"), uptoVersion = 0)
+    assert(StreamingPipeline.shingleStoreContents(spark, store)
+      .as[(Long, Long)].collect().toSet == Set((2L, 22L), (3L, 33L)))
+    assert(spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
+      .parquet(out).select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      == Set((2L, 3L)), "output pair naming doc 1 must be gone")
+    assert(StreamingPipeline.pendingCandidates(spark, out)
+      .as[(Long, Long)].collect().toSet == Set((2L, 3L)),
+      "backlog pair naming doc 1 must be gone")
+    assert(StreamingPipeline.storeTombstones(spark, store).count() == 0,
+      "erasure retires its tombstones after all rewrites")
+    // idempotent: re-running the same erase changes nothing
+    StreamingPipeline.eraseFromNearDupStores(spark, store, out,
+      Seq(1L).toDF("doc_id"), uptoVersion = 0)
+    assert(StreamingPipeline.shingleStoreContents(spark, store).count() == 2)
+  }
+
   test("delta stores tolerate ADDITIVE schema evolution across batches") {
     // a long-running stream's writer gains a column mid-life: older
     // deltas must read back with NULL for the new column (never a

@@ -638,50 +638,77 @@ object StreamingGates {
 
   /** [[streamNearDup]] with DOCUMENT ERASURE between the two phases —
     * the near-dup pipeline's stores were the last streaming surface
-    * without a delete path. Chunks 0–1 replay through store + verify,
-    * both streams quiesce, and
-    * [[StreamingPipeline.eraseFromNearDupStores]] runs the composed
-    * erase: tombstone + excluding fold of the shingle store (the bytes
-    * go), staged-swap rewrite of every verified-output partition and
-    * the backlog (pairs naming an erased doc from EITHER side go), then
-    * retirement. Chunk 2 then arrives through RESTARTED queries — its
-    * candidates against erased bucket members verify against the purged
-    * store, find no rows, and park in `_pending` (never the output).
+    * without a delete path, and the erasure here covers ALL THREE
+    * tiers in one gate:
+    *
+    *   - STORES (quiesced, driver-side):
+    *     [[StreamingPipeline.eraseFromNearDupStores]] — tombstone +
+    *     excluding fold of the shingle store (the bytes go),
+    *     staged-swap rewrite of every verified-output partition and the
+    *     backlog (pairs naming an erased doc from EITHER side go), then
+    *     retirement.
+    *   - OPERATOR STATE (through the stream): the erase batch also
+    *     arrives as `_sign = −1` rows on the CANDIDATE stream
+    *     ([[StreamingPipeline.streamingNearDupCandidatesAllSigned]]),
+    *     removing the erased ids from every LSH bucket's member list —
+    *     chunk 2's near-dups of forgotten text generate NO candidates
+    *     at all (not even backlog parking), and the checkpointed state
+    *     stops naming the ids.
+    *
     * Gated against the batch LSH chain recomputed on the survivors:
     * pre-erase survivor pairs kept, erased-endpoint pairs gone
     * everywhere, post-erase pairs linked only among survivors — one
-    * hash. */
+    * hash. The no-candidate-traffic property is additionally pinned in
+    * StreamingSpec (backlog stays empty after a post-erase near-dup of
+    * an erased doc arrives). */
   def streamNearDupDelete(spark: SparkSession, dir: String): DataFrame =
     withFewShufflePartitions(spark) {
     val corpus = Dedup.augmented(spark, dir)
-    val in = tmp("graft_sgate_ndd_in_")
+    val inStore = tmp("graft_sgate_ndd_ins_")
+    val inCand = tmp("graft_sgate_ndd_inc_")
     val store = tmp("graft_sgate_ndd_store_")
     val out = tmp("graft_sgate_ndd_out_")
     val ck1 = tmp("graft_sgate_ndd_ck1_")
     val ck2 = tmp("graft_sgate_ndd_ck2_")
-    def chunk(i: Int): Unit =
+    val ts = lit("2024-01-01 00:00:00").cast("timestamp").as("ts")
+    def chunkRows(i: Int) =
       corpus.filter(pmod(col("doc_id"), lit(3)) === i)
-        .select(col("doc_id"), col("text"),
-          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
-        .coalesce(1).write.mode("append").parquet(in)
-    val schema = StructType.fromDDL("doc_id BIGINT, text STRING, ts TIMESTAMP")
-    def src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in)
+        .select(col("doc_id"), col("text"), ts)
+    // the store stream ingests plain docs (its erasure is the
+    // driver-side fold); the candidate stream ingests SIGNED docs
+    def chunk(i: Int): Unit = {
+      chunkRows(i).coalesce(1).write.mode("append").parquet(inStore)
+      chunkRows(i).withColumn("_sign", lit(1))
+        .coalesce(1).write.mode("append").parquet(inCand)
+    }
+    val storeSchema = StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP")
+    val candSchema = StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP, _sign INT")
     def drainStore() = {
-      val q = StreamingPipeline.startShingleStore(src, store, ck1)
+      val q = StreamingPipeline.startShingleStore(
+        spark.readStream.schema(storeSchema)
+          .option("maxFilesPerTrigger", "1").parquet(inStore), store, ck1)
       try q.processAllAvailable() finally q.stop()
     }
     def drainVerify() = {
       val q = StreamingPipeline.startNearDupVerify(
-        StreamingPipeline.streamingNearDupCandidatesAll(src), store, out, ck2)
+        StreamingPipeline.streamingNearDupCandidatesAllSigned(
+          spark.readStream.schema(candSchema)
+            .option("maxFilesPerTrigger", "1").parquet(inCand)),
+        store, out, ck2)
       try q.processAllAvailable() finally q.stop()
     }
     chunk(0); chunk(1)
     drainStore(); drainVerify()
-    // quiesced at the committed boundary (store batches 0–1): erase
+    // quiesced at the committed boundary (store batches 0–1): fold the
+    // stores, then hand the SAME erase set to the candidate stream
     StreamingPipeline.eraseFromNearDupStores(spark, store, out,
       corpus.filter(expr(NearDupDeleteSliceSql)).select(col("doc_id")),
       uptoVersion = 1)
+    corpus.filter(expr(NearDupDeleteSliceSql))
+      .select(col("doc_id"), col("text"), ts).withColumn("_sign", lit(-1))
+      .coalesce(1).write.mode("append").parquet(inCand)
     chunk(2)
     drainStore(); drainVerify()
     spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE").parquet(out)

@@ -167,6 +167,29 @@ object StreamingPipeline {
       .as[(Long, java.sql.Timestamp, String)]
   }
 
+  /** Signed variant of [[bandedBuckets]] — carries `_sign` through the
+    * banding prelude so the stateful operator can distinguish ingest
+    * (+1) from erasure (−1) rows. */
+  private def bandedBucketsSigned(docs: DataFrame, watermarkDelay: String) = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    import graft.functions.{MinHashSig, Portable}
+    val sig = MinHashSig.minhashSig(col("text"), Portable.ShingleN, Dedup.A, Dedup.B, Portable.P)
+    val bandCols = (0 until Dedup.BANDS).map { b =>
+      concat_ws("_",
+        lit(b) +: (b * Dedup.R until (b + 1) * Dedup.R)
+          .map(k => element_at(col("sig"), k + 1)): _*)
+    }
+    docs
+      .select(col("doc_id"), col("ts"), col("_sign").cast("int").as("_sign"),
+        sig.as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(col("doc_id"), col("ts"), col("_sign"),
+        explode(array(bandCols: _*)).as("bkey"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Int, String)]
+  }
+
   def streamingNearDupCandidates(docs: DataFrame,
                                  watermarkDelay: String = "1 hour",
                                  evictAfterMs: Long = 3600L * 1000L): DataFrame = {
@@ -235,24 +258,49 @@ object StreamingPipeline {
     * identical to the batch candidate `distinct()`. */
   def streamingNearDupCandidatesAll(docs: DataFrame,
                                     watermarkDelay: String = "1 hour",
-                                    evictAfterMs: Long = 3600L * 1000L): DataFrame = {
+                                    evictAfterMs: Long = 3600L * 1000L): DataFrame =
+    streamingNearDupCandidatesAllSigned(
+      docs.withColumn("_sign", lit(1)), watermarkDelay, evictAfterMs)
+
+  /** [[streamingNearDupCandidatesAll]] for a SIGNED document stream —
+    * the STATE-level half of near-dup erasure: a `_sign = −1` doc's
+    * band keys are recomputed from the text the erasure request
+    * carries (identical banding → the same buckets its ingest
+    * touched), and in each bucket the id is REMOVED from the member
+    * list, emitting nothing. Later arrivals therefore no longer pair
+    * against the erased doc AT ALL — no candidate is emitted, nothing
+    * parks in the verify backlog, and the operator's checkpointed
+    * state stops naming the id (without this, bucket members retain
+    * erased ids until watermark eviction, and every post-erase
+    * near-dup of forgotten text generates candidate traffic that can
+    * only die in `_pending`). Erasure inherits exactly-once from the
+    * checkpoint like every signed stream here. At-least-once
+    * re-delivery of an erase is a no-op (id already absent); a bucket
+    * emptied by erasure drops its state entirely. Contract as ever:
+    * erased ids never re-arrive with `_sign = +1`. */
+  def streamingNearDupCandidatesAllSigned(docs: DataFrame,
+                                          watermarkDelay: String = "1 hour",
+                                          evictAfterMs: Long = 3600L * 1000L): DataFrame = {
     import docs.sparkSession.implicits._
-    val banded = bandedBuckets(docs, watermarkDelay)
-    banded.groupByKey(_._3)
+    val banded = bandedBucketsSigned(docs, watermarkDelay)
+    banded.groupByKey(_._4)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (bkey: String, rows: Iterator[(Long, java.sql.Timestamp, String)],
+        (bkey: String, rows: Iterator[(Long, java.sql.Timestamp, Int, String)],
          state: GroupState[BucketMembers]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
             var members = state.getOption.map(_.ids).getOrElse(Nil)
             val out = Seq.newBuilder[NearDupCandidate]
-            sorted.foreach { case (id, _, _) =>
+            sorted.foreach { case (id, _, sign, _) =>
+              if (sign < 0)
+                // state-level erasure; idempotent under re-delivery
+                members = members.filterNot(_ == id)
               // membership test guards at-least-once redelivery (a
               // re-delivered member must not pair against itself or
               // re-emit its pairs); O(occupancy) per row, and occupancy
               // is the bounded LSH bucket size
-              if (!members.contains(id)) {
+              else if (!members.contains(id)) {
                 members.foreach(m => out += NearDupCandidate(id, m, bkey))
                 members = id :: members
               }
@@ -263,7 +311,7 @@ object StreamingPipeline {
                 sorted.last._2.getTime)
               state.update(BucketMembers(members, newest))
               state.setTimeoutTimestamp(newest + evictAfterMs)
-            }
+            } else if (state.exists) state.remove()
             out.result().iterator
           }
       }
@@ -1177,11 +1225,15 @@ object StreamingPipeline {
     *
     * Contract: run with BOTH streams quiesced at a boundary the
     * checkpoint has committed (`uptoVersion` = the newest committed
-    * store batch). After the erase, candidates already parked in the
-    * CANDIDATE OPERATOR'S state (bucket members) may still name erased
-    * ids — they verify against the purged store, find no rows, and park
-    * in `_pending`, where the next erase (or a pending sweep followed by
-    * one) clears them; re-running this erasure is idempotent. Cost: the
+    * store batch). Pair it with a `_sign = −1` batch on the candidate
+    * stream ([[streamingNearDupCandidatesAllSigned]] — the gate does):
+    * that removes the erased ids from the operator's bucket state, so
+    * post-erase arrivals generate no candidate traffic for them at all.
+    * Without the signed batch, stale bucket members still emit
+    * candidates that verify against the purged store, find no rows, and
+    * park in `_pending` until the next erase clears them — correct
+    * output either way, but state and backlog keep naming the ids.
+    * Re-running this erasure is idempotent. Cost: the
     * store fold prices as one snapshot rewrite, the output rewrite as
     * one pass over the verified pairs — both delete-INDEPENDENT
     * rewrites of store-sized data, the same price every excluding fold

@@ -909,6 +909,44 @@ class StreamingSpec extends SparkSpec {
       s"wrong failure: ${ex.getCause.getMessage}")
   }
 
+  test("signed substring store: a mixed batch's inserts see the PRE-erase index") {
+    // documented semantics pinned: in one micro-batch carrying both
+    // +1 and −1 rows, the inserts dedup against the index as it stood
+    // BEFORE the batch (erasure takes effect from the next batch), and
+    // the fold nets inserts' counts plus erasures' decrements
+    val root = Files.createTempDirectory("graft_submix_").toString
+    val w = graft.operators.Dedup.SUB_W
+    val repeated = "alpha beta gamma delta epsilon zeta"   // exactly w tokens
+    val seed = Seq((1L, s"$repeated eta theta iota")).toDF("doc_id", "text")
+    graft.operators.Dedup.buildSubstringIndex(spark, seed, w, s"$root/index/v=-1")
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("doc_id BIGINT, text STRING, _sign INT")
+    // the mixed batch: erase doc 1 AND insert doc 2 containing the
+    // seed's repeated window — under pre-erase semantics doc 2's window
+    // IS duplicated (doc 1 still counted), so it gets cleaned
+    Seq((1L, s"$repeated eta theta iota", -1),
+        (2L, s"$repeated kappa lambda mu", 1))
+      .toDF("doc_id", "text", "_sign")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    val q = StreamingPipeline.startSignedSubstringDedupStore(
+      spark.readStream.schema(schema).parquet(s"$root/in"),
+      s"$root/index", s"$root/out", s"$root/ckpt", w)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read
+      .schema("doc_id BIGINT, clean_text STRING, n_removed BIGINT")
+      .parquet(s"$root/out/b0").as[(Long, String, Long)].collect()
+    assert(out.toSeq == Seq((2L, "kappa lambda mu", 6L)),
+      s"insert must dedup against the PRE-erase index (doc 1 still " +
+        s"counted), got ${out.toSeq}")
+    // the fold nets seed − erased + inserted: exactly doc 2's four
+    // windows survive, each at count 1 (the shared window's
+    // 1 − 1 + 1 = 1 included)
+    val idx = spark.read.schema("h BIGINT, cnt BIGINT")
+      .parquet(s"$root/index/v=0").as[(Long, Long)].collect()
+    assert(idx.length == 4 && idx.forall(_._2 == 1L),
+      s"netted index should hold doc 2's 4 windows at cnt 1, got ${idx.toSeq}")
+  }
+
   test("signed heavy-hitter store: erase shifts the exact token mass; headroom bar enforced") {
     val root = Files.createTempDirectory("graft_hhneg_").toString
     val schema = org.apache.spark.sql.types.StructType
@@ -936,6 +974,53 @@ class StreamingSpec extends SparkSpec {
     // for net=4, gross=8 — serving candidates past this would be
     // silently unsound
     assert((16L + 1L) * 4L < 1000L * 8L)
+  }
+
+  test("signed candidate stream: erasure removes the id from bucket state — no candidate traffic after") {
+    // without state-level erasure, a post-erase near-dup of forgotten
+    // text pairs against the erased bucket member and parks forever in
+    // _pending; with the signed operator it generates NO candidate
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_nds_in_").toString
+    val store = JFiles.createTempDirectory("graft_nds_store_").toString
+    val out = JFiles.createTempDirectory("graft_nds_out_").toString
+    val ck1 = JFiles.createTempDirectory("graft_nds_ck1_").toString
+    val ck2 = JFiles.createTempDirectory("graft_nds_ck2_").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    def write(rows: Seq[(Long, String, Int)]): Unit =
+      rows.toDF("doc_id", "text", "_sign")
+        .select(col("doc_id"), col("text"),
+          to_timestamp(lit("2024-01-01 10:00:00")).as("ts"), col("_sign"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP, _sign INT")
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    def drainVerify() = {
+      val q = StreamingPipeline.startNearDupVerify(
+        StreamingPipeline.streamingNearDupCandidatesAllSigned(src),
+        store, out, ck2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // ingest doc 1 into store + candidate state
+    write(Seq((1L, base, 1)))
+    val storeQ = StreamingPipeline.startShingleStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("doc_id"), col("text"), col("ts")), store, ck1)
+    try storeQ.processAllAvailable() finally storeQ.stop()
+    drainVerify()
+    // erase doc 1: stores (driver-side) AND candidate state (signed)
+    StreamingPipeline.eraseFromNearDupStores(spark, store, out,
+      Seq(1L).toDF("doc_id"), uptoVersion = 0)
+    write(Seq((1L, base, -1)))
+    // doc 2 — a true near-dup of the forgotten doc 1 — arrives after
+    write(Seq((2L, "omega " + base, 1)))
+    drainVerify()
+    assert(spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
+      .parquet(out).isEmpty, "no pair may name the erased doc")
+    assert(StreamingPipeline.pendingCandidates(spark, out).isEmpty,
+      "state-level erasure must prevent even backlog parking")
   }
 
   test("near-dup erasure purges the store, every output partition, AND the backlog") {

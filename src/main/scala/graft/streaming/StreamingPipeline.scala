@@ -148,28 +148,9 @@ object StreamingPipeline {
   /** Shared banding prelude of the streaming near-dup variants: per-row
     * MinHash signature → exploded LSH band keys, watermarked — the same
     * (band, signature-slice) collision structure as the batch LSH
-    * self-join ([[graft.operators.Dedup.minhashLshPairs]]). */
-  private def bandedBuckets(docs: DataFrame, watermarkDelay: String) = {
-    import docs.sparkSession.implicits._
-    import graft.operators.Dedup
-    import graft.functions.{MinHashSig, Portable}
-    val sig = MinHashSig.minhashSig(col("text"), Portable.ShingleN, Dedup.A, Dedup.B, Portable.P)
-    val bandCols = (0 until Dedup.BANDS).map { b =>
-      concat_ws("_",
-        lit(b) +: (b * Dedup.R until (b + 1) * Dedup.R)
-          .map(k => element_at(col("sig"), k + 1)): _*)
-    }
-    docs
-      .select(col("doc_id"), col("ts"), sig.as("sig"))
-      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
-      .select(col("doc_id"), col("ts"), explode(array(bandCols: _*)).as("bkey"))
-      .withWatermark("ts", watermarkDelay)
-      .as[(Long, java.sql.Timestamp, String)]
-  }
-
-  /** Signed variant of [[bandedBuckets]] — carries `_sign` through the
-    * banding prelude so the stateful operator can distinguish ingest
-    * (+1) from erasure (−1) rows. */
+    * self-join ([[graft.operators.Dedup.minhashLshPairs]]). Carries
+    * `_sign` so the stateful operators can distinguish ingest (+1) from
+    * erasure (−1) rows; the unsigned entry points adjoin `lit(1)`. */
   private def bandedBucketsSigned(docs: DataFrame, watermarkDelay: String) = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup
@@ -192,20 +173,38 @@ object StreamingPipeline {
 
   def streamingNearDupCandidates(docs: DataFrame,
                                  watermarkDelay: String = "1 hour",
-                                 evictAfterMs: Long = 3600L * 1000L): DataFrame = {
+                                 evictAfterMs: Long = 3600L * 1000L): DataFrame =
+    streamingNearDupCandidatesSigned(
+      docs.withColumn("_sign", lit(1)), watermarkDelay, evictAfterMs)
+
+  /** Signed form of the one-representative variant — the rep-store twin
+    * of [[streamingNearDupCandidatesAllSigned]]'s state-level erasure:
+    * a `_sign = −1` row for the CURRENT representative drops the
+    * bucket's state (the next arrival becomes the new rep — nothing
+    * else is known about the bucket's past, by design: this variant
+    * keeps one id, not a member list); an erase for a non-rep id is a
+    * no-op (the id was never in state). Emission rules for `+1` rows
+    * are unchanged. */
+  def streamingNearDupCandidatesSigned(docs: DataFrame,
+                                       watermarkDelay: String = "1 hour",
+                                       evictAfterMs: Long = 3600L * 1000L): DataFrame = {
     import docs.sparkSession.implicits._
-    val banded = bandedBuckets(docs, watermarkDelay)
-    banded.groupByKey(_._3)
+    val banded = bandedBucketsSigned(docs, watermarkDelay)
+    banded.groupByKey(_._4)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (bkey: String, rows: Iterator[(Long, java.sql.Timestamp, String)],
+        (bkey: String, rows: Iterator[(Long, java.sql.Timestamp, Int, String)],
          state: GroupState[BucketRep]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
             var rep = state.getOption.map(_.rep)
             val out = Seq.newBuilder[NearDupCandidate]
-            sorted.foreach { case (id, _, _) =>
-              rep match {
+            sorted.foreach { case (id, _, sign, _) =>
+              if (sign < 0) {
+                // state-level erasure: only the rep is state; dropping
+                // it lets the next arrival take over. Idempotent.
+                if (rep.contains(id)) rep = None
+              } else rep match {
                 // id != r guards at-least-once redelivery of the
                 // representative itself (a self-pair would pass any
                 // downstream exact-verify with similarity 1.0)
@@ -213,17 +212,20 @@ object StreamingPipeline {
                 case None    => rep = Some(id)
               }
             }
-            rep.foreach { r =>
-              // armed from the newest event time EVER SEEN in the bucket,
-              // not this batch's max: a late-but-in-watermark batch of
-              // older rows must not shrink the eviction horizon. Never
-              // from the watermark itself (0 in the first batch, which
-              // would evict the bucket as soon as the real one appears).
-              val newest = math.max(
-                state.getOption.map(_.newestMs).getOrElse(Long.MinValue),
-                sorted.last._2.getTime)
-              state.update(BucketRep(r, newest))
-              state.setTimeoutTimestamp(newest + evictAfterMs)
+            rep match {
+              case Some(r) =>
+                // armed from the newest event time EVER SEEN in the
+                // bucket, not this batch's max: a late-but-in-watermark
+                // batch of older rows must not shrink the eviction
+                // horizon. Never from the watermark itself (0 in the
+                // first batch, which would evict the bucket as soon as
+                // the real one appears).
+                val newest = math.max(
+                  state.getOption.map(_.newestMs).getOrElse(Long.MinValue),
+                  sorted.last._2.getTime)
+                state.update(BucketRep(r, newest))
+                state.setTimeoutTimestamp(newest + evictAfterMs)
+              case None => if (state.exists) state.remove()
             }
             out.result().iterator
           }

@@ -1023,6 +1023,42 @@ class StreamingSpec extends SparkSpec {
       "state-level erasure must prevent even backlog parking")
   }
 
+  test("signed REP-variant: erasing the representative frees the bucket; next arrival takes over") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_ndrs_in_").toString
+    val out = JFiles.createTempDirectory("graft_ndrs_out_").toString
+    val ckpt = JFiles.createTempDirectory("graft_ndrs_ck_").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    def write(rows: Seq[(Long, String, Int)]): Unit =
+      rows.toDF("doc_id", "text", "_sign")
+        .select(col("doc_id"), col("text"),
+          to_timestamp(lit("2024-01-01 10:00:00")).as("ts"), col("_sign"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP, _sign INT")
+    val q = StreamingPipeline.streamingNearDupCandidatesSigned(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      write(Seq((1L, base, 1)))           // doc 1 becomes the rep
+      q.processAllAvailable()
+      write(Seq((1L, base, -1)))          // erase the rep: bucket freed
+      q.processAllAvailable()
+      write(Seq((2L, "omega " + base, 1))) // takes over, pairs with NOTHING
+      q.processAllAvailable()
+      write(Seq((3L, "sigma " + base, 1))) // pairs with doc 2, never doc 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read
+      .schema("doc_id BIGINT, matched_with BIGINT, bucket STRING")
+      .parquet(out).select($"doc_id", $"matched_with")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 2L)),
+      s"post-erase arrivals must pair against the NEW rep only, got $got")
+  }
+
   test("near-dup erasure purges the store, every output partition, AND the backlog") {
     // the gate (stream_neardup_delete) erases while the backlog is
     // empty; this pins the backlog half — a parked pair naming an

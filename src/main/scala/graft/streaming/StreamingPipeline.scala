@@ -150,7 +150,16 @@ object StreamingPipeline {
     * (band, signature-slice) collision structure as the batch LSH
     * self-join ([[graft.operators.Dedup.minhashLshPairs]]). Carries
     * `_sign` so the stateful operators can distinguish ingest (+1) from
-    * erasure (−1) rows; the unsigned entry points adjoin `lit(1)`. */
+    * erasure (−1) rows; the unsigned entry points adjoin `lit(1)`.
+    *
+    * EVENT-TIME CONTRACT FOR ERASURES: the watermark filter applies to
+    * `_sign = −1` rows exactly as to ingest rows, so an erasure stamped
+    * with the ORIGINAL document's (old) event time is silently dropped
+    * before the stateful operator — the id stays in bucket state and
+    * keeps pairing, with no error. Stamp erase rows with their ARRIVAL
+    * time (any ts at or ahead of the current watermark); the erasure
+    * request is an event of its own moment, not of the document's.
+    * Pinned in StreamingSpec ("late-stamped erasure is dropped"). */
   private def bandedBucketsSigned(docs: DataFrame, watermarkDelay: String) = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup
@@ -470,7 +479,12 @@ object StreamingPipeline {
     *     doc contributes NO sketch rows and a NEGATIVE total (its exact
     *     token count, same tokenization as the sketch fold), so the
     *     additive totals family nets to the SURVIVOR mass — integer
-    *     arithmetic, not sketch estimate, hence exact.
+    *     arithmetic, not sketch estimate, hence exact. A batch carrying
+    *     BOTH signs writes TWO totals rows — `+insert mass` and
+    *     `−erased mass`, never one netted row — because the serving
+    *     headroom check reconstructs GROSS as the sum of positive rows:
+    *     a netted mixed row would undercount gross and let the
+    *     soundness refusal pass when it should refuse.
     *
     * Both families stay additive per-batch facts, so [[compactDeltas]]'s
     * plain-union fold applies verbatim (rows are preserved, so the
@@ -501,7 +515,10 @@ object StreamingPipeline {
           val erased = if (erasedRow.isNullAt(0)) 0L else erasedRow.getLong(0)
           s.counts.toSeq.toDF("w", "cnt").coalesce(1)
             .write.mode("overwrite").parquet(s"$storeDir/sketch/b$batchId")
-          Seq(s.total - erased).toDF("total").coalesce(1)
+          // signs kept as separate rows (see scaladoc): gross = Σ
+          // positive rows must hold exactly across mixed batches
+          (s.total +: (if (erased > 0L) Seq(-erased) else Nil))
+            .toDF("total").coalesce(1)
             .write.mode("overwrite").parquet(s"$storeDir/totals/b$batchId")
         } finally graft.Caches.freeCheckpoint(b)
       }
@@ -905,16 +922,24 @@ object StreamingPipeline {
     import org.apache.hadoop.fs.Path
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    // recover any in-place replace that crashed mid-swap BEFORE version
+    // accounting — a parked old snapshot whose replacement never landed
+    // must come back, or this sweep would refold from already-retired
+    // deltas and publish a shrunken snapshot
+    healReplacedSnapshots(spark, dir)
     // the fold must present the family's full stamped schema — a
     // narrower fold would physically DROP a column from the published
     // snapshot; refused here as a contract error instead of surfacing
     // as silent data loss (or, for a type change, as a parquet read
     // error deep inside the fold)
     ensureSchemaCompat(spark, dir, schema)
-    // GC crashed partials first: a snapshot dir without its commit
-    // marker (direct-write path died mid-fold) shadows nothing — readers
-    // already skip it — but its bytes are garbage; reclaim before
-    // (re)folding so `v=uptoVersion` can be rewritten cleanly
+    // GC crashed partials first: a snapshot dir committedSnapshots does
+    // not serve is garbage bytes; reclaim before (re)folding so
+    // `v=uptoVersion` can be rewritten cleanly. Only the direct-write
+    // object-store path can produce such a dir — on rename-protocol
+    // filesystems committedSnapshots serves every v= dir (including
+    // legacy pre-marker snapshots), so this set is empty there and a
+    // legacy snapshot is never mistaken for a partial and deleted.
     val allSnaps = listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
     val snaps = committedSnapshots(spark, dir)
     (allSnaps.toSet -- snaps.toSet)
@@ -923,12 +948,28 @@ object StreamingPipeline {
       s"delta store $dir already compacted past $uptoVersion (v=${snaps.max})")
     val unfolded = listVersions(spark, dir, DeltaName).getOrElse(Seq.empty)
       .filter(k => k <= uptoVersion && snaps.sorted.lastOption.forall(k > _))
-    if (!(snaps.contains(uptoVersion) && unfolded.isEmpty)) {
+    // an EXCLUDING fold must always refold, even when a snapshot already
+    // sits at uptoVersion with no unfolded deltas (routine compaction at
+    // this boundary, or a second erasure at the same quiesced boundary):
+    // skipping would leave the tombstoned keys' rows in the snapshot
+    // while the caller goes on to retire the tombstones — a silent
+    // un-delete. Plain compaction keeps the skip (refolding a fold is
+    // pure waste there).
+    if (exclude.isDefined || !(snaps.contains(uptoVersion) && unfolded.isEmpty)) {
       val folded = deltasBelow(spark, dir, schema, uptoVersion + 1)
       val contents = exclude.fold(folded) { case (storeRoot, keyCols) =>
         antiJoinTombstones(spark, folded, storeRoot, keyCols)
       }
-      publishSnapshot(spark, dir, contents, uptoVersion)
+      if (snaps.contains(uptoVersion)) {
+        // refold IN PLACE over the existing v=uptoVersion snapshot: the
+        // contents READ that snapshot, and the direct-write publish path
+        // deletes the target before writing — materialize first so the
+        // delete never races the read (the staged path's rename ordering
+        // gives this for free, but the protocol choice is per-filesystem)
+        val pinned = contents.localCheckpoint(true)
+        try publishSnapshot(spark, dir, pinned, uptoVersion)
+        finally graft.Caches.freeCheckpoint(pinned)
+      } else publishSnapshot(spark, dir, contents, uptoVersion)
     }
     // retire EVERYTHING v=<uptoVersion> now covers — every delta ≤ upto
     // and every older snapshot, not just the ones this run folded, so a
@@ -947,15 +988,79 @@ object StreamingPipeline {
   private val ObjectStoreSchemes =
     Set("s3a", "s3n", "s3", "gs", "abfs", "abfss", "wasb", "wasbs")
 
-  /** Snapshot versions whose commit marker is present — the only ones
-    * readers may serve. (Unmarked `v=` dirs are crashed partials from
-    * the object-store direct-write path; [[compactDeltas]] GC's them.) */
+  /** Session-conf override forcing object-store publish/commit semantics
+    * on any filesystem — the test hook for the direct-write protocol
+    * (production object stores are recognized by URI scheme). */
+  private[streaming] val ForceObjectStoreConf =
+    "graft.streaming.forceObjectStoreProtocol"
+
+  /** Whether `fs` runs the direct-write (marker-last) protocol. This
+    * decides BOTH how snapshots publish and what an unmarked `v=` dir
+    * means: under the rename protocol a `v=` dir can only exist fully
+    * published (the rename is the atomic publish event), so its mere
+    * existence proves commit — which is also exactly what makes
+    * pre-marker-era snapshots (published by the old rename-only builds,
+    * no `_GRAFT_COMMITTED` inside) readable without a migration step.
+    * Only the direct-write path can produce a genuinely partial
+    * unmarked dir, so only there does the marker gate serving and GC. */
+  private def objectStoreSemantics(spark: SparkSession,
+                                   fs: org.apache.hadoop.fs.FileSystem): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    spark.conf.getOption(ForceObjectStoreConf).contains("true") ||
+      ObjectStoreSchemes.contains(scheme.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** Snapshot versions readers may serve. Rename-protocol filesystems
+    * (local/HDFS): every listed `v=` dir — existence is commit, and
+    * legacy pre-marker snapshots stay served instead of being hidden
+    * (and then GC'd) as crashed partials, which would be silent
+    * permanent data loss on the first sweep after an upgrade.
+    * Direct-write filesystems (object stores): only marker-carrying
+    * dirs — an unmarked one is a crashed partial that shadows nothing. */
   private def committedSnapshots(spark: SparkSession, dir: String): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
-      .filter(v => fs.exists(new Path(base, s"v=$v/$CommitMarkerName")))
+    val all = listVersions(spark, dir, SnapshotName).getOrElse(Seq.empty)
+    if (!objectStoreSemantics(spark, fs)) all
+    else all.filter(v => fs.exists(new Path(base, s"v=$v/$CommitMarkerName")))
+  }
+
+  /** Name prefix of a PARKED old snapshot during an in-place replace
+    * (the excluding refold rewrites `v=<id>` at its own version).
+    * Underscore prefix = invisible to version listing and data reads. */
+  private val ReplacedPrefix = "_compact_replaced_v"
+
+  /** Crash recovery for the in-place snapshot replace: a parked old
+    * `v=<id>` whose replacement never landed (or landed unmarked on a
+    * direct-write filesystem) is renamed back — without this, a sweep
+    * after the crash would see no snapshot at the boundary, refold from
+    * deltas that boundary's EARLIER sweep already retired, and publish
+    * a silently shrunken snapshot. A parked dir whose replacement did
+    * commit is reclaimed. Idempotent; run by every sweep before version
+    * accounting. Readers between the crash and the next sweep see the
+    * family without the boundary snapshot — shrunken serving until the
+    * heal, never durable loss. */
+  private def healReplacedSnapshots(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(ReplacedPrefix))
+      .foreach { s =>
+        val v = s.getPath.getName.stripPrefix(ReplacedPrefix)
+        val target = new Path(base, s"v=$v")
+        val landed = fs.exists(target) &&
+          (!objectStoreSemantics(spark, fs) ||
+            fs.exists(new Path(target, CommitMarkerName)))
+        if (landed) fs.delete(s.getPath, true)
+        else {
+          fs.delete(target, true) // unmarked partial replacement, if any
+          require(fs.rename(s.getPath, target),
+            s"healReplacedSnapshots: restore ${s.getPath} -> $target failed")
+        }
+      }
   }
 
   /** Publish `contents` as the family's `v=<uptoVersion>` snapshot.
@@ -964,7 +1069,16 @@ object StreamingPipeline {
     * Object stores (rename = copy+delete there): direct write, then
     * the commit marker LAST — a crash mid-write leaves an unmarked dir
     * readers ignore and the next sweep GC's; the marker create is the
-    * single atomic publish event. */
+    * single atomic publish event.
+    *
+    * IN-PLACE REPLACE (target already exists — the excluding refold):
+    * the old snapshot is PARKED under [[ReplacedPrefix]] rather than
+    * deleted, and reclaimed only after the replacement has fully
+    * landed, so a crash anywhere in the swap is recoverable by
+    * [[healReplacedSnapshots]]. Callers replacing in place must hand in
+    * contents whose lineage does NOT read the target path lazily
+    * ([[compactDeltas]] materializes via localCheckpoint first) — the
+    * park rename invalidates the planned file paths. */
   private[streaming] def publishSnapshot(spark: SparkSession, dir: String,
                               contents: DataFrame, uptoVersion: Long,
                               forceObjectStoreProtocol: Boolean = false): Unit = {
@@ -972,13 +1086,22 @@ object StreamingPipeline {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val target = new Path(base, s"v=$uptoVersion")
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    if (forceObjectStoreProtocol ||
-        ObjectStoreSchemes.contains(scheme.toLowerCase(java.util.Locale.ROOT))) {
-      fs.delete(target, true)
+    val objectStore = forceObjectStoreProtocol || objectStoreSemantics(spark, fs)
+    def park(): Option[Path] =
+      if (!fs.exists(target)) None
+      else {
+        val parked = new Path(base, s"$ReplacedPrefix$uptoVersion")
+        fs.delete(parked, true)
+        require(fs.rename(target, parked),
+          s"publishSnapshot: park $target -> $parked failed")
+        Some(parked)
+      }
+    if (objectStore) {
+      val parked = park()
       contents.write.mode("overwrite").parquet(target.toString)
       val out = fs.create(new Path(target, CommitMarkerName), true)
       try out.write(Array.emptyByteArray) finally out.close()
+      parked.foreach(p => fs.delete(p, true))
     } else {
       // the staging WRITE executes the read of the old snapshot + deltas;
       // only then does the rename publish it under the versioned name
@@ -987,9 +1110,10 @@ object StreamingPipeline {
       contents.write.mode("overwrite").parquet(staging.toString)
       val out = fs.create(new Path(staging, CommitMarkerName), true)
       try out.write(Array.emptyByteArray) finally out.close()
-      fs.delete(target, true)
+      val parked = park()
       require(fs.rename(staging, target),
         s"publishSnapshot: rename $staging -> $target failed")
+      parked.foreach(p => fs.delete(p, true))
     }
   }
 
@@ -1319,7 +1443,13 @@ object StreamingPipeline {
     * stamp turns that into a loud refusal. Bump the string whenever the
     * corresponding hash family changes. */
   val ErVariantFormat = "er-delvariant-md5-60/v1"
-  val AnnBandFormat = "ann-hyperplane-md5-parity-md5-60/v1"
+  /** `/v2` = the flat band key widened INT → BIGINT (long packing, so
+    * auto-derived plane counts can exceed the 31-bit int shift). The
+    * stamp is bumped WITH the layout: a `/v1` store's INT32 band deltas
+    * under this build would pass a format-only check and then fail as a
+    * parquet conversion error deep inside the fold — exactly the
+    * failure class the marker exists to refuse up front. */
+  val AnnBandFormat = "ann-hyperplane-md5-parity-md5-60/v2"
 
   private val FormatMarker = "_graft_format"
 

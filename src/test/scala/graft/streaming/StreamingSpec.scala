@@ -676,12 +676,22 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(3L))
   }
 
+  /** Run `f` with the object-store protocol forced on (local FS stands
+    * in for s3a — the direct-write marker-last semantics apply). */
+  private def withObjectStoreSemantics[A](f: => A): A = {
+    spark.conf.set(StreamingPipeline.ForceObjectStoreConf, "true")
+    try f finally spark.conf.unset(StreamingPipeline.ForceObjectStoreConf)
+  }
+
   test("snapshot commit marker: a crashed partial serves old state; re-run heals") {
     // the object-store publish path writes the snapshot files first and
     // the _GRAFT_COMMITTED marker LAST — a crash in between leaves an
-    // unmarked v= dir. Simulate exactly that state and pin the protocol:
-    // readers ignore it (old state served), the next sweep GC's it and
-    // refolds.
+    // unmarked v= dir. Simulate exactly that state (object-store
+    // semantics forced — on rename-protocol filesystems an unmarked dir
+    // is a committed LEGACY snapshot, covered by its own test below)
+    // and pin the protocol: readers ignore it (old state served), the
+    // next sweep GC's it and refolds.
+    withObjectStoreSemantics {
     val store = Files.createTempDirectory("graft_marker_").toString
     val schema = "id BIGINT, v BIGINT"
     (0 to 1).foreach { b =>
@@ -708,6 +718,162 @@ class StreamingSpec extends SparkSpec {
     assert(!names.contains("v=5"), s"crashed partial not GC'd: $names")
     assert(names.contains("v=1") && !names.contains("b0") && !names.contains("b1"))
     assert(contents == before)
+    }
+  }
+
+  test("legacy pre-marker snapshot on a rename filesystem: served, never GC'd") {
+    // migration pin: a store whose snapshot was published by the old
+    // rename-only protocol (no _GRAFT_COMMITTED inside) must keep
+    // serving it — under marker-only acceptance the reader would hide
+    // it (serving only post-snapshot deltas, whose covered b-dirs are
+    // gone) and the next sweep would DELETE it as a crashed partial:
+    // permanent silent data loss on the first sweep after an upgrade.
+    val store = Files.createTempDirectory("graft_legacy_snap_").toString
+    val schema = "id BIGINT, v BIGINT"
+    // hand-build the legacy layout: a marker-less snapshot covering
+    // retired deltas, plus one later live delta
+    spark.range(0, 10).select($"id", ($"id" * 2).as("v"))
+      .write.mode("overwrite").parquet(s"$store/v=0")
+    spark.range(10, 15).select($"id", ($"id" * 2).as("v"))
+      .write.mode("overwrite").parquet(s"$store/b1")
+    assert(!new java.io.File(s"$store/v=0/${StreamingPipeline.CommitMarkerName}")
+      .exists(), "test setup: the legacy snapshot must be marker-less")
+    def contents = StreamingPipeline
+      .storeContents(spark, store, schema).as[(Long, Long)].collect().toSet
+    assert(contents.map(_._1) == (0L until 15L).toSet,
+      "legacy snapshot must serve on a rename filesystem")
+    // the sweep folds legacy snapshot + delta — never GC's the legacy dir
+    StreamingPipeline.compactDeltas(spark, store, schema, uptoVersion = 1)
+    val names = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(names.contains("v=1") && !names.contains("b1"))
+    assert(contents.map(_._1) == (0L until 15L).toSet,
+      s"data lost across the post-upgrade sweep: ${contents.size} rows")
+  }
+
+  test("excluding refold at an already-compacted boundary: erasure never silently un-deletes") {
+    // the silent-un-delete case: a routine compaction already published
+    // v=1 with NO unfolded deltas, then an erasure arrives at the same
+    // quiesced boundary. A skip-if-snapshot-exists fold would leave the
+    // erased keys' rows in the snapshot bytes while eraseFromStore
+    // retires the tombstones — mask gone, rows back. The excluding path
+    // must force the refold (in place, via the parked-swap publish).
+    val store = Files.createTempDirectory("graft_refold_").toString
+    val schema = "id BIGINT, v BIGINT"
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$store/rows/b0")
+    StreamingPipeline.stampFamilies(spark, store, Seq("rows"))
+    // routine compaction at the boundary — v=1 exists, no deltas remain
+    StreamingPipeline.compactDeltas(spark, s"$store/rows", schema, uptoVersion = 1)
+    // erasure at the SAME boundary
+    StreamingPipeline.eraseFromStore(spark, store, Seq(2L).toDF("id"),
+      Seq(StreamingPipeline.StoreFamily("rows", schema, Seq("id"))),
+      uptoVersion = 1)
+    assert(StreamingPipeline.storeTombstones(spark, store).count() == 0,
+      "composed erasure retires its tombstones")
+    // the PHYSICAL snapshot bytes must no longer contain id 2 (no mask
+    // is live anymore — this read would un-delete under the skip bug)
+    assert(StreamingPipeline.storeContents(spark, s"$store/rows", schema)
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (3L, 30L)),
+      "erased key resurrected: the excluding fold was skipped")
+    // and the same holds under the object-store (direct-write) publish
+    val store2 = Files.createTempDirectory("graft_refold_os_").toString
+    withObjectStoreSemantics {
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$store2/rows/b0")
+      StreamingPipeline.stampFamilies(spark, store2, Seq("rows"))
+      StreamingPipeline.compactDeltas(spark, s"$store2/rows", schema, uptoVersion = 1)
+      StreamingPipeline.eraseFromStore(spark, store2, Seq(2L).toDF("id"),
+        Seq(StreamingPipeline.StoreFamily("rows", schema, Seq("id"))),
+        uptoVersion = 1)
+      assert(StreamingPipeline.storeContents(spark, s"$store2/rows", schema)
+        .as[(Long, Long)].collect().toSet == Set((1L, 10L)),
+        "object-store in-place refold lost or resurrected rows")
+    }
+  }
+
+  test("signed heavy-hitter store: a MIXED batch writes split totals rows (gross preserved)") {
+    // one micro-batch carrying both signs: the totals family must hold
+    // +insert-mass and −erased-mass as SEPARATE rows — a single netted
+    // row would undercount gross (= Σ positive rows) and let the
+    // serving headroom check pass when it should refuse
+    val root = Files.createTempDirectory("graft_hhmix_").toString
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("doc_id BIGINT, text STRING, _sign INT")
+    // insert mass 8 tokens, erase mass 4 tokens, ONE batch (no
+    // maxFilesPerTrigger → one file, one micro-batch)
+    Seq((1L, "a b c d", 1), (2L, "e f g h", 1), (3L, "w x y z", -1))
+      .toDF("doc_id", "text", "_sign")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    val q = StreamingPipeline.startSignedHeavyHitterStore(
+      spark.readStream.schema(schema).parquet(s"$root/in"),
+      s"$root/store", s"$root/ckpt", capacity = 16)
+    try q.processAllAvailable() finally q.stop()
+    val totals = StreamingPipeline.storeContents(spark, s"$root/store/totals",
+      "total BIGINT").as[Long].collect().sorted.toSeq
+    assert(totals == Seq(-4L, 8L),
+      s"mixed batch must write split totals rows, got $totals")
+    val gross = totals.filter(_ > 0).sum
+    val net = totals.sum
+    assert(gross == 8L && net == 4L,
+      s"gross/net reconstruction broken: gross=$gross net=$net")
+  }
+
+  test("signed candidate stream: a LATE-stamped erasure is dropped by the watermark (documented contract)") {
+    // the event-time contract pinned: an erase row stamped with the
+    // original document's old event time falls behind the watermark and
+    // is silently filtered before the stateful operator — the id stays
+    // in bucket state and still pairs. Erase rows must carry ARRIVAL
+    // time (at or ahead of the watermark).
+    val in = Files.createTempDirectory("graft_late_erase_in_").toString
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    def write(rows: Seq[(Long, String, String, Int)]): Unit =
+      rows.toDF("doc_id", "text", "_ts", "_sign")
+        .select($"doc_id", $"text", to_timestamp($"_ts").as("ts"), $"_sign")
+        .coalesce(1).write.mode("append").parquet(in)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP, _sign INT")
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val out = Files.createTempDirectory("graft_late_erase_out_").toString
+    val ckpt = Files.createTempDirectory("graft_late_erase_ckpt_").toString
+    def drain(): Unit = {
+      val q = StreamingPipeline
+        .streamingNearDupCandidatesSigned(src, watermarkDelay = "10 minutes",
+          evictAfterMs = 24L * 3600 * 1000)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: doc 1 at 10:00 (becomes the bucket rep); batch 2: a row
+    // at 12:00 advances the watermark to ~11:50
+    write(Seq((1L, text, "2024-01-01 10:00:00", 1)))
+    write(Seq((50L, "unrelated words only here nothing shared at all",
+      "2024-01-01 12:00:00", 1)))
+    drain()
+    // batch 3: erase doc 1 stamped with its ORIGINAL 10:00 event time —
+    // behind the watermark, silently dropped (the documented trap)
+    write(Seq((1L, text, "2024-01-01 10:00:00", -1)))
+    // batch 4: a near-dup of doc 1 arrives — doc 1 was NOT erased from
+    // state, so it still pairs
+    write(Seq((2L, "omega " + text, "2024-01-01 12:01:00", 1)))
+    drain()
+    val pairs = spark.read
+      .schema("doc_id BIGINT, matched_with BIGINT, bucket STRING").parquet(out)
+      .select($"doc_id", $"matched_with").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 1L)),
+      "late-stamped erasure should have been dropped (documented), but state changed")
+    // erase again, stamped at the watermark frontier: takes effect —
+    // a further near-dup pairs against nothing
+    write(Seq((1L, text, "2024-01-01 12:02:00", -1)))
+    write(Seq((3L, "sigma " + text, "2024-01-01 12:03:00", 1)))
+    drain()
+    val after = spark.read
+      .schema("doc_id BIGINT, matched_with BIGINT, bucket STRING").parquet(out)
+      .select($"doc_id", $"matched_with").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(!after.exists(_._1 == 3L),
+      s"fresh-stamped erasure must empty the bucket state, got ${after.filter(_._1 == 3L)}")
   }
 
   test("eraseFromStore refuses a partial family list on a stamped store") {

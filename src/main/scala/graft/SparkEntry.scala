@@ -87,6 +87,11 @@ object SparkEntry {
     // ≡ the batch LSH chain on the survivors
     "stream_neardup_delete" ->
       (graft.streaming.StreamingGates.streamNearDupDelete _),
+    // backlog TTL: candidates whose partner never reaches the store age
+    // out to the dead-letter relation instead of parking forever;
+    // verified output ≡ the batch LSH chain over the arrived corpus
+    "stream_neardup_ttl" ->
+      (graft.streaming.StreamingGates.streamNearDupTtl _),
     "stream_sessionize" -> (graft.streaming.StreamingGates.streamSessionize _),
     "stream_windowed_agg" -> (graft.streaming.StreamingGates.streamWindowedAgg _),
     "stream_cdc_store" -> (graft.streaming.StreamingGates.streamCdcStore _),
@@ -364,6 +369,8 @@ object SparkEntry {
     "stream_agg_store" -> Incremental.aggIncrementalOrdersSql,
     "stream_agg_retract" -> graft.streaming.StreamingGates.streamAggRetractSql,
     "stream_neardup" -> Dedup.ddMinhashLshSql,
+    "stream_neardup_ttl" ->
+      graft.streaming.StreamingGates.streamNearDupTtlSql,
     "stream_neardup_delete" ->
       graft.streaming.StreamingGates.streamNearDupDeleteSql,
     "stream_sessionize" -> Relational.q19UserSessionsSql,

@@ -629,6 +629,71 @@ object StreamingGates {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The doc class [[streamNearDupTtl]] withholds from the shingle
+    * store (its docs' candidates can never verify — the "partner never
+    * arrives" case the TTL sweep exists for). */
+  private val TtlWithheldSliceSql = "(doc_id % 3) = 2"
+
+  val streamNearDupTtlSql: String =
+    Dedup.ddMinhashLshExcludingSql(TtlWithheldSliceSql)
+
+  /** [[streamNearDup]] where one class of docs NEVER reaches the
+    * shingle store — the backlog's pathological case: their candidate
+    * pairs park in `_pending` with no partner ever arriving, which
+    * before the TTL sweep meant unbounded personal-data-bearing backlog
+    * growth at 100 TB. The candidate stream sees ALL three chunks; the
+    * store stream ingests chunks 0–1 only. After the replay, the
+    * horizon passes and [[StreamingPipeline.expirePendingToDeadLetter]]
+    * moves every still-parked pair to the `_dead_letter` relation —
+    * asserted non-empty and backlog-empty IN the gate, loudly. The
+    * returned verified pairs are gated against the batch LSH chain over
+    * the ARRIVED corpus only (near-dup pairs are pairwise-local, so
+    * dropping a doc class from the store changes nothing between
+    * surviving pairs): expiry must lose no verifiable pair and invent
+    * none. */
+  def streamNearDupTtl(spark: SparkSession, dir: String): DataFrame =
+    withFewShufflePartitions(spark) {
+    val corpus = Dedup.augmented(spark, dir)
+    val inStore = tmp("graft_sgate_ndt_ins_")
+    val inCand = tmp("graft_sgate_ndt_inc_")
+    val store = tmp("graft_sgate_ndt_store_")
+    val out = tmp("graft_sgate_ndt_out_")
+    val ck1 = tmp("graft_sgate_ndt_ck1_")
+    val ck2 = tmp("graft_sgate_ndt_ck2_")
+    val ts = lit("2024-01-01 00:00:00").cast("timestamp").as("ts")
+    def chunkRows(i: Int) =
+      corpus.filter(pmod(col("doc_id"), lit(3)) === i)
+        .select(col("doc_id"), col("text"), ts)
+    // store: chunks 0–1 only; candidates: everything
+    (0 until 2).foreach(i =>
+      chunkRows(i).coalesce(1).write.mode("append").parquet(inStore))
+    (0 until 3).foreach(i =>
+      chunkRows(i).coalesce(1).write.mode("append").parquet(inCand))
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING, ts TIMESTAMP")
+    val storeQ = StreamingPipeline.startShingleStore(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inStore), store, ck1)
+    try storeQ.processAllAvailable() finally storeQ.stop()
+    val verifyQ = StreamingPipeline.startNearDupVerify(
+      StreamingPipeline.streamingNearDupCandidatesAll(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inCand)),
+      store, out, ck2)
+    try verifyQ.processAllAvailable() finally verifyQ.stop()
+    // the horizon passes (every batch id is now behind it): expire —
+    // the withheld class's pairs MUST be parked, and must all move
+    val dead = StreamingPipeline.expirePendingToDeadLetter(spark, out,
+      beforeBatch = Long.MaxValue)
+    require(!dead.isEmpty,
+      "TTL gate: expected never-arriving candidates in the dead letter")
+    require(StreamingPipeline.pendingCandidates(spark, out).isEmpty,
+      "TTL gate: backlog must be empty past the horizon")
+    spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE").parquet(out)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The doc slice erased by [[streamNearDupDelete]] (chunks 0–1 only —
     * erased ids never re-arrive). */
   private val NearDupDeleteSliceSql = "(doc_id % 3) < 2 AND (doc_id % 8) = 2"

@@ -1345,9 +1345,9 @@ object StreamingPipeline {
     * stream's own idempotent-overwrite protocol — so those are rewritten
     * IN PLACE per partition (staged write + swap, the
     * [[verifyPendingAndCompact]] backlog-swap pattern), preserving the
-    * layout a restarted verify stream expects. A verified pair naming an
-    * erased doc is personal data about it and goes from the output AND
-    * the backlog, both endpoints.
+    * layout a restarted verify stream expects. A pair naming an erased
+    * doc is personal data about it and goes from the output, the
+    * backlog, AND the dead-letter relation, both endpoints.
     *
     * Contract: run with BOTH streams quiesced at a boundary the
     * checkpoint has committed (`uptoVersion` = the newest committed
@@ -1408,6 +1408,13 @@ object StreamingPipeline {
         val pending = new Path(outBase, PendingDirName)
         if (fs.exists(pending))
           swap(pending, minusIds(pendingCandidates(spark, outDir),
+            Seq("id_a", "id_b")))
+        // 4. the dead-letter relation: an expired pair naming an erased
+        // doc is personal data exactly like a parked one — forensics
+        // retention does not outrank the right to be forgotten
+        val dead = new Path(outBase, DeadLetterDirName)
+        if (fs.exists(dead))
+          swap(dead, minusIds(deadLetterCandidates(spark, outDir),
             Seq("id_a", "id_b")))
       }
       // every family holding erased rows has folded/rewritten — retire
@@ -1759,9 +1766,14 @@ object StreamingPipeline {
             val ready = pairs
               .join(idsA, Seq("id_a"), "left_semi")
               .join(idsB, Seq("id_b"), "left_semi")
+            // first_seen = the batch that parked the pair — the age
+            // anchor the TTL sweep (expirePendingToDeadLetter) needs; a
+            // later compacting rewrite preserves the MINIMUM, so age
+            // survives re-parking and backlog swaps
             val pending = pairs.join(idsA, Seq("id_a"), "left_anti")
               .union(pairs.join(idsB, Seq("id_b"), "left_anti"))
               .distinct()
+              .withColumn("first_seen", lit(batchId))
             graft.operators.Dedup.verifyPairs(ready, store, threshold)
               .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
             pending.write.mode("overwrite")
@@ -1776,6 +1788,10 @@ object StreamingPipeline {
     * verified pairs never picks the backlog up as data. */
   val PendingDirName: String = "_pending"
 
+  /** Backlog schema: the candidate pair plus the batch id that first
+    * parked it — the TTL sweep's age anchor. */
+  private val PendingSchema = "id_a BIGINT, id_b BIGINT, first_seen BIGINT"
+
   /** The not-yet-verifiable backlog written by [[startNearDupVerify]]
     * (candidates whose docs had not committed to the shingle store when
     * their micro-batch ran). Empty batch partitions carry no files, so
@@ -1783,17 +1799,94 @@ object StreamingPipeline {
     * schema only covers empty-but-PRESENT partitions: before the first
     * non-empty micro-batch writes, the `_pending` dir itself does not
     * exist and the read would fail PATH_NOT_FOUND, so a sweep scheduled
-    * ahead of ingest gets an empty frame instead. */
+    * ahead of ingest gets an empty frame instead. One row per pair with
+    * the OLDEST `first_seen` (re-parked duplicates keep their original
+    * age); backlog files from pre-`first_seen` builds read as null →
+    * surfaced as −1, i.e. older than any horizon — a legacy parked pair
+    * expires on the first TTL sweep rather than parking forever. */
   def pendingCandidates(spark: SparkSession, outDir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(s"$outDir/$PendingDirName")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path))
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType.fromDDL("id_a BIGINT, id_b BIGINT"))
+        StructType.fromDDL(PendingSchema))
     else
-      spark.read.schema("id_a BIGINT, id_b BIGINT")
+      spark.read.schema(PendingSchema)
         .parquet(s"$outDir/$PendingDirName")
-        .select(col("id_a"), col("id_b")).distinct()
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(coalesce(min(col("first_seen")), lit(-1L)).as("first_seen"))
+  }
+
+  /** Dead-letter subdir of the verify output: backlog entries whose
+    * partner doc never arrived within the TTL horizon. Underscore
+    * prefix = invisible to readers of `outDir`, like the backlog. */
+  val DeadLetterDirName: String = "_dead_letter"
+
+  /** The dead-letter relation (empty before the first expiry sweep). */
+  def deadLetterCandidates(spark: SparkSession, outDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/$DeadLetterDirName")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType.fromDDL(PendingSchema))
+    else spark.read.schema(PendingSchema).parquet(path.toString)
+  }
+
+  /** TTL sweep for the verify backlog — the bound on `_pending` growth
+    * a long-running stream needs: without it, a candidate whose partner
+    * doc NEVER lands (dropped upstream, erased before its store ingest,
+    * a poisoned producer) parks forever, and at 100 TB that is unbounded
+    * growth of personal-data-bearing state. Every pending pair first
+    * parked BEFORE `beforeBatch` (its `first_seen` < the horizon) moves
+    * to the `_dead_letter` relation — retained for operator forensics
+    * and covered by [[eraseFromNearDupStores]], never re-tried — and
+    * the backlog is rewritten without it, so the backlog holds only
+    * pairs still inside the horizon. Returns the newly dead-lettered
+    * rows.
+    *
+    * Pick `beforeBatch` from the same clock as the batch ids (e.g.
+    * newest committed batch − allowed lag); run from the compaction
+    * cadence, quiesced like [[verifyPendingAndCompact]] — expiry is a
+    * policy decision, so it deliberately stays a separate sweep rather
+    * than a side effect of verification. Crash safety: dead-letter is
+    * swapped first, backlog second; a crash in between leaves the
+    * expired rows in BOTH (re-running the sweep converges — the
+    * dead-letter union dedups, the backlog rewrite drops them), never
+    * in neither. Idempotent once converged. Returns the dead-letter
+    * entries BELOW the horizon — everything this and earlier sweeps
+    * expired at it (a stable view: re-sweeping at the same horizon
+    * returns the same rows and moves nothing). */
+  def expirePendingToDeadLetter(spark: SparkSession, outDir: String,
+                                beforeBatch: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val outPath = new Path(outDir)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val pending = pendingCandidates(spark, outDir).persist()
+    try {
+      val expired = pending.filter(col("first_seen") < beforeBatch)
+      val kept = pending.filter(col("first_seen") >= beforeBatch)
+      if (!expired.isEmpty) {
+        val dead = deadLetterCandidates(spark, outDir)
+          .unionByName(expired).distinct()
+        stagedSwap(spark, fs, new Path(outPath, DeadLetterDirName), dead)
+        stagedSwap(spark, fs, new Path(outPath, PendingDirName), kept)
+      }
+    } finally pending.unpersist()
+    deadLetterCandidates(spark, outDir).filter(col("first_seen") < beforeBatch)
+  }
+
+  /** Staged replace of one directory's contents — the backlog-swap
+    * pattern factored: the staging write EXECUTES the read of the old
+    * files, so the delete never races it; the rename publishes. */
+  private def stagedSwap(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path,
+                         contents: DataFrame): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(dir.getParent,
+      s"_graft_swap_staging_${dir.getName.replace('=', '_')}")
+    fs.delete(staging, true)
+    contents.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(dir, true)
+    require(fs.rename(staging, dir), s"staged swap rename failed for $dir")
   }
 
   /** Retry entry point for the pending backlog: re-verify it against
@@ -1844,6 +1937,9 @@ object StreamingPipeline {
       val ready = pending
         .join(idsA, Seq("id_a"), "left_semi")
         .join(idsB, Seq("id_b"), "left_semi")
+        .select(col("id_a"), col("id_b"))
+      // still-parked rows keep their ORIGINAL first_seen through the
+      // rewrite — the TTL sweep's age anchor must survive compaction
       val still = pending.join(idsA, Seq("id_a"), "left_anti")
         .union(pending.join(idsB, Seq("id_b"), "left_anti"))
         .distinct()

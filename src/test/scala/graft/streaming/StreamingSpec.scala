@@ -355,7 +355,7 @@ class StreamingSpec extends SparkSpec {
       write(Seq((2L, "omega " + base, "2024-01-01 10:05:00")))
       verifyQ.processAllAvailable()
       val pend = StreamingPipeline.pendingCandidates(spark, out)
-        .as[(Long, Long)].collect().toSet
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       assert(pend == Set((2L, 1L)), s"pending should hold the lagged pair, got $pend")
       val verifiedEarly = spark.read
         .schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE").parquet(out)
@@ -400,7 +400,44 @@ class StreamingSpec extends SparkSpec {
     val out = JFiles.createTempDirectory("graft_ndv_empty_out_").toString
     val pend = StreamingPipeline.pendingCandidates(spark, out)
     assert(pend.isEmpty, "no backlog dir should read as an empty backlog")
-    assert(pend.columns.toSeq == Seq("id_a", "id_b"))
+    assert(pend.columns.toSeq == Seq("id_a", "id_b", "first_seen"))
+    assert(StreamingPipeline.deadLetterCandidates(spark, out).isEmpty,
+      "no dead-letter dir should read as an empty relation")
+  }
+
+  test("backlog TTL: expired entries move to dead letter; young ones stay; age survives compaction") {
+    import java.nio.file.{Files => JFiles}
+    val out = JFiles.createTempDirectory("graft_ttl_out_").toString
+    // batch 0 parks (1,2); batch 5 parks (3,4); a LEGACY 2-col backlog
+    // file (pre-first_seen build) parks (7,8) — reads as first_seen −1,
+    // older than any horizon
+    Seq((1L, 2L, 0L)).toDF("id_a", "id_b", "first_seen")
+      .write.mode("overwrite")
+      .parquet(s"$out/${StreamingPipeline.PendingDirName}/batch=0")
+    Seq((3L, 4L, 5L)).toDF("id_a", "id_b", "first_seen")
+      .write.mode("overwrite")
+      .parquet(s"$out/${StreamingPipeline.PendingDirName}/batch=5")
+    Seq((7L, 8L)).toDF("id_a", "id_b")
+      .write.mode("overwrite")
+      .parquet(s"$out/${StreamingPipeline.PendingDirName}/batch=1")
+    val dead = StreamingPipeline.expirePendingToDeadLetter(spark, out,
+      beforeBatch = 3L)
+    assert(dead.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      == Set((1L, 2L), (7L, 8L)), "entries first seen before the horizon expire")
+    assert(StreamingPipeline.pendingCandidates(spark, out)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      == Set((3L, 4L)), "entries inside the horizon stay parked")
+    assert(StreamingPipeline.deadLetterCandidates(spark, out)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      == Set((1L, 2L), (7L, 8L)))
+    // idempotent: a second sweep at the same horizon moves nothing new
+    assert(StreamingPipeline.expirePendingToDeadLetter(spark, out, 3L)
+      .count() == 2, "re-sweep returns the same dead-letter view")
+    assert(StreamingPipeline.pendingCandidates(spark, out).count() == 1)
+    // a LATER horizon expires the rest; dead letter accumulates
+    assert(StreamingPipeline.expirePendingToDeadLetter(spark, out, 100L)
+      .count() == 3)
+    assert(StreamingPipeline.pendingCandidates(spark, out).isEmpty)
   }
 
   test("sessionization runs on the RocksDB state store provider") {
@@ -1247,8 +1284,17 @@ class StreamingSpec extends SparkSpec {
       .parquet(out).select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       == Set((2L, 3L)), "output pair naming doc 1 must be gone")
     assert(StreamingPipeline.pendingCandidates(spark, out)
-      .as[(Long, Long)].collect().toSet == Set((2L, 3L)),
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet == Set((2L, 3L)),
       "backlog pair naming doc 1 must be gone")
+    // the dead-letter relation is covered by the same erasure
+    Seq((9L, 1L, 0L), (5L, 6L, 0L)).toDF("id_a", "id_b", "first_seen")
+      .write.mode("overwrite")
+      .parquet(s"$out/${StreamingPipeline.DeadLetterDirName}")
+    StreamingPipeline.eraseFromNearDupStores(spark, store, out,
+      Seq(1L).toDF("doc_id"), uptoVersion = 0)
+    assert(StreamingPipeline.deadLetterCandidates(spark, out)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet == Set((5L, 6L)),
+      "dead-letter pair naming doc 1 must be gone")
     assert(StreamingPipeline.storeTombstones(spark, store).count() == 0,
       "erasure retires its tombstones after all rewrites")
     // idempotent: re-running the same erase changes nothing

@@ -282,19 +282,35 @@ object AnnIndex {
   def queryBandsFor(meta: IndexMeta, q: DataFrame): DataFrame =
     queryBands(q, meta.tables, meta.planes)
 
-  /** Open a previously auto-built index: catalog relation + the
-    * persisted constants. The BANDING CONSTANTS are read back from the
-    * on-disk marker (never from session state), so the geometry half is
-    * genuinely session-independent; the RELATION half still resolves
-    * `table` through the catalog, so a fresh session needs the same
-    * metastore (or must re-register the table over `basePath/table` —
-    * Spark's bucketed-by-band layout is catalog metadata, not
-    * self-describing parquet, which is why this does not read by bare
-    * path: a path read would silently lose the bucket spec and the
-    * Exchange-free probe join with it). */
+  /** Open a previously auto-built index — genuinely CROSS-SESSION: both
+    * halves of the index recover from disk alone. The BANDING CONSTANTS
+    * come from the marker file (never session state). The RELATION, when
+    * `table` is absent from this session's catalog (fresh session, new
+    * metastore), is RE-REGISTERED as an external bucketed table over
+    * `basePath/table` from the marker's persisted bucket count: Spark's
+    * bucketed-by-band layout is catalog metadata, not self-describing
+    * parquet — a bare path read would silently lose the bucket spec and
+    * the Exchange-free probe join with it — but the bucket ids
+    * themselves live in the saveAsTable FILE NAMES, so a re-registered
+    * table with the marker's CLUSTERED BY spec reads the exact same
+    * layout (Exchange-free self-join re-asserted in AnnIndexSpec). The
+    * data schema is read from the parquet footers, so a future column
+    * widening never desynchronizes this DDL from the build's. When the
+    * catalog already has the table (same session as the build), it is
+    * used as-is. */
   def openAutoIndex(spark: SparkSession, table: String,
-                    basePath: String): (DataFrame, IndexMeta) =
-    (spark.table(table), readIndexMeta(spark, s"$basePath/$table"))
+                    basePath: String): (DataFrame, IndexMeta) = {
+    val dir = s"$basePath/$table"
+    val meta = readIndexMeta(spark, dir)
+    if (!spark.catalog.tableExists(table)) {
+      val ddl = spark.read.parquet(dir).schema.toDDL
+      spark.sql(
+        s"CREATE TABLE $table ($ddl) USING parquet " +
+          s"CLUSTERED BY (band_key) SORTED BY (band_key) " +
+          s"INTO ${meta.buckets} BUCKETS LOCATION '$dir'")
+    }
+    (spark.table(table), meta)
+  }
 
   /** Incremental append through the PERSISTED constants: the pinned
     * [[appendVectors]] trusts the caller to re-supply the build's
@@ -328,6 +344,11 @@ object AnnIndex {
     val e = Tables.embeddings(spark, dir)
     val (_, built) =
       buildNearDupIndexAuto(spark, e, "graft_gate_ann_auto_idx", scratch)
+    // drop the catalog entry between build and open: the gated hash then
+    // exercises the CROSS-SESSION path — openAutoIndex must re-register
+    // the external bucketed table from the marker + files alone (a
+    // fresh-metastore session in miniature)
+    spark.sql("DROP TABLE graft_gate_ann_auto_idx")
     val (idx, meta) = openAutoIndex(spark, "graft_gate_ann_auto_idx", scratch)
     require(meta == built, s"index meta round-trip drift: $meta != $built")
     Similarity.verifyCandidatePairs(e, nearDupCandidates(idx))
@@ -341,6 +362,8 @@ object AnnIndex {
     val e = Tables.embeddings(spark, dir)
     val (_, built) =
       buildNearDupIndexAuto(spark, e, "graft_gate_knn_auto_idx", scratch)
+    // cross-session open, as simNearDupFromIndexAuto
+    spark.sql("DROP TABLE graft_gate_knn_auto_idx")
     val (idx, meta) = openAutoIndex(spark, "graft_gate_knn_auto_idx", scratch)
     require(meta == built, s"index meta round-trip drift: $meta != $built")
     Similarity.knnFromCandidates(

@@ -196,6 +196,47 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("cross-session open: a fresh catalog re-registers the index from marker + files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_xs").toFile
+    try {
+      val e = Tables.embeddings(spark, sf())
+      val (builtIdx, built) = AnnIndex.buildNearDupIndexAuto(spark, e,
+        "ann_idx_xs", tmp.getAbsolutePath, buckets = 8)
+      val want = builtIdx
+        .as[(Long, Int)](org.apache.spark.sql.Encoders.product[(Long, Int)])
+        .collect().toSet
+      // simulate a fresh session's empty metastore: drop the catalog
+      // entry (external table — files stay), then open in a new session
+      spark.sql("DROP TABLE ann_idx_xs")
+      val s2 = spark.newSession()
+      val (idx, meta) = AnnIndex.openAutoIndex(s2, "ann_idx_xs", tmp.getAbsolutePath)
+      assert(meta == built, "marker must round-trip through the fresh session")
+      assert(idx.as[(Long, Int)](
+        org.apache.spark.sql.Encoders.product[(Long, Int)])
+        .collect().toSet == want, "re-registered table must serve the same rows")
+      // the load-bearing half: the re-registered table keeps the BUCKET
+      // layout, so the self-join still plans Exchange-free
+      val bcast = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = AnnIndex.bandSelfJoin(idx).queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+          s"cross-session open lost the bucket spec:\n$plan")
+      } finally s2.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      // appends through the persisted constants also work cross-session
+      // (the table is back in the catalog after the open)
+      assert(AnnIndex.shouldRebuild(meta,
+        Similarity.NEARDUP_TARGET_OCCUPANCY << (meta.planes + 1)),
+        "sanity: shouldRebuild still consults the recovered meta")
+      // an open when the catalog ALREADY has the table is a no-op read
+      val (again, meta2) = AnnIndex.openAutoIndex(s2, "ann_idx_xs", tmp.getAbsolutePath)
+      assert(meta2 == meta && again.count() == want.size)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ann_idx_xs")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
+
   test("rebuild cadence: appends drift occupancy; rebuilt index ≡ fresh-built") {
     // a synthetic corpus big enough that half vs full derive DIFFERENT
     // plane counts (gate tables never do at test scale): 2000 rows → 8

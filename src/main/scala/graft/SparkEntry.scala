@@ -279,6 +279,12 @@ object SparkEntry {
     // dynamic-plane oracle on either branch
     "sim_neardup_rebuild" ->
       (graft.operators.AnnIndex.simNearDupRebuild _),
+    // BATCH-artifact erasure (the retract half appendVectors never had):
+    // deleteVectors masks immediately, vacuumDeletes rebuilds the
+    // bucketed table without the rows and retires — probe ≡ the
+    // dynamic-plane chain on the survivors under the build's geometry
+    "sim_neardup_index_delete" ->
+      (graft.operators.AnnIndex.simNearDupIndexDelete _),
     // IVF with √n-derived cell count, served through the persisted
     // trained codebook (the sim_ivf_from_codebook artifact mechanism
     // at the auto-derived k) — corpus-derived constants for the
@@ -291,6 +297,11 @@ object SparkEntry {
     // pins — one narrow codegen'd projection, hash-exact
     "tx_pii_audit" -> (TextAnalysis.txPiiAudit _),
     "tx_bm25_from_index" -> (graft.operators.SearchIndex.txBm25FromIndex _),
+    // search-index erasure: deleteDocs masks both artifacts (df/N/avg_len
+    // all shift — BM25 stats derive from the postings at probe time),
+    // vacuum removes the bytes; masked ≡ vacuumed required in-gate
+    "tx_bm25_index_delete" ->
+      (graft.operators.SearchIndex.txBm25FromIndexDelete _),
     "sim_quantize" -> (Similarity.simQuantizeGated _),
     "sim_semantic_dedup" -> (Similarity.simSemanticDedup _),
     // Multimodal
@@ -486,8 +497,14 @@ object SparkEntry {
     "sim_neardup_from_index_auto" -> Similarity.simCosineNearDupAutoSql,
     "sim_knn_from_index_auto" -> Similarity.simKnnGraphAutoSql,
     "sim_neardup_rebuild" -> Similarity.simCosineNearDupAutoSql,
+    "sim_neardup_index_delete" ->
+      Similarity.simCosineNearDupAutoExcludingSql(
+        graft.operators.AnnIndex.IndexDeleteSliceSql),
     "sim_ivf_auto_from_codebook" -> Similarity.simIvfAutoFromCodebookSql,
     "tx_bm25_from_index" -> Search.txBm25TopKSql,
+    "tx_bm25_index_delete" ->
+      Search.txBm25TopKExcludingSql(
+        graft.operators.SearchIndex.IndexDeleteSliceSql),
     "sim_quantize" -> Similarity.simQuantizeSql,
     "sim_semantic_dedup" -> Similarity.simSemanticDedupSql,
     "mm_exact_dedup" -> Multimodal.mmExactDedupSql,

@@ -387,6 +387,103 @@ object AnnIndex {
   def shouldRebuild(meta: IndexMeta, currentCount: Long): Boolean =
     Similarity.autoPlanes(currentCount) > meta.planes
 
+  // ------------------------------------------------------------- erasure
+
+  /** Tombstone root of a persisted index — a SIBLING of the table dir,
+    * never inside it (a subdirectory under the table location could be
+    * swept into the data listing). Shares the delta-store tombstone
+    * protocol ([[graft.streaming.StreamingPipeline.writeTombstones]]):
+    * monotonic delta ids, high-water marker across retirements. */
+  private def deleteRoot(basePath: String, table: String): String =
+    s"$basePath/${table}_deletes"
+
+  /** Register a right-to-be-forgotten delete against the persisted
+    * index — the retract half [[appendVectors]] never had. Two-phase
+    * like every delete story here: (1) IMMEDIATELY, serving through
+    * [[indexExcludingDeletes]] stops returning the ids' band rows (a
+    * broadcast anti-join — the build side is delete-sized, and the
+    * index side keeps its bucketed distribution, so downstream joins
+    * stay Exchange-free); (2) DURABLY, [[vacuumDeletes]] rebuilds the
+    * bucketed table without the rows and retires the tombstones.
+    * Deleted ids must never be re-appended (the append contract already
+    * requires disjoint ids). Returns the tombstone delta id. */
+  def deleteVectors(spark: SparkSession, table: String, basePath: String,
+                    ids: DataFrame): Long =
+    graft.streaming.StreamingPipeline.writeTombstones(
+      spark, deleteRoot(basePath, table), ids)
+
+  /** The serving read between a [[deleteVectors]] and its
+    * [[vacuumDeletes]]: the catalog index minus tombstoned vec_ids. */
+  def indexExcludingDeletes(spark: SparkSession, table: String,
+                            basePath: String): DataFrame = {
+    val tomb = graft.streaming.StreamingPipeline
+      .storeTombstones(spark, deleteRoot(basePath, table))
+      .select(col("tomb_id").as("__deleted_id"))
+    val idx = spark.table(table)
+    idx.join(broadcast(tomb), idx("vec_id") === tomb("__deleted_id"),
+      "left_anti")
+  }
+
+  /** Physically rebuild the AUTO index without the tombstoned vectors,
+    * then retire the tombstones — the boundary sweep of the two-phase
+    * delete (the bytes go; [[indexExcludingDeletes]] becomes a no-op
+    * anti-join). The rebuild keeps the STAMPED geometry (erasure does
+    * not re-band — that is [[shouldRebuild]]'s separate occupancy
+    * trigger) and restamps the meta marker, which the overwrite wipes
+    * with the rest of the table dir. Run quiesced like every boundary
+    * sweep; a crash mid-rebuild is recoverable by re-running (tombstones
+    * are retired LAST, so serving stays masked throughout), though the
+    * index itself — derived state — can always be rebuilt from the
+    * vector corpus. */
+  def vacuumDeletes(spark: SparkSession, table: String,
+                    basePath: String): Unit = {
+    val dir = s"$basePath/$table"
+    val meta = readIndexMeta(spark, dir)
+    val kept = indexExcludingDeletes(spark, table, basePath)
+      .localCheckpoint(true) // the overwrite below drops what this reads
+    try {
+      Bucketing.writeBucketed(kept, table, "band_key", meta.buckets,
+        Some(dir))
+      writeIndexMeta(spark, dir, meta)
+    } finally graft.Caches.freeCheckpoint(kept)
+    graft.streaming.StreamingPipeline.retireTombstones(
+      spark, deleteRoot(basePath, table), Long.MaxValue)
+  }
+
+  /** The vector slice erased by [[simNearDupIndexDelete]] — one SQL
+    * predicate shared verbatim by the gate and its oracle. */
+  val IndexDeleteSliceSql = "(vec_id % 9) = 4"
+
+  /** Gated query: the persisted auto index POST-ERASURE — build on the
+    * full corpus, [[deleteVectors]] a slice, assert the masked serving
+    * read hides exactly the slice's band rows, then [[vacuumDeletes]]
+    * (physical rebuild + tombstone retirement) and probe. Oracle: the
+    * dynamic-plane chain over the survivors with the plane count still
+    * derived from the FULL corpus
+    * ([[Similarity.simCosineNearDupAutoExcludingSql]] — the build's
+    * geometry, erasure does not re-band), so the hash certifies that
+    * the rebuild alone removed every trace: no erased id in any
+    * candidate, no survivor pair lost. */
+  def simNearDupIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val table = "graft_gate_ann_del_idx"
+    buildNearDupIndexAuto(spark, e, table, scratch)
+    val slice = e.filter(expr(IndexDeleteSliceSql)).select(col("vec_id"))
+    deleteVectors(spark, table, scratch, slice)
+    // phase 1 (mask) pinned cheaply at the band-row level before the
+    // vacuum rewrites anything
+    val maskedRows = indexExcludingDeletes(spark, table, scratch).count()
+    vacuumDeletes(spark, table, scratch)
+    val idx = spark.table(table)
+    require(idx.count() == maskedRows,
+      "vacuumed index must equal the masked serving read")
+    require(graft.streaming.StreamingPipeline
+      .storeTombstones(spark, deleteRoot(scratch, table)).isEmpty,
+      "vacuum must retire its tombstones")
+    Similarity.verifyCandidatePairs(
+      e.filter(!expr(IndexDeleteSliceSql)), nearDupCandidates(idx))
+  }
+
   /** Gated query: the FULL auto-index lifecycle — build on half the
     * corpus (a capacity estimate the corpus then outgrows), append the
     * other half under the stamped geometry, consult [[shouldRebuild]]

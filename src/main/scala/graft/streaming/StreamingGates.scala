@@ -1309,10 +1309,17 @@ object StreamingGates {
               Seq("id_a", "id_b"))),
           uptoVersion = 1)
       case None =>
-        StreamingPipeline.compactDeltas(spark, s"$store/bands",
-          StreamingPipeline.AnnBandSchema, uptoVersion = 1)
-        StreamingPipeline.compactDeltas(spark, s"$store/vectors",
-          vecSchema, uptoVersion = 1)
+        if (auto)
+          // the PRODUCTION maintenance call: compaction + the
+          // shouldRebuild occupancy check in one sweep — no drift at
+          // gate scale, so this pins sweep-neutrality in the oracle hash
+          StreamingPipeline.sweepAnnStore(spark, store, uptoVersion = 1)
+        else {
+          StreamingPipeline.compactDeltas(spark, s"$store/bands",
+            StreamingPipeline.AnnBandSchema, uptoVersion = 1)
+          StreamingPipeline.compactDeltas(spark, s"$store/vectors",
+            vecSchema, uptoVersion = 1)
+        }
     }
     chunk(2)
     val q2 = startQ()

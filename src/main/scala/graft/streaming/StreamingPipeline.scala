@@ -791,6 +791,43 @@ object StreamingPipeline {
     planes
   }
 
+  /** THE maintenance sweep of an auto-geometry ANN pair store — the
+    * one call an operator schedules, so occupancy drift triggers the
+    * re-band WITHOUT anyone remembering [[rebandAnnStore]] exists:
+    * folds the `vectors` and `pairs` families to the boundary
+    * ([[compactDeltas]] — per-batch reads stay O(recent deltas)), then
+    * re-derives the geometry from the folded corpus count and, when the
+    * stamped plane count is stale by ≥1
+    * ([[graft.operators.AnnIndex.shouldRebuild]]'s law — growth only;
+    * erasure-driven shrinkage never re-bands, banding smaller is a
+    * policy choice, not maintenance), rebuilds the band family under
+    * the new geometry and restamps the marker; otherwise just compacts
+    * the bands too. Same contract as every sweep here: run quiesced at
+    * a checkpoint-committed boundary. Returns the (possibly new) plane
+    * count. The `stream_ann_neardup_auto` gate runs its mid-stream
+    * boundary through THIS sweep, so sweep-neutrality (no drift → plain
+    * compaction, identical serving) is oracle-hashed; the drift branch
+    * is pinned in StreamingSpec against a fresh build. */
+  def sweepAnnStore(spark: SparkSession, storeDir: String,
+                    uptoVersion: Long): Int = {
+    val cur = annStorePlanes(spark, storeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$storeDir/bands carries no auto geometry stamp — only stores " +
+          "created by startAnnPairStoreAuto take this sweep"))
+    compactDeltas(spark, s"$storeDir/vectors",
+      "vec_id BIGINT, embedding ARRAY<FLOAT>", uptoVersion)
+    compactDeltas(spark, s"$storeDir/pairs",
+      "id_a BIGINT, id_b BIGINT, cosine DOUBLE", uptoVersion)
+    val n = storeContents(spark, s"$storeDir/vectors",
+      "vec_id BIGINT, embedding ARRAY<FLOAT>").count()
+    if (graft.operators.Similarity.autoPlanes(n) > cur)
+      rebandAnnStore(spark, storeDir, uptoVersion)
+    else {
+      compactDeltas(spark, s"$storeDir/bands", AnnBandSchema, uptoVersion)
+      cur
+    }
+  }
+
   /** Version-dir name patterns of the delta stores: `b<id>` per-batch
     * deltas and `v=<id>` compaction snapshots (a snapshot holds the fold
     * of every delta with id ≤ its own). Strict integer parse — sibling

@@ -1032,12 +1032,15 @@ class StreamingSpec extends SparkSpec {
     intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       try qBad.processAllAvailable() finally qBad.stop()
     }
-    // RE-BAND at the quiesced boundary: occupancy outgrew the creation
-    // estimate (5000 rows → 9 planes); the band family must equal a
-    // FRESH banding of the stored vectors under the new geometry
-    val newPlanes = StreamingPipeline.rebandAnnStore(spark, store,
+    // MAINTENANCE SWEEP at the quiesced boundary — the production call
+    // that folds compaction AND the shouldRebuild occupancy check:
+    // ingest outgrew the creation estimate (5000 rows → 9 planes), so
+    // the sweep itself must trigger the re-band (no operator calls
+    // rebandAnnStore by hand) and the band family must equal a FRESH
+    // banding of the stored vectors under the new geometry
+    val newPlanes = StreamingPipeline.sweepAnnStore(spark, store,
       uptoVersion = 10)
-    assert(newPlanes == 9, s"re-band derived $newPlanes planes")
+    assert(newPlanes == 9, s"sweep-triggered re-band derived $newPlanes planes")
     assert(StreamingPipeline.annStorePlanes(spark, store).contains(9))
     val stored = StreamingPipeline.storeContents(spark, s"$store/bands",
         StreamingPipeline.AnnBandSchema)
@@ -1050,8 +1053,10 @@ class StreamingSpec extends SparkSpec {
         ($"tbl".cast("long") * (1L << 9) + $"bucket").as("band_key"))
       .as[(Long, Long)].collect().toSet
     assert(stored == fresh, "re-banded store must equal a fresh build")
-    // idempotent: occupancy unchanged → no-op, same geometry
-    assert(StreamingPipeline.rebandAnnStore(spark, store, 11) == 9)
+    // idempotent: occupancy unchanged → the sweep is plain compaction,
+    // same geometry (and the direct re-band call is equally a no-op)
+    assert(StreamingPipeline.sweepAnnStore(spark, store, 11) == 9)
+    assert(StreamingPipeline.rebandAnnStore(spark, store, 12) == 9)
     graft.Caches.freeCheckpoint(vecs)
   }
 

@@ -1542,6 +1542,72 @@ object StreamingPipeline {
     * hash-family format stamp. */
   private val SchemaMarker = "_graft_schema"
 
+  /** (Re)write a family's schema stamp — [[ensureSchemaCompat]]'s
+    * first-writer path and [[migrateSchemaFold]]'s restamp share it. */
+  private def stampSchema(spark: SparkSession, dir: String,
+                          ddl: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(base)
+    val out = fs.create(new Path(base, SchemaMarker), true)
+    try out.write(ddl.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The stamped schema DDL, if the family carries one. */
+  def stampedSchema(spark: SparkSession, dir: String): Option[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(new Path(dir), SchemaMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** ONE-SHOT NON-ADDITIVE schema migration for a delta-store family —
+    * the explicit path [[ensureSchemaCompat]]'s refusal points at:
+    * rename, drop, or recompute columns under a caller-declared
+    * projection (`newColumn -> SQL expr over the OLD columns`, e.g.
+    * `Seq("id" -> "id", "score" -> "CAST(v_old AS DOUBLE)")`). The fold
+    * reads the family's full state under the STAMPED schema, applies
+    * the projection, publishes the rewritten contents as the
+    * `v=uptoVersion` snapshot (the same staged/parked atomic publish as
+    * [[rebandAnnStore]] — a crash mid-migration leaves the old state
+    * served), retires everything the snapshot covers, and only then
+    * RESTAMPS the schema marker — the marker restamp is the migration's
+    * commit point, exactly the format-marker discipline. After it, a
+    * writer or fold still presenting the old schema refuses loudly in
+    * [[ensureSchemaCompat]] ("column missing"), and readers serve the
+    * new shape; before it, readers keep serving the old shape. Same
+    * contract as every sweep: run quiesced at a checkpoint-committed
+    * boundary (the restarted stream must present the NEW schema).
+    * Returns the new stamped DDL. */
+  def migrateSchemaFold(spark: SparkSession, dir: String,
+                        projection: Seq[(String, String)],
+                        uptoVersion: Long): String = {
+    require(projection.nonEmpty, "migration projection must name columns")
+    val oldDdl = stampedSchema(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"family $dir carries no schema stamp — nothing to migrate from"))
+    healReplacedSnapshots(spark, dir)
+    val folded = deltasBelow(spark, dir, oldDdl, uptoVersion + 1)
+      .selectExpr(projection.map { case (n, e) => s"($e) AS $n" }: _*)
+    val newDdl = folded.schema.toDDL
+    // the fold may replace an existing v=uptoVersion in place —
+    // materialize so the publish never races its own read (the
+    // compactDeltas in-place discipline)
+    val inPlace = committedSnapshots(spark, dir).contains(uptoVersion)
+    val contents = if (inPlace) folded.localCheckpoint(true) else folded
+    try publishSnapshot(spark, dir, contents, uptoVersion)
+    finally if (inPlace) graft.Caches.freeCheckpoint(contents)
+    retireCovered(spark, dir, uptoVersion)
+    stampSchema(spark, dir, newDdl)
+    newDdl
+  }
+
   /** Stamp (first call) or check a family's schema: the presented
     * schema must be an ADDITIVE WIDENING of the stamp — every stamped
     * column present under the same name and exact type; new columns may
@@ -1555,22 +1621,10 @@ object StreamingPipeline {
     * unnoticed — and available to writers. */
   def ensureSchemaCompat(spark: SparkSession, dir: String,
                          schema: String): Unit = {
-    import org.apache.hadoop.fs.Path
     val presented = StructType.fromDDL(schema)
-    val base = new Path(dir)
-    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    val p = new Path(base, SchemaMarker)
-    def stamp(ddl: String): Unit = {
-      fs.mkdirs(base)
-      val out = fs.create(p, true)
-      try out.write(ddl.getBytes("UTF-8")) finally out.close()
-    }
-    if (!fs.exists(p)) stamp(presented.toDDL)
-    else {
-      val in = fs.open(p)
-      val stampedDdl =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
+    stampedSchema(spark, dir) match {
+      case None => stampSchema(spark, dir, presented.toDDL)
+      case Some(stampedDdl) =>
       val stamped = StructType.fromDDL(stampedDdl)
       val presentedByName = presented.fields.map(f => f.name -> f.dataType).toMap
       val broken = stamped.fields.flatMap { f =>
@@ -1591,7 +1645,8 @@ object StreamingPipeline {
           "the matching build) for anything else.")
       val stampedNames = stamped.fields.map(_.name).toSet
       if (presented.fields.exists(f => !stampedNames.contains(f.name)))
-        stamp(presented.toDDL) // widening: later callers check against it
+        // widening: later callers check against it
+        stampSchema(spark, dir, presented.toDDL)
     }
   }
 

@@ -985,6 +985,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("migrateSchemaFold: rename across a compaction boundary; old schema refused after") {
+    // the explicit non-additive path ensureSchemaCompat's refusal points
+    // at: a one-shot rewriting fold under a declared projection, with
+    // the schema-marker restamp as the commit point
+    val dir = Files.createTempDirectory("graft_migrate_").toString
+    val oldSchema = "id BIGINT, v_old BIGINT, junk STRING"
+    // history spanning a compaction boundary: b0 folded into v=0, b1 live
+    Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("id", "v_old", "junk")
+      .write.mode("overwrite").parquet(s"$dir/b0")
+    StreamingPipeline.ensureSchemaCompat(spark, dir, oldSchema)
+    StreamingPipeline.compactDeltas(spark, dir, oldSchema, uptoVersion = 0)
+    Seq((3L, 30L, "z")).toDF("id", "v_old", "junk")
+      .write.mode("overwrite").parquet(s"$dir/b1")
+    // BEFORE: readers serve the old shape
+    assert(StreamingPipeline.storeContents(spark, dir, oldSchema)
+      .columns.toSeq == Seq("id", "v_old", "junk"))
+    // migrate at the committed boundary: rename v_old -> score (with a
+    // recompute), DROP junk
+    val newDdl = StreamingPipeline.migrateSchemaFold(spark, dir,
+      Seq("id" -> "id", "score" -> "CAST(v_old AS DOUBLE) / 10"),
+      uptoVersion = 1)
+    assert(newDdl.contains("score"))
+    // AFTER: readers serve the new shape, full history preserved
+    val got = StreamingPipeline.storeContents(spark, dir, newDdl)
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      s"migrated contents drifted: $got")
+    // a writer still presenting the OLD schema refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      StreamingPipeline.ensureSchemaCompat(spark, dir, oldSchema)
+    }
+    assert(ex.getMessage.contains("missing"))
+    // the migrated family keeps compacting under the new schema: a new
+    // delta lands and the next sweep folds it
+    Seq((4L, 4.0)).toDF("id", "score")
+      .write.mode("overwrite").parquet(s"$dir/b2")
+    StreamingPipeline.compactDeltas(spark, dir, newDdl, uptoVersion = 2)
+    assert(StreamingPipeline.storeContents(spark, dir, newDdl).count() == 4)
+    // a family with no stamp has nothing to migrate from
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.migrateSchemaFold(spark,
+        Files.createTempDirectory("graft_migrate_none_").toString,
+        Seq("id" -> "id"), 0)
+    }
+  }
+
   /** Deterministic synthetic embedding corpus big enough that
     * autoPlanes derives MORE than the pinned 8 planes (n=5000 → 9) —
     * the gate tables never reach that at test scale, so the re-band

@@ -329,6 +329,80 @@ object StreamingPipeline {
       .toDF()
   }
 
+  /** [[streamingNearDupCandidatesAllSigned]] re-expressed on Spark 4's
+    * `transformWithState` — the PROBE the r12 verdict asked for, kept
+    * alongside (not replacing) the flatMapGroupsWithState production
+    * operator. What the new API buys at 100 TB: NAMED state variables
+    * (the member list and the eviction anchor are separate stores, so
+    * adding a variable later is a state-schema evolution, not a case-
+    * class migration), native timers (delete + re-register instead of
+    * the single implicit timeout slot), and the operator-state schema
+    * evolution/TTL machinery. What it costs, measured (SCALING.md):
+    * transformWithState REQUIRES the RocksDB state-store provider,
+    * whose per-partition × per-batch native spin-up dominates at gate
+    * scale — the same measured reason the other stateful gates stay on
+    * the default provider. Semantics are pinned EQUAL to the fMGWS
+    * operator in StreamingSpec (same replay, bit-equal candidate set,
+    * including the signed-erasure fold); the production entry points
+    * stay fMGWS until state size — not wall clock — forces RocksDB
+    * anyway, at which point this is the drop-in. */
+  def streamingNearDupCandidatesAllSignedTws(docs: DataFrame,
+                                             watermarkDelay: String = "1 hour",
+                                             evictAfterMs: Long = 3600L * 1000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ExpiredTimerInfo, StatefulProcessor}
+    val banded = bandedBucketsSigned(docs, watermarkDelay)
+    val processor = new StatefulProcessor[
+        String, (Long, java.sql.Timestamp, Int, String), NearDupCandidate] {
+      @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+      @transient private var newest: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        members = getHandle.getListState[Long]("members",
+          org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        newest = getHandle.getValueState[Long]("newest",
+          org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      }
+      override def handleInputRows(bkey: String,
+          rows: Iterator[(Long, java.sql.Timestamp, Int, String)],
+          timerValues: TimerValues): Iterator[NearDupCandidate] = {
+        val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+        var cur = if (members.exists()) members.get().toList else Nil
+        val out = Seq.newBuilder[NearDupCandidate]
+        sorted.foreach { case (id, _, sign, _) =>
+          if (sign < 0) cur = cur.filterNot(_ == id)
+          else if (!cur.contains(id)) {
+            cur.foreach(m => out += NearDupCandidate(id, m, bkey))
+            cur = id :: cur
+          }
+        }
+        val prevNewest = if (newest.exists()) Some(newest.get()) else None
+        if (cur.nonEmpty) {
+          val n = math.max(prevNewest.getOrElse(Long.MinValue),
+            sorted.last._2.getTime)
+          members.put(cur.toArray)
+          newest.update(n)
+          // native timers have no implicit single slot — retire the
+          // previous registration explicitly, then arm the new horizon
+          prevNewest.filter(_ != n)
+            .foreach(p => getHandle.deleteTimer(p + evictAfterMs))
+          getHandle.registerTimer(n + evictAfterMs)
+        } else {
+          members.clear(); newest.clear()
+          prevNewest.foreach(p => getHandle.deleteTimer(p + evictAfterMs))
+        }
+        out.result().iterator
+      }
+      override def handleExpiredTimer(bkey: String, timerValues: TimerValues,
+          expired: ExpiredTimerInfo): Iterator[NearDupCandidate] = {
+        members.clear(); newest.clear()
+        Iterator.empty
+      }
+    }
+    banded.groupByKey(_._4)
+      .transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Ingest-side shingle-hash store: every micro-batch writes the
     * (doc_id, h) hashed-shingle relation as a `b<batchId>` delta dir —
     * the document store the verify stage joins candidates against.

@@ -985,6 +985,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState probe ≡ flatMapGroupsWithState: same signed replay, same candidates") {
+    // the Spark-4 operator-state API probe: the TWS twin must emit the
+    // EXACT candidate set of the production fMGWS operator across a
+    // multi-batch signed replay (ingest, erasure, post-erase arrivals).
+    // TWS requires the RocksDB provider — scoped here, and the measured
+    // cost of that provider at gate scale is why the production entry
+    // points stay fMGWS (SCALING.md).
+    import java.nio.file.{Files => JFiles}
+    val in = JFiles.createTempDirectory("graft_tws_in_").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val rows = Seq(
+      (1L, base, 1), (2L, "omega " + base, 1),        // batch: pair (2,1)
+      (1L, base, -1),                                  // erase doc 1
+      (3L, "sigma " + base, 1))                        // pairs with 2 only
+    rows.zipWithIndex.foreach { case ((id, text, sign), i) =>
+      Seq((id, text, sign)).toDF("doc_id", "text", "_sign")
+        .select($"doc_id", $"text",
+          to_timestamp(lit("2024-01-01 10:00:00")).as("ts"), $"_sign")
+        .coalesce(1).write.mode("append").parquet(s"$in/f$i")
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP, _sign INT")
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in + "/f*")
+    def drain(op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+              name: String): Set[(Long, Long)] = {
+      val out = JFiles.createTempDirectory(s"graft_tws_out_$name").toString
+      val q = op(src.toDF())
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          JFiles.createTempDirectory(s"graft_tws_ck_$name").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read
+        .schema("doc_id BIGINT, matched_with BIGINT, bucket STRING")
+        .parquet(out).select($"doc_id", $"matched_with").distinct()
+        .as[(Long, Long)].collect().toSet
+    }
+    val fmgws = drain(
+      StreamingPipeline.streamingNearDupCandidatesAllSigned(_), "fmgws")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try drain(StreamingPipeline.streamingNearDupCandidatesAllSignedTws(_), "tws")
+      finally prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    assert(fmgws == Set((2L, 1L), (3L, 2L)), s"fMGWS baseline drifted: $fmgws")
+    assert(tws == fmgws,
+      s"transformWithState probe diverged: tws=$tws fmgws=$fmgws")
+  }
+
   test("migrateSchemaFold: rename across a compaction boundary; old schema refused after") {
     // the explicit non-additive path ensureSchemaCompat's refusal points
     // at: a one-shot rewriting fold under a declared projection, with

@@ -154,6 +154,13 @@ object SparkEntry {
     "tx_word_freq" -> (TextAnalysis.txWordFreq _),
     "tx_epoch_mix" -> (TextAnalysis.txEpochMix _),
     "tx_pack_sequences" -> (Pack.txPackSequences _),
+    // size-balanced training-shard export manifest: same two-phase
+    // bucketed prefix sum as packing (no global window), whole docs
+    "tx_shard_manifest" -> (Pack.txShardManifest _),
+    // deterministic global shuffle order: two-phase rank, no global
+    // window; and the release composition (shuffle, then shard)
+    "tx_global_shuffle" -> (Pack.txGlobalShuffle _),
+    "tx_shuffled_shards" -> (Pack.txShuffledShards _),
     "tx_chunk_overlap" -> (TextAnalysis.txChunkOverlap _),
     "tx_heavy_hitters" -> (HeavyHitters.txHeavyHitters _),
     "tx_length_pctile" -> (TextAnalysis.txLengthPctile _),
@@ -161,6 +168,9 @@ object SparkEntry {
     "tx_weighted_sample" -> (TextAnalysis.txWeightedSample _),
     "tx_surprisal" -> (TextAnalysis.txSurprisal _),
     "tx_bigram_surprisal" -> (TextAnalysis.txBigramSurprisal _),
+    // CCNet head/middle/tail perplexity thirds per language — threshold
+    // cuts off the per-(lang,score) histogram, never a corpus window
+    "tx_ccnet_buckets" -> (TextAnalysis.txCcnetBuckets _),
     "tx_dsir_weights" -> (Dsir.txDsirWeights _),
     "tx_dsir_select" -> (Dsir.txDsirSelect _),
     "tx_inverted_index" -> (Search.txInvertedIndex _),
@@ -204,6 +214,9 @@ object SparkEntry {
     "dd_pipeline" -> (Dedup.ddPipeline _),
     "dd_incremental" -> (Dedup.ddIncremental _),
     "dd_decontaminate" -> (Dedup.ddDecontaminate _),
+    // embedding-space decontamination: catches the paraphrased benchmark
+    // items the n-gram form misses; bench broadcast, zero shuffle
+    "dd_embed_decontaminate" -> (Similarity.ddEmbedDecontaminate _),
     "dd_curate" -> (Dedup.ddCurate _),
     "dd_curate_pack" -> (Dedup.ddCuratePack _),
     "dd_curate_semantic" -> (Dedup.ddCurateSemantic _),
@@ -424,6 +437,9 @@ object SparkEntry {
     "tx_pii_audit" -> TextAnalysis.txPiiAuditSql,
     "tx_epoch_mix" -> TextAnalysis.txEpochMixSql,
     "tx_pack_sequences" -> Pack.txPackSequencesSql,
+    "tx_shard_manifest" -> Pack.txShardManifestSql,
+    "tx_global_shuffle" -> Pack.txGlobalShuffleSql,
+    "tx_shuffled_shards" -> Pack.txShuffledShardsSql,
     "tx_chunk_overlap" -> TextAnalysis.txChunkOverlapSql,
     "tx_heavy_hitters" -> HeavyHitters.txHeavyHittersSql,
     "tx_length_pctile" -> TextAnalysis.txLengthPctileSql,
@@ -431,6 +447,7 @@ object SparkEntry {
     "tx_weighted_sample" -> TextAnalysis.txWeightedSampleSql,
     "tx_surprisal" -> TextAnalysis.txSurprisalSql,
     "tx_bigram_surprisal" -> TextAnalysis.txBigramSurprisalSql,
+    "tx_ccnet_buckets" -> TextAnalysis.txCcnetBucketsSql,
     "tx_dsir_weights" -> Dsir.txDsirWeightsSql,
     "tx_dsir_select" -> Dsir.txDsirSelectSql,
     "tx_inverted_index" -> Search.txInvertedIndexSql,
@@ -458,6 +475,7 @@ object SparkEntry {
     "dd_pipeline" -> Dedup.ddPipelineSql,
     "dd_incremental" -> Dedup.ddIncrementalSql,
     "dd_decontaminate" -> Dedup.ddDecontaminateSql,
+    "dd_embed_decontaminate" -> Similarity.ddEmbedDecontaminateSql,
     "dd_curate" -> Dedup.ddCurateSql,
     "dd_curate_pack" -> Dedup.ddCuratePackSql,
     "dd_curate_semantic" -> Dedup.ddCurateSemanticSql,

@@ -153,6 +153,168 @@ object Pack {
       .orderBy(col("doc_id"))
   }
 
+  /** DETERMINISTIC GLOBAL SHUFFLE — the training-order step every
+    * pretraining pipeline runs between curation and export (consecutive
+    * crawl documents correlate; a model fed un-shuffled shards sees
+    * topic runs): assign each doc its position in the corpus-wide
+    * pseudo-random order keyed by [[graft.functions.Portable.hash60]]
+    * of the text (doc_id tiebreak, so exact-dup texts still get
+    * distinct, stable positions). Deterministic — same corpus, same
+    * order, any cluster size — unlike `ORDER BY rand()`, which no two
+    * runs (or engines) reproduce.
+    *
+    * The scale problem is the same as [[exclusiveCumsum]]'s: a global
+    * rank is a single-partition window. Same cure, two-phase rank:
+    * bucket by a monotone function of the hash (uniform `width_bucket`
+    * — hashes are uniform by construction, so uniform buckets are
+    * balanced WITHOUT the quantile pass ids need), tiny per-bucket
+    * count → exclusive offsets window, in-bucket `row_number` over
+    * (hash, doc_id). No corpus-wide sort anywhere; the physical write
+    * that realizes the order is `repartitionByRange(position)` +
+    * `sortWithinPartitions` — range exchange, not a funnel. */
+  def globalShuffle(docs: DataFrame, textCol: String, idCol: String,
+      buckets: Int = CumsumBuckets): DataFrame = {
+    val hashed = docs.select(col(idCol),
+      graft.functions.Portable.hash60(col(textCol)).as("h"))
+    val bounds = hashed.agg(min(col("h")), max(col("h"))).head()
+    if (bounds.isNullAt(0)) return hashed.withColumn("position", lit(0L))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val bucketed = hashed.withColumn("__bkt",
+      expr(s"width_bucket(h, ${lo}L, ${hi + 1}L, $buckets)"))
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.partitionBy(graft.functions.Portable.onePartition(col("__bkt")))
+            .orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val inBucket = Window.partitionBy(col("__bkt"))
+      .orderBy(col("h"), col(idCol))
+    bucketed.join(broadcast(offsets), "__bkt")
+      .withColumn("position",
+        col("__off") + row_number().over(inBucket).cast("long") - 1L)
+      .drop("__bkt", "__off")
+  }
+
+  /** Gated query: the shuffle order of the documents table. */
+  def txGlobalShuffle(spark: SparkSession, dir: String): DataFrame =
+    globalShuffle(Tables.documents(spark, dir), "text", "doc_id")
+      .select(col("doc_id"), col("h"), col("position"))
+      .orderBy(col("doc_id"))
+
+  /** The oracle states the order law directly as one global window. */
+  val txGlobalShuffleSql: String = s"""
+    WITH hashed AS (
+      SELECT doc_id, ${graft.functions.Portable.hash60Sql("text")} AS h
+      FROM documents)
+    SELECT doc_id, h,
+           CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS position
+    FROM hashed ORDER BY doc_id"""
+
+  /** Token budget per exported shard for the gated query — same
+    * corpus-dependent-knob caveat as [[GateBudget]]. */
+  val ShardTokens = 2048L
+
+  /** SIZE-BALANCED TRAINING-SHARD EXPORT — the release step after
+    * curation/packing: assign every document to a shard such that
+    * shards hold ≈`shardTokens` tokens each (whole docs — unlike
+    * [[packByOrder]] sequences, export shards never split a document;
+    * a shard overflows by at most its last doc), and emit the MANIFEST
+    * a consumer checks before training: per shard, the doc count, token
+    * sum, id range, and an order-independent content digest (XOR of the
+    * per-doc [[graft.functions.Portable.hash60]] — any dropped,
+    * duplicated, or swapped doc flips it; XOR rather than SUM so the
+    * aggregate cannot overflow and needs no modulus).
+    *
+    * shard_id = exclusive-cumsum(tokens) div shardTokens — the same
+    * deterministic layout law as packing, computed by the same
+    * two-phase bucketed prefix sum ([[exclusiveCumsum]]), so no global
+    * single-partition window exists here either. The manifest aggregate
+    * shuffles one row per DOC (shard_id key), map-side combined; output
+    * is one row per shard. At 100 TB the physical write is
+    * `df.write.partitionBy("shard_id")` over the assignment this
+    * operator returns — the manifest is the verification artifact. */
+  def shardManifest(docs: DataFrame, textCol: String, orderCol: String,
+      shardTokens: Long, buckets: Int = CumsumBuckets): DataFrame = {
+    require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
+    val toks = docs.select(col(orderCol),
+      regexp_count(col(textCol), lit("[A-Za-z0-9]+")).cast("long").as("n_tokens"),
+      graft.functions.Portable.hash60(col(textCol)).as("__h"))
+    exclusiveCumsum(toks, orderCol, "n_tokens", buckets)
+      .withColumn("shard_id", expr(s"cum_excl div ${shardTokens}L"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col(orderCol)).as("first_doc"),
+        max(col(orderCol)).as("last_doc"),
+        expr("bit_xor(__h)").as("digest"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** Gated query: shard manifest of the documents table at
+    * [[ShardTokens]] tokens/shard, doc_id order. */
+  def txShardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifest(Tables.documents(spark, dir), "text", "doc_id", ShardTokens)
+
+  val txShardManifestSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+             ${graft.functions.Portable.hash60Sql("text")} AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, h,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+      FROM toks)
+    SELECT cum_excl // ${ShardTokens} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           BIT_XOR(h) AS digest
+    FROM c GROUP BY shard_id ORDER BY shard_id"""
+
+  /** Gated query: the RELEASE composition — shards cut over the
+    * [[globalShuffle]] order instead of doc_id order (shuffle, THEN
+    * shard: each shard is a pseudo-random corpus slice, which is the
+    * point of shuffling before export). `first_doc`/`last_doc` are
+    * positions here — shards cover contiguous POSITION ranges by
+    * construction, while their doc ids interleave. One oracle spans
+    * both operators, so the hash certifies the composition, not just
+    * the parts. */
+  def txShuffledShards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pos = globalShuffle(docs, "text", "doc_id")
+      .select(col("doc_id"), col("position"))
+    shardManifest(docs.join(pos, "doc_id"), "text", "position", ShardTokens)
+  }
+
+  val txShuffledShardsSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+             ${graft.functions.Portable.hash60Sql("text")} AS h
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_tokens, h,
+             CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS position
+      FROM toks),
+    c AS (
+      SELECT position, n_tokens, h,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY position
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+      FROM pos)
+    SELECT cum_excl // ${ShardTokens} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(position) AS first_doc,
+           MAX(position) AS last_doc,
+           BIT_XOR(h) AS digest
+    FROM c GROUP BY shard_id ORDER BY shard_id"""
+
   /** Same semantics as one global window cumsum — the oracle states the
     * layout law directly; the engine must land on identical positions
     * through the two-phase path. */

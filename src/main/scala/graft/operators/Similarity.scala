@@ -626,6 +626,61 @@ object Similarity {
                          tables: Int, planes: Int): DataFrame =
     nearDupPairsOf(Tables.embeddings(spark, dir), tables, planes)
 
+  /** EMBEDDING-SPACE benchmark decontamination — the semantic twin of
+    * [[Dedup.decontaminate]]'s n-gram form (the published recipe: e.g.
+    * the GPT-4 / Llama-2 eval-contamination checks pair lexical overlap
+    * with an embedding-similarity pass, because a paraphrased benchmark
+    * item shares no 4-gram with its source but still sits next to it in
+    * embedding space). A corpus vector whose cosine against ANY
+    * benchmark vector reaches [[NEARDUP_THRESHOLD]] is contaminated and
+    * dropped; the output is the surviving corpus.
+    *
+    * Scale shape: the benchmark side is an EVAL SET — thousands of rows
+    * by construction, fixed as the corpus grows — so it broadcasts and
+    * the whole operator is one shuffle-free map pass over the corpus:
+    * |corpus|·|bench| codegen'd [[graft.functions.CosineSimilarity]]
+    * kernels, zero Exchange, contaminated ids resolved map-side into a
+    * broadcast anti-join. That exact-scan form IS the 100 TB posture
+    * while |bench|·Dim stays cache-resident (64-dim × 10k bench rows =
+    * 2.5 MB); a benchmark suite large enough to break that moves to the
+    * banded cross-corpus prefilter ([[Dedup.crossNearDup]]'s shape)
+    * with this operator's exact cosine as the verify tail. */
+  def embedDecontaminate(e: DataFrame, benchPred: Column): DataFrame = {
+    val bench = e.filter(benchPred)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be"))
+    val corpus = e.filter(!benchPred)
+    val contaminated = corpus
+      .crossJoin(broadcast(bench))
+      .filter(Portable.cosine(col("embedding"), col("be")) >= NEARDUP_THRESHOLD)
+      .select(col("vec_id"))
+      .distinct()
+    corpus.join(contaminated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Gated query: benchmark = vec_id 25..49 (the same stand-in eval
+    * split as the n-gram gate [[Dedup.ddDecontaminate]]), corpus = the
+    * rest of the embeddings table. */
+  def ddEmbedDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    embedDecontaminate(Tables.embeddings(spark, dir),
+      col("vec_id") >= 25 && col("vec_id") < 50)
+
+  val ddEmbedDecontaminateSql: String = s"""
+    WITH bench AS (
+      SELECT vec_id AS bench_id, embedding AS be FROM embeddings
+      WHERE vec_id >= 25 AND vec_id < 50),
+    corpus AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE NOT (vec_id >= 25 AND vec_id < 50)),
+    contaminated AS (
+      SELECT DISTINCT c.vec_id
+      FROM corpus c JOIN bench b
+        ON ${Portable.cosineSql("c.embedding", "b.be", Dim)} >= $NEARDUP_THRESHOLD)
+    SELECT vec_id, label FROM corpus
+    WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
+    ORDER BY vec_id"""
+
   /** The pair stage over an EXPLICIT (vec_id, embedding) relation —
     * factored out so composed operators (semantic curation, the
     * streaming ANN ingest's batch twin) can band a filtered slice

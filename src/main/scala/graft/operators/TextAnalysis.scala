@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
 import graft.sources.Tables
@@ -705,6 +706,86 @@ object TextAnalysis {
     SELECT doc_id, n_bigrams, sum_bits,
            sum_bits * 1000 // n_bigrams AS mean_millibits
     FROM perdoc ORDER BY doc_id"""
+
+  /** CCNet-style perplexity BUCKETS (Wenzek et al. 2020, §4.3): per
+    * language, split the corpus into head/middle/tail thirds by LM
+    * score — CCNet trains on `head`, samples `middle`, drops `tail`;
+    * the bucket label is the standard curation handle downstream mixes
+    * key on. The LM is [[bigramScores]]' self-trained bigram surprisal
+    * (whole-bit integer quantized, hash-exact — see there), matching
+    * CCNet's "lower perplexity = cleaner" ordering.
+    *
+    * Cut semantics are CCNet's actual THRESHOLD form, not NTILE: the
+    * per-lang cut points t₁/t₂ are the smallest scores whose cumulative
+    * doc count reaches ⌈n/3⌉ / ⌈2n/3⌉, and every doc compares its score
+    * against them — so equal scores always land in the same bucket
+    * (NTILE would split ties by arbitrary row order, which no engine
+    * pair reproduces deterministically), and the thirds are exact up to
+    * tie mass. All-integer arithmetic end to end.
+    *
+    * Scale shape: the quantized score makes the per-(lang, score)
+    * HISTOGRAM the only shuffled relation — bounded by |langs|·|distinct
+    * millibit scores| (thousands of rows at any corpus size), map-side
+    * combined. The cumulative window runs over that histogram
+    * partitioned by lang — never over the corpus — and the thresholds
+    * broadcast back. Same pattern as [[lengthPercentile]]: rank
+    * semantics at 100 TB without a corpus-wide sort. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = bigramScores(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("mean_millibits"))
+    val hist = scored.groupBy(col("lang"), col("mean_millibits"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("mean_millibits"))))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+    val th = cum.join(tot, "lang")
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"),
+          col("mean_millibits"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"),
+          col("mean_millibits"))).as("t2"))
+    scored.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("mean_millibits") <= col("t1"), lit("head"))
+          .when(col("mean_millibits") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("mean_millibits"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: CCNet buckets over the documents table. Docs under 2
+    * words have no LM score and are absent, as from any LM scorer. */
+  def txCcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBuckets(Tables.documents(spark, dir))
+
+  val txCcnetBucketsSql: String = s"""
+    WITH ${bigramScoreCtesOf("documents")},
+    scored AS (
+      SELECT p.doc_id, d.lang,
+             p.sum_bits * 1000 // p.n_bigrams AS mean_millibits
+      FROM perdoc p JOIN documents d USING (doc_id)),
+    hist AS (
+      SELECT lang, mean_millibits, COUNT(*) AS cnt
+      FROM scored GROUP BY lang, mean_millibits),
+    cumh AS (
+      SELECT lang, mean_millibits,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY mean_millibits) AS cum
+      FROM hist),
+    tot AS (SELECT lang, SUM(cnt) AS n FROM hist GROUP BY lang),
+    th AS (
+      SELECT lang,
+             MIN(CASE WHEN cum >= (n + 2) // 3 THEN mean_millibits END) AS t1,
+             MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN mean_millibits END) AS t2
+      FROM cumh JOIN tot USING (lang) GROUP BY lang)
+    SELECT s.doc_id, s.lang, s.mean_millibits,
+           CASE WHEN s.mean_millibits <= th.t1 THEN 'head'
+                WHEN s.mean_millibits <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN th USING (lang)
+    ORDER BY s.doc_id"""
 
   /** Per-language fractional epoch weights for the gated mix — the
     * LLaMA-style data-mixing recipe: upsample low-resource strata by a

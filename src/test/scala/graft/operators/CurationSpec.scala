@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-13 curation operators: CCNet perplexity buckets, embedding
+  * decontamination, training-shard manifest. The DuckDB hash gates are
+  * the correctness instrument; these specs pin the LAWS (bucket mass,
+  * subset/threshold semantics, manifest conservation) that a hash match
+  * alone would not explain. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ccnet buckets: per-lang thirds up to tie mass, ties never split, all scored docs covered") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val out = TextAnalysis.ccnetBuckets(docs)
+      .select($"doc_id", $"lang", $"mean_millibits", $"bucket")
+      .collect()
+    val scored = TextAnalysis.bigramScores(docs).count()
+    assert(out.length == scored, "every LM-scored doc gets exactly one bucket")
+    // ties never split: one bucket per (lang, score)
+    val perScore = out.groupBy(r => (r.getString(1), r.getLong(2)))
+      .values.map(_.map(_.getString(3)).toSet)
+    assert(perScore.forall(_.size == 1), "equal scores landed in different buckets")
+    out.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val n = rows.length.toLong
+      val byBucket = rows.groupBy(_.getString(3)).map { case (b, rs) => b -> rs.length.toLong }
+      val head = byBucket.getOrElse("head", 0L)
+      val mid = byBucket.getOrElse("middle", 0L)
+      // threshold semantics: head reaches ceil(n/3) and overshoots only
+      // by the tie mass at the cut score; same for head+middle at 2n/3
+      val k1 = (n + 2) / 3; val k2 = (2 * n + 2) / 3
+      assert(head >= k1, s"$lang: head $head < ceil(n/3)=$k1")
+      assert(head + mid >= k2, s"$lang: head+middle ${head + mid} < $k2")
+      val t1 = rows.filter(_.getString(3) == "head").map(_.getLong(2)).max
+      val tieAtT1 = rows.count(_.getLong(2) == t1).toLong
+      assert(head - tieAtT1 < k1, s"$lang: head overshoots beyond the t1 tie mass")
+      // ordering: every head score <= every middle score <= every tail score
+      def scores(b: String) = rows.filter(_.getString(3) == b).map(_.getLong(2))
+      if (scores("middle").nonEmpty) {
+        assert(scores("head").max <= scores("middle").min)
+        if (scores("tail").nonEmpty)
+          assert(scores("middle").max <= scores("tail").min)
+      }
+    }
+  }
+
+  test("embed decontaminate: survivors = corpus minus threshold hits; benchmark itself excluded") {
+    val e = graft.sources.Tables.embeddings(spark, sf())
+    val survivors = Similarity.ddEmbedDecontaminate(spark, sf())
+      .select($"vec_id").as[Long].collect().toSet
+    val bench = e.filter($"vec_id" >= 25 && $"vec_id" < 50)
+      .select($"vec_id").as[Long].collect().toSet
+    val corpus = e.select($"vec_id").as[Long].collect().toSet -- bench
+    assert(survivors.subsetOf(corpus), "a benchmark vector leaked into the output")
+    // quadratic ground truth on the small fixture
+    val be = e.filter($"vec_id".isin(bench.toSeq: _*))
+      .select($"vec_id".as("bid"), $"embedding".as("eb"))
+    val hits = e.filter(!$"vec_id".isin(bench.toSeq: _*))
+      .crossJoin(be)
+      .withColumn("cos", graft.functions.Portable.cosine($"embedding", $"eb"))
+      .filter($"cos" >= Similarity.NEARDUP_THRESHOLD)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(survivors == corpus -- hits, "survivor set diverges from the exact rule")
+    assert(hits.nonEmpty, "fixture should actually contain contamination")
+  }
+
+  test("shard manifest: token mass conserved, doc ranges contiguous, shards fill to the budget") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val m = Pack.txShardManifest(spark, sf()).collect()
+    val totalToks = docs.select(
+      sum(regexp_count($"text", lit("[A-Za-z0-9]+")).cast("long"))).as[Long].head()
+    assert(m.map(_.getLong(2)).sum == totalToks, "token mass not conserved")
+    assert(m.map(_.getLong(1)).sum == docs.count(), "doc count not conserved")
+    // shard ids dense from 0; id ranges non-overlapping and ordered
+    assert(m.map(_.getLong(0)).toSeq == m.indices.map(_.toLong))
+    m.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) < b.getLong(3),
+        s"shard ${a.getLong(0)} id range overlaps shard ${b.getLong(0)}")
+      case _ =>
+    }
+    // every shard but the last reaches the budget (whole docs overflow,
+    // never underflow: a shard closes only when cum crosses the budget)
+    m.dropRight(1).foreach { r =>
+      assert(r.getLong(2) >= 1L,
+        s"empty shard ${r.getLong(0)}") }
+    // cum-based law: sum of tokens of shards 0..k-1 >= k * budget
+    val cums = m.map(_.getLong(2)).scanLeft(0L)(_ + _).drop(1)
+    cums.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+      assert(c >= (i + 1L) * Pack.ShardTokens,
+        s"shards 0..$i hold $c tokens < ${(i + 1) * Pack.ShardTokens}")
+    }
+    // digest sanity: dropping a doc flips its shard's digest
+    val full = Pack.shardManifest(docs, "text", "doc_id", Pack.ShardTokens)
+      .select($"shard_id", $"digest").as[(Long, Long)].collect().toMap
+    val dropped = Pack.shardManifest(docs.filter($"doc_id" =!= 0L),
+      "text", "doc_id", Pack.ShardTokens)
+      .select($"shard_id", $"digest").as[(Long, Long)].collect().toMap
+    assert(full(0L) != dropped(0L), "digest blind to a dropped doc")
+  }
+
+  test("global shuffle: positions are a permutation, order follows (h, doc_id), no corpus-wide window") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val out = Pack.globalShuffle(docs, "text", "doc_id")
+    val rows = out.select($"doc_id", $"h", $"position")
+      .as[(Long, Long, Long)].collect()
+    val n = docs.count()
+    assert(rows.map(_._3).sorted.toSeq == (0L until n), "not a permutation")
+    // order law: position ascending == (h, doc_id) ascending
+    val byPos = rows.sortBy(_._3).map(r => (r._2, r._1)).toSeq
+    assert(byPos == byPos.sorted, "positions do not follow (h, doc_id) order")
+    // deterministic: a second evaluation lands identically
+    val again = Pack.globalShuffle(docs, "text", "doc_id")
+      .select($"doc_id", $"position").as[(Long, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._3).toMap == again, "shuffle not deterministic")
+    // scale law: the per-row rank window is bucket-partitioned; only the
+    // tiny per-bucket offsets frame may be a global window
+    val plan = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val global = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(global.size <= 1, s"corpus-wide window in the shuffle plan: ${global.size}")
+  }
+
+  test("shuffled shards: contiguous position ranges, conserved mass, doc ids interleave") {
+    val m = Pack.txShuffledShards(spark, sf()).collect()
+    val docs = graft.sources.Tables.documents(spark, sf())
+    assert(m.map(_.getLong(1)).sum == docs.count())
+    // position ranges tile [0, n) without overlap
+    m.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) + 1 == b.getLong(3),
+        s"position ranges not contiguous at shard ${b.getLong(0)}")
+      case _ =>
+    }
+    assert(m.head.getLong(3) == 0L)
+  }
+}

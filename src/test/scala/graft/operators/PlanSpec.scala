@@ -13,7 +13,11 @@ class PlanSpec extends SparkSpec {
   private val bnljAllowed = Set("sim_bruteforce_topk", "sim_prefix_topk",
     "sim_ivf_topk", "sim_ivf_trained", "sim_ivf_from_codebook",
     "sim_ivf_auto_from_codebook", "sim_ivf_pq_topk", "sim_mips_topk",
-    "tx_hybrid_rrf", "sim_cluster_card")
+    "tx_hybrid_rrf", "sim_cluster_card",
+    // embedding decontamination: the broadcast side is the EVAL SET
+    // (fixed-size by nature), the join condition a cosine threshold —
+    // O(corpus · |bench|) map-side kernels, the documented exact form
+    "dd_embed_decontaminate")
 
   test("no gated query plans a CartesianProduct, and BNLJ only where sanctioned") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -436,7 +436,13 @@ object AnnIndex {
     * index itself — derived state — can always be rebuilt from the
     * vector corpus. */
   def vacuumDeletes(spark: SparkSession, table: String,
-                    basePath: String): Unit = {
+                    basePath: String): Unit =
+   // single-writer lease: a concurrent vacuum racing the
+   // overwrite-rebuild would interleave two table rewrites. Anchored at
+   // the SIBLING delete root, never inside the table dir — the rebuild
+   // overwrites that dir and would wipe its own lease file.
+   graft.streaming.MaintenanceLease.withLease(spark,
+       deleteRoot(basePath, table)) {
     val dir = s"$basePath/$table"
     val meta = readIndexMeta(spark, dir)
     val kept = indexExcludingDeletes(spark, table, basePath)
@@ -448,7 +454,7 @@ object AnnIndex {
     } finally graft.Caches.freeCheckpoint(kept)
     graft.streaming.StreamingPipeline.retireTombstones(
       spark, deleteRoot(basePath, table), Long.MaxValue)
-  }
+   }
 
   /** The vector slice erased by [[simNearDupIndexDelete]] — one SQL
     * predicate shared verbatim by the gate and its oracle. */

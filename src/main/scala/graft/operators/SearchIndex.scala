@@ -130,7 +130,12 @@ object SearchIndex {
     * Run quiesced; the artifacts are derived state, rebuildable from
     * the document corpus on any unrecoverable failure. */
   def vacuumDeletes(spark: SparkSession, name: String, basePath: String,
-                    buckets: Int = 32): Unit = {
+                    buckets: Int = 32): Unit =
+   // single-writer lease, anchored at the sibling delete root (the two
+   // artifact rewrites below overwrite their own dirs): two racing
+   // vacuums would interleave the lens/postings rebuilds
+   graft.streaming.MaintenanceLease.withLease(spark,
+       deleteRoot(basePath, name)) {
     val keptLens = lensExcludingDeletes(spark, name, basePath)
       .localCheckpoint(true)
     try keptLens.write.mode("overwrite").parquet(s"$basePath/${name}_lens")
@@ -142,7 +147,7 @@ object SearchIndex {
     finally graft.Caches.freeCheckpoint(keptPostings)
     graft.streaming.StreamingPipeline.retireTombstones(
       spark, deleteRoot(basePath, name), Long.MaxValue)
-  }
+   }
 
   /** The doc slice erased by [[txBm25FromIndexDelete]] — one SQL
     * predicate shared verbatim by the gate and its oracle. */

@@ -837,7 +837,8 @@ object StreamingPipeline {
     * boundary `uptoVersion` (the [[compactDeltas]] contract — the
     * restarted stream recovers the new geometry from the marker). */
   def rebandAnnStore(spark: SparkSession, storeDir: String,
-                     uptoVersion: Long): Int = {
+                     uptoVersion: Long): Int =
+   MaintenanceLease.withLease(spark, storeDir) {
     import graft.operators.Similarity
     val cur = annStorePlanes(spark, storeDir).getOrElse(
       throw new IllegalArgumentException(
@@ -863,7 +864,7 @@ object StreamingPipeline {
         "vec_id BIGINT, embedding ARRAY<FLOAT>", uptoVersion)
     }
     planes
-  }
+   }
 
   /** THE maintenance sweep of an auto-geometry ANN pair store — the
     * one call an operator schedules, so occupancy drift triggers the
@@ -883,7 +884,10 @@ object StreamingPipeline {
     * compaction, identical serving) is oracle-hashed; the drift branch
     * is pinned in StreamingSpec against a fresh build. */
   def sweepAnnStore(spark: SparkSession, storeDir: String,
-                    uptoVersion: Long): Int = {
+                    uptoVersion: Long): Int =
+   // root lease across the 3-family fold + possible re-band, so a
+   // double-scheduled sweep cannot re-band over a half-folded store
+   MaintenanceLease.withLease(spark, storeDir) {
     val cur = annStorePlanes(spark, storeDir).getOrElse(
       throw new IllegalArgumentException(
         s"$storeDir/bands carries no auto geometry stamp — only stores " +
@@ -900,15 +904,15 @@ object StreamingPipeline {
       compactDeltas(spark, s"$storeDir/bands", AnnBandSchema, uptoVersion)
       cur
     }
-  }
+   }
 
   /** Version-dir name patterns of the delta stores: `b<id>` per-batch
     * deltas and `v=<id>` compaction snapshots (a snapshot holds the fold
     * of every delta with id ≤ its own). Strict integer parse — sibling
     * dirs like `pairs` or an underscore-prefixed staging dir never
     * match. */
-  private val DeltaName = "^b(\\d+)$".r
-  private val SnapshotName = "^v=(-?\\d+)$".r
+  private[streaming] val DeltaName = "^b(\\d+)$".r
+  private[streaming] val SnapshotName = "^v=(-?\\d+)$".r
 
   /** Versioned subdirectories of `dir` via Hadoop FileSystem —
     * path-scheme aware, unlike a `java.io.File` listing, which on a
@@ -917,7 +921,7 @@ object StreamingPipeline {
     * batch 0, silently dropping ALL cross-batch history. `None` = the
     * dir itself does not exist (no batch has written yet); `Some(empty)`
     * = exists with no versioned children. */
-  private def listVersions(spark: SparkSession, dir: String,
+  private[streaming] def listVersions(spark: SparkSession, dir: String,
                            pattern: scala.util.matching.Regex): Option[Seq[Long]] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1029,7 +1033,11 @@ object StreamingPipeline {
 
   private def compactDeltas(spark: SparkSession, dir: String, schema: String,
                             uptoVersion: Long,
-                            exclude: Option[(String, Seq[String])]): Unit = {
+                            exclude: Option[(String, Seq[String])]): Unit =
+   // single-writer enforcement: every sweep step below (heal, GC, park,
+   // publish, retire) is crash-safe alone but NOT interleave-safe against
+   // a concurrent sweep of the same family — see MaintenanceLease
+   MaintenanceLease.withLease(spark, dir) {
     import org.apache.hadoop.fs.Path
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1088,7 +1096,7 @@ object StreamingPipeline {
     // reclaimed by the next run. A crash anywhere in this loop leaves
     // dirs readers already skip (ids ≤ the newest snapshot).
     retireCovered(spark, dir, uptoVersion)
-  }
+   }
 
   /** Completeness marker of the snapshot-publish protocol: a `v=<id>`
     * snapshot is real only once this file exists inside it. Underscore
@@ -1114,7 +1122,7 @@ object StreamingPipeline {
     * no `_GRAFT_COMMITTED` inside) readable without a migration step.
     * Only the direct-write path can produce a genuinely partial
     * unmarked dir, so only there does the marker gate serving and GC. */
-  private def objectStoreSemantics(spark: SparkSession,
+  private[streaming] def objectStoreSemantics(spark: SparkSession,
                                    fs: org.apache.hadoop.fs.FileSystem): Boolean = {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
     spark.conf.getOption(ForceObjectStoreConf).contains("true") ||
@@ -1128,7 +1136,7 @@ object StreamingPipeline {
     * permanent data loss on the first sweep after an upgrade.
     * Direct-write filesystems (object stores): only marker-carrying
     * dirs — an unmarked one is a crashed partial that shadows nothing. */
-  private def committedSnapshots(spark: SparkSession, dir: String): Seq[Long] = {
+  private[streaming] def committedSnapshots(spark: SparkSession, dir: String): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1140,7 +1148,7 @@ object StreamingPipeline {
   /** Name prefix of a PARKED old snapshot during an in-place replace
     * (the excluding refold rewrites `v=<id>` at its own version).
     * Underscore prefix = invisible to version listing and data reads. */
-  private val ReplacedPrefix = "_compact_replaced_v"
+  private[streaming] val ReplacedPrefix = "_compact_replaced_v"
 
   /** Crash recovery for the in-place snapshot replace: a parked old
     * `v=<id>` whose replacement never landed (or landed unmarked on a
@@ -1275,7 +1283,12 @@ object StreamingPipeline {
     * already requires this); if it did, the tombstone would mask the
     * new rows too — that is the correct reading of "forgotten". */
   def writeTombstones(spark: SparkSession, storeRoot: String,
-                      ids: DataFrame): Long = {
+                      ids: DataFrame): Long =
+   // leased: the read-bump-write of the high-water id below is not
+   // atomic — two concurrent registrations would mint the same delta id
+   // and one delete would silently overwrite the other (re-entrant under
+   // the composed erasures' root lease)
+   MaintenanceLease.withLease(spark, storeRoot) {
     require(ids.schema.fields.length == 1,
       s"tombstones must be a single key column, got ${ids.schema.simpleString}")
     val dir = s"$storeRoot/tombstones"
@@ -1294,13 +1307,13 @@ object StreamingPipeline {
     ids.toDF("tomb_id").write.mode("overwrite").parquet(s"$dir/b$next")
     writeTombstoneHighWater(spark, dir, next + 1L)
     next
-  }
+   }
 
   /** High-water marker of [[writeTombstones]] — the smallest delta id
     * the next write may use, preserved across [[retireTombstones]]. */
-  private val TombstoneHighWaterFile = "_graft_next_tomb_id"
+  private[streaming] val TombstoneHighWaterFile = "_graft_next_tomb_id"
 
-  private def readTombstoneHighWater(spark: SparkSession, dir: String): Long = {
+  private[streaming] def readTombstoneHighWater(spark: SparkSession, dir: String): Long = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir, TombstoneHighWaterFile)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1371,7 +1384,7 @@ object StreamingPipeline {
     * once by the store-creating stream, so the composed erasure below
     * can REFUSE a partial family list instead of silently leaving an
     * erased key's rows alive in a family the caller forgot. */
-  private val FamiliesMarker = "_graft_families"
+  private[streaming] val FamiliesMarker = "_graft_families"
 
   /** First writer stamps the store's family set; later writers must
     * present the same set or fail loudly (a build that grew a family
@@ -1431,7 +1444,10 @@ object StreamingPipeline {
     * re-folding removed keys and re-retiring are both no-ops). */
   def eraseFromStore(spark: SparkSession, storeRoot: String,
                      ids: DataFrame, families: Seq[StoreFamily],
-                     uptoVersion: Long): Unit = {
+                     uptoVersion: Long): Unit =
+   // root lease makes tombstone-write → per-family folds → retirement
+   // atomic against another erasure or routine sweep of this store
+   MaintenanceLease.withLease(spark, storeRoot) {
     stampedFamilies(spark, storeRoot).foreach { stamped =>
       val covered = families.map(_.name).toSet
       require(stamped.subsetOf(covered),
@@ -1446,7 +1462,7 @@ object StreamingPipeline {
         uptoVersion, storeRoot, f.keyCols)
     }
     retireTombstones(spark, storeRoot, tid)
-  }
+   }
 
   /** Right-to-be-forgotten for the streaming NEAR-DUP pipeline — the
     * one store set whose layout [[eraseFromStore]] does not cover: the
@@ -1477,7 +1493,11 @@ object StreamingPipeline {
     * pays; the anti-join build side is delete-sized. */
   def eraseFromNearDupStores(spark: SparkSession, storeDir: String,
                              outDir: String, ids: DataFrame,
-                             uptoVersion: Long): Unit = {
+                             uptoVersion: Long): Unit =
+   // both roots leased: the shingle-store fold and the output/backlog
+   // swaps must not interleave with a verify sweep or second erasure
+   MaintenanceLease.withLease(spark, storeDir) {
+    MaintenanceLease.withLease(spark, outDir) {
     import org.apache.hadoop.fs.Path
     val fs = new Path(outDir).getFileSystem(spark.sessionState.newHadoopConf())
     val tomb = graft.Caches.persist(ids.toDF("__erased"))
@@ -1531,7 +1551,7 @@ object StreamingPipeline {
       // every family holding erased rows has folded/rewritten — retire
       retireTombstones(spark, storeDir, tid)
     } finally tomb.unpersist()
-  }
+   }}
 
   /** Retire tombstone deltas with id <= `upto` — call ONLY after every
     * data family of the store has been folded past the corresponding
@@ -1541,7 +1561,11 @@ object StreamingPipeline {
     * Idempotent; a crash mid-loop leaves dirs whose re-application is
     * harmless (anti-joining already-removed keys is a no-op). */
   def retireTombstones(spark: SparkSession, storeRoot: String,
-                       upto: Long): Unit = {
+                       upto: Long): Unit =
+   // leased: retiring while another writer is mid-excluding-fold would
+   // un-delete the keys in the family it has not folded yet (re-entrant
+   // under eraseFromStore's root lease)
+   MaintenanceLease.withLease(spark, storeRoot) {
     import org.apache.hadoop.fs.Path
     val dir = s"$storeRoot/tombstones"
     val base = new Path(dir)
@@ -1549,7 +1573,7 @@ object StreamingPipeline {
     listVersions(spark, dir, DeltaName).getOrElse(Seq.empty)
       .filter(_ <= upto)
       .foreach(k => fs.delete(new Path(base, s"b$k"), true))
-  }
+   }
 
   /** Format stamps for the persisted BLOCKING stores whose rows are
     * outputs of a specific hash family ([[startErPairStore]]'s deletion-
@@ -1569,7 +1593,7 @@ object StreamingPipeline {
     * failure class the marker exists to refuse up front. */
   val AnnBandFormat = "ann-hyperplane-md5-parity-md5-60/v2"
 
-  private val FormatMarker = "_graft_format"
+  private[streaming] val FormatMarker = "_graft_format"
 
   /** First writer stamps the store; every later writer (and any serving
     * reader that calls this) must present the same format string or
@@ -1614,7 +1638,7 @@ object StreamingPipeline {
 
   /** Schema marker of a delta-store family — the DDL twin of the
     * hash-family format stamp. */
-  private val SchemaMarker = "_graft_schema"
+  private[streaming] val SchemaMarker = "_graft_schema"
 
   /** (Re)write a family's schema stamp — [[ensureSchemaCompat]]'s
     * first-writer path and [[migrateSchemaFold]]'s restamp share it. */
@@ -1661,7 +1685,8 @@ object StreamingPipeline {
     * Returns the new stamped DDL. */
   def migrateSchemaFold(spark: SparkSession, dir: String,
                         projection: Seq[(String, String)],
-                        uptoVersion: Long): String = {
+                        uptoVersion: Long): String =
+   MaintenanceLease.withLease(spark, dir) {
     require(projection.nonEmpty, "migration projection must name columns")
     val oldDdl = stampedSchema(spark, dir).getOrElse(
       throw new IllegalArgumentException(
@@ -1680,7 +1705,7 @@ object StreamingPipeline {
     retireCovered(spark, dir, uptoVersion)
     stampSchema(spark, dir, newDdl)
     newDdl
-  }
+   }
 
   /** Stamp (first call) or check a family's schema: the presented
     * schema must be an ADDITIVE WIDENING of the stamp — every stamped
@@ -2023,7 +2048,8 @@ object StreamingPipeline {
     * expired at it (a stable view: re-sweeping at the same horizon
     * returns the same rows and moves nothing). */
   def expirePendingToDeadLetter(spark: SparkSession, outDir: String,
-                                beforeBatch: Long): DataFrame = {
+                                beforeBatch: Long): DataFrame =
+   MaintenanceLease.withLease(spark, outDir) {
     import org.apache.hadoop.fs.Path
     val outPath = new Path(outDir)
     val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -2039,7 +2065,7 @@ object StreamingPipeline {
       }
     } finally pending.unpersist()
     deadLetterCandidates(spark, outDir).filter(col("first_seen") < beforeBatch)
-  }
+   }
 
   /** Staged replace of one directory's contents — the backlog-swap
     * pattern factored: the staging write EXECUTES the read of the old
@@ -2090,7 +2116,10 @@ object StreamingPipeline {
     * write concurrent with the swap is not coordinated. */
   def verifyPendingAndCompact(spark: SparkSession, storeDir: String,
                               outDir: String,
-                              threshold: Double = 0.5): DataFrame = {
+                              threshold: Double = 0.5): DataFrame =
+   // leased on the output root: the sweep-dir probe, output write and
+   // backlog swap must not interleave with another sweep or an erasure
+   MaintenanceLease.withLease(spark, outDir) {
     import org.apache.hadoop.fs.Path
     val outPath = new Path(outDir)
     val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -2135,7 +2164,7 @@ object StreamingPipeline {
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType.fromDDL("id_a BIGINT, id_b BIGINT, jaccard DOUBLE"))
     } finally { pending.unpersist(); store.unpersist() }
-  }
+   }
 
   /** Streaming materialized rollup — [[graft.operators.Incremental]]'s
     * partial-aggregate store maintained by the stream itself: each

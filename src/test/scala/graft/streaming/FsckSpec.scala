@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** StoreFsck: each protocol residue / broken invariant planted in a real
+  * store layout must surface as exactly the documented finding, and the
+  * audit must be read-only (byte-identical store before/after). */
+class FsckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Schema = "doc_id BIGINT, h BIGINT"
+
+  private def fs = new Path("/tmp").getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  private def mkStore(): String = {
+    val dir = Files.createTempDirectory("graft_fsck_").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "h")
+      .write.mode("overwrite").parquet(s"$dir/b0")
+    Seq((3L, 30L)).toDF("doc_id", "h")
+      .write.mode("overwrite").parquet(s"$dir/b1")
+    dir
+  }
+
+  private def findings(root: String): Seq[(String, String, String)] =
+    StoreFsck.fsckStore(spark, root)
+      .select($"family", $"check", $"severity")
+      .as[(String, String, String)].collect().toSeq
+
+  test("a freshly compacted store audits clean; pre-compaction residue is info-only") {
+    val dir = mkStore()
+    // before any compaction: deltas but no snapshot — nothing to report
+    assert(findings(dir).map(_._2) == Seq("clean"))
+    StreamingPipeline.compactDeltas(spark, dir, Schema, 1L)
+    assert(findings(dir).map(_._2) == Seq("clean"))
+    // plant a covered delta (sweep crashed between publish and retire)
+    Seq((9L, 90L)).toDF("doc_id", "h")
+      .write.mode("overwrite").parquet(s"$dir/b0")
+    val f = findings(dir)
+    assert(f.exists(x => x._2 == "covered-deltas" && x._3 == "info"), f.toString)
+    assert(!f.exists(_._3 == "error"))
+  }
+
+  test("crashed in-place replace (parked snapshot) and staging residue are flagged") {
+    val dir = mkStore()
+    StreamingPipeline.compactDeltas(spark, dir, Schema, 1L)
+    fs.mkdirs(new Path(dir, s"${StreamingPipeline.ReplacedPrefix}1"))
+    fs.mkdirs(new Path(dir, "_compact_staging_v2"))
+    val f = findings(dir)
+    assert(f.exists(x => x._2 == "heal-pending" && x._3 == "warn"), f.toString)
+    assert(f.exists(x => x._2 == "crashed-staging" && x._3 == "info"), f.toString)
+  }
+
+  test("tombstone high-water behind the max delta id is an error; live tombstones are info") {
+    val dir = mkStore()
+    val tid = StreamingPipeline.writeTombstones(spark, dir, Seq(2L).toDF("id"))
+    var f = findings(dir)
+    assert(f.exists(x => x._1 == "tombstones" && x._2 == "live-tombstones"), f.toString)
+    assert(!f.exists(_._2 == "highwater-behind"))
+    // simulate the crash window: delta exists, marker never updated
+    fs.delete(new Path(dir, s"tombstones/${StreamingPipeline.TombstoneHighWaterFile}"), false)
+    f = findings(dir)
+    assert(f.exists(x => x._2 == "highwater-behind" && x._3 == "error"), f.toString)
+    assert(tid == 0L)
+  }
+
+  test("families stamp drift: missing stamped family is an error, unstamped family dir a warn") {
+    val root = Files.createTempDirectory("graft_fsck_root_").toString
+    Seq((1L, 10L)).toDF("doc_id", "h").write.parquet(s"$root/fam/b0")
+    Seq((1L, 10L)).toDF("doc_id", "h").write.parquet(s"$root/extra/b0")
+    StreamingPipeline.stampFamilies(spark, root, Seq("fam", "ghost"))
+    val f = findings(root)
+    assert(f.contains(("ghost", "stamped-family-missing", "error")), f.toString)
+    assert(f.contains(("extra", "family-not-stamped", "warn")), f.toString)
+  }
+
+  test("lease states: active is info, expired is warn") {
+    val dir = mkStore()
+    def plant(expiry: Long): Unit = {
+      val p = new Path(dir, MaintenanceLease.LeaseName)
+      fs.delete(p, false)
+      val out = fs.create(p, true)
+      try out.write(s"owner=x expiresAtMs=$expiry".getBytes("UTF-8"))
+      finally out.close()
+    }
+    plant(System.currentTimeMillis() + 600000)
+    assert(findings(dir).contains(("<root>", "active-lease", "info")))
+    plant(System.currentTimeMillis() - 1000)
+    assert(findings(dir).contains(("<root>", "stale-lease", "warn")))
+  }
+
+  test("uncommitted snapshot is flagged under object-store semantics and the audit is read-only") {
+    val dir = mkStore()
+    fs.mkdirs(new Path(dir, "v=0")) // markerless partial
+    spark.conf.set("graft.streaming.forceObjectStoreProtocol", "true")
+    try {
+      val f = findings(dir)
+      assert(f.exists(x => x._2 == "uncommitted-snapshot" && x._3 == "warn"), f.toString)
+    } finally spark.conf.unset("graft.streaming.forceObjectStoreProtocol")
+    // rename protocol: same dir reads as a legacy pre-marker snapshot
+    val f2 = findings(dir)
+    assert(f2.exists(x => x._2 == "legacy-unmarked-snapshot" && x._3 == "info"), f2.toString)
+    // read-only: the partial must still exist, untouched
+    assert(fs.exists(new Path(dir, "v=0")))
+  }
+}

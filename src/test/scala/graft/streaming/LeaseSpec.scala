@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Single-writer enforcement for the delta-store maintenance sweeps —
+  * the MaintenanceLease contract: mutual exclusion between concurrent
+  * sweeps (loud refusal, store intact), crashed-holder TTL break,
+  * same-thread re-entrancy for the composed sweeps, and the lost-lease
+  * loud path. */
+class LeaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(): String = {
+    val dir = Files.createTempDirectory("graft_lease_store_").toString
+    // two deltas of a toy (doc_id, h) family, the shingle-store shape
+    Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "h")
+      .write.mode("overwrite").parquet(s"$dir/b0")
+    Seq((3L, 30L)).toDF("doc_id", "h")
+      .write.mode("overwrite").parquet(s"$dir/b1")
+    dir
+  }
+  private val Schema = "doc_id BIGINT, h BIGINT"
+
+  test("concurrent sweeps of one family: exactly one wins, loser refuses loudly, store serves correctly") {
+    val dir = freshStore()
+    val inBody = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var winnerFailure: Throwable = null
+    val holder = new Thread(() => {
+      try MaintenanceLease.withLease(spark, dir) {
+        inBody.countDown()
+        assert(release.await(30, TimeUnit.SECONDS), "test deadlock")
+      } catch { case t: Throwable => winnerFailure = t }
+    })
+    holder.start()
+    assert(inBody.await(30, TimeUnit.SECONDS), "holder never acquired")
+    // the racing sweep refuses without touching the store
+    val refused = intercept[MaintenanceLease.LeaseHeldException] {
+      StreamingPipeline.compactDeltas(spark, dir, Schema, 1L)
+    }
+    assert(refused.getMessage.contains(dir))
+    release.countDown()
+    holder.join(30000)
+    assert(winnerFailure == null, s"holder failed: $winnerFailure")
+    // after the holder releases, the sweep proceeds and the fold is right
+    StreamingPipeline.compactDeltas(spark, dir, Schema, 1L)
+    val rows = StreamingPipeline.storeContents(spark, dir, Schema)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("expired lease of a crashed holder is broken; unexpired foreign lease refuses with the holder") {
+    val dir = freshStore()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def plant(token: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir, MaintenanceLease.LeaseName)
+      fs.delete(p, false)
+      val out = fs.create(p, true)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+    }
+    // unexpired foreign lease -> loud refusal naming the holder
+    plant(s"owner=crashed-job-42 expiresAtMs=${System.currentTimeMillis() + 600000}")
+    val held = intercept[MaintenanceLease.LeaseHeldException] {
+      StreamingPipeline.compactDeltas(spark, dir, Schema, 1L)
+    }
+    assert(held.owner == "crashed-job-42")
+    // expired lease (crashed holder) -> broken, sweep proceeds
+    plant(s"owner=crashed-job-42 expiresAtMs=${System.currentTimeMillis() - 1000}")
+    StreamingPipeline.compactDeltas(spark, dir, Schema, 1L)
+    assert(StreamingPipeline.storeContents(spark, dir, Schema).count() == 3)
+    // the winning sweep released its own lease on the way out
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, MaintenanceLease.LeaseName)))
+  }
+
+  test("re-entrant under the composed erasure: eraseFromStore holds the root while family folds re-acquire") {
+    val root = Files.createTempDirectory("graft_lease_root_").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "h")
+      .write.mode("overwrite").parquet(s"$root/fam/b0")
+    StreamingPipeline.stampFamilies(spark, root, Seq("fam"))
+    // nested acquisition: root lease (eraseFromStore) + fam-dir lease
+    // (compactDeltasExcluding) + root lease again (retireTombstones)
+    StreamingPipeline.eraseFromStore(spark, root,
+      Seq(2L).toDF("doc_id"),
+      Seq(StreamingPipeline.StoreFamily("fam", "doc_id BIGINT, h BIGINT",
+        Seq("doc_id"))),
+      uptoVersion = 0L)
+    val left = StreamingPipeline.storeContents(spark, s"$root/fam", Schema)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(left == Seq(1L))
+    // no lease files left behind anywhere
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, MaintenanceLease.LeaseName)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/fam", MaintenanceLease.LeaseName)))
+  }
+
+  test("a sweep that outlives its TTL and loses the lease fails loudly at release") {
+    val dir = freshStore()
+    val lost = intercept[MaintenanceLease.LeaseLostException] {
+      MaintenanceLease.withLease(spark, dir, ttlMs = 1L) {
+        Thread.sleep(5)
+        // a second writer breaks the now-expired lease and takes over
+        MaintenanceLease.withLease(spark, s"$dir/elsewhere") {} // unrelated, proves nesting unaffected
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val p = new org.apache.hadoop.fs.Path(dir, MaintenanceLease.LeaseName)
+        fs.delete(p, false)
+        val out = fs.create(p, true)
+        try out.write("owner=usurper expiresAtMs=9999999999999".getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+    assert(lost.getMessage.contains("usurper"))
+  }
+
+  test("a failing body does not mask its own error with the lease release") {
+    val dir = freshStore()
+    val boom = intercept[IllegalStateException] {
+      MaintenanceLease.withLease(spark, dir) {
+        throw new IllegalStateException("body failure")
+      }
+    }
+    assert(boom.getMessage == "body failure")
+    // and the lease was still released
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, MaintenanceLease.LeaseName)))
+  }
+}

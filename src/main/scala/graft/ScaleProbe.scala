@@ -122,7 +122,18 @@ object ScaleProbe {
     "stream_hh_delete",
     // near-dup pipeline erasure: base two-stream replay + one store
     // fold + output/backlog swaps — expected ~stream_neardup
-    "stream_neardup_delete", "stream_neardup")
+    "stream_neardup_delete", "stream_neardup",
+    // CCNet buckets: the bigram chain + a histogram-sized threshold
+    // tail — expected ~tx_bigram_surprisal
+    "tx_ccnet_buckets",
+    // embedding decontamination: |corpus|·|bench| map-side kernels with
+    // the bench fixed — expected ~linear (the bench side does not grow
+    // with the corpus in the probe either: the replicas' vec_ids fall
+    // outside the 25..49 bench slice)
+    "dd_embed_decontaminate",
+    // shard manifest / global shuffle / shuffled shards: two-phase
+    // prefix-sum and rank — expected ~tx_pack_sequences (byte-linear)
+    "tx_shard_manifest", "tx_global_shuffle", "tx_shuffled_shards")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

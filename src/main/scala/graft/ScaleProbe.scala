@@ -133,7 +133,10 @@ object ScaleProbe {
     "dd_embed_decontaminate",
     // shard manifest / global shuffle / shuffled shards: two-phase
     // prefix-sum and rank — expected ~tx_pack_sequences (byte-linear)
-    "tx_shard_manifest", "tx_global_shuffle", "tx_shuffled_shards")
+    "tx_shard_manifest", "tx_global_shuffle", "tx_shuffled_shards",
+    // the release capstone: the dd_curate chain + the byte-linear
+    // shuffle/manifest tail — expected ~dd_curate_pack
+    "dd_curate_release")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -219,6 +219,9 @@ object SparkEntry {
     "dd_embed_decontaminate" -> (Similarity.ddEmbedDecontaminate _),
     "dd_curate" -> (Dedup.ddCurate _),
     "dd_curate_pack" -> (Dedup.ddCuratePack _),
+    // the export half: curate -> deterministic shuffle -> shard manifest,
+    // seven stages hash-checked as ONE oracle
+    "dd_curate_release" -> (Dedup.ddCurateRelease _),
     "dd_curate_semantic" -> (Dedup.ddCurateSemantic _),
     "dd_cluster" -> (Dedup.ddCluster _),
     "dd_cluster_altstar" -> (Dedup.ddClusterAltstar _),
@@ -478,6 +481,7 @@ object SparkEntry {
     "dd_embed_decontaminate" -> Similarity.ddEmbedDecontaminateSql,
     "dd_curate" -> Dedup.ddCurateSql,
     "dd_curate_pack" -> Dedup.ddCuratePackSql,
+    "dd_curate_release" -> Dedup.ddCurateReleaseSql,
     "dd_curate_semantic" -> Dedup.ddCurateSemanticSql,
     "dd_cluster" -> Dedup.ddClusterSql,
     "dd_cluster_altstar" -> Dedup.ddClusterSql,

@@ -836,6 +836,85 @@ object Dedup {
            END AS n_splits
     FROM c ORDER BY doc_id"""
 
+  /** THE RELEASE CAPSTONE — [[ddCuratePack]]'s sibling for the export
+    * half of a training run: the same five-stage curation
+    * ([[curatedDocs]]: quality gate → exact dedup → decontamination →
+    * LSH near-dup removal → PII redaction), then the corpus-wide
+    * deterministic shuffle ([[Pack.globalShuffle]] — training order),
+    * then the size-balanced shard manifest over that order
+    * ([[Pack.shardManifest]] — what a consumer checks before training).
+    * SEVEN stages across three operator families, hash-checked as ONE
+    * oracle: the manifest digests are XORs of the redacted texts'
+    * hashes, so a single doc wrongly kept, dropped, or mis-sharded
+    * anywhere in the DAG flips a digest cell.
+    *
+    * The curated relation is persisted for the same reason
+    * [[ddCuratePack]] persists its train slice: both the shuffle's
+    * hash-bounds scalar and the manifest's cumsum bounds are ACTIONS
+    * pulled before the final plan — unpersisted, each would re-execute
+    * the whole curation chain. */
+  def ddCurateRelease(spark: SparkSession, dir: String): DataFrame = {
+    val curated = graft.Caches.persist(curatedDocs(spark, dir))
+    val pos = Pack.globalShuffle(curated, "clean_text", "doc_id")
+      .select(col("doc_id"), col("position"))
+    // localCheckpoint, NOT persist: the position relation is a window
+    // over a bucketed join above the curated cache, and derived plans
+    // on a persist of that shape re-executed the chain on every action
+    // (cache lookup missed; measured ~3 s per action, 33 s total at
+    // sf0.1). The eager RDD-level checkpoint truncates lineage so the
+    // manifest's bounds scalar and final aggregate both rescan 3.9k
+    // checkpointed rows (measured: release = curation + ~4 s, was 33 s).
+    val withPos = graft.Caches.track(
+      curated.join(pos, "doc_id").localCheckpoint(true))
+    Pack.shardManifest(withPos, "clean_text", "position", Pack.ShardTokens)
+  }
+
+  val ddCurateReleaseSql: String = s"""
+    WITH aug AS ($augmentedSql),
+    $pipeSql,
+    q AS (
+      SELECT doc_id, text FROM pipe
+      WHERE len(string_split(text, ' ')) >= $CurateMinWords),
+    keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    surv AS (SELECT q.doc_id, q.text FROM q JOIN keep USING (doc_id)),
+    bench AS (
+      SELECT DISTINCT h FROM (${shingleRowsSqlOf(
+        "(SELECT * FROM pipe WHERE doc_id >= 25 AND doc_id < 50)")})),
+    ss AS (${shingleRowsSqlOf("surv")}),
+    contaminated AS (SELECT DISTINCT doc_id FROM ss JOIN bench USING (h)),
+    cleanc AS (
+      SELECT * FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    ${lshCtesSql("cleanc")},
+    curated AS (
+      SELECT doc_id, ${TextAnalysis.redactSql("text")} AS clean_text
+      FROM cleanc
+      WHERE doc_id NOT IN (SELECT id_b FROM lsh_pairs)),
+    toks AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS n_tokens,
+             ${Portable.hash60Sql("clean_text")} AS h
+      FROM curated),
+    pos AS (
+      SELECT doc_id, n_tokens, h,
+             CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+               AS position
+      FROM toks),
+    c AS (
+      SELECT position, n_tokens, h,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY position
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_excl
+      FROM pos)
+    SELECT cum_excl // ${Pack.ShardTokens} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(position) AS first_doc,
+           MAX(position) AS last_doc,
+           BIT_XOR(h) AS digest
+    FROM c GROUP BY shard_id ORDER BY shard_id"""
+
   // ------------------------------------------------- semantic curation
 
   /** Perplexity-gate ceiling for [[ddCurateSemantic]], in mean

@@ -126,6 +126,18 @@ class CurationSpec extends SparkSpec {
     assert(global.size <= 1, s"corpus-wide window in the shuffle plan: ${global.size}")
   }
 
+  test("curate-release capstone: manifest covers exactly the curated corpus") {
+    val m = Dedup.ddCurateRelease(spark, sf()).collect()
+    graft.Caches.releaseAll()
+    val curated = Dedup.ddCurate(spark, sf()).count()
+    graft.Caches.releaseAll()
+    assert(m.map(_.getLong(1)).sum == curated,
+      "manifest doc mass != curated survivor count")
+    // positions tile [0, curated) — the shuffle ran over the curated
+    // relation, not the raw corpus
+    assert(m.head.getLong(3) == 0L && m.last.getLong(4) == curated - 1)
+  }
+
   test("shuffled shards: contiguous position ranges, conserved mass, doc ids interleave") {
     val m = Pack.txShuffledShards(spark, sf()).collect()
     val docs = graft.sources.Tables.documents(spark, sf())

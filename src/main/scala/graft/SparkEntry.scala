@@ -250,6 +250,9 @@ object SparkEntry {
     "sim_pca_from_model" -> (Pca.simPcaFromModel _),
     "sim_prefix_topk" -> (Similarity.simPrefixTopK _),
     "sim_lsh_topk" -> (Similarity.simLshTopK _),
+    // recall@k of the LSH path vs the exact top-k, all-integer — the
+    // index-quality monitor, itself hash-gated so the HARNESS is right
+    "sim_recall_report" -> (Similarity.simRecallReport _),
     "sim_ivf_topk" -> (Similarity.simIvfTopK _),
     // no oracleSql entry (a k-means fixpoint has no closed-form SQL):
     // driver records rows-only; recall@5 >= 0.85 vs brute force and
@@ -511,6 +514,7 @@ object SparkEntry {
     "sim_mips_topk" -> Mips.simMipsTopKSql,
     "sim_prefix_topk" -> Similarity.simPrefixTopKSql,
     "sim_lsh_topk" -> Similarity.simLshTopKSql,
+    "sim_recall_report" -> Similarity.simRecallReportSql,
     "sim_ivf_topk" -> Similarity.simIvfTopKSql,
     "sim_cosine_neardup" -> Similarity.simCosineNearDupSql,
     "sim_knn_graph" -> Similarity.simKnnGraphSql,

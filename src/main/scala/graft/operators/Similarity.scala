@@ -256,6 +256,74 @@ object Similarity {
     FROM ranked WHERE rank <= $TopK
     ORDER BY query_id, rank"""
 
+  /** ANN RECALL REPORT — the index-quality monitor an ANN deployment
+    * runs on a cadence: for each query in the gated query set, how many
+    * of the EXACT top-[[TopK]] neighbors ([[simBruteForceTopK]]) does
+    * the LSH index path ([[simLshTopK]]) return? Recall@k is THE number
+    * that decides re-banding/nprobe tuning, and measuring it is itself
+    * a distributable query: both top-k relations are O(|queries|·k), so
+    * the report join is output-sized regardless of corpus. All-integer
+    * output (hit counts + permille), so the oracle is hash-exact — the
+    * recall FLOORS asserted in ExtensionSpec guard quality, this gate
+    * guards that the measurement itself is computed right (a subtly
+    * wrong recall harness reads as a healthy index while it degrades).
+    * At 100 TB the exact arm runs over a fixed query SAMPLE (as here —
+    * [[QuerySetSize]] queries), which is how production recall
+    * monitoring prices: |sample|·n kernels, one corpus pass. */
+  def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = simBruteForceTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = simLshTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall_permille", expr(s"n_hit * 1000L div ${TopK}L"))
+      .orderBy(col("query_id"))
+  }
+
+  val simRecallReportSql: String = s"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    banded AS (
+      ${bandedSql(TOPK_TABLES, TOPK_PLANES)}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM banded q JOIN banded c
+        ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < $QuerySetSize),
+    lpairs AS (
+      SELECT query_id, neighbor_id,
+             ${Portable.cosineSql("qe.embedding", "ce.embedding", Dim)} AS cosine
+      FROM cand
+      JOIN e qe ON qe.vec_id = query_id
+      JOIN e ce ON ce.vec_id = neighbor_id),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM lpairs) WHERE rank <= $TopK),
+    bpairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${Portable.cosineSql("q.embedding", "c.embedding", Dim)} AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < $QuerySetSize),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM bpairs) WHERE rank <= $TopK)
+    SELECT bf.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COUNT(lsh.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(lsh.neighbor_id) AS BIGINT) * 1000 // $TopK
+             AS recall_permille
+    FROM bf LEFT JOIN lsh
+      ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+    GROUP BY bf.query_id
+    ORDER BY bf.query_id"""
+
   /** IVF coarse quantizer: number of centroids / probed cells per query. */
   val IVF_CENTROIDS = 16
   val IVF_NPROBE = 4

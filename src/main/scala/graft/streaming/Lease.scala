@@ -21,9 +21,12 @@ import org.apache.spark.sql.SparkSession
   * HBase's recovered-lease handling):
   *
   *   - One lease file `_graft_maintenance_lease` per guarded directory,
-  *     created with `FileSystem.create(path, overwrite = false)` — an
-  *     ATOMIC create-if-absent on HDFS/local (one namespace op). The
-  *     file body carries `owner=<uuid> expiresAtMs=<ts>`.
+  *     created atomically-if-absent: `FileSystem.create(path,
+  *     overwrite = false)` on HDFS (one namenode op); java.nio
+  *     O_CREAT|O_EXCL on local paths (Hadoop's RawLocalFileSystem
+  *     implements the same call as exists-then-create, which is NOT
+  *     atomic — see [[MaintenanceLease.createExclusive]]). The file
+  *     body carries `owner=<uuid> expiresAtMs=<ts>`.
   *   - A conflicting acquire reads the holder: an UNEXPIRED lease is a
   *     loud [[MaintenanceLease.LeaseHeldException]] (the caller's
   *     scheduler retries after the holder finishes); an EXPIRED one is
@@ -146,25 +149,52 @@ object MaintenanceLease {
     }
   }
 
+  /** Create the lease file if absent, atomically, with `token` as its
+    * whole body. Returns false if it already exists.
+    *
+    * HDFS: `FileSystem.create(path, overwrite = false)` is an atomic
+    * namenode op. Local paths: Hadoop's RawLocalFileSystem implements
+    * the same call as exists-then-create — NOT atomic; two threads can
+    * interleave the check and the second create TRUNCATES the winner's
+    * file, which the post-create verify only narrows, not closes
+    * (caught by LeaseSpec's 8-way stress under load). POSIX has the
+    * real primitive — O_CREAT|O_EXCL — so on the `file` scheme the
+    * write goes through java.nio CREATE_NEW instead. */
+  private def createExclusive(fs: FileSystem, p: Path,
+                              token: String): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        Option(local.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(local, token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else
+      try {
+        // parent dirs are created implicitly (a first sweep may run
+        // before the store's first delta lands)
+        val out = fs.create(p, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("exist") => false
+      }
+  }
+
   private def acquire(fs: FileSystem, p: Path, dir: String,
                       token: String): Unit = {
     var attempts = 0
     var acquired = false
     while (!acquired) {
       attempts += 1
-      val created =
-        try {
-          // atomic create-if-absent on rename-protocol filesystems;
-          // parent dirs are created implicitly (a first sweep may run
-          // before the store's first delta lands)
-          val out = fs.create(p, false)
-          try out.write(token.getBytes("UTF-8")) finally out.close()
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException
-            if e.getMessage != null && e.getMessage.contains("exist") => false
-        }
+      val created = createExclusive(fs, p, token)
       if (created) {
         // verify our token survived — closes the overwrite race on
         // filesystems whose create(..., false) is not truly atomic

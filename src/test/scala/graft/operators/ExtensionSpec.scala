@@ -202,6 +202,28 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH ANN recall@5 $recall below 0.8 floor")
   }
 
+  test("recall report equals the set arithmetic it claims to measure") {
+    // the harness-is-right check: the report's per-query n_hit must be
+    // EXACTLY |bf-topk ∩ lsh-topk| per query (recomputed here from the
+    // two gated relations), n_exact == TopK, and the permille law holds
+    val bf = Similarity.simBruteForceTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.simLshTopK(spark, sf("sf0.01"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val report = Similarity.simRecallReport(spark, sf("sf0.01"))
+      .select($"query_id", $"n_exact", $"n_hit", $"recall_permille")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(report.map(_._1).toSet == bf.keySet)
+    report.foreach { case (q, nExact, nHit, permille) =>
+      assert(nExact == Similarity.TopK, s"q=$q n_exact=$nExact")
+      val want = (bf(q) intersect lsh.getOrElse(q, Set.empty)).size.toLong
+      assert(nHit == want, s"q=$q n_hit=$nHit want=$want")
+      assert(permille == nHit * 1000L / Similarity.TopK)
+    }
+  }
+
   test("IVF ANN recall@5 vs brute force meets the 0.85 floor") {
     // measured: 0.92 at sf0.01 (1.00 at sf0.1) probing 4 of 16 cells
     val bf = Similarity.simBruteForceTopK(spark, sf("sf0.01"))

@@ -17,7 +17,10 @@ class PlanSpec extends SparkSpec {
     // embedding decontamination: the broadcast side is the EVAL SET
     // (fixed-size by nature), the join condition a cosine threshold —
     // O(corpus · |bench|) map-side kernels, the documented exact form
-    "dd_embed_decontaminate")
+    "dd_embed_decontaminate",
+    // the recall monitor's EXACT arm is simBruteForceTopK's sanctioned
+    // broadcast-query non-equi join over a fixed query sample
+    "sim_recall_report")
 
   test("no gated query plans a CartesianProduct, and BNLJ only where sanctioned") {
     SparkEntry.queries.foreach { case (name, fn) =>

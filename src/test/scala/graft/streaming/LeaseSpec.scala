@@ -118,6 +118,40 @@ class LeaseSpec extends SparkSpec {
     assert(lost.getMessage.contains("usurper"))
   }
 
+  test("8-way stress: N threads race one store; exactly one holds at a time, every sweep or refusal is accounted") {
+    val dir = freshStore()
+    val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val other = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        try {
+          MaintenanceLease.withLease(spark, dir) {
+            val c = inBody.incrementAndGet()
+            maxConcurrent.updateAndGet(m => math.max(m, c))
+            Thread.sleep(25)
+            inBody.decrementAndGet()
+          }
+          wins.incrementAndGet()
+        } catch {
+          case _: MaintenanceLease.LeaseHeldException => refusals.incrementAndGet()
+          case _: Throwable => other.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(maxConcurrent.get() == 1, s"lease admitted ${maxConcurrent.get()} concurrent holders")
+    assert(other.get() == 0, "unexpected exception class under contention")
+    assert(wins.get() >= 1, "nobody acquired")
+    assert(wins.get() + refusals.get() == 8, "a thread vanished")
+    // the lease is released after the dust settles
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, MaintenanceLease.LeaseName)))
+  }
+
   test("a failing body does not mask its own error with the lease release") {
     val dir = freshStore()
     val boom = intercept[IllegalStateException] {

@@ -136,7 +136,11 @@ object ScaleProbe {
     "tx_shard_manifest", "tx_global_shuffle", "tx_shuffled_shards",
     // the release capstone: the dd_curate chain + the byte-linear
     // shuffle/manifest tail — expected ~dd_curate_pack
-    "dd_curate_release")
+    "dd_curate_release",
+    // CCNet serve-on-stream: LM train (byte-linear) + 3-batch replay
+    // with an LM-sized broadcast join per batch — expected
+    // ~tx_ccnet_buckets plus gate fixed cost
+    "stream_ccnet_score")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -105,6 +105,9 @@ object SparkEntry {
     "stream_substring_delete" ->
       (graft.streaming.StreamingGates.streamSubstringDelete _),
     "stream_qc_score" -> (graft.streaming.StreamingGates.streamQcScore _),
+    // CCNet serve-on-stream: LM + thresholds trained offline, each
+    // micro-batch scored/bucketed statelessly ≡ the in-query oracle
+    "stream_ccnet_score" -> (graft.streaming.StreamingGates.streamCcnetScore _),
     "stream_stream_join" -> (graft.streaming.StreamingGates.streamStreamJoin _),
     "stream_bm25" -> (graft.streaming.StreamingGates.streamBm25 _),
     // per-batch mergeable Misra-Gries sketches ∪ exact verify ≡ the
@@ -454,6 +457,7 @@ object SparkEntry {
     "tx_surprisal" -> TextAnalysis.txSurprisalSql,
     "tx_bigram_surprisal" -> TextAnalysis.txBigramSurprisalSql,
     "tx_ccnet_buckets" -> TextAnalysis.txCcnetBucketsSql,
+    "stream_ccnet_score" -> TextAnalysis.txCcnetBucketsSql,
     "tx_dsir_weights" -> Dsir.txDsirWeightsSql,
     "tx_dsir_select" -> Dsir.txDsirSelectSql,
     "tx_inverted_index" -> Search.txInvertedIndexSql,

@@ -667,6 +667,15 @@ object TextAnalysis {
     val ctx = grams
       .groupBy(element_at(split(col("g"), " "), 1).as("w1"))
       .agg(count(lit(1)).as("cnt1"))
+    bigramScoresFrom(grams, big, ctx)
+  }
+
+  /** [[bigramScores]] from PREBUILT gram/LM relations — the artifact
+    * trainer ([[trainPersistCcnet]]) scores with the exact relations it
+    * persists, so the gram explode and both count aggregations run
+    * once, not twice. */
+  private def bigramScoresFrom(grams: DataFrame, big: DataFrame,
+                               ctx: DataFrame): DataFrame =
     grams.join(big, "g")
       .join(ctx, element_at(split(col("g"), " "), 1) === col("w1"))
       .withColumn("bits", (length(bin(expr("cnt1 div cnt2"))) - 1).cast("long"))
@@ -674,7 +683,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
         expr("sum_bits * 1000L div n_bigrams").as("mean_millibits"))
-  }
 
   /** The bigram-score CTE chain from a named (doc_id, text) relation to
     * `perdoc(doc_id, n_bigrams, sum_bits)` — for composed oracles. */
@@ -734,27 +742,89 @@ object TextAnalysis {
     val scored = bigramScores(docs)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("mean_millibits"))
+    scored.join(broadcast(ccnetThresholds(scored)), "lang")
+      .withColumn("bucket", ccnetBucketOf)
+      .select(col("doc_id"), col("lang"), col("mean_millibits"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-lang tercile cut points (lang, t1, t2) from a scored
+    * (lang, mean_millibits) relation — the histogram form (see
+    * [[ccnetBuckets]]); shared by the in-query gate and the persisted
+    * artifact trainer so the two can never drift. */
+  private def ccnetThresholds(scored: DataFrame): DataFrame = {
     val hist = scored.groupBy(col("lang"), col("mean_millibits"))
       .agg(count(lit(1)).as("cnt"))
     val cum = hist.withColumn("cum",
       sum(col("cnt")).over(
         Window.partitionBy(col("lang")).orderBy(col("mean_millibits"))))
     val tot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
-    val th = cum.join(tot, "lang")
+    cum.join(tot, "lang")
       .groupBy(col("lang"))
       .agg(
         min(when(col("cum") >= expr("(n + 2) div 3"),
           col("mean_millibits"))).as("t1"),
         min(when(col("cum") >= expr("(2 * n + 2) div 3"),
           col("mean_millibits"))).as("t2"))
-    scored.join(broadcast(th), "lang")
-      .withColumn("bucket",
-        when(col("mean_millibits") <= col("t1"), lit("head"))
-          .when(col("mean_millibits") <= col("t2"), lit("middle"))
-          .otherwise(lit("tail")))
-      .select(col("doc_id"), col("lang"), col("mean_millibits"), col("bucket"))
-      .orderBy(col("doc_id"))
   }
+
+  /** The bucket label from a row carrying mean_millibits, t1, t2. */
+  private def ccnetBucketOf: Column =
+    when(col("mean_millibits") <= col("t1"), lit("head"))
+      .when(col("mean_millibits") <= col("t2"), lit("middle"))
+      .otherwise(lit("tail"))
+
+  /** Train the CCNet artifact OFFLINE and persist it: the bigram-LM
+    * count relations (`big`: per-bigram count; `ctx`: per-first-word
+    * context count) plus the per-lang bucket thresholds — everything
+    * [[ccnetServe]] needs to score and bucket NEW text without the
+    * training corpus. The LM relations are vocabulary-bounded (bigram
+    * TYPES, not tokens); at 100 TB the production form caps them top-K
+    * exactly as [[wordFreq]]'s scaladoc describes — the serving join
+    * is LM-sized either way. */
+  def trainPersistCcnet(spark: SparkSession, dir: String,
+                        lmDir: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val grams = graft.Caches.persist(docs
+      .select(col("doc_id"), explode(Portable.ngrams(col("text"), 2)).as("g")))
+    val big = graft.Caches.persist(
+      grams.groupBy(col("g")).agg(count(lit(1)).as("cnt2")))
+    val ctx = graft.Caches.persist(grams
+      .groupBy(element_at(split(col("g"), " "), 1).as("w1"))
+      .agg(count(lit(1)).as("cnt1")))
+    big.write.mode("overwrite").parquet(s"$lmDir/big")
+    ctx.write.mode("overwrite").parquet(s"$lmDir/ctx")
+    // thresholds scored from the SAME persisted relations just written —
+    // one gram pass, one pair of count aggregations, total
+    val scored = bigramScoresFrom(grams, big, ctx)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("mean_millibits"))
+    ccnetThresholds(scored)
+      .write.mode("overwrite").parquet(s"$lmDir/thresholds")
+  }
+
+  /** The SERVING half: score and bucket a (doc_id, lang, text) relation
+    * against a persisted CCNet artifact — stateless per row set, so it
+    * runs unchanged on a stream's micro-batches (the
+    * `stream_ccnet_score` gate) or any batch slice. Transitions absent
+    * from the LM are skipped (inner join — the standard
+    * unknown-transition policy; on the gate corpus the LM is trained on
+    * the same table, so none are). Docs under 2 words have no
+    * transition and are absent, as from the trainer. */
+  def ccnetServe(docs: DataFrame, big: DataFrame, ctx: DataFrame,
+                 th: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(Portable.ngrams(col("text"), 2)).as("g"))
+      .join(broadcast(big), "g")
+      .join(broadcast(ctx), element_at(split(col("g"), " "), 1) === col("w1"))
+      .withColumn("bits", (length(bin(expr("cnt1 div cnt2"))) - 1).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .withColumn("mean_millibits", expr("sum_bits * 1000L div n_bigrams"))
+      .join(broadcast(th), "lang")
+      .withColumn("bucket", ccnetBucketOf)
+      .select(col("doc_id"), col("lang"), col("mean_millibits"), col("bucket"))
 
   /** Gated query: CCNet buckets over the documents table. Docs under 2
     * words have no LM score and are absent, as from any LM scorer. */

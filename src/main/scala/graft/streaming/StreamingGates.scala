@@ -459,6 +459,52 @@ object StreamingGates {
       .orderBy(col("doc_id"))
   }
 
+  /** Train-offline / serve-on-stream for the CCNet perplexity-bucket
+    * pipeline: [[graft.operators.TextAnalysis.trainPersistCcnet]] writes
+    * the bigram-LM counts and the per-lang tercile thresholds once;
+    * the document stream (3 micro-batches) is then scored and bucketed
+    * per batch by the stateless serving half
+    * ([[graft.operators.TextAnalysis.ccnetServe]] inside foreachBatch —
+    * the scorer aggregates per doc, so it runs as a batch plan per
+    * trigger rather than a watermarked streaming agg; each doc arrives
+    * whole in one row, so per-batch scoring is exact). Gated against
+    * the SAME oracle as the in-query `tx_ccnet_buckets`, so the hash
+    * compare proves the persisted-artifact serving path lands where
+    * the self-contained batch query does. */
+  def streamCcnetScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val lmDir = tmp("graft_sgate_ccnet_lm_")
+    TextAnalysis.trainPersistCcnet(spark, dir, lmDir)
+    graft.Caches.releaseAll()
+    val big = spark.read.schema("g STRING, cnt2 BIGINT").parquet(s"$lmDir/big")
+    val ctx = spark.read.schema("w1 STRING, cnt1 BIGINT").parquet(s"$lmDir/ctx")
+    val th = spark.read.schema("lang STRING, t1 BIGINT, t2 BIGINT")
+      .parquet(s"$lmDir/thresholds")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val in = tmp("graft_sgate_ccnet_in_")
+    val out = tmp("graft_sgate_ccnet_out_")
+    val ckpt = tmp("graft_sgate_ccnet_ckpt_")
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val src = spark.readStream
+      .schema(StructType.fromDDL("doc_id BIGINT, lang STRING, text STRING"))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextAnalysis.ccnetServe(batch, big, ctx, th)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, mean_millibits BIGINT, bucket STRING")
+      .parquet(out)
+      .orderBy(col("doc_id"))
+  }
+
   /** Replay the appended near-dup variants as a 3-batch document
     * stream through the CAUSAL streaming substring-dedup ingest
     * ([[StreamingPipeline.startSubstringDedupStore]]): the base

@@ -30,8 +30,21 @@ import org.apache.spark.sql.SparkSession
   *   - A conflicting acquire reads the holder: an UNEXPIRED lease is a
   *     loud [[MaintenanceLease.LeaseHeldException]] (the caller's
   *     scheduler retries after the holder finishes); an EXPIRED one is
-  *     broken (delete + re-create — the holder crashed without
-  *     releasing) and acquisition proceeds.
+  *     broken and acquisition proceeds. The break is an ATOMIC RENAME
+  *     of the expired lease file to a unique sideline name, not a
+  *     delete: two acquirers racing to break the same expired lease
+  *     would otherwise interleave read→delete→create such that the
+  *     loser's delete destroys the winner's freshly-created LIVE lease
+  *     and both sweeps run — the exact double-writer the lease exists
+  *     to prevent. With rename, exactly one breaker's rename succeeds
+  *     (the source exists only once); the loser re-enters the create
+  *     race cleanly. An EMPTY or UNPARSEABLE token is NOT treated as
+  *     expired: on HDFS an in-flight create is visible before its bytes
+  *     are (len 0 until the writer closes), so a zero/garbled read gets
+  *     bounded retries with a short backoff — transient in-flight
+  *     creates resolve into a valid token; only a token still
+  *     unreadable after the retries is adjudicated corrupt (an
+  *     incident artifact, not a race) and broken via the same rename.
   *   - REENTRANT per thread: composed sweeps nest ([[StreamingPipeline.eraseFromNearDupStores]]
   *     holds the store root while [[StreamingPipeline.compactDeltas]]
   *     re-acquires the same path for the family fold), tracked by a
@@ -50,7 +63,13 @@ import org.apache.spark.sql.SparkSession
   * live-but-stalled holder is detected at that holder's RELEASE (loud,
   * post-hoc), not fenced at its in-flight writes — true write fencing
   * needs an epoch check inside every namespace op, which plain
-  * filesystems cannot do atomically. On object stores without atomic
+  * filesystems cannot do atomically. What CAN be done cheaply is a
+  * best-effort fence at the single most consequential namespace op —
+  * the snapshot-publish rename — and [[fenceCheck]] provides exactly
+  * that: re-read the lease immediately before the publish and refuse
+  * if this thread's token is no longer the holder. It narrows the
+  * stalled-holder window from "whole sweep" to "between the fence read
+  * and the rename" (milliseconds) without pretending to close it. On object stores without atomic
   * create-if-absent the create..verify round-trip below narrows but
   * cannot close the race window; production object-store deployments
   * should point maintenance at a real lock service and this lease
@@ -81,29 +100,41 @@ object MaintenanceLease {
         "a re-run heals single-writer damage; interleaved-writer damage " +
         "needs the audit).")
 
-  // canonical-path -> re-entry depth, per thread (sweeps are driver-side
-  // and single-threaded per job; nesting is same-thread by construction)
-  private val held = new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
-    override def initialValue() = scala.collection.mutable.Map.empty[String, Int]
+  // canonical-path -> (re-entry depth, our token), per thread (sweeps are
+  // driver-side and single-threaded per job; nesting is same-thread by
+  // construction). The token rides along so fenceCheck can verify the
+  // file still carries it without the caller threading it through.
+  private val held = new ThreadLocal[scala.collection.mutable.Map[String, (Int, String)]] {
+    override def initialValue() =
+      scala.collection.mutable.Map.empty[String, (Int, String)]
   }
 
   private def leasePath(fs: FileSystem, dir: String): Path =
     fs.makeQualified(new Path(dir, LeaseName))
 
+  /** None = no lease file. The open itself is guarded: a lease released
+    * between the exists and the open (a live store) must read as absent,
+    * not abort the caller. */
   private def readToken(fs: FileSystem, p: Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-      finally in.close()
-    }
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+        finally in.close()
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
 
-  private def parseExpiry(token: String): Long =
+  /** None = the token carries no parseable expiry — an in-flight create
+    * whose bytes are not yet visible, or corrupt junk. NOT conflated
+    * with "expired": the acquire loop retries these (transient) before
+    * adjudicating corrupt, instead of instantly breaking what may be a
+    * live competitor's half-visible lease. */
+  private[streaming] def parseExpiry(token: String): Option[Long] =
     token.split("\\s+").collectFirst {
-      case s if s.startsWith("expiresAtMs=") =>
-        s.stripPrefix("expiresAtMs=").toLong
-    }.getOrElse(0L) // unparseable/legacy junk counts as expired
+      case s if s.startsWith("expiresAtMs=") => s.stripPrefix("expiresAtMs=")
+    }.flatMap(v => scala.util.Try(v.toLong).toOption)
 
   private def parseOwner(token: String): String =
     token.split("\\s+").collectFirst {
@@ -120,23 +151,23 @@ object MaintenanceLease {
     val key = p.toString
     val depths = held.get()
     if (depths.contains(key)) { // re-entrant fast path
-      depths(key) += 1
+      val (d, tok) = depths(key)
+      depths(key) = (d + 1, tok)
       try body finally {
-        depths(key) -= 1
-        if (depths(key) == 0) depths.remove(key)
+        val (d2, tok2) = depths(key)
+        if (d2 == 1) depths.remove(key) else depths(key) = (d2 - 1, tok2)
       }
     } else {
       val token =
         s"owner=${java.util.UUID.randomUUID()} " +
           s"expiresAtMs=${System.currentTimeMillis() + ttlMs}"
       acquire(fs, p, dir, token)
-      depths(key) = 1
+      depths(key) = (1, token)
       var bodyFailed: Throwable = null
       try body
       catch { case t: Throwable => bodyFailed = t; throw t }
       finally {
-        depths(key) -= 1
-        if (depths(key) == 0) depths.remove(key)
+        depths.remove(key)
         val now = readToken(fs, p)
         if (now.contains(token)) fs.delete(p, false)
         else {
@@ -188,9 +219,26 @@ object MaintenanceLease {
       }
   }
 
+  /** Break `p` (observed expired/corrupt) by ATOMIC RENAME to a unique
+    * sideline name, then reclaim the sideline. Rename, not delete: a
+    * delete racing another breaker can land AFTER that breaker's fresh
+    * create and destroy a live lease; a rename moves exactly the file
+    * we observed — if a competitor renamed it first, ours fails cleanly
+    * and we just re-enter the create race. The sideline delete is
+    * best-effort cleanup (a crash between rename and delete leaves an
+    * inert `.broken.` file [[StoreFsck]] reports as residue). */
+  private def breakLease(fs: FileSystem, p: Path): Unit = {
+    val sideline = new Path(p.getParent,
+      s"${p.getName}.broken.${java.util.UUID.randomUUID()}")
+    val won = try fs.rename(p, sideline)
+              catch { case _: java.io.FileNotFoundException => false }
+    if (won) try fs.delete(sideline, false) catch { case _: java.io.IOException => () }
+  }
+
   private def acquire(fs: FileSystem, p: Path, dir: String,
                       token: String): Unit = {
     var attempts = 0
+    var unreadableReads = 0
     var acquired = false
     while (!acquired) {
       attempts += 1
@@ -207,15 +255,50 @@ object MaintenanceLease {
           case None => // holder released between our create and read — retry
             if (attempts >= 5) throw LeaseHeldException(dir, "<flapping>", -1L)
           case Some(t) =>
-            if (parseExpiry(t) < System.currentTimeMillis()) {
-              // crashed holder: break the expired lease and retry the
-              // atomic create (a racing breaker loses the create cleanly)
-              fs.delete(p, false)
-              if (attempts >= 5)
-                throw LeaseHeldException(dir, parseOwner(t), parseExpiry(t))
-            } else throw LeaseHeldException(dir, parseOwner(t), parseExpiry(t))
+            parseExpiry(t) match {
+              case Some(exp) if exp < System.currentTimeMillis() =>
+                // crashed holder: sideline the expired lease atomically
+                // and retry the create (a racing breaker loses the
+                // rename or the create cleanly, never a live lease)
+                breakLease(fs, p)
+                if (attempts >= 5)
+                  throw LeaseHeldException(dir, parseOwner(t), exp)
+              case Some(exp) => throw LeaseHeldException(dir, parseOwner(t), exp)
+              case None =>
+                // empty/garbled token: likely an in-flight create whose
+                // bytes are not yet visible — held-retry with backoff,
+                // NOT expired (breaking here would kill a live
+                // competitor's lease mid-create). Persistent junk after
+                // the retries is adjudicated corrupt and broken.
+                unreadableReads += 1
+                if (unreadableReads <= 3) Thread.sleep(50L * unreadableReads)
+                else breakLease(fs, p)
+                if (attempts >= 10)
+                  throw LeaseHeldException(dir, "<unreadable token>", -1L)
+            }
         }
       }
+    }
+  }
+
+  /** Best-effort WRITE FENCE for the most consequential op a sweep runs
+    * under this lease (the snapshot-publish rename): verify the lease
+    * file still carries the calling thread's token and throw
+    * [[LeaseLostException]] BEFORE the caller's rename if it does not —
+    * a stalled holder whose lease was TTL-broken is refused at publish
+    * time instead of detected post-hoc at release. No-op when the
+    * calling thread holds no lease on `dir` (publish outside a sweep,
+    * e.g. a store's initial seed). Advisory-grade: the window between
+    * this read and the caller's rename remains open (plain filesystems
+    * have no compare-and-rename); it shrinks the race from sweep-length
+    * to milliseconds. */
+  def fenceCheck(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val p = leasePath(fs, dir)
+    held.get().get(p.toString).foreach { case (_, token) =>
+      val now = readToken(fs, p)
+      if (!now.contains(token))
+        throw LeaseLostException(dir, now.getOrElse("<gone>"))
     }
   }
 }

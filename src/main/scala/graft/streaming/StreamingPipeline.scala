@@ -1160,7 +1160,7 @@ object StreamingPipeline {
     * accounting. Readers between the crash and the next sweep see the
     * family without the boundary snapshot — shrunken serving until the
     * heal, never durable loss. */
-  private def healReplacedSnapshots(spark: SparkSession, dir: String): Unit = {
+  private[streaming] def healReplacedSnapshots(spark: SparkSession, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1218,6 +1218,9 @@ object StreamingPipeline {
     if (objectStore) {
       val parked = park()
       contents.write.mode("overwrite").parquet(target.toString)
+      // fence: the marker create is the atomic publish event here — a
+      // stalled sweep whose lease was TTL-broken must not commit
+      MaintenanceLease.fenceCheck(spark, dir)
       val out = fs.create(new Path(target, CommitMarkerName), true)
       try out.write(Array.emptyByteArray) finally out.close()
       parked.foreach(p => fs.delete(p, true))
@@ -1229,6 +1232,10 @@ object StreamingPipeline {
       contents.write.mode("overwrite").parquet(staging.toString)
       val out = fs.create(new Path(staging, CommitMarkerName), true)
       try out.write(Array.emptyByteArray) finally out.close()
+      // fence BEFORE the park: a refused publish must leave the old
+      // snapshot serving (the staging dir is invisible residue the next
+      // sweep GCs), not parked with no replacement
+      MaintenanceLease.fenceCheck(spark, dir)
       val parked = park()
       require(fs.rename(staging, target),
         s"publishSnapshot: rename $staging -> $target failed")

@@ -92,6 +92,115 @@ class FsckSpec extends SparkSpec {
     assert(findings(dir).contains(("<root>", "stale-lease", "warn")))
   }
 
+  test("corrupt/empty lease bodies surface as lease-unreadable, never abort the audit") {
+    val dir = mkStore()
+    val p = new Path(dir, MaintenanceLease.LeaseName)
+    def plantRaw(body: String): Unit = {
+      fs.delete(p, false)
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    plantRaw("owner=x expiresAtMs=garbage")
+    var f = findings(dir)
+    assert(f.contains(("<root>", "lease-unreadable", "warn")), f.toString)
+    plantRaw("")
+    f = findings(dir)
+    assert(f.contains(("<root>", "lease-unreadable", "warn")), f.toString)
+    fs.delete(p, false)
+  }
+
+  test("stale root and tombstones leases are reported even when the root is not a family") {
+    val root = Files.createTempDirectory("graft_fsck_rootlease_").toString
+    Seq((1L, 10L)).toDF("doc_id", "h").write.parquet(s"$root/fam/b0")
+    StreamingPipeline.writeTombstones(spark, root, Seq(2L).toDF("id"))
+    def plant(dir: String): Unit = {
+      val p = new Path(dir, MaintenanceLease.LeaseName)
+      val out = fs.create(p, true)
+      try out.write(s"owner=dead expiresAtMs=${System.currentTimeMillis() - 1000}"
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+    plant(root) // a crashed composed erasure's root lease
+    plant(s"$root/tombstones")
+    val f = findings(root)
+    assert(f.contains(("<root>", "stale-lease", "warn")), f.toString)
+    assert(f.contains(("tombstones", "stale-lease", "warn")), f.toString)
+  }
+
+  test("repair mode heals each benign finding and re-audits clean; error findings are refused") {
+    val dir = mkStore()
+    StreamingPipeline.compactDeltas(spark, dir, Schema, 1L)
+    // plant the benign set: covered delta, crashed staging, parked
+    // snapshot whose replacement landed, lease-break sideline
+    Seq((9L, 90L)).toDF("doc_id", "h")
+      .write.mode("overwrite").parquet(s"$dir/b0")
+    fs.mkdirs(new Path(dir, "_compact_staging_v9"))
+    fs.mkdirs(new Path(dir, s"${StreamingPipeline.ReplacedPrefix}1"))
+    val sideline = new Path(dir, s"${MaintenanceLease.LeaseName}.broken.test")
+    fs.create(sideline, true).close()
+    // and one error-class finding: tombstone high-water behind
+    StreamingPipeline.writeTombstones(spark, dir, Seq(2L).toDF("id"))
+    fs.delete(new Path(dir,
+      s"tombstones/${StreamingPipeline.TombstoneHighWaterFile}"), false)
+
+    val repaired = StoreFsck.fsckStore(spark, dir, repair = true)
+      .select($"check", $"severity", $"repaired")
+      .as[(String, String, Boolean)].collect().toSeq
+    Seq("covered-deltas", "crashed-staging", "heal-pending",
+        "lease-break-residue").foreach { c =>
+      assert(repaired.contains((c, if (c == "heal-pending") "warn" else "info", true)),
+        s"$c not repaired: $repaired")
+    }
+    // the error class is reported but NOT acted on
+    assert(repaired.exists(x => x._1 == "highwater-behind" && !x._3), repaired.toString)
+    // physical state: residue gone, snapshot intact, tombstones untouched
+    assert(!fs.exists(new Path(dir, "b0")))
+    assert(!fs.exists(new Path(dir, "_compact_staging_v9")))
+    assert(!fs.exists(new Path(dir, s"${StreamingPipeline.ReplacedPrefix}1")))
+    assert(!fs.exists(sideline))
+    assert(fs.exists(new Path(dir, "v=1")))
+    // re-audit: only the refused error class (and its live-tombstones
+    // companion) remain
+    val after = findings(dir).map(_._2).toSet
+    assert(after == Set("highwater-behind", "live-tombstones"), after.toString)
+    // no repair lease left behind
+    assert(!fs.exists(new Path(dir, MaintenanceLease.LeaseName)))
+  }
+
+  test("repair restores a parked snapshot whose replacement is missing") {
+    val dir = mkStore()
+    StreamingPipeline.compactDeltas(spark, dir, Schema, 1L)
+    // simulate the crash: park v=1 with no replacement landing
+    assert(fs.rename(new Path(dir, "v=1"),
+      new Path(dir, s"${StreamingPipeline.ReplacedPrefix}1")))
+    StoreFsck.fsckStore(spark, dir, repair = true).collect()
+    assert(fs.exists(new Path(dir, "v=1")), "parked snapshot not restored")
+    assert(StreamingPipeline.storeContents(spark, dir, Schema).count() == 3)
+    assert(findings(dir).map(_._2) == Seq("clean"))
+  }
+
+  test("repair skips a family whose lease is actively held, without blocking") {
+    val dir = mkStore()
+    fs.mkdirs(new Path(dir, "_compact_staging_v9"))
+    MaintenanceLease.withLease(spark, dir) {
+      // audit runs fine; repair is refused for this family (held lease)
+      // from ANOTHER logical sweep's perspective — simulate by running
+      // fsck on a fresh thread (the lease is thread-reentrant)
+      var res: Seq[(String, Boolean)] = Seq.empty
+      val t = new Thread(() => {
+        res = StoreFsck.fsckStore(spark, dir, repair = true)
+          .select($"check", $"repaired").as[(String, Boolean)]
+          .collect().toSeq
+      })
+      t.start(); t.join(60000)
+      assert(res.exists(x => x._1 == "crashed-staging" && !x._2), res.toString)
+      assert(fs.exists(new Path(dir, "_compact_staging_v9")))
+    }
+    // after release, repair proceeds
+    StoreFsck.fsckStore(spark, dir, repair = true).collect()
+    assert(!fs.exists(new Path(dir, "_compact_staging_v9")))
+  }
+
   test("uncommitted snapshot is flagged under object-store semantics and the audit is read-only") {
     val dir = mkStore()
     fs.mkdirs(new Path(dir, "v=0")) // markerless partial

@@ -118,6 +118,64 @@ class LeaseSpec extends SparkSpec {
     assert(lost.getMessage.contains("usurper"))
   }
 
+  test("corrupt or empty lease bodies are retried then broken — acquire never crashes, never kills a live lease instantly") {
+    val dir = freshStore()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(dir, MaintenanceLease.LeaseName)
+    def plant(body: String): Unit = {
+      fs.delete(p, false)
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    // unparseable expiry: bounded retries, then adjudicated corrupt and
+    // broken — the sweep proceeds instead of throwing NumberFormatException
+    plant("owner=x expiresAtMs=not-a-number")
+    StreamingPipeline.compactDeltas(spark, dir, Schema, 1L)
+    assert(StreamingPipeline.storeContents(spark, dir, Schema).count() == 3)
+    assert(!fs.exists(p))
+    // empty body (an in-flight create's visible-but-unwritten window):
+    // same posture — and crucially NOT treated as expired-at-epoch-0
+    plant("")
+    MaintenanceLease.withLease(spark, dir) {}
+    assert(!fs.exists(p))
+    // no sideline residue left behind by the breaks
+    val residue = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.contains(".broken."))
+    assert(residue.isEmpty, residue.toString)
+  }
+
+  test("fence: a stalled holder whose lease was usurped is refused at publishSnapshot, before the rename") {
+    val dir = freshStore()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    val contents = Seq((1L, 10L)).toDF("doc_id", "h")
+    val outer = intercept[MaintenanceLease.LeaseLostException] {
+      MaintenanceLease.withLease(spark, dir, ttlMs = 1L) {
+        Thread.sleep(5)
+        // a competing sweep TTL-breaks the expired lease and holds its own
+        val p = new org.apache.hadoop.fs.Path(dir, MaintenanceLease.LeaseName)
+        fs.delete(p, false)
+        val out = fs.create(p, true)
+        try out.write("owner=usurper expiresAtMs=9999999999999".getBytes("UTF-8"))
+        finally out.close()
+        // the stalled holder's late publish is refused by the fence...
+        val fenced = intercept[MaintenanceLease.LeaseLostException] {
+          StreamingPipeline.publishSnapshot(spark, dir, contents, 0L)
+        }
+        assert(fenced.getMessage.contains("usurper"))
+        // ...and nothing was published (the staging write ran; the
+        // versioned rename did not)
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "v=0")))
+      }
+    }
+    assert(outer.getMessage.contains("usurper")) // release also reports the loss
+    // without a held lease, publish is un-fenced (initial seeds etc.)
+    StreamingPipeline.publishSnapshot(spark, dir, contents, 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "v=0")))
+  }
+
   test("8-way stress: N threads race one store; exactly one holds at a time, every sweep or refusal is accounted") {
     val dir = freshStore()
     val inBody = new java.util.concurrent.atomic.AtomicInteger(0)

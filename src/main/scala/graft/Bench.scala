@@ -67,6 +67,28 @@ object Bench {
     best.map { case (s, e) => (flags(s)._1, flags(e)._1) }
   }
 
+  /** Uniform-slowdown detector — the blind spot [[contentionWindow]]
+    * leaves open (r13 lesson: two "clean" records at the SAME commit
+    * disagreed by 14% because EVERY query was uniformly slower in one
+    * run — per-query spike detection flags nothing when the whole
+    * machine is loaded). The statistic is the MEDIAN over carryover
+    * queries of this run's min / the committed record's min: code
+    * changes move scattered queries, an environment-level slowdown
+    * moves the median itself. Returns None with no carryover. */
+  private[graft] def carryoverMedianRatio(
+      prev: Map[String, (Double, Double)],
+      cur: Seq[(String, (Double, Double))]): Option[Double] = {
+    val ratios = cur.collect {
+      case (k, (mn, _)) if prev.get(k).exists(_._1 > 0) => mn / prev(k)._1
+    }.sorted
+    if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
+  }
+
+  /** Median carryover ratio above this marks the whole run
+    * environment-suspect in the record — adjudicate against the
+    * committed record before reading any per-query movement as real. */
+  private[graft] val EnvironmentSuspectRatio = 1.2
+
   /** Parse a BENCH_FULL.json record's per-query (min, med) map. The
     * format is self-written (see below), so a line regex suffices — no
     * JSON dependency. Missing/unreadable file → empty map (first round,
@@ -95,6 +117,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Caches.quietCheckpointFreeWarnings()
+    // machine-load indicator, stamped into the record: a run whose
+    // loadavg was already high before the first query is suspect on its
+    // face, independent of the ratio statistics below
+    def loadavg: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadavg
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -180,14 +209,26 @@ object Bench {
     // for dry runs against historical records). An annotated window means
     // "adjudicate as environmental before blaming the diff" — it does not
     // excuse a real regression OUTSIDE the window.
-    val window = contentionWindow(
-      readRecord(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullPath)), timed)
+    val prev = readRecord(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullPath))
+    val window = contentionWindow(prev, timed)
     val windowTag = window match {
       case Some((a, b)) => s""","contention_window":["$a","$b"]"""
       case None => ""","contention_window":null"""
     }
+    // uniform-slowdown adjudication: median carryover ratio vs the
+    // committed record + loadavg stamps. environment_suspect means
+    // "compare against the committed record before blaming the diff" —
+    // two records that disagree should now disagree WITH an annotation
+    val medianRatio = carryoverMedianRatio(prev, timed)
+    val loadAfter = loadavg
+    val envTag = {
+      val ratioStr = medianRatio.map(r => fmt(r)).getOrElse("null")
+      val suspect = medianRatio.exists(_ >= EnvironmentSuspectRatio)
+      s""","carryover_median_ratio":$ratioStr,"environment_suspect":$suspect""" +
+        s""","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadAfter)}"""
+    }
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$windowTag$filteredTag}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$windowTag$envTag$filteredTag}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
@@ -195,7 +236,7 @@ object Bench {
     val slowest = timed.sortBy { case (_, v) => -v._1 }.take(12)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${timed.size},"failed":$failedJson,"sf":"$sfDir","full":"$fullPath","queries":$slowest$windowTag$filteredTag}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${timed.size},"failed":$failedJson,"sf":"$sfDir","full":"$fullPath","queries":$slowest$windowTag$envTag$filteredTag}"""
     println(compact)
     println(compact)
     spark.stop()

@@ -140,7 +140,13 @@ object ScaleProbe {
     // CCNet serve-on-stream: LM train (byte-linear) + 3-batch replay
     // with an LM-sized broadcast join per batch — expected
     // ~tx_ccnet_buckets plus gate fixed cost
-    "stream_ccnet_score")
+    "stream_ccnet_score",
+    // paragraph-granularity CCNet: the bigram chain with a para-keyed
+    // aggregate + the same histogram cut — expected ~tx_ccnet_buckets
+    "tx_ccnet_paragraphs",
+    // physical release export + re-read + re-digest: byte-linear write
+    // and scan on top of tx_shard_manifest's prefix-sum law
+    "tx_release_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)
@@ -183,10 +189,11 @@ object ScaleProbe {
       val b = bestOf2(time(name, dirBig))
       println(f"[probe] $name%-22s small=$s%7.2fs big=$b%7.2fs ratio=${b / s}%5.1fx")
     }
-    // special sections: all in a full run; the ER probe is also
-    // individually addressable (it needs no probe corpus — names are
-    // synthesized — so it is cheap to re-run alone)
-    if (only.nonEmpty && !only("er_fuzzy_d2")) { spark.stop(); return }
+    // special sections: all in a full run; the ER and ccnet_cap probes
+    // are also individually addressable (cheap to re-run alone)
+    if (only.nonEmpty && !only("er_fuzzy_d2") && !only("ccnet_cap")) {
+      spark.stop(); return
+    }
     if (only.isEmpty) {
     // the documented mitigation for near-dup's n²/2^planes candidate
     // growth: scale planes with the corpus (+3 planes ≈ 8× fewer
@@ -222,6 +229,34 @@ object ScaleProbe {
     println(f"[probe] cc_chain_altstar 1k=${c1}%.2fs/$r1%d rounds 10k=${c10}%.2fs/$r10%d rounds " +
       f"ratio=${c10 / c1}%4.1fx (diameter-bound propagation: 1000 vs 10000 rounds)")
     }
+    if (only.isEmpty || only("ccnet_cap")) {
+    // the LM cap's scale contract: with topK FIXED, the persisted LM —
+    // and therefore the serving join's build side — stays the same size
+    // no matter how large the training corpus, so serving a FIXED doc
+    // batch costs ~the same against a 10x-corpus LM. Uncapped, LM rows
+    // grow with the corpus vocabulary and the serve cost follows.
+    def ccnetCapProbe(trainDir: String): (Long, Double) = {
+      val lmDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_ccnet_lm_").toString
+      graft.operators.TextAnalysis.trainPersistCcnet(
+        spark, trainDir, lmDir, topK = 5000L)
+      val big = spark.read.parquet(s"$lmDir/big")
+      val rows = big.count()
+      val served = bestOf2(timed(graft.operators.TextAnalysis.ccnetServeFrom(
+        spark, lmDir, graft.sources.Tables.documents(spark, dirSmall)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("text")))))
+      (rows, served)
+    }
+    val (lmS, srvS) = ccnetCapProbe(dirSmall)
+    val (lmB, srvB) = ccnetCapProbe(dirBig)
+    println(f"[probe] ccnet_cap@K=5000 lm_rows small=$lmS%d big=$lmB%d " +
+      f"serve small=$srvS%5.2fs big=$srvB%5.2fs ratio=${srvB / srvS}%4.1fx " +
+      "(fixed doc batch; capped LM pins the build side)")
+    }
+    if (only.nonEmpty && !only("er_fuzzy_d2")) { spark.stop(); return }
+    // (below here: full runs and er-only runs)
     // deletion-neighborhood ER at radius 2: candidates must track
     // variant COLLISIONS, not n². Dense zero-padded decimal keys are
     // the adversarially collision-heavy case (every pair differing in

@@ -160,6 +160,9 @@ object SparkEntry {
     // size-balanced training-shard export manifest: same two-phase
     // bucketed prefix sum as packing (no global window), whole docs
     "tx_shard_manifest" -> (Pack.txShardManifest _),
+    // the physical partitionBy(shard_id) export, re-read and re-digested
+    // from the files — proves files ≡ manifest (the k1 pattern)
+    "tx_release_roundtrip" -> (Pack.txShardReleaseRoundtrip _),
     // deterministic global shuffle order: two-phase rank, no global
     // window; and the release composition (shuffle, then shard)
     "tx_global_shuffle" -> (Pack.txGlobalShuffle _),
@@ -174,6 +177,9 @@ object SparkEntry {
     // CCNet head/middle/tail perplexity thirds per language — threshold
     // cuts off the per-(lang,score) histogram, never a corpus window
     "tx_ccnet_buckets" -> (TextAnalysis.txCcnetBuckets _),
+    // Wenzek-faithful paragraph granularity: per-paragraph LM scores,
+    // doc bucket = mean of paragraph means, same histogram-cut operator
+    "tx_ccnet_paragraphs" -> (TextAnalysis.txCcnetParagraphs _),
     "tx_dsir_weights" -> (Dsir.txDsirWeights _),
     "tx_dsir_select" -> (Dsir.txDsirSelect _),
     "tx_inverted_index" -> (Search.txInvertedIndex _),
@@ -447,6 +453,7 @@ object SparkEntry {
     "tx_epoch_mix" -> TextAnalysis.txEpochMixSql,
     "tx_pack_sequences" -> Pack.txPackSequencesSql,
     "tx_shard_manifest" -> Pack.txShardManifestSql,
+    "tx_release_roundtrip" -> Pack.txShardManifestSql,
     "tx_global_shuffle" -> Pack.txGlobalShuffleSql,
     "tx_shuffled_shards" -> Pack.txShuffledShardsSql,
     "tx_chunk_overlap" -> TextAnalysis.txChunkOverlapSql,
@@ -457,6 +464,7 @@ object SparkEntry {
     "tx_surprisal" -> TextAnalysis.txSurprisalSql,
     "tx_bigram_surprisal" -> TextAnalysis.txBigramSurprisalSql,
     "tx_ccnet_buckets" -> TextAnalysis.txCcnetBucketsSql,
+    "tx_ccnet_paragraphs" -> TextAnalysis.txCcnetParagraphsSql,
     "stream_ccnet_score" -> TextAnalysis.txCcnetBucketsSql,
     "tx_dsir_weights" -> Dsir.txDsirWeightsSql,
     "tx_dsir_select" -> Dsir.txDsirSelectSql,

@@ -866,6 +866,12 @@ object Dedup {
     // checkpointed rows (measured: release = curation + ~4 s, was 33 s).
     val withPos = graft.Caches.track(
       curated.join(pos, "doc_id").localCheckpoint(true))
+    // the EAGER checkpoint above just materialized everything downstream
+    // reads; holding the curation chain's cached blocks through the
+    // manifest aggregate is pure heap pressure (the 10-21 s run-to-run
+    // breathing SCALING.md recorded) — free them here, blocking, so the
+    // final stage starts from a quiet heap
+    curated.unpersist(true)
     Pack.shardManifest(withPos, "clean_text", "position", Pack.ShardTokens)
   }
 

@@ -258,6 +258,69 @@ object Pack {
   def txShardManifest(spark: SparkSession, dir: String): DataFrame =
     shardManifest(Tables.documents(spark, dir), "text", "doc_id", ShardTokens)
 
+  /** Per-doc shard ASSIGNMENT carrying the document payload — the
+    * relation the physical release write partitions by. Same layout law
+    * as [[shardManifest]] (exclusive cumsum div shardTokens, two-phase —
+    * the manifest gate keeps its payload-free twin because text has no
+    * business flowing through a cumsum when only the aggregate is
+    * wanted); any drift between the two would break the roundtrip
+    * gate's hash against the shared oracle. */
+  def shardAssign(docs: DataFrame, textCol: String, orderCol: String,
+      shardTokens: Long, buckets: Int = CumsumBuckets): DataFrame = {
+    require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
+    val toks = docs.select(col(orderCol), col(textCol),
+      regexp_count(col(textCol), lit("[A-Za-z0-9]+")).cast("long").as("n_tokens"))
+    exclusiveCumsum(toks, orderCol, "n_tokens", buckets)
+      .withColumn("shard_id", expr(s"cum_excl div ${shardTokens}L"))
+      .select(col(orderCol), col(textCol), col("n_tokens"), col("shard_id"))
+  }
+
+  /** Gated query: the PHYSICAL release write, round-tripped — closes
+    * the gap where `tx_shard_manifest` oracles the manifest RELATION
+    * while nothing proved an actual `write.partitionBy("shard_id")`
+    * export lands files whose contents reproduce the manifest (the
+    * `k1_file_sink_roundtrip` pattern, applied to the release step):
+    *
+    *   1. assign shards ([[shardAssign]]) and write (doc_id, text)
+    *      physically partitioned by shard_id — repartitioned on the
+    *      shard key first, so at scale each shard is written by one
+    *      task as one file (partitionBy alone would fan every input
+    *      task across every shard dir: tasks × shards small files);
+    *   2. RE-READ the export directory — recovering shard membership
+    *      from the directory structure alone — and recompute every
+    *      manifest column (doc counts, token sums, id ranges, XOR
+    *      digests) from the re-read bytes, not from anything remembered
+    *      in-plan;
+    *   3. gate that reconstruction hash-exact against the SAME oracle
+    *      as `tx_shard_manifest`.
+    *
+    * A dropped/duplicated/corrupted row, a doc landing in the wrong
+    * shard dir, or a partition-column round-trip bug each flip a digest
+    * or a count. */
+  def txShardReleaseRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_release_shards_").toString
+    shardAssign(Tables.documents(spark, dir), "text", "doc_id", ShardTokens)
+      .select(col("doc_id"), col("text"), col("shard_id"))
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    spark.read.parquet(out)
+      // partition-column inference narrows shard_id to int — pin the
+      // manifest's BIGINT before aggregating
+      .select(col("doc_id"), col("text"), col("shard_id").cast("long").as("shard_id"))
+      .withColumn("__t",
+        regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long"))
+      .withColumn("__h", graft.functions.Portable.hash60(col("text")))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        expr("bit_xor(__h)").as("digest"))
+      .orderBy(col("shard_id"))
+  }
+
   val txShardManifestSql: String = s"""
     WITH toks AS (
       SELECT doc_id,

@@ -774,33 +774,113 @@ object TextAnalysis {
       .when(col("mean_millibits") <= col("t2"), lit("middle"))
       .otherwise(lit("tail"))
 
+  /** Default vocabulary bound for the persisted CCNet LM — bigram TYPES
+    * kept, counted after the cap's top-K selection. Far above any gate
+    * corpus's whole vocabulary (so the cap is TRANSPARENT there and the
+    * gate stays hash-exact against the uncapped oracle) while bounding
+    * the 100 TB artifact: ~4.2M bigram strings ≈ low hundreds of MB,
+    * a fixed-size artifact no matter how large the training corpus. */
+  val DefaultCcnetTopK: Long = 1L << 22
+
+  /** LM row count above which [[ccnetServe]] stops hinting a broadcast
+    * and lets AQE pick the join strategy — ~2M short strings is the
+    * comfortable ceiling for an executor-resident build side; beyond
+    * it a hard `broadcast()` hint OOMs executors with no fallback. */
+  val CcnetBroadcastMaxRows: Long = 2L * 1000 * 1000
+
+  /** Exact top-K types of a `(g, cnt2)` count relation by
+    * (cnt2 desc, hash-of-g, g) — the LM vocabulary cap, computed
+    * WITHOUT a global sort or a driver-side collect of the relation:
+    *
+    *   1. count-of-counts histogram (bounded by the number of distinct
+    *      frequencies — O(√tokens) under any Zipf-ish corpus, a few
+    *      thousand rows at 100 TB), running-summed descending on a
+    *      deliberately single-partition window (tiny frame);
+    *   2. the one (floor, kept_above) scalar row collected — the count
+    *      class where the running type total first reaches K. No class
+    *      reaches K ⇒ the cap exceeds the vocabulary ⇒ the input is
+    *      returned unchanged (the transparent case the gate proves);
+    *   3. everything strictly above the floor count survives; the floor
+    *      TIE CLASS (can be the huge cnt=1 class) is broken
+    *      deterministically by [[Pack.globalShuffle]]'s two-phase rank
+    *      over (hash, g) — no single-partition window over the class.
+    *
+    * Deterministic: same counts, same K ⇒ byte-identical LM on any
+    * cluster. */
+  private[operators] def capTopK(big: DataFrame, k: Long): DataFrame = {
+    require(k > 0, s"LM cap must be positive, got $k")
+    val hist = big.groupBy(col("cnt2")).agg(count(lit(1)).as("types"))
+    val cum = hist.withColumn("cum",
+      sum(col("types")).over(
+        Window.partitionBy(Portable.onePartition(col("cnt2")))
+          .orderBy(col("cnt2").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val floorRow = cum.filter(col("cum") >= k)
+      .orderBy(col("cnt2").desc).limit(1)
+      .select(col("cnt2"), (col("cum") - col("types")).as("kept_above"))
+      .collect() // ≤ 1 row — a bounded driver scalar, not corpus data
+    if (floorRow.isEmpty) return big
+    val floor = floorRow.head.getLong(0)
+    val fromTie = k - floorRow.head.getLong(1)
+    val above = big.filter(col("cnt2") > floor).select(col("g"), col("cnt2"))
+    val tie = Pack.globalShuffle(
+        big.filter(col("cnt2") === floor).select(col("g")), "g", "g")
+      .filter(col("position") < fromTie)
+      .select(col("g"), lit(floor).as("cnt2"))
+    above.unionByName(tie)
+  }
+
   /** Train the CCNet artifact OFFLINE and persist it: the bigram-LM
-    * count relations (`big`: per-bigram count; `ctx`: per-first-word
-    * context count) plus the per-lang bucket thresholds — everything
+    * count relations (`big`: per-bigram count, CAPPED to the `topK`
+    * most frequent bigram types via [[capTopK]]; `ctx`: per-first-word
+    * context count DERIVED from the capped bigrams, so the model stays
+    * self-consistent — Σ_w₂ p(w₂|w₁) = 1 over the KEPT transitions and
+    * c₁ ≥ c₁₂ always) plus the per-lang bucket thresholds — everything
     * [[ccnetServe]] needs to score and bucket NEW text without the
-    * training corpus. The LM relations are vocabulary-bounded (bigram
-    * TYPES, not tokens); at 100 TB the production form caps them top-K
-    * exactly as [[wordFreq]]'s scaladoc describes — the serving join
-    * is LM-sized either way. */
+    * training corpus. The cap bounds the artifact at any corpus size
+    * (the 100 TB posture [[wordFreq]]'s scaladoc describes for the
+    * unigram vocab); with `topK` at or above the corpus's whole bigram
+    * vocabulary it is exactly transparent — the gate trains with the
+    * default cap and stays hash-exact against the uncapped oracle,
+    * which is the proof of transparency. Thresholds are scored from
+    * the SAME capped relations just persisted (one gram pass total),
+    * so serve-time scores and train-time cut points can never drift.
+    *
+    * The trainer's three persisted intermediates are scoped to this
+    * call and unpersisted on the way out — trainers must not leak
+    * cache state into the caller's session ([[graft.Caches]] stays
+    * untouched; a global releaseAll here would free FOREIGN caches). */
   def trainPersistCcnet(spark: SparkSession, dir: String,
-                        lmDir: String): Unit = {
+                        lmDir: String,
+                        topK: Long = DefaultCcnetTopK): Unit = {
     val docs = Tables.documents(spark, dir)
-    val grams = graft.Caches.persist(docs
-      .select(col("doc_id"), explode(Portable.ngrams(col("text"), 2)).as("g")))
-    val big = graft.Caches.persist(
-      grams.groupBy(col("g")).agg(count(lit(1)).as("cnt2")))
-    val ctx = graft.Caches.persist(grams
-      .groupBy(element_at(split(col("g"), " "), 1).as("w1"))
-      .agg(count(lit(1)).as("cnt1")))
-    big.write.mode("overwrite").parquet(s"$lmDir/big")
-    ctx.write.mode("overwrite").parquet(s"$lmDir/ctx")
-    // thresholds scored from the SAME persisted relations just written —
-    // one gram pass, one pair of count aggregations, total
-    val scored = bigramScoresFrom(grams, big, ctx)
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("doc_id"), col("lang"), col("mean_millibits"))
-    ccnetThresholds(scored)
-      .write.mode("overwrite").parquet(s"$lmDir/thresholds")
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val grams = docs
+      .select(col("doc_id"), explode(Portable.ngrams(col("text"), 2)).as("g"))
+      .persist(level)
+    try {
+      val big = capTopK(
+        grams.groupBy(col("g")).agg(count(lit(1)).as("cnt2")), topK)
+        .persist(level)
+      try {
+        // ctx from the capped bigrams (an LM-sized aggregate, cheaper
+        // than a second corpus pass); uncapped it equals the gram-side
+        // count exactly — Σ cnt2 over bigrams starting w1 IS that count
+        val ctx = big
+          .groupBy(element_at(split(col("g"), " "), 1).as("w1"))
+          .agg(sum(col("cnt2")).as("cnt1"))
+          .persist(level)
+        try {
+          big.write.mode("overwrite").parquet(s"$lmDir/big")
+          ctx.write.mode("overwrite").parquet(s"$lmDir/ctx")
+          val scored = bigramScoresFrom(grams, big, ctx)
+            .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+            .select(col("doc_id"), col("lang"), col("mean_millibits"))
+          ccnetThresholds(scored)
+            .write.mode("overwrite").parquet(s"$lmDir/thresholds")
+        } finally ctx.unpersist(true)
+      } finally big.unpersist(true)
+    } finally grams.unpersist(true)
   }
 
   /** The SERVING half: score and bucket a (doc_id, lang, text) relation
@@ -809,15 +889,25 @@ object TextAnalysis {
     * `stream_ccnet_score` gate) or any batch slice. Transitions absent
     * from the LM are skipped (inner join — the standard
     * unknown-transition policy; on the gate corpus the LM is trained on
-    * the same table, so none are). Docs under 2 words have no
-    * transition and are absent, as from the trainer. */
+    * the same table under a transparent cap, so none are). Docs under 2
+    * words have no transition and are absent, as from the trainer.
+    *
+    * `broadcastLm` gates the LM-side join hint: true (small LM — the
+    * capped default comfortably qualifies) pins a broadcast-hash join
+    * with zero shuffle of the served docs; false (an LM trained with a
+    * raised cap) leaves the strategy to AQE's equi-join sizing, which
+    * is the safe default for a build side that no longer fits executor
+    * memory. Callers serving from a persisted artifact should size this
+    * from the artifact itself — [[ccnetServeFrom]] does. The thresholds
+    * relation is |langs| rows and always broadcasts. */
   def ccnetServe(docs: DataFrame, big: DataFrame, ctx: DataFrame,
-                 th: DataFrame): DataFrame =
+                 th: DataFrame, broadcastLm: Boolean = true): DataFrame = {
+    def lmSide(lm: DataFrame): DataFrame = if (broadcastLm) broadcast(lm) else lm
     docs
       .select(col("doc_id"), col("lang"),
         explode(Portable.ngrams(col("text"), 2)).as("g"))
-      .join(broadcast(big), "g")
-      .join(broadcast(ctx), element_at(split(col("g"), " "), 1) === col("w1"))
+      .join(lmSide(big), "g")
+      .join(lmSide(ctx), element_at(split(col("g"), " "), 1) === col("w1"))
       .withColumn("bits", (length(bin(expr("cnt1 div cnt2"))) - 1).cast("long"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
@@ -825,6 +915,28 @@ object TextAnalysis {
       .join(broadcast(th), "lang")
       .withColumn("bucket", ccnetBucketOf)
       .select(col("doc_id"), col("lang"), col("mean_millibits"), col("bucket"))
+  }
+
+  /** Open a persisted CCNet artifact ([[trainPersistCcnet]]'s layout)
+    * and return its relations plus the broadcast decision, sized from
+    * the artifact's actual row count (one LM-sized count job, run once
+    * per artifact open — not per served batch). */
+  def openCcnetLm(spark: SparkSession, lmDir: String)
+      : (DataFrame, DataFrame, DataFrame, Boolean) = {
+    val big = spark.read.schema("g STRING, cnt2 BIGINT").parquet(s"$lmDir/big")
+    val ctx = spark.read.schema("w1 STRING, cnt1 BIGINT").parquet(s"$lmDir/ctx")
+    val th = spark.read.schema("lang STRING, t1 BIGINT, t2 BIGINT")
+      .parquet(s"$lmDir/thresholds")
+    (big, ctx, th, big.count() <= CcnetBroadcastMaxRows)
+  }
+
+  /** Serve `docs` against the persisted artifact at `lmDir`, with the
+    * broadcast decision made from the artifact size. */
+  def ccnetServeFrom(spark: SparkSession, lmDir: String,
+                     docs: DataFrame): DataFrame = {
+    val (big, ctx, th, bcast) = openCcnetLm(spark, lmDir)
+    ccnetServe(docs, big, ctx, th, broadcastLm = bcast)
+  }
 
   /** Gated query: CCNet buckets over the documents table. Docs under 2
     * words have no LM score and are absent, as from any LM scorer. */
@@ -851,6 +963,157 @@ object TextAnalysis {
              MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN mean_millibits END) AS t2
       FROM cumh JOIN tot USING (lang) GROUP BY lang)
     SELECT s.doc_id, s.lang, s.mean_millibits,
+           CASE WHEN s.mean_millibits <= th.t1 THEN 'head'
+                WHEN s.mean_millibits <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN th USING (lang)
+    ORDER BY s.doc_id"""
+
+  /** Paragraph width (words) for the gated paragraph-granularity CCNet
+    * query. The synthetic corpus carries no newline structure, so the
+    * gate INDUCES paragraphs as disjoint word windows
+    * ([[paragraphsByWindow]]); real crawl text splits on blank lines
+    * via [[paragraphsByDelimiter]] — the bucket pipeline downstream of
+    * the split is identical either way. */
+  val ParaWords = 24
+
+  /** Disjoint word-window "paragraphs" of a (doc_id, lang, text)
+    * relation → (doc_id, lang, para_idx, ptext). One generator over a
+    * codegen'd projection — zero shuffles, scan-speed at 100 TB, chunks
+    * stay on their doc's partition (same shape as [[chunkOverlap]] with
+    * stride = width). */
+  def paragraphsByWindow(docs: DataFrame, width: Int): DataFrame = {
+    require(width > 0, s"paragraph width must be positive, got $width")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), Portable.words(col("text")).as("words"))
+      .select(col("doc_id"), col("lang"), col("words"),
+        posexplode(sequence(lit(1), greatest(size(col("words")), lit(1)),
+          lit(width))).as(Seq("para_idx", "para_start")))
+      .select(col("doc_id"), col("lang"),
+        col("para_idx").cast("long").as("para_idx"),
+        concat_ws(" ", slice(col("words"), col("para_start"), lit(width)))
+          .as("ptext"))
+  }
+
+  /** Blank-line paragraph split — Wenzek et al.'s actual delimiter —
+    * for corpora whose text carries newline structure. */
+  def paragraphsByDelimiter(docs: DataFrame,
+                            delim: String = "\n{2,}"): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), delim)).as(Seq("para_idx", "ptext")))
+      .select(col("doc_id"), col("lang"),
+        col("para_idx").cast("long").as("para_idx"), col("ptext"))
+
+  /** CCNet at PARAGRAPH granularity — the fidelity upgrade of
+    * [[ccnetBuckets]] to what Wenzek et al. 2020 actually publish
+    * (§4.3): the LM scores each PARAGRAPH, and a document is bucketed
+    * by the MEAN of its paragraphs' perplexities — so one garbage
+    * paragraph inside an otherwise-clean long document drags the doc
+    * toward `tail` proportionally, where whole-doc scoring dilutes it
+    * into the doc's full token mass. Pipeline: paragraph-level bigram
+    * LM (transitions never cross a paragraph boundary, matching the
+    * paragraph-wise scoring), per-paragraph integer millibits (same
+    * whole-bit quantization as [[bigramScores]] — see there for why),
+    * per-doc integer mean of paragraph means, then the SAME
+    * [[ccnetThresholds]] histogram cut as the doc-level form — the two
+    * gates share the threshold operator by construction, per the
+    * shared-cut requirement. Paragraphs under 2 words have no
+    * transition and are absent; docs whose every paragraph drops are
+    * absent, as from any LM scorer.
+    *
+    * Scale shape: identical family to [[ccnetBuckets]] — gram relation
+    * linear in tokens, LM counts map-side combined, AQE-decided
+    * equi-joins, and the threshold cut runs on the per-(lang, score)
+    * HISTOGRAM, never a corpus sort. The extra paragraph key widens the
+    * per-para aggregate's grouping only; no new shuffle class. */
+  def ccnetParagraphBuckets(docs: DataFrame, paras: DataFrame): DataFrame = {
+    // persisted: the gram relation feeds both LM counts and the probe
+    val grams = graft.Caches.persist(paras
+      .select(col("doc_id"), col("para_idx"),
+        explode(Portable.ngrams(col("ptext"), 2)).as("g")))
+    val big = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt2"))
+    val ctx = grams
+      .groupBy(element_at(split(col("g"), " "), 1).as("w1"))
+      .agg(count(lit(1)).as("cnt1"))
+    val perPara = grams.join(big, "g")
+      .join(ctx, element_at(split(col("g"), " "), 1) === col("w1"))
+      .withColumn("bits", (length(bin(expr("cnt1 div cnt2"))) - 1).cast("long"))
+      .groupBy(col("doc_id"), col("para_idx"))
+      .agg(count(lit(1)).as("nb"), sum(col("bits")).as("sb"))
+      .select(col("doc_id"), expr("sb * 1000L div nb").as("para_millibits"))
+    val perDoc = perPara.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"), sum(col("para_millibits")).as("s"))
+      .select(col("doc_id"), col("n_paras"),
+        expr("s div n_paras").as("mean_millibits"))
+    val scored = perDoc
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_paras"), col("mean_millibits"))
+    scored.join(broadcast(ccnetThresholds(scored)), "lang")
+      .withColumn("bucket", ccnetBucketOf)
+      .select(col("doc_id"), col("lang"), col("n_paras"),
+        col("mean_millibits"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: paragraph-granularity CCNet buckets over the
+    * documents table, paragraphs induced as [[ParaWords]]-word windows. */
+  def txCcnetParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    ccnetParagraphBuckets(docs, paragraphsByWindow(docs, ParaWords))
+  }
+
+  val txCcnetParagraphsSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, lang, ${Portable.wordsSql("text")} AS words
+      FROM documents WHERE text IS NOT NULL),
+    pstarts AS (
+      SELECT doc_id, lang, words,
+             unnest(generate_series(1, greatest(len(words), 1), $ParaWords))
+               AS para_start
+      FROM d),
+    paras AS (
+      SELECT doc_id, lang,
+             CAST((para_start - 1) // $ParaWords AS BIGINT) AS para_idx,
+             array_to_string(words[para_start : para_start + ${ParaWords - 1}], ' ')
+               AS ptext
+      FROM pstarts),
+    grams AS (
+      SELECT doc_id, para_idx, unnest(${Portable.ngramsSql("ptext", 2)}) AS g
+      FROM paras),
+    big AS (SELECT g, COUNT(*) AS cnt2 FROM grams GROUP BY g),
+    ctx AS (
+      SELECT string_split(g, ' ')[1] AS w1, COUNT(*) AS cnt1
+      FROM grams GROUP BY 1),
+    perpara AS (
+      SELECT doc_id, para_idx, COUNT(*) AS nb,
+             CAST(SUM(CAST(length(bin(cnt1 // cnt2)) - 1 AS BIGINT)) AS BIGINT)
+               AS sb
+      FROM grams
+      JOIN big USING (g)
+      JOIN ctx ON string_split(grams.g, ' ')[1] = ctx.w1
+      GROUP BY doc_id, para_idx),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_paras,
+             CAST(SUM(sb * 1000 // nb) // COUNT(*) AS BIGINT) AS mean_millibits
+      FROM perpara GROUP BY doc_id),
+    scored AS (
+      SELECT p.doc_id, dd.lang, p.n_paras, p.mean_millibits
+      FROM perdoc p JOIN documents dd USING (doc_id)),
+    hist AS (
+      SELECT lang, mean_millibits, COUNT(*) AS cnt
+      FROM scored GROUP BY lang, mean_millibits),
+    cumh AS (
+      SELECT lang, mean_millibits,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY mean_millibits) AS cum
+      FROM hist),
+    tot AS (SELECT lang, SUM(cnt) AS n FROM hist GROUP BY lang),
+    th AS (
+      SELECT lang,
+             MIN(CASE WHEN cum >= (n + 2) // 3 THEN mean_millibits END) AS t1,
+             MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN mean_millibits END) AS t2
+      FROM cumh JOIN tot USING (lang) GROUP BY lang)
+    SELECT s.doc_id, s.lang, s.n_paras, s.mean_millibits,
            CASE WHEN s.mean_millibits <= th.t1 THEN 'head'
                 WHEN s.mean_millibits <= th.t2 THEN 'middle'
                 ELSE 'tail' END AS bucket

@@ -474,12 +474,14 @@ object StreamingGates {
   def streamCcnetScore(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalysis
     val lmDir = tmp("graft_sgate_ccnet_lm_")
+    // the trainer scopes and frees its own caches (a global releaseAll
+    // here would unpersist FOREIGN relations process-wide); the default
+    // cap is far above the gate vocabulary, so the persisted LM is
+    // byte-identical to uncapped — the hash-exact compare below against
+    // the uncapped oracle is the cap-transparency proof
     TextAnalysis.trainPersistCcnet(spark, dir, lmDir)
-    graft.Caches.releaseAll()
-    val big = spark.read.schema("g STRING, cnt2 BIGINT").parquet(s"$lmDir/big")
-    val ctx = spark.read.schema("w1 STRING, cnt1 BIGINT").parquet(s"$lmDir/ctx")
-    val th = spark.read.schema("lang STRING, t1 BIGINT, t2 BIGINT")
-      .parquet(s"$lmDir/thresholds")
+    // broadcast decision sized from the persisted artifact, not assumed
+    val (big, ctx, th, broadcastLm) = TextAnalysis.openCcnetLm(spark, lmDir)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
     val in = tmp("graft_sgate_ccnet_in_")
@@ -494,7 +496,7 @@ object StreamingGates {
       .option("maxFilesPerTrigger", "1").parquet(in)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        TextAnalysis.ccnetServe(batch, big, ctx, th)
+        TextAnalysis.ccnetServe(batch, big, ctx, th, broadcastLm)
           .write.mode("append").parquet(out)
       }
       .option("checkpointLocation", ckpt).start()

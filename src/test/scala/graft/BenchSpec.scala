@@ -64,6 +64,26 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.readRecord("/nonexistent/path.json").isEmpty)
   }
 
+  test("uniform slowdown: median carryover ratio catches what the window detector cannot") {
+    val names = ('a' to 'z').map(n => s"q_$n")
+    val prev = rec(names).toMap
+    // EVERYTHING 1.4x slower — below the window detector's 1.5x per-query
+    // factor, so contention_window stays null, but the median ratio flags it
+    val uniform = names.map(n => n -> (1.4, 1.4))
+    assert(Bench.contentionWindow(prev, uniform).isEmpty)
+    assert(Bench.carryoverMedianRatio(prev, uniform).exists(r =>
+      math.abs(r - 1.4) < 1e-9 && r >= Bench.EnvironmentSuspectRatio))
+    // a real code regression in a few queries moves those ratios, not the
+    // median: 3 of 26 at 5x leaves the median at 1.0 — not suspect
+    val scattered = names.map(n =>
+      n -> (if (Set("q_c", "q_k", "q_t")(n)) (5.0, 5.0) else (1.0, 1.0)))
+    assert(Bench.carryoverMedianRatio(prev, scattered).exists(_ < Bench.EnvironmentSuspectRatio))
+    // new queries are not carryover; zero-min prev rows are skipped
+    assert(Bench.carryoverMedianRatio(Map.empty, uniform).isEmpty)
+    assert(Bench.carryoverMedianRatio(Map("q" -> (0.0, 0.0)),
+      Seq("q" -> (1.0, 1.0))).isEmpty)
+  }
+
   test("readRecord parses the BENCH_FULL format this repo writes") {
     val p = java.nio.file.Files.createTempFile("graft_bench_rec", ".json")
     java.nio.file.Files.writeString(p,

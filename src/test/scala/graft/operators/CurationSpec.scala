@@ -138,6 +138,92 @@ class CurationSpec extends SparkSpec {
     assert(m.head.getLong(3) == 0L && m.last.getLong(4) == curated - 1)
   }
 
+  test("LM top-K cap: exact K under tie cuts, deterministic, transparent above the vocabulary") {
+    val big = Seq(
+      ("a a", 5L), ("a b", 3L), ("b a", 3L),
+      ("c a", 1L), ("c b", 1L), ("c c", 1L), ("c d", 1L))
+      .toDF("g", "cnt2")
+    // cap above the vocabulary: byte-identical relation (the transparent
+    // case the hash gate proves end to end)
+    val uncapped = TextAnalysis.capTopK(big, 100L)
+      .as[(String, Long)].collect().toSet
+    assert(uncapped == big.as[(String, Long)].collect().toSet)
+    // cap cutting INSIDE the cnt=1 tie class: exactly K rows, everything
+    // strictly above the floor kept, and the tie break is deterministic
+    val k5a = TextAnalysis.capTopK(big, 5L).as[(String, Long)].collect().toSet
+    val k5b = TextAnalysis.capTopK(big, 5L).as[(String, Long)].collect().toSet
+    assert(k5a == k5b, "tie break is not deterministic")
+    assert(k5a.size == 5)
+    assert(Set(("a a", 5L), ("a b", 3L), ("b a", 3L)).subsetOf(k5a),
+      "a bigram above the floor count was dropped")
+    assert(k5a.count(_._2 == 1L) == 2, "tie class not cut to the remaining budget")
+    // cap exactly at a class boundary: whole classes, no tie cut needed
+    val k3 = TextAnalysis.capTopK(big, 3L).as[(String, Long)].collect().toSet
+    assert(k3 == Set(("a a", 5L), ("a b", 3L), ("b a", 3L)))
+  }
+
+  test("capped CCNet trainer: LM bounded at K, ctx self-consistent with the kept transitions") {
+    val lmDir = java.nio.file.Files.createTempDirectory("graft_ccnet_cap_").toString
+    TextAnalysis.trainPersistCcnet(spark, sf(), lmDir, topK = 10L)
+    val big = spark.read.parquet(s"$lmDir/big").as[(String, Long)].collect()
+    assert(big.length == 10, s"cap not applied: ${big.length} bigram types")
+    val ctx = spark.read.parquet(s"$lmDir/ctx").as[(String, Long)].collect().toMap
+    // self-consistency: each context count is the sum of its KEPT
+    // bigrams' counts (Σ p(w2|w1) = 1 over kept transitions, bits >= 0)
+    big.groupBy(_._1.split(" ").head).foreach { case (w1, rows) =>
+      assert(ctx(w1) == rows.map(_._2).sum,
+        s"ctx($w1) != sum of kept bigram counts")
+    }
+    assert(ctx.keySet == big.map(_._1.split(" ").head).toSet,
+      "ctx carries contexts with no kept transitions")
+    // serving against the capped artifact: runs, skips unknown
+    // transitions, and never scores negative bits
+    val served = TextAnalysis.ccnetServeFrom(spark, lmDir,
+      graft.sources.Tables.documents(spark, sf())
+        .select($"doc_id", $"lang", $"text"))
+      .collect()
+    assert(served.nonEmpty, "nothing scored against the capped LM")
+    assert(served.forall(_.getLong(2) >= 0L), "negative surprisal under the cap")
+  }
+
+  test("paragraph CCNet: windows tile each doc, mean-of-means law, thresholds shared") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val paras = TextAnalysis.paragraphsByWindow(docs, TextAnalysis.ParaWords)
+    // windows tile: per doc, para count = ceil(words / width) and text
+    // mass is conserved through the split
+    val words = docs.filter($"text".isNotNull).select($"doc_id",
+      size(graft.functions.Portable.words($"text")).as("n")).as[(Long, Int)]
+      .collect().toMap
+    val perDoc = paras.groupBy($"doc_id")
+      .agg(count(lit(1)).as("np"), sum(size(graft.functions.Portable.words($"ptext"))).as("nw"))
+      .as[(Long, Long, Long)].collect()
+    perDoc.foreach { case (id, np, nw) =>
+      val n = words(id)
+      assert(np == (n + TextAnalysis.ParaWords - 1) / TextAnalysis.ParaWords,
+        s"doc $id: wrong window count")
+      assert(nw == n, s"doc $id: words lost in the split")
+    }
+    val out = TextAnalysis.txCcnetParagraphs(spark, sf()).collect()
+    graft.Caches.releaseAll()
+    // bucket semantics identical to the doc-level form: ties never split
+    val perScore = out.groupBy(r => (r.getString(1), r.getLong(3)))
+      .values.map(_.map(_.getString(4)).toSet)
+    assert(perScore.forall(_.size == 1), "equal scores landed in different buckets")
+    // a doc at most one window wide scores exactly its single paragraph
+    assert(out.filter(_.getLong(2) == 1L).nonEmpty ||
+      words.values.forall(_ > TextAnalysis.ParaWords))
+  }
+
+  test("release roundtrip: the partitioned export re-reads to the manifest exactly") {
+    val m = Pack.txShardManifest(spark, sf()).collect().toSeq
+    val rt = Pack.txShardReleaseRoundtrip(spark, sf()).collect().toSeq
+    assert(rt.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))) ==
+      m.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))),
+      "files round-tripped to a different manifest than the relation")
+  }
+
   test("shuffled shards: contiguous position ranges, conserved mass, doc ids interleave") {
     val m = Pack.txShuffledShards(spark, sf()).collect()
     val docs = graft.sources.Tables.documents(spark, sf())

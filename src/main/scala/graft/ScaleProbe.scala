@@ -146,7 +146,15 @@ object ScaleProbe {
     "tx_ccnet_paragraphs",
     // physical release export + re-read + re-digest: byte-linear write
     // and scan on top of tx_shard_manifest's prefix-sum law
-    "tx_release_roundtrip")
+    "tx_release_roundtrip",
+    // CCNet selection: the bucket chain + one hash projection — expected
+    // ~tx_ccnet_buckets
+    "tx_ccnet_select",
+    // exact paragraph dedup: digest groupBy (map-side combined, one
+    // candidate row per distinct paragraph) + per-doc reassembly lists
+    // bounded by each doc's own paragraph count — expected ~dd_exact
+    // over the paragraph relation (byte-linear)
+    "tx_paragraph_dedup")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

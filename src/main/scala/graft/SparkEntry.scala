@@ -180,6 +180,12 @@ object SparkEntry {
     // Wenzek-faithful paragraph granularity: per-paragraph LM scores,
     // doc bucket = mean of paragraph means, same histogram-cut operator
     "tx_ccnet_paragraphs" -> (TextAnalysis.txCcnetParagraphs _),
+    // CCNet's published selection policy: head whole, middle
+    // hash-sampled, tail dropped — the bucket consumer
+    "tx_ccnet_select" -> (TextAnalysis.txCcnetSelect _),
+    // Dolma-style exact paragraph dedup: keep-first by min-struct
+    // aggregate on the paragraph digest, docs reassembled in order
+    "tx_paragraph_dedup" -> (TextAnalysis.txParagraphDedup _),
     "tx_dsir_weights" -> (Dsir.txDsirWeights _),
     "tx_dsir_select" -> (Dsir.txDsirSelect _),
     "tx_inverted_index" -> (Search.txInvertedIndex _),
@@ -465,6 +471,8 @@ object SparkEntry {
     "tx_bigram_surprisal" -> TextAnalysis.txBigramSurprisalSql,
     "tx_ccnet_buckets" -> TextAnalysis.txCcnetBucketsSql,
     "tx_ccnet_paragraphs" -> TextAnalysis.txCcnetParagraphsSql,
+    "tx_ccnet_select" -> TextAnalysis.txCcnetSelectSql,
+    "tx_paragraph_dedup" -> TextAnalysis.txParagraphDedupSql,
     "stream_ccnet_score" -> TextAnalysis.txCcnetBucketsSql,
     "tx_dsir_weights" -> Dsir.txDsirWeightsSql,
     "tx_dsir_select" -> Dsir.txDsirSelectSql,

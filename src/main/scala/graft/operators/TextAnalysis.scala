@@ -1063,6 +1063,143 @@ object TextAnalysis {
     ccnetParagraphBuckets(docs, paragraphsByWindow(docs, ParaWords))
   }
 
+  /** EXACT PARAGRAPH DEDUP — the Dolma-style middle granularity between
+    * whole-document exact dedup (misses boilerplate shared across
+    * otherwise-distinct pages) and span/substring dedup (character
+    * windows, no structural unit): every paragraph occurring more than
+    * once ACROSS THE CORPUS survives only at its first occurrence
+    * (smallest (doc_id, para_idx)); each document is reassembled from
+    * its surviving paragraphs in order. Docs whose every paragraph was
+    * someone else's duplicate vanish, as from any dedup.
+    *
+    * Keep-first is computed as a min-STRUCT aggregate on the paragraph
+    * digest — (h) → min(doc_id, para_idx) — NOT a row_number window:
+    * the aggregate is map-side combined and shuffles one candidate row
+    * per distinct paragraph, where the window form sorts every
+    * occurrence group. The reassembly collects per-doc surviving
+    * paragraphs (bounded by the doc's own paragraph count — a per-doc
+    * list, never a corpus list) and rejoins them in para_idx order.
+    * The digest is [[Portable.hash60]] over the paragraph text —
+    * dedup-grade, same contract as the exact-dedup family. */
+  def paragraphDedup(paras: DataFrame): DataFrame = {
+    val hp = paras.select(col("doc_id"), col("para_idx"), col("ptext"),
+      Portable.hash60(col("ptext")).as("h"))
+    val keep = hp.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("doc_id"),
+        col("k.para_idx").as("para_idx"))
+    val totals = hp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+    hp.join(keep, Seq("h", "doc_id", "para_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("para_idx"), col("ptext")))),
+            s => s.getField("ptext")),
+          " ").as("clean_text"))
+      .join(totals, "doc_id")
+      .select(col("doc_id"), col("n_paras"), col("n_kept"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: exact paragraph dedup over the documents table,
+    * paragraphs induced as [[ParaWords]]-word windows (real text splits
+    * on blank lines via [[paragraphsByDelimiter]]; the synthetic corpus
+    * has no newlines, and the planted exact-dup documents make window
+    * paragraphs genuinely collide across docs). */
+  def txParagraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedup(
+      paragraphsByWindow(Tables.documents(spark, dir), ParaWords))
+
+  val txParagraphDedupSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, ${Portable.wordsSql("text")} AS words
+      FROM documents WHERE text IS NOT NULL),
+    pstarts AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words), 1), $ParaWords))
+               AS para_start
+      FROM d),
+    paras AS (
+      SELECT doc_id,
+             CAST((para_start - 1) // $ParaWords AS BIGINT) AS para_idx,
+             array_to_string(words[para_start : para_start + ${ParaWords - 1}], ' ')
+               AS ptext
+      FROM pstarts),
+    hp AS (
+      SELECT doc_id, para_idx, ptext, ${Portable.hash60Sql("ptext")} AS h
+      FROM paras),
+    ranked AS (
+      SELECT doc_id, para_idx, ptext,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, para_idx) AS rn
+      FROM hp),
+    tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM hp GROUP BY doc_id)
+    SELECT r.doc_id, t.n_paras, COUNT(*) AS n_kept,
+           string_agg(r.ptext, ' ' ORDER BY r.para_idx) AS clean_text
+    FROM ranked r JOIN tot t USING (doc_id)
+    WHERE r.rn = 1
+    GROUP BY r.doc_id, t.n_paras
+    ORDER BY r.doc_id"""
+
+  /** Sampled-middle permille for the gated CCNet selection — CCNet's
+    * published policy keeps `head` whole, SAMPLES `middle`, drops
+    * `tail`; 500 = half the middle, decided by a deterministic
+    * content-independent hash (same no-RNG-state posture as
+    * [[txEpochMix]]: the same doc is always in or always out). */
+  val CcnetMiddlePermille = 500L
+
+  /** CCNet SELECTION policy over the bucket labels: the step after
+    * bucketing that actually curates — head kept whole, middle
+    * hash-sampled at `middlePermille`/1000, tail dropped. One
+    * broadcast-threshold pass over the scored corpus; the sample
+    * decision is a pure projection. */
+  def ccnetSelect(buckets: DataFrame, middlePermille: Long): DataFrame =
+    buckets
+      .withColumn("__p", pmod(
+        Portable.hash60(concat(lit("ccnet:"), col("doc_id").cast("string"))),
+        lit(1000L)))
+      .filter(col("bucket") === "head" ||
+        (col("bucket") === "middle" && col("__p") < middlePermille))
+      .select(col("doc_id"), col("lang"), col("mean_millibits"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Gated query: CCNet selection over the doc-level buckets. */
+  def txCcnetSelect(spark: SparkSession, dir: String): DataFrame =
+    ccnetSelect(ccnetBuckets(Tables.documents(spark, dir)),
+      CcnetMiddlePermille)
+
+  val txCcnetSelectSql: String = s"""
+    WITH ${bigramScoreCtesOf("documents")},
+    scored AS (
+      SELECT p.doc_id, d.lang,
+             p.sum_bits * 1000 // p.n_bigrams AS mean_millibits
+      FROM perdoc p JOIN documents d USING (doc_id)),
+    hist AS (
+      SELECT lang, mean_millibits, COUNT(*) AS cnt
+      FROM scored GROUP BY lang, mean_millibits),
+    cumh AS (
+      SELECT lang, mean_millibits,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY mean_millibits) AS cum
+      FROM hist),
+    tot AS (SELECT lang, SUM(cnt) AS n FROM hist GROUP BY lang),
+    th AS (
+      SELECT lang,
+             MIN(CASE WHEN cum >= (n + 2) // 3 THEN mean_millibits END) AS t1,
+             MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN mean_millibits END) AS t2
+      FROM cumh JOIN tot USING (lang) GROUP BY lang),
+    buck AS (
+      SELECT s.doc_id, s.lang, s.mean_millibits,
+             CASE WHEN s.mean_millibits <= th.t1 THEN 'head'
+                  WHEN s.mean_millibits <= th.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored s JOIN th USING (lang))
+    SELECT doc_id, lang, mean_millibits, bucket
+    FROM buck
+    WHERE bucket = 'head' OR (bucket = 'middle' AND
+      ((${Portable.hash60Sql("('ccnet:' || CAST(doc_id AS VARCHAR))")} % 1000)
+        + 1000) % 1000 < $CcnetMiddlePermille)
+    ORDER BY doc_id"""
+
   val txCcnetParagraphsSql: String = s"""
     WITH d AS (
       SELECT doc_id, lang, ${Portable.wordsSql("text")} AS words

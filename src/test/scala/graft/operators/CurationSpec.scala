@@ -214,6 +214,60 @@ class CurationSpec extends SparkSpec {
       words.values.forall(_ > TextAnalysis.ParaWords))
   }
 
+  test("paragraph dedup: first occurrence survives, reassembly preserves order, mass accounted") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val paras = TextAnalysis.paragraphsByWindow(docs, TextAnalysis.ParaWords)
+    val out = TextAnalysis.paragraphDedup(paras).collect()
+    val all = paras.select($"doc_id", $"para_idx", $"ptext")
+      .as[(Long, Long, String)].collect()
+    // ground truth keep-first on the tiny fixture
+    val keepTruth = all.groupBy(_._3).values
+      .map(_.minBy(r => (r._1, r._2))).toSeq
+    val keptByDoc = keepTruth.groupBy(_._1)
+    out.foreach { r =>
+      val (id, nParas, nKept, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val truth = keptByDoc.getOrElse(id, Seq.empty).sortBy(_._2)
+      assert(nKept == truth.size, s"doc $id kept $nKept, truth ${truth.size}")
+      assert(clean == truth.map(_._3).mkString(" "),
+        s"doc $id reassembled out of order or with wrong paragraphs")
+      assert(nParas == all.count(_._1 == id))
+    }
+    // docs with zero survivors are absent, and only those
+    assert(out.map(_.getLong(0)).toSet == keptByDoc.keySet)
+    // the fixture genuinely exercises dedup: some paragraph was dropped
+    assert(out.map(r => r.getLong(1) - r.getLong(2)).sum > 0 ||
+      all.map(_._3).distinct.length == all.length)
+    // an UNDUPLICATED corpus round-trips every doc to its exact text
+    val clean = out.filter(r => r.getLong(1) == r.getLong(2))
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    clean.foreach(r => assert(r.getString(3) == texts(r.getLong(0)),
+      s"doc ${r.getLong(0)}: untouched doc did not round-trip byte-exact"))
+  }
+
+  test("ccnet select: head kept whole, middle hash-sampled, tail absent, decision stable") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val buckets = TextAnalysis.ccnetBuckets(docs).collect()
+    graft.Caches.releaseAll()
+    val sel = TextAnalysis.txCcnetSelect(spark, sf()).collect()
+    graft.Caches.releaseAll()
+    val selIds = sel.map(_.getLong(0)).toSet
+    val byBucket = buckets.groupBy(_.getString(3))
+    byBucket.getOrElse("head", Array.empty).foreach(r =>
+      assert(selIds(r.getLong(0)), s"head doc ${r.getLong(0)} dropped"))
+    byBucket.getOrElse("tail", Array.empty).foreach(r =>
+      assert(!selIds(r.getLong(0)), s"tail doc ${r.getLong(0)} kept"))
+    val mid = byBucket.getOrElse("middle", Array.empty).map(_.getLong(0)).toSet
+    val midKept = selIds.intersect(mid)
+    assert(midKept.nonEmpty && midKept.size < mid.size,
+      "middle sampling did not genuinely split the bucket")
+    // determinism: a second run selects the identical set
+    val sel2 = TextAnalysis.txCcnetSelect(spark, sf()).collect()
+    graft.Caches.releaseAll()
+    assert(sel2.map(_.getLong(0)).toSet == selIds)
+  }
+
   test("release roundtrip: the partitioned export re-reads to the manifest exactly") {
     val m = Pack.txShardManifest(spark, sf()).collect().toSeq
     val rt = Pack.txShardReleaseRoundtrip(spark, sf()).collect().toSeq

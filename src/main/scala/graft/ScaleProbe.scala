@@ -154,7 +154,10 @@ object ScaleProbe {
     // candidate row per distinct paragraph) + per-doc reassembly lists
     // bounded by each doc's own paragraph count — expected ~dd_exact
     // over the paragraph relation (byte-linear)
-    "tx_paragraph_dedup")
+    "tx_paragraph_dedup",
+    // paragraph-artifact serving: one paragraph-LM train + 3-batch
+    // replay — expected ~stream_ccnet_score
+    "stream_ccnet_paragraphs")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -108,6 +108,9 @@ object SparkEntry {
     // CCNet serve-on-stream: LM + thresholds trained offline, each
     // micro-batch scored/bucketed statelessly ≡ the in-query oracle
     "stream_ccnet_score" -> (graft.streaming.StreamingGates.streamCcnetScore _),
+    // paragraph-granularity artifact serving: train once, bucket per batch
+    "stream_ccnet_paragraphs" ->
+      (graft.streaming.StreamingGates.streamCcnetParagraphs _),
     "stream_stream_join" -> (graft.streaming.StreamingGates.streamStreamJoin _),
     "stream_bm25" -> (graft.streaming.StreamingGates.streamBm25 _),
     // per-batch mergeable Misra-Gries sketches ∪ exact verify ≡ the
@@ -474,6 +477,7 @@ object SparkEntry {
     "tx_ccnet_select" -> TextAnalysis.txCcnetSelectSql,
     "tx_paragraph_dedup" -> TextAnalysis.txParagraphDedupSql,
     "stream_ccnet_score" -> TextAnalysis.txCcnetBucketsSql,
+    "stream_ccnet_paragraphs" -> TextAnalysis.txCcnetParagraphsSql,
     "tx_dsir_weights" -> Dsir.txDsirWeightsSql,
     "tx_dsir_select" -> Dsir.txDsirSelectSql,
     "tx_inverted_index" -> Search.txInvertedIndexSql,

@@ -1029,24 +1029,12 @@ object TextAnalysis {
     * per-para aggregate's grouping only; no new shuffle class. */
   def ccnetParagraphBuckets(docs: DataFrame, paras: DataFrame): DataFrame = {
     // persisted: the gram relation feeds both LM counts and the probe
-    val grams = graft.Caches.persist(paras
-      .select(col("doc_id"), col("para_idx"),
-        explode(Portable.ngrams(col("ptext"), 2)).as("g")))
+    val grams = graft.Caches.persist(paragraphGrams(paras))
     val big = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt2"))
     val ctx = grams
       .groupBy(element_at(split(col("g"), " "), 1).as("w1"))
       .agg(count(lit(1)).as("cnt1"))
-    val perPara = grams.join(big, "g")
-      .join(ctx, element_at(split(col("g"), " "), 1) === col("w1"))
-      .withColumn("bits", (length(bin(expr("cnt1 div cnt2"))) - 1).cast("long"))
-      .groupBy(col("doc_id"), col("para_idx"))
-      .agg(count(lit(1)).as("nb"), sum(col("bits")).as("sb"))
-      .select(col("doc_id"), expr("sb * 1000L div nb").as("para_millibits"))
-    val perDoc = perPara.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_paras"), sum(col("para_millibits")).as("s"))
-      .select(col("doc_id"), col("n_paras"),
-        expr("s div n_paras").as("mean_millibits"))
-    val scored = perDoc
+    val scored = ccnetParagraphScores(grams, big, ctx, broadcastLm = false)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_paras"), col("mean_millibits"))
     scored.join(broadcast(ccnetThresholds(scored)), "lang")
@@ -1054,6 +1042,83 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_paras"),
         col("mean_millibits"), col("bucket"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The paragraph gram relation: one row per bigram occurrence, keyed
+    * by (doc_id, para_idx) — transitions never cross a boundary. */
+  private def paragraphGrams(paras: DataFrame): DataFrame =
+    paras.select(col("doc_id"), col("para_idx"),
+      explode(Portable.ngrams(col("ptext"), 2)).as("g"))
+
+  /** Per-doc paragraph-mean LM scores from a paragraph gram relation
+    * and the two LM count relations — the scoring chain shared by the
+    * in-query gate (in-corpus LM, AQE joins) and the artifact serving
+    * path (persisted LM, broadcast-hinted when it fits). Returns
+    * (doc_id, n_paras, mean_millibits) where n_paras counts SCORED
+    * paragraphs (≥ 1 known transition). */
+  private def ccnetParagraphScores(grams: DataFrame, big: DataFrame,
+      ctx: DataFrame, broadcastLm: Boolean): DataFrame = {
+    def lmSide(lm: DataFrame): DataFrame = if (broadcastLm) broadcast(lm) else lm
+    grams.join(lmSide(big), "g")
+      .join(lmSide(ctx), element_at(split(col("g"), " "), 1) === col("w1"))
+      .withColumn("bits", (length(bin(expr("cnt1 div cnt2"))) - 1).cast("long"))
+      .groupBy(col("doc_id"), col("para_idx"))
+      .agg(count(lit(1)).as("nb"), sum(col("bits")).as("sb"))
+      .select(col("doc_id"), expr("sb * 1000L div nb").as("para_millibits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"), sum(col("para_millibits")).as("s"))
+      .select(col("doc_id"), col("n_paras"),
+        expr("s div n_paras").as("mean_millibits"))
+  }
+
+  /** Train the PARAGRAPH-granularity CCNet artifact offline — the
+    * paragraph-level twin of [[trainPersistCcnet]] (same layout: capped
+    * `big`, derived `ctx`, per-lang `thresholds`), with the LM counted
+    * over paragraph-internal transitions and the thresholds cut over
+    * per-doc paragraph-MEAN scores, so [[ccnetParagraphServe]] buckets
+    * new text exactly where the in-query `tx_ccnet_paragraphs` does. */
+  def trainPersistCcnetParagraphs(spark: SparkSession, dir: String,
+      lmDir: String, topK: Long = DefaultCcnetTopK): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val grams = paragraphGrams(paragraphsByWindow(docs, ParaWords))
+      .persist(level)
+    try {
+      val big = capTopK(
+        grams.groupBy(col("g")).agg(count(lit(1)).as("cnt2")), topK)
+        .persist(level)
+      try {
+        val ctx = big
+          .groupBy(element_at(split(col("g"), " "), 1).as("w1"))
+          .agg(sum(col("cnt2")).as("cnt1"))
+          .persist(level)
+        try {
+          big.write.mode("overwrite").parquet(s"$lmDir/big")
+          ctx.write.mode("overwrite").parquet(s"$lmDir/ctx")
+          val scored = ccnetParagraphScores(grams, big, ctx, broadcastLm = false)
+            .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+            .select(col("doc_id"), col("lang"), col("mean_millibits"))
+          ccnetThresholds(scored)
+            .write.mode("overwrite").parquet(s"$lmDir/thresholds")
+        } finally ctx.unpersist(true)
+      } finally big.unpersist(true)
+    } finally grams.unpersist(true)
+  }
+
+  /** Serve paragraph-granularity CCNet buckets for a (doc_id, lang,
+    * text) relation against a persisted paragraph artifact — stateless
+    * per row set (each doc arrives whole, its paragraphs split
+    * in-batch), so it runs unchanged per micro-batch. Same
+    * unknown-transition and short-paragraph semantics as the trainer. */
+  def ccnetParagraphServe(docs: DataFrame, big: DataFrame, ctx: DataFrame,
+      th: DataFrame, broadcastLm: Boolean = true): DataFrame = {
+    val grams = paragraphGrams(paragraphsByWindow(docs, ParaWords))
+    ccnetParagraphScores(grams, big, ctx, broadcastLm)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .join(broadcast(th), "lang")
+      .withColumn("bucket", ccnetBucketOf)
+      .select(col("doc_id"), col("lang"), col("n_paras"),
+        col("mean_millibits"), col("bucket"))
   }
 
   /** Gated query: paragraph-granularity CCNet buckets over the

@@ -507,6 +507,48 @@ object StreamingGates {
       .orderBy(col("doc_id"))
   }
 
+  /** Train-offline / serve-on-stream for the PARAGRAPH-granularity
+    * CCNet pipeline — the paragraph twin of [[streamCcnetScore]]:
+    * [[graft.operators.TextAnalysis.trainPersistCcnetParagraphs]]
+    * persists the paragraph-internal LM and the paragraph-MEAN
+    * thresholds once; the document stream is bucketed per batch by
+    * [[graft.operators.TextAnalysis.ccnetParagraphServe]] (each doc
+    * arrives whole, its paragraphs split in-batch, so per-batch scoring
+    * is exact). Gated against the SAME oracle as `tx_ccnet_paragraphs`,
+    * proving the persisted-artifact serving path lands where the
+    * self-contained batch query does — including through the default
+    * LM cap, which is transparent at gate vocabulary. */
+  def streamCcnetParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val lmDir = tmp("graft_sgate_ccnetp_lm_")
+    TextAnalysis.trainPersistCcnetParagraphs(spark, dir, lmDir)
+    val (big, ctx, th, broadcastLm) = TextAnalysis.openCcnetLm(spark, lmDir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val in = tmp("graft_sgate_ccnetp_in_")
+    val out = tmp("graft_sgate_ccnetp_out_")
+    val ckpt = tmp("graft_sgate_ccnetp_ckpt_")
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val src = spark.readStream
+      .schema(StructType.fromDDL("doc_id BIGINT, lang STRING, text STRING"))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextAnalysis.ccnetParagraphServe(batch, big, ctx, th, broadcastLm)
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, n_paras BIGINT, " +
+        "mean_millibits BIGINT, bucket STRING")
+      .parquet(out)
+      .orderBy(col("doc_id"))
+  }
+
   /** Replay the appended near-dup variants as a 3-batch document
     * stream through the CAUSAL streaming substring-dedup ingest
     * ([[StreamingPipeline.startSubstringDedupStore]]): the base

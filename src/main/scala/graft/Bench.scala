@@ -84,10 +84,18 @@ object Bench {
     if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
   }
 
-  /** Median carryover ratio above this marks the whole run
-    * environment-suspect in the record — adjudicate against the
-    * committed record before reading any per-query movement as real. */
+  /** Median carryover ratio beyond this (in EITHER direction — a
+    * committed record captured on a loaded machine makes every later
+    * run look uniformly FASTER, which hides real regressions inside the
+    * apparent speedup just as a loaded run hides speedups) marks the
+    * whole run environment-suspect in the record — adjudicate against
+    * the committed record before reading any per-query movement as
+    * real. */
   private[graft] val EnvironmentSuspectRatio = 1.2
+
+  private[graft] def environmentSuspect(medianRatio: Option[Double]): Boolean =
+    medianRatio.exists(r =>
+      r >= EnvironmentSuspectRatio || r <= 1.0 / EnvironmentSuspectRatio)
 
   /** Parse a BENCH_FULL.json record's per-query (min, med) map. The
     * format is self-written (see below), so a line regex suffices — no
@@ -223,7 +231,7 @@ object Bench {
     val loadAfter = loadavg
     val envTag = {
       val ratioStr = medianRatio.map(r => fmt(r)).getOrElse("null")
-      val suspect = medianRatio.exists(_ >= EnvironmentSuspectRatio)
+      val suspect = environmentSuspect(medianRatio)
       s""","carryover_median_ratio":$ratioStr,"environment_suspect":$suspect""" +
         s""","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadAfter)}"""
     }

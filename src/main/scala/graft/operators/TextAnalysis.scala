@@ -774,19 +774,24 @@ object TextAnalysis {
       .when(col("mean_millibits") <= col("t2"), lit("middle"))
       .otherwise(lit("tail"))
 
-  /** Default vocabulary bound for the persisted CCNet LM — bigram TYPES
-    * kept, counted after the cap's top-K selection. Far above any gate
-    * corpus's whole vocabulary (so the cap is TRANSPARENT there and the
-    * gate stays hash-exact against the uncapped oracle) while bounding
-    * the 100 TB artifact: ~4.2M bigram strings ≈ low hundreds of MB,
-    * a fixed-size artifact no matter how large the training corpus. */
-  val DefaultCcnetTopK: Long = 1L << 22
-
   /** LM row count above which [[ccnetServe]] stops hinting a broadcast
     * and lets AQE pick the join strategy — ~2M short strings is the
     * comfortable ceiling for an executor-resident build side; beyond
     * it a hard `broadcast()` hint OOMs executors with no fallback. */
   val CcnetBroadcastMaxRows: Long = 2L * 1000 * 1000
+
+  /** Default vocabulary bound for the persisted CCNet LM — bigram TYPES
+    * kept. Far above any gate corpus's whole vocabulary (so the cap is
+    * TRANSPARENT there and the gate stays hash-exact against the
+    * uncapped oracle) while bounding the 100 TB artifact — and set
+    * EQUAL to [[CcnetBroadcastMaxRows]] on purpose, so a
+    * default-trained artifact always qualifies for the broadcast-hash
+    * serve path. Raising the cap past the broadcast ceiling is
+    * supported (the serving joins fall back to AQE-decided strategies)
+    * but must go through a sized caller ([[openCcnetLm]] /
+    * [[ccnetServeFrom]]) rather than [[ccnetServe]]'s broadcast
+    * default. */
+  val DefaultCcnetTopK: Long = CcnetBroadcastMaxRows
 
   /** Exact top-K types of a `(g, cnt2)` count relation by
     * (cnt2 desc, hash-of-g, g) — the LM vocabulary cap, computed
@@ -854,18 +859,34 @@ object TextAnalysis {
                         lmDir: String,
                         topK: Long = DefaultCcnetTopK): Unit = {
     val docs = Tables.documents(spark, dir)
+    trainPersistLm(docs,
+      docs.select(col("doc_id"), explode(Portable.ngrams(col("text"), 2)).as("g")),
+      lmDir, topK)(bigramScoresFrom)
+  }
+
+  /** The shared trainer protocol behind [[trainPersistCcnet]] and
+    * [[trainPersistCcnetParagraphs]] — one gram pass total: cap the
+    * bigram counts ([[capTopK]]), derive ctx from the CAPPED bigrams
+    * (an LM-sized aggregate, cheaper than a second corpus pass;
+    * uncapped it equals the gram-side count exactly — Σ cnt2 over
+    * bigrams starting w1 IS that count, keeping Σ p(w₂|w₁) = 1 and
+    * bits ≥ 0), persist the artifact, then cut thresholds from scores
+    * computed against the EXACT relations just written (`score` is the
+    * granularity-specific chain returning (doc_id, …, mean_millibits)).
+    * Every cached intermediate is scoped to this call and unpersisted
+    * on the way out — trainers must not leak cache state into the
+    * caller's session ([[graft.Caches]] stays untouched; a global
+    * releaseAll here would free FOREIGN caches). */
+  private def trainPersistLm(docs: DataFrame, gramsRaw: DataFrame,
+      lmDir: String, topK: Long)(
+      score: (DataFrame, DataFrame, DataFrame) => DataFrame): Unit = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val grams = docs
-      .select(col("doc_id"), explode(Portable.ngrams(col("text"), 2)).as("g"))
-      .persist(level)
+    val grams = gramsRaw.persist(level)
     try {
       val big = capTopK(
         grams.groupBy(col("g")).agg(count(lit(1)).as("cnt2")), topK)
         .persist(level)
       try {
-        // ctx from the capped bigrams (an LM-sized aggregate, cheaper
-        // than a second corpus pass); uncapped it equals the gram-side
-        // count exactly — Σ cnt2 over bigrams starting w1 IS that count
         val ctx = big
           .groupBy(element_at(split(col("g"), " "), 1).as("w1"))
           .agg(sum(col("cnt2")).as("cnt1"))
@@ -873,7 +894,7 @@ object TextAnalysis {
         try {
           big.write.mode("overwrite").parquet(s"$lmDir/big")
           ctx.write.mode("overwrite").parquet(s"$lmDir/ctx")
-          val scored = bigramScoresFrom(grams, big, ctx)
+          val scored = score(grams, big, ctx)
             .join(docs.select(col("doc_id"), col("lang")), "doc_id")
             .select(col("doc_id"), col("lang"), col("mean_millibits"))
           ccnetThresholds(scored)
@@ -1080,29 +1101,9 @@ object TextAnalysis {
   def trainPersistCcnetParagraphs(spark: SparkSession, dir: String,
       lmDir: String, topK: Long = DefaultCcnetTopK): Unit = {
     val docs = Tables.documents(spark, dir)
-    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val grams = paragraphGrams(paragraphsByWindow(docs, ParaWords))
-      .persist(level)
-    try {
-      val big = capTopK(
-        grams.groupBy(col("g")).agg(count(lit(1)).as("cnt2")), topK)
-        .persist(level)
-      try {
-        val ctx = big
-          .groupBy(element_at(split(col("g"), " "), 1).as("w1"))
-          .agg(sum(col("cnt2")).as("cnt1"))
-          .persist(level)
-        try {
-          big.write.mode("overwrite").parquet(s"$lmDir/big")
-          ctx.write.mode("overwrite").parquet(s"$lmDir/ctx")
-          val scored = ccnetParagraphScores(grams, big, ctx, broadcastLm = false)
-            .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-            .select(col("doc_id"), col("lang"), col("mean_millibits"))
-          ccnetThresholds(scored)
-            .write.mode("overwrite").parquet(s"$lmDir/thresholds")
-        } finally ctx.unpersist(true)
-      } finally big.unpersist(true)
-    } finally grams.unpersist(true)
+    trainPersistLm(docs,
+      paragraphGrams(paragraphsByWindow(docs, ParaWords)), lmDir, topK)(
+      (g, b, c) => ccnetParagraphScores(g, b, c, broadcastLm = false))
   }
 
   /** Serve paragraph-granularity CCNet buckets for a (doc_id, lang,

@@ -122,17 +122,11 @@ object StoreFsck {
     def checkLease(label: String, dirStr: String): Unit = {
       val dir = new Path(dirStr)
       val lease = new Path(dir, MaintenanceLease.LeaseName)
+      // MaintenanceLease.readToken: the same guarded read acquire uses
+      // (released mid-audit reads as absent, never aborts)
       val token: Option[String] =
-        try {
-          if (!fs.exists(lease)) None
-          else {
-            val in = fs.open(lease)
-            try Some(new String(
-              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-            finally in.close()
-          }
-        } catch {
-          case _: java.io.FileNotFoundException => None // released mid-audit
+        try MaintenanceLease.readToken(fs, lease)
+        catch {
           case e: java.io.IOException =>
             report(Finding(label, "lease-unreadable", "warn",
               s"maintenance lease exists but cannot be read " +
@@ -159,15 +153,18 @@ object StoreFsck {
                 s"$expiry)"))
         }
       }
-      // inert sidelines from a break that crashed between rename and
-      // cleanup — harmless bytes, reclaimable
+      // inert sidelines from a break OR a release-claim that crashed
+      // between rename and cleanup — harmless bytes, reclaimable
       try fs.listStatus(dir).toSeq
-        .filter(s => s.isFile &&
-          s.getPath.getName.startsWith(s"${MaintenanceLease.LeaseName}.broken."))
+        .filter(s => s.isFile && {
+          val n = s.getPath.getName
+          n.startsWith(s"${MaintenanceLease.LeaseName}.broken.") ||
+            n.startsWith(s"${MaintenanceLease.LeaseName}.release.")
+        })
         .foreach { s =>
           repairable(Finding(label, "lease-break-residue", "info",
-            s"sidelined broken lease ${s.getPath.getName} — inert " +
-              "residue of an interrupted lease break")) {
+            s"sidelined lease ${s.getPath.getName} — inert residue of " +
+              "an interrupted lease break or release")) {
             fs.delete(s.getPath, false)
           }
         }

@@ -114,8 +114,9 @@ object MaintenanceLease {
 
   /** None = no lease file. The open itself is guarded: a lease released
     * between the exists and the open (a live store) must read as absent,
-    * not abort the caller. */
-  private def readToken(fs: FileSystem, p: Path): Option[String] =
+    * not abort the caller. Shared with [[StoreFsck]]'s audit so the
+    * read semantics cannot drift between acquire and audit. */
+  private[streaming] def readToken(fs: FileSystem, p: Path): Option[String] =
     try {
       if (!fs.exists(p)) None
       else {
@@ -168,13 +169,40 @@ object MaintenanceLease {
       catch { case t: Throwable => bodyFailed = t; throw t }
       finally {
         depths.remove(key)
-        val now = readToken(fs, p)
-        if (now.contains(token)) fs.delete(p, false)
-        else {
-          val lost = LeaseLostException(dir, now.getOrElse("<gone>"))
+        // release by RENAME-CLAIM, not read-then-delete: the read-verify
+        // form has the same race the break path had — between our read
+        // (seeing our token) and our delete, a competitor can break our
+        // now-expired lease and create its own, and the delete then
+        // destroys that LIVE lease silently. The rename claims whatever
+        // file is there atomically; only then is it inspected.
+        val sideline = new Path(p.getParent,
+          s"${p.getName}.release.${java.util.UUID.randomUUID()}")
+        val claimed = try fs.rename(p, sideline)
+                      catch { case _: java.io.FileNotFoundException => false }
+        val lost: Option[LeaseLostException] =
+          if (!claimed) Some(LeaseLostException(dir, "<gone>"))
+          else {
+            val tok = readToken(fs, sideline)
+            if (tok.contains(token)) { // ours — clean release
+              try fs.delete(sideline, false)
+              catch { case _: java.io.IOException => () }
+              None
+            } else {
+              // we claimed a FOREIGN lease (ours was TTL-broken and a
+              // new holder created theirs): restore it and report the
+              // loss loudly. If the restore rename fails, yet another
+              // acquirer re-created the path in the window — the
+              // sideline is then redundant junk and the foreign holder
+              // finds out at ITS release (loud there, not silent here).
+              try { if (!fs.rename(sideline, p)) fs.delete(sideline, false) }
+              catch { case _: java.io.IOException => () }
+              Some(LeaseLostException(dir, tok.getOrElse("<gone>")))
+            }
+          }
+        lost.foreach { l =>
           // don't mask the body's own failure — attach instead
-          if (bodyFailed != null) bodyFailed.addSuppressed(lost)
-          else throw lost
+          if (bodyFailed != null) bodyFailed.addSuppressed(l)
+          else throw l
         }
       }
     }
@@ -294,11 +322,20 @@ object MaintenanceLease {
     * to milliseconds. */
   def fenceCheck(spark: SparkSession, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val p = leasePath(fs, dir)
-    held.get().get(p.toString).foreach { case (_, token) =>
-      val now = readToken(fs, p)
-      if (!now.contains(token))
-        throw LeaseLostException(dir, now.getOrElse("<gone>"))
+    val qualified = fs.makeQualified(new Path(dir)).toString
+    // fence against every held lease GUARDING this dir — the exact dir
+    // AND ancestors: composed sweeps lease a store root and publish to
+    // nested paths (annRebandSweep holds storeRoot, publishes
+    // storeRoot/bands), and an exact-path lookup would silently no-op
+    // for exactly those publishes
+    held.get().foreach { case (leaseKey, (_, token)) =>
+      val guardedDir = leaseKey.stripSuffix("/" + LeaseName)
+      if (qualified == guardedDir || qualified.startsWith(guardedDir + "/")) {
+        val lp = new Path(leaseKey)
+        val now = readToken(fs, lp)
+        if (!now.contains(token))
+          throw LeaseLostException(guardedDir, now.getOrElse("<gone>"))
+      }
     }
   }
 }

@@ -1216,10 +1216,15 @@ object StreamingPipeline {
         Some(parked)
       }
     if (objectStore) {
+      // fence BEFORE the park: a lease-lost sweep must not perform ANY
+      // namespace mutation — parking the committed snapshot (possibly
+      // the usurping sweep's fresh one) would leave readers serving
+      // without the boundary until the next heal
+      MaintenanceLease.fenceCheck(spark, dir)
       val parked = park()
       contents.write.mode("overwrite").parquet(target.toString)
-      // fence: the marker create is the atomic publish event here — a
-      // stalled sweep whose lease was TTL-broken must not commit
+      // re-fence: the marker create is the atomic publish event here — a
+      // stalled sweep whose lease was TTL-broken mid-write must not commit
       MaintenanceLease.fenceCheck(spark, dir)
       val out = fs.create(new Path(target, CommitMarkerName), true)
       try out.write(Array.emptyByteArray) finally out.close()

@@ -77,7 +77,13 @@ class BenchSpec extends AnyFunSuite {
     // median: 3 of 26 at 5x leaves the median at 1.0 — not suspect
     val scattered = names.map(n =>
       n -> (if (Set("q_c", "q_k", "q_t")(n)) (5.0, 5.0) else (1.0, 1.0)))
-    assert(Bench.carryoverMedianRatio(prev, scattered).exists(_ < Bench.EnvironmentSuspectRatio))
+    assert(!Bench.environmentSuspect(Bench.carryoverMedianRatio(prev, scattered)))
+    // two-sided: a committed record captured on a LOADED machine makes a
+    // quiet run read uniformly faster — equally suspect
+    val uniformFast = names.map(n => n -> (0.7, 0.7))
+    assert(Bench.environmentSuspect(Bench.carryoverMedianRatio(prev, uniformFast)))
+    assert(Bench.environmentSuspect(Some(1.4)) && Bench.environmentSuspect(Some(0.7)))
+    assert(!Bench.environmentSuspect(Some(1.1)) && !Bench.environmentSuspect(None))
     // new queries are not carryover; zero-min prev rows are skipped
     assert(Bench.carryoverMedianRatio(Map.empty, uniform).isEmpty)
     assert(Bench.carryoverMedianRatio(Map("q" -> (0.0, 0.0)),

@@ -99,16 +99,16 @@ class LeaseSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/fam", MaintenanceLease.LeaseName)))
   }
 
-  test("a sweep that outlives its TTL and loses the lease fails loudly at release") {
+  test("a sweep that outlives its TTL and loses the lease fails loudly at release — and RESTORES the usurper's live lease") {
     val dir = freshStore()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(dir, MaintenanceLease.LeaseName)
     val lost = intercept[MaintenanceLease.LeaseLostException] {
       MaintenanceLease.withLease(spark, dir, ttlMs = 1L) {
         Thread.sleep(5)
         // a second writer breaks the now-expired lease and takes over
         MaintenanceLease.withLease(spark, s"$dir/elsewhere") {} // unrelated, proves nesting unaffected
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        val p = new org.apache.hadoop.fs.Path(dir, MaintenanceLease.LeaseName)
         fs.delete(p, false)
         val out = fs.create(p, true)
         try out.write("owner=usurper expiresAtMs=9999999999999".getBytes("UTF-8"))
@@ -116,6 +116,40 @@ class LeaseSpec extends SparkSpec {
       }
     }
     assert(lost.getMessage.contains("usurper"))
+    // release must NOT have destroyed the usurper's live lease (the old
+    // read-then-delete release had exactly that race): it is restored
+    val restored = new String(org.apache.commons.io.IOUtils.toByteArray(
+      fs.open(p)), "UTF-8")
+    assert(restored.contains("owner=usurper"),
+      s"usurper's live lease destroyed by the loser's release: '$restored'")
+    // and no sidelines left behind
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .forall(s => !s.getPath.getName.contains(".release.")))
+  }
+
+  test("fence guards descendants: a root-leased sweep's publish into a SUBDIR is refused after usurpation") {
+    val root = freshStore()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    val contents = Seq((1L, 10L)).toDF("doc_id", "h")
+    intercept[MaintenanceLease.LeaseLostException] {
+      MaintenanceLease.withLease(spark, root, ttlMs = 1L) {
+        Thread.sleep(5)
+        val p = new org.apache.hadoop.fs.Path(root, MaintenanceLease.LeaseName)
+        fs.delete(p, false)
+        val out = fs.create(p, true)
+        try out.write("owner=usurper expiresAtMs=9999999999999".getBytes("UTF-8"))
+        finally out.close()
+        // the annRebandSweep shape: lease at the store ROOT, snapshot
+        // published into a nested family dir — must still be fenced
+        val fenced = intercept[MaintenanceLease.LeaseLostException] {
+          StreamingPipeline.publishSnapshot(spark, s"$root/bands", contents, 0L)
+        }
+        assert(fenced.getMessage.contains("usurper"))
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/bands", "v=0")))
+      }
+    }
   }
 
   test("corrupt or empty lease bodies are retried then broken — acquire never crashes, never kills a live lease instantly") {
@@ -174,6 +208,32 @@ class LeaseSpec extends SparkSpec {
     // without a held lease, publish is un-fenced (initial seeds etc.)
     StreamingPipeline.publishSnapshot(spark, dir, contents, 0L)
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "v=0")))
+  }
+
+  test("fence on the object-store protocol: refused before the commit marker lands") {
+    val dir = freshStore()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    val contents = Seq((1L, 10L)).toDF("doc_id", "h")
+    intercept[MaintenanceLease.LeaseLostException] {
+      MaintenanceLease.withLease(spark, dir, ttlMs = 1L) {
+        Thread.sleep(5)
+        val p = new org.apache.hadoop.fs.Path(dir, MaintenanceLease.LeaseName)
+        fs.delete(p, false)
+        val out = fs.create(p, true)
+        try out.write("owner=usurper expiresAtMs=9999999999999".getBytes("UTF-8"))
+        finally out.close()
+        intercept[MaintenanceLease.LeaseLostException] {
+          StreamingPipeline.publishSnapshot(spark, dir, contents, 0L,
+            forceObjectStoreProtocol = true)
+        }
+        // the direct write landed bytes but the COMMIT MARKER did not —
+        // committedSnapshots must not serve the fenced partial
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+          s"v=0/${StreamingPipeline.CommitMarkerName}")))
+      }
+    }
   }
 
   test("8-way stress: N threads race one store; exactly one holds at a time, every sweep or refusal is accounted") {

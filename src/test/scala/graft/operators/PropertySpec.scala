@@ -282,6 +282,36 @@ class PropertySpec extends SparkSpec {
     assert(got.values.map(_._3).toSet.size > 1, "score must discriminate")
   }
 
+  test("∀ count relations: capTopK keeps exactly min(K, |vocab|) rows, never drops above-floor mass, ranks ties deterministically") {
+    val genCounts: Gen[List[Long]] =
+      Gen.listOfN(60, Gen.chooseNum(1L, 8L)) // heavy tie classes on purpose
+    (1L to 6L).foreach { seed =>
+      val counts = genCounts.pureApply(Gen.Parameters.default, Seed(seed))
+      val big = counts.zipWithIndex
+        .map { case (c, i) => (s"w$i x$i", c) }.toDF("g", "cnt2")
+      List(1L, 3L, counts.size / 2L, counts.size.toLong, counts.size + 50L)
+        .foreach { k =>
+          val out = TextAnalysis.capTopK(big, k)
+            .as[(String, Long)].collect().toSeq
+          assert(out.size == math.min(k, counts.size),
+            s"seed=$seed k=$k: kept ${out.size}")
+          // the kept multiset dominates: every dropped count <= every
+          // kept count (no above-floor row was dropped)
+          val keptMin = if (out.isEmpty) Long.MaxValue else out.map(_._2).min
+          val dropped = counts.size - out.size
+          val byCount = counts.sorted(Ordering[Long].reverse)
+          assert(out.map(_._2).sorted(Ordering[Long].reverse) ==
+            byCount.take(out.size),
+            s"seed=$seed k=$k: kept counts are not the top-$k multiset")
+          assert(dropped == 0 || byCount.drop(out.size).forall(_ <= keptMin))
+          // determinism across invocations
+          val again = TextAnalysis.capTopK(big, k)
+            .as[(String, Long)].collect().toSeq.toSet
+          assert(again == out.toSet, s"seed=$seed k=$k: tie break drifted")
+        }
+    }
+  }
+
   test("sketch estimates stay within advertised error of exact answers") {
     val approx = Sketches.skApproxStats(spark, sf("sf0.01"))
       .select($"l_returnflag", $"approx_orders", $"approx_parts").as[(String, Long, Long)]

@@ -157,7 +157,11 @@ object ScaleProbe {
     "tx_paragraph_dedup",
     // paragraph-artifact serving: one paragraph-LM train + 3-batch
     // replay — expected ~stream_ccnet_score
-    "stream_ccnet_paragraphs")
+    "stream_ccnet_paragraphs",
+    // incremental release: batch-sized cumsum + manifest-sized merge —
+    // expected ~tx_shard_manifest (the gate recomputes the base
+    // manifest in-query; production reads it as an artifact)
+    "tx_release_append")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -166,6 +166,9 @@ object SparkEntry {
     // the physical partitionBy(shard_id) export, re-read and re-digested
     // from the files — proves files ≡ manifest (the k1 pattern)
     "tx_release_roundtrip" -> (Pack.txShardReleaseRoundtrip _),
+    // incremental release: continue a sealed manifest from a batch-only
+    // scan; gated against the FULL-recompute oracle
+    "tx_release_append" -> (Pack.txReleaseAppend _),
     // deterministic global shuffle order: two-phase rank, no global
     // window; and the release composition (shuffle, then shard)
     "tx_global_shuffle" -> (Pack.txGlobalShuffle _),
@@ -463,6 +466,7 @@ object SparkEntry {
     "tx_pack_sequences" -> Pack.txPackSequencesSql,
     "tx_shard_manifest" -> Pack.txShardManifestSql,
     "tx_release_roundtrip" -> Pack.txShardManifestSql,
+    "tx_release_append" -> Pack.txShardManifestSql,
     "tx_global_shuffle" -> Pack.txGlobalShuffleSql,
     "tx_shuffled_shards" -> Pack.txShuffledShardsSql,
     "tx_chunk_overlap" -> TextAnalysis.txChunkOverlapSql,

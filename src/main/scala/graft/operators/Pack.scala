@@ -340,6 +340,81 @@ object Pack {
            BIT_XOR(h) AS digest
     FROM c GROUP BY shard_id ORDER BY shard_id"""
 
+  /** INCREMENTAL RELEASE APPEND — the workflow releases actually run at
+    * 100 TB: a curated corpus ships in waves, and re-sharding the whole
+    * corpus per wave is a full-corpus scan per append. This continues
+    * an EXISTING manifest instead: the batch's exclusive cumsum is
+    * offset by the base manifest's total token mass (one scalar off the
+    * manifest — the base DOCS are never read), the boundary shard fills
+    * up from where the base left it, and the merged manifest comes from
+    * a full-outer join on shard_id with additive counts and XOR'd
+    * digests (XOR's identity/associativity is exactly why the manifest
+    * digest is an XOR — incremental maintenance is closed under it).
+    *
+    * Contract: the batch continues the order key PAST the base (checked
+    * eagerly — appending out of order would interleave shards the base
+    * already sealed). The law the gate pins: append(base, batch) is
+    * byte-identical to the full recompute over base ∪ batch — the
+    * incremental path buys a batch-sized scan, not a different answer. */
+  def shardManifestAppend(baseManifest: DataFrame, batch: DataFrame,
+      textCol: String, orderCol: String, shardTokens: Long,
+      buckets: Int = CumsumBuckets): DataFrame = {
+    require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
+    val base = baseManifest.select(
+      col("shard_id"), col("n_docs").as("__bnd"), col("n_tokens").as("__bnt"),
+      col("first_doc").as("__bfd"), col("last_doc").as("__bld"),
+      col("digest").as("__bdg"))
+    val bounds = base.agg(max(col("__bld")), sum(col("__bnt"))).head()
+    val (baseLast, offset) =
+      if (bounds.isNullAt(0)) (Long.MinValue, 0L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val toks = batch.select(col(orderCol),
+      regexp_count(col(textCol), lit("[A-Za-z0-9]+")).cast("long").as("n_tokens"),
+      graft.functions.Portable.hash60(col(textCol)).as("__h"))
+    val batchMin = toks.agg(min(col(orderCol).cast("long"))).head()
+    if (!batchMin.isNullAt(0))
+      require(batchMin.getLong(0) > baseLast,
+        s"append batch starts at ${batchMin.getLong(0)} but the base " +
+          s"manifest already seals keys through $baseLast — appends must " +
+          "continue the order key past the base")
+    val bm = exclusiveCumsum(toks, orderCol, "n_tokens", buckets)
+      .withColumn("shard_id", expr(s"(cum_excl + ${offset}L) div ${shardTokens}L"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("__and"), sum(col("n_tokens")).as("__ant"),
+        min(col(orderCol)).as("__afd"), max(col(orderCol)).as("__ald"),
+        expr("bit_xor(__h)").as("__adg"))
+    base.join(bm, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        (coalesce(col("__bnd"), lit(0L)) + coalesce(col("__and"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("__bnt"), lit(0L)) + coalesce(col("__ant"), lit(0L)))
+          .as("n_tokens"),
+        // base ids precede batch ids by the append contract
+        coalesce(col("__bfd"), col("__afd")).as("first_doc"),
+        coalesce(col("__ald"), col("__bld")).as("last_doc"),
+        coalesce(col("__bdg"), lit(0L))
+          .bitwiseXOR(coalesce(col("__adg"), lit(0L))).as("digest"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** Split point for the gated append: documents below continue into
+    * documents at-or-above, proving the incremental path lands exactly
+    * on the full recompute. */
+  val AppendSplitId = 250L
+
+  /** Gated query: seal a base manifest over the first half of the
+    * corpus, append the second half MANIFEST-ONLY (the base docs are
+    * not rescanned by the append path), and gate the merged manifest
+    * against the full-recompute oracle — the same SQL as
+    * `tx_shard_manifest`. */
+  def txReleaseAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = shardManifest(
+      docs.filter(col("doc_id") < AppendSplitId), "text", "doc_id", ShardTokens)
+    shardManifestAppend(base,
+      docs.filter(col("doc_id") >= AppendSplitId), "text", "doc_id", ShardTokens)
+  }
+
   /** Gated query: the RELEASE composition — shards cut over the
     * [[globalShuffle]] order instead of doc_id order (shuffle, THEN
     * shard: each shard is a pseudo-random corpus slice, which is the

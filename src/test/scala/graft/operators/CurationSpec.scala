@@ -278,6 +278,42 @@ class CurationSpec extends SparkSpec {
       "files round-tripped to a different manifest than the relation")
   }
 
+  test("release append: boundary shard merges, batch-only scan lands on the full recompute, out-of-order refused") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val full = Pack.txShardManifest(spark, sf()).collect().toSeq
+    val inc = Pack.txReleaseAppend(spark, sf()).collect().toSeq
+    def rows(m: Seq[org.apache.spark.sql.Row]) =
+      m.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows(inc) == rows(full),
+      "incremental append diverged from the full recompute")
+    // the boundary shard genuinely merged: the base's last shard id
+    // appears in BOTH halves' contributions (otherwise the split was a
+    // clean boundary and the test proves less than it claims)
+    val base = Pack.shardManifest(docs.filter($"doc_id" < Pack.AppendSplitId),
+      "text", "doc_id", Pack.ShardTokens).collect()
+    val boundary = base.map(_.getLong(0)).max
+    val baseDocsInBoundary = base.find(_.getLong(0) == boundary).get.getLong(1)
+    val fullDocsInBoundary = full.find(_.getLong(0) == boundary).get.getLong(1)
+    assert(fullDocsInBoundary > baseDocsInBoundary,
+      "split landed on a shard boundary — move AppendSplitId to exercise the merge")
+    // an empty base continues from zero: append(empty, all) == full
+    val emptyBase = Pack.shardManifest(docs.filter($"doc_id" < 0),
+      "text", "doc_id", Pack.ShardTokens)
+    val fromEmpty = Pack.shardManifestAppend(emptyBase, docs,
+      "text", "doc_id", Pack.ShardTokens).collect().toSeq
+    assert(rows(fromEmpty) == rows(full))
+    // out-of-order append refuses loudly instead of interleaving
+    val boom = intercept[IllegalArgumentException] {
+      Pack.shardManifestAppend(
+        Pack.shardManifest(docs.filter($"doc_id" >= Pack.AppendSplitId),
+          "text", "doc_id", Pack.ShardTokens),
+        docs.filter($"doc_id" < Pack.AppendSplitId),
+        "text", "doc_id", Pack.ShardTokens)
+    }
+    assert(boom.getMessage.contains("continue the order key"))
+  }
+
   test("shuffled shards: contiguous position ranges, conserved mass, doc ids interleave") {
     val m = Pack.txShuffledShards(spark, sf()).collect()
     val docs = graft.sources.Tables.documents(spark, sf())

@@ -161,7 +161,23 @@ object ScaleProbe {
     // incremental release: batch-sized cumsum + manifest-sized merge —
     // expected ~tx_shard_manifest (the gate recomputes the base
     // manifest in-query; production reads it as an artifact)
-    "tx_release_append")
+    "tx_release_append",
+    // soft dedup: dd_cluster's pair/CC cost + one corpus-wide label
+    // attach — expected ~dd_cluster
+    "dd_soft_dedup",
+    // incremental soft dedup: history state + batch/cross banding +
+    // label-relation joins — the dd_cross_neardup law plus CC on the
+    // contracted (new-edge-sized) graph
+    "dd_soft_dedup_incremental",
+    // weighted budget mix: soft-dedup's law + a 5-row aggregate and a
+    // codegen'd keep filter — expected ~dd_soft_dedup
+    "tx_soft_budget_mix",
+    // banding auto-tuner: corpus-INDEPENDENT (5 configs × 1024 grid
+    // points, constant work) — the ratio itself is the assertion
+    "dd_lsh_tune",
+    // within-doc block dedup: two doc-keyed aggregates, ~tokens/w short
+    // shuffle rows — expected ~tx_paragraph_dedup (byte-linear)
+    "tx_intradoc_dedup")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -252,6 +252,17 @@ object SparkEntry {
     "dd_substring_incremental" -> (Dedup.ddSubstringIncremental _),
     "dd_substring_backfill" -> (Dedup.ddSubstringBackfill _),
     "dd_contamination" -> (Dedup.ddContamination _),
+    // SoftDeDup reweighting: duplicates keep 1/cluster-size sampling
+    // weight instead of being deleted; the incremental twin folds a new
+    // batch into persisted cluster state and gates against full recompute
+    "dd_soft_dedup" -> (Dedup.ddSoftDedup _),
+    "dd_soft_dedup_incremental" -> (Dedup.ddSoftDedupIncremental _),
+    // soft weights made actionable: budget mix on effective token mass
+    "tx_soft_budget_mix" -> (Dedup.txSoftBudgetMix _),
+    // the pre-flight banding tuner: S-curve FP/FN integrals per (b, r)
+    "dd_lsh_tune" -> (Dedup.ddLshTune _),
+    // within-doc repeated-block removal (RefinedWeb line-dedup analog)
+    "tx_intradoc_dedup" -> (TextAnalysis.txIntradocDedup _),
     // Profiling
     "prof_column_stats" -> (Profiling.profColumnStats _),
     "prof_skew_report" -> (Profiling.profSkewReport _),
@@ -516,6 +527,11 @@ object SparkEntry {
     "dd_curate_semantic" -> Dedup.ddCurateSemanticSql,
     "dd_cluster" -> Dedup.ddClusterSql,
     "dd_cluster_altstar" -> Dedup.ddClusterSql,
+    "dd_soft_dedup" -> Dedup.ddSoftDedupSql,
+    "dd_soft_dedup_incremental" -> Dedup.ddSoftDedupIncrementalSql,
+    "tx_soft_budget_mix" -> Dedup.txSoftBudgetMixSql,
+    "dd_lsh_tune" -> Dedup.ddLshTuneSql,
+    "tx_intradoc_dedup" -> TextAnalysis.txIntradocDedupSql,
     "dd_span_dedup" -> Dedup.ddSpanDedupSql,
     "dd_substring_dedup" -> Dedup.ddSubstringDedupSql,
     "dd_substring_verify" -> Dedup.ddSubstringDedupSql,

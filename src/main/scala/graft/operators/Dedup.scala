@@ -1772,4 +1772,350 @@ object Dedup {
              AS clean_text,
            CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
     FROM flags GROUP BY doc_id ORDER BY doc_id"""
+
+  // ------------------------------------------------------------ soft dedup
+
+  /** SOFT DEDUP — duplicate-aware REWEIGHTING instead of removal (the
+    * SoftDeDup recipe, He et al. 2024: down-weight common documents in
+    * the sampling distribution rather than deleting all but one; hard
+    * dedup is the degenerate weight {1, 0, 0, …}). Each doc's
+    * "commonness" is the size m of its near-dup component (connected
+    * components over the LSH-verified pair graph — the same clusters
+    * [[ddCluster]] labels); its sampling weight is 1/m in parts per
+    * million, so a cluster's total mass stays ~1 doc regardless of how
+    * many copies crawled in, while singletons keep weight 1. All-integer
+    * output (ppm), so the gate is hash-exact.
+    *
+    * Scale shape: pairs/labels/sizes are DUPLICATE-sized relations (docs
+    * that appear in some verified pair), not corpus-sized; the only
+    * corpus-wide step is one left equi-join attaching labels back, and
+    * the weight is a pure projection. Nothing here adds to the LSH
+    * pipeline's cost profile. */
+  def softDedupWeights(corpus: DataFrame): DataFrame = {
+    val pairs = minhashLshPairs(corpus)
+    val labels = Cluster.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
+    corpus.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("m"), lit(1L)).as("multiplicity"))
+      .withColumn("weight_ppm", expr("1000000L DIV multiplicity"))
+      .orderBy(col("doc_id"))
+  }
+
+  def ddSoftDedup(spark: SparkSession, dir: String): DataFrame =
+    softDedupWeights(augmented(spark, dir))
+
+  private val softDedupSelectSql: String = s"""
+    SELECT a.doc_id,
+           COALESCE(l.cluster_id, a.doc_id) AS cluster_id,
+           COALESCE(msize.m, 1) AS multiplicity,
+           1000000 // COALESCE(msize.m, 1) AS weight_ppm
+    FROM aug a
+    LEFT JOIN labels l ON l.doc_id = a.doc_id
+    LEFT JOIN msize ON msize.cluster_id = l.cluster_id"""
+
+  val ddSoftDedupSql: String = s"""
+    WITH RECURSIVE aug AS ($augmentedSql),
+    ${lshCtesSql("aug")},
+    ${Portable.closureLabelsSql("lsh_pairs", "doc_id")},
+    msize AS (SELECT cluster_id, COUNT(*) AS m FROM labels GROUP BY cluster_id)
+    $softDedupSelectSql
+    ORDER BY a.doc_id"""
+
+  /** INCREMENTAL soft dedup — the daily-ingest form: the history's
+    * cluster labels and sizes are PERSISTED STATE (recomputed here from
+    * the history corpus only because the gate is self-contained; in
+    * production they're read back from the last run), and one ingest
+    * folds a new batch in WITHOUT re-running history-internal pair
+    * discovery:
+    *
+    *   1. new edges = batch-internal LSH pairs ∪ cross pairs
+    *      ([[crossNearDupPairs]] — history is probed via its persisted
+    *      band relation, never re-paired against itself);
+    *   2. each new edge's history endpoint is CONTRACTED to its old
+    *      component label (a super-node — old labels are component MIN
+    *      ids, so min-label CC over the contracted graph lands on the
+    *      merged component's true min);
+    *   3. old components relabel through the merge map (untouched ones
+    *      keep their label — the common case at scale), and sizes merge
+    *      additively: old size flows to the new label, each newly
+    *      clustered doc adds 1.
+    *
+    * Gated against the SAME oracle as [[ddSoftDedup]], so the driver's
+    * hash compare proves incremental-fold ≡ full recompute (no pair
+    * lost at the history/batch seam, no size drift through the
+    * contraction). Per-ingest cost: batch bands ⋈ history band
+    * collisions + label-relation joins — never O(history²), never a
+    * history rescan. */
+  def softDedupIncremental(history: DataFrame, batch: DataFrame): DataFrame = {
+    val hist = graft.Caches.persist(history)
+    val bat = graft.Caches.persist(batch)
+    // persisted state from the last full run over history
+    val histLabels = graft.Caches.persist(
+      Cluster.connectedComponents(
+          minhashLshPairs(hist)
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("id").as("doc_id"), col("cluster_id")))
+    val histSizes = histLabels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("m"))
+    // this ingest's new edges: within-batch + across the seam
+    val newEdges = minhashLshPairs(bat).select(col("id_a"), col("id_b"))
+      .unionByName(
+        crossNearDupPairs(hist, bat).select(col("id_a"), col("id_b")))
+    // contract history endpoints to their component label
+    val la = histLabels
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("la"))
+    val lb = histLabels
+      .select(col("doc_id").as("id_b"), col("cluster_id").as("lb"))
+    val merged = graft.Caches.persist(
+      Cluster.connectedComponents(newEdges
+          .join(la, Seq("id_a"), "left")
+          .join(lb, Seq("id_b"), "left")
+          .select(coalesce(col("la"), col("id_a")).as("src"),
+            coalesce(col("lb"), col("id_b")).as("dst")))
+        .select(col("id").as("node"), col("cluster_id").as("nl")))
+    // old components flow through the merge map; untouched keep labels
+    val histFinal = histLabels
+      .join(merged.withColumnRenamed("node", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nl"), col("cluster_id")).as("cluster_id"))
+    // merged nodes that are docs (batch docs, history singletons), not
+    // super-nodes: every super-node id is an old label and old labels
+    // are themselves member doc_ids of histLabels, so the anti-join is
+    // exactly the doc/super-node split
+    val direct = merged
+      .select(col("node").as("doc_id"), col("nl").as("cluster_id"))
+      .join(histLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val labels = histFinal.unionByName(direct)
+    val sizes = histSizes
+      .join(merged.withColumnRenamed("node", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .select(coalesce(col("nl"), col("cluster_id")).as("cluster_id"), col("m"))
+      .unionByName(
+        direct.groupBy(col("cluster_id")).agg(count(lit(1)).as("m")))
+      .groupBy(col("cluster_id")).agg(sum(col("m")).as("m"))
+    hist.select(col("doc_id")).unionByName(bat.select(col("doc_id")))
+      .join(labels, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("m"), lit(1L)).as("multiplicity"))
+      .withColumn("weight_ppm", expr("1000000L DIV multiplicity"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: the augmented corpus split at the planted-variant
+    * boundary (base docs are history, variants the new batch — the
+    * [[ddCrossNearDup]] convention), folded incrementally. Same oracle
+    * as [[ddSoftDedup]]. */
+  def ddSoftDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val aug = graft.Caches.persist(augmented(spark, dir))
+    softDedupIncremental(
+      aug.filter(col("doc_id") < 10000),
+      aug.filter(col("doc_id") >= 10000))
+  }
+
+  val ddSoftDedupIncrementalSql: String = ddSoftDedupSql
+
+  /** Soft-dedup-weighted token-budget mix — the composition that makes
+    * the weights ACTIONABLE: [[graft.operators.TextAnalysis.txTokenBudgetMix]]'s
+    * budget allocator run on EFFECTIVE token mass (Σ n_words·weight —
+    * a cluster of m near-dups contributes ~one doc's tokens to its
+    * stratum, so over-crawled strata stop inflating their own budget),
+    * and each doc's keep probability is its stratum rate FURTHER
+    * thinned by its weight: keep iff hash-bucket(10⁹) < rate_pm ·
+    * weight_ppm. Expected kept effective tokens per stratum = share ×
+    * budget, exactly the hard mix's invariant, but duplicates are
+    * down-sampled smoothly instead of deleted. All-integer arithmetic
+    * (ppm × permille over 10⁹ buckets), deterministic hash sampling.
+    *
+    * Scale shape: the weights join is the soft-dedup label join, the
+    * per-stratum aggregate is 5 rows, rates broadcast back, and the
+    * keep decision is a codegen'd filter — no corpus shuffle beyond
+    * soft-dedup's own. */
+  def softBudgetMix(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val lens = docs.select(col("doc_id"), col("lang"),
+      size(Portable.words(col("text"))).cast("long").as("n_words"))
+    // persisted: the stratum aggregate AND the final keep-filter both
+    // consume it, and lw embeds the corpus ⋈ labels join — recomputing
+    // that per consumer is the one plan shape that would not survive
+    // 100 TB (four narrow columns per row cache cheaply)
+    val lw = graft.Caches.persist(
+      lens.join(weights.select(col("doc_id"), col("weight_ppm")),
+        Seq("doc_id")))
+    val counts = lw.groupBy(col("lang"))
+      .agg(sum(col("n_words") * col("weight_ppm")).as("toks_eff"))
+    val rates = counts
+      .withColumn("total", sum(col("toks_eff"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(Portable.onePartition(col("toks_eff")))))
+      .withColumn("alloc", expr("(total DIV 4) * "
+        + "CASE " + TextAnalysis.BUDGET_SHARES.map { case (l, pm) =>
+            s"WHEN lang = '$l' THEN ${pm}L" }.mkString(" ") + " END DIV 1000"))
+      .withColumn("rate_pm", least(lit(1000L), expr("alloc * 1000 DIV toks_eff")))
+      .select(col("lang"), col("rate_pm"))
+    val bucket = pmod(
+      Portable.hash60(concat(lit("softmix:"), col("doc_id").cast("string"))),
+      lit(1000000000L))
+    lw.join(broadcast(rates), Seq("lang"))
+      .filter(bucket < col("rate_pm") * col("weight_ppm"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: weights from the augmented clustering restricted to
+    * the real corpus (variants exist only to plant duplicate mass), mix
+    * over the documents table. */
+  def txSoftBudgetMix(spark: SparkSession, dir: String): DataFrame =
+    softBudgetMix(Tables.documents(spark, dir),
+      ddSoftDedup(spark, dir).filter(col("doc_id") < 10000))
+
+  val txSoftBudgetMixSql: String = {
+    val vals = TextAnalysis.BUDGET_SHARES
+      .map { case (l, pm) => s"('$l', $pm)" }.mkString(", ")
+    s"""
+    WITH RECURSIVE aug AS ($augmentedSql),
+    ${lshCtesSql("aug")},
+    ${Portable.closureLabelsSql("lsh_pairs", "doc_id")},
+    msize AS (SELECT cluster_id, COUNT(*) AS m FROM labels GROUP BY cluster_id),
+    soft AS (
+      SELECT * FROM ($softDedupSelectSql) AS sd WHERE doc_id < 10000),
+    lens AS (
+      SELECT doc_id, lang,
+             CAST(len(${Portable.wordsSql("text")}) AS BIGINT) AS n_words
+      FROM documents),
+    lw AS (
+      SELECT lens.doc_id, lens.lang, lens.n_words, soft.weight_ppm
+      FROM lens JOIN soft USING (doc_id)),
+    c AS (SELECT lang, CAST(SUM(n_words * weight_ppm) AS BIGINT) AS toks_eff
+          FROM lw GROUP BY lang),
+    t AS (SELECT CAST(SUM(toks_eff) AS BIGINT) AS total FROM c),
+    wsh AS (SELECT * FROM (VALUES $vals) AS v(lang, pm)),
+    r AS (SELECT c.lang,
+                 LEAST(1000, (((t.total // 4) * wsh.pm // 1000) * 1000) // c.toks_eff)
+                   AS rate_pm
+          FROM c JOIN wsh USING (lang) CROSS JOIN t)
+    SELECT lw.doc_id, lw.lang, lw.n_words, lw.weight_ppm
+    FROM lw JOIN r USING (lang)
+    WHERE ((${Portable.hash60Sql("('softmix:' || CAST(doc_id AS VARCHAR))")} % 1000000000)
+           + 1000000000) % 1000000000 < r.rate_pm * lw.weight_ppm
+    ORDER BY lw.doc_id"""
+  }
+
+  // ----------------------------------------------------------- LSH tuning
+
+  /** Candidate bandings of the K=16 signature (every divisor split
+    * b·r = K), the integration grid, the Jaccard target expressed on
+    * the grid (512/1024 = the pipeline's 0.5 verify threshold), and the
+    * per-sample quantization (2²⁰ — a power of two, so quantizing is
+    * EXACT exponent arithmetic, see [[lshTune]]). */
+  val TuneConfigs: Seq[(Int, Int)] = Seq(1 -> 16, 2 -> 8, 4 -> 4, 8 -> 2, 16 -> 1)
+  val TuneGrid = 1024
+  val TuneThresholdK = 512
+  val TuneQ = 1048576L
+
+  /** LSH BANDING AUTO-TUNER — the pre-flight computation a 100 TB LSH
+    * job runs before committing to a banding: for each (bands b, rows
+    * r) with b·r = K, integrate the S-curve P(s) = 1 − (1 − sʳ)ᵇ
+    * (probability a pair at Jaccard s becomes a candidate) against the
+    * verify threshold τ — false-positive mass ∫₀^τ P(s) ds (candidates
+    * the verify join must reject: wasted shuffle) and false-negative
+    * mass ∫_τ¹ (1 − P(s)) ds (true pairs banding never surfaces:
+    * recall loss) — and flag the banding minimizing their sum. The
+    * datasketch library ships this computation as `_optimal_param`;
+    * here it is a relational query, gated like any operator.
+    *
+    * Hash-exactness without a numeric-determinism leap of faith: the
+    * grid is midpoints s = (2k+1)/2048 (dyadic — exact doubles), every
+    * power is an EXPLICIT repeated-squaring multiply chain (s², s⁴, s⁸,
+    * s¹⁶ — each step one correctly-rounded IEEE multiply, identical in
+    * any engine; no libm pow, whose rounding is implementation-
+    * defined), quantization multiplies by 2²⁰ (exact — pure exponent
+    * shift) and floors after adding 0.5 (exact at this magnitude), and
+    * the integral is a BIGINT sum of the quantized samples — order-
+    * independent, unlike a double sum. */
+  def lshTune(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cfg = TuneConfigs.toDF("b", "r")
+    val grid = spark.range(TuneGrid.toLong).select(col("id").as("k"))
+    cfg.crossJoin(grid)
+      .withColumn("s",
+        (col("k") * 2 + 1).cast("double") / lit((2 * TuneGrid).toDouble))
+      .withColumn("s2", col("s") * col("s"))
+      .withColumn("s4", col("s2") * col("s2"))
+      .withColumn("s8", col("s4") * col("s4"))
+      .withColumn("s16", col("s8") * col("s8"))
+      .withColumn("sr",
+        when(col("r") === 1, col("s")).when(col("r") === 2, col("s2"))
+          .when(col("r") === 4, col("s4")).when(col("r") === 8, col("s8"))
+          .otherwise(col("s16")))
+      .withColumn("u", lit(1.0) - col("sr"))
+      .withColumn("u2", col("u") * col("u"))
+      .withColumn("u4", col("u2") * col("u2"))
+      .withColumn("u8", col("u4") * col("u4"))
+      .withColumn("u16", col("u8") * col("u8"))
+      .withColumn("p", lit(1.0) -
+        (when(col("b") === 1, col("u")).when(col("b") === 2, col("u2"))
+          .when(col("b") === 4, col("u4")).when(col("b") === 8, col("u8"))
+          .otherwise(col("u16"))))
+      .withColumn("qp", floor(col("p") * lit(TuneQ.toDouble) + lit(0.5)))
+      .withColumn("qn",
+        floor((lit(1.0) - col("p")) * lit(TuneQ.toDouble) + lit(0.5)))
+      .groupBy(col("b"), col("r"))
+      .agg(
+        sum(when(col("k") < TuneThresholdK, col("qp")).otherwise(0L)).as("fp_q"),
+        sum(when(col("k") >= TuneThresholdK, col("qn")).otherwise(0L)).as("fn_q"))
+      .withColumn("cost_q", col("fp_q") + col("fn_q"))
+      .withColumn("chosen", col("cost_q") ===
+        min(col("cost_q")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(Portable.onePartition(col("cost_q")))))
+      .select(col("b"), col("r"), col("fp_q"), col("fn_q"),
+        col("cost_q"), col("chosen"))
+      .orderBy(col("b"))
+  }
+
+  def ddLshTune(spark: SparkSession, dir: String): DataFrame = lshTune(spark)
+
+  val ddLshTuneSql: String = {
+    val vals = TuneConfigs.map { case (b, r) => s"($b, $r)" }.mkString(", ")
+    s"""
+    WITH cfg AS (SELECT * FROM (VALUES $vals) AS v(b, r)),
+    g AS (SELECT unnest(range(0, $TuneGrid)) AS k),
+    pt AS (SELECT b, r, k,
+                  CAST(2 * k + 1 AS DOUBLE) / ${2 * TuneGrid}.0 AS s
+           FROM cfg CROSS JOIN g),
+    e1 AS (SELECT *, s * s AS s2 FROM pt),
+    e2 AS (SELECT *, s2 * s2 AS s4 FROM e1),
+    e3 AS (SELECT *, s4 * s4 AS s8 FROM e2),
+    e4 AS (SELECT *, s8 * s8 AS s16 FROM e3),
+    e5 AS (SELECT *, CASE r WHEN 1 THEN s WHEN 2 THEN s2 WHEN 4 THEN s4
+                            WHEN 8 THEN s8 ELSE s16 END AS sr FROM e4),
+    e6 AS (SELECT *, 1.0 - sr AS u FROM e5),
+    e7 AS (SELECT *, u * u AS u2 FROM e6),
+    e8 AS (SELECT *, u2 * u2 AS u4 FROM e7),
+    e9 AS (SELECT *, u4 * u4 AS u8 FROM e8),
+    e10 AS (SELECT *, u8 * u8 AS u16 FROM e9),
+    e11 AS (SELECT *, 1.0 - (CASE b WHEN 1 THEN u WHEN 2 THEN u2 WHEN 4 THEN u4
+                                    WHEN 8 THEN u8 ELSE u16 END) AS p FROM e10),
+    q AS (SELECT b, r, k,
+                 CAST(floor(p * $TuneQ.0 + 0.5) AS BIGINT) AS qp,
+                 CAST(floor((1.0 - p) * $TuneQ.0 + 0.5) AS BIGINT) AS qn
+          FROM e11),
+    agg AS (SELECT b, r,
+                   CAST(SUM(CASE WHEN k < $TuneThresholdK THEN qp ELSE 0 END)
+                     AS BIGINT) AS fp_q,
+                   CAST(SUM(CASE WHEN k >= $TuneThresholdK THEN qn ELSE 0 END)
+                     AS BIGINT) AS fn_q
+            FROM q GROUP BY b, r),
+    costed AS (SELECT *, fp_q + fn_q AS cost_q FROM agg)
+    SELECT b, r, fp_q, fn_q, cost_q,
+           cost_q = (SELECT MIN(cost_q) FROM costed) AS chosen
+    FROM costed ORDER BY b"""
+  }
 }

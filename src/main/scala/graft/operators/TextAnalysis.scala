@@ -1207,6 +1207,77 @@ object TextAnalysis {
     GROUP BY r.doc_id, t.n_paras
     ORDER BY r.doc_id"""
 
+  /** Block width for the gated intra-doc dedup — 2 words: the ~30-word
+    * synthetic vocabulary makes within-doc 2-word-block repeats common
+    * enough to exercise every branch (3-word blocks almost never repeat
+    * inside one ~100-word doc); real text runs this on lines or
+    * sentences — the knob, not the algorithm, is corpus-dependent. */
+  val IntraW = 2
+
+  /** INTRA-DOCUMENT dedup — repeated-content removal WITHIN each doc
+    * (the RefinedWeb/MDR line-dedup step at the document scope, distinct
+    * from every cross-corpus form: [[paragraphDedup]] keeps first
+    * occurrence ACROSS docs, [[graft.operators.Dedup.spanDedup]] drops
+    * corpus-repeated blocks; here a block repeated only inside its own
+    * doc — navigation chrome, chorus lines, scraper stutter — keeps its
+    * first occurrence and later copies are dropped, while the same
+    * block in two different docs is untouched). Cut each doc into
+    * non-overlapping w-word blocks, keep min position per distinct
+    * (doc, block), reassemble in order.
+    *
+    * Scale shape: both aggregates are keyed BY doc (doc_id, blk) /
+    * (doc_id) — partial aggregation collapses repeats map-side, the
+    * shuffle carries ~tokens/w short rows partitioned by doc, and no
+    * corpus-wide state exists at all, so the operator scales embarrass-
+    * ingly: 100 TB is just more doc-partitions. The per-doc collect_list
+    * is bounded by the doc's own block count. */
+  def intradocDedup(docs: DataFrame, w: Int): DataFrame = {
+    val ws = col("ws")
+    val nblocks = ceil(size(ws).cast("double") / w).cast("int")
+    val blocks = docs.filter(col("text").isNotNull)
+      .withColumn("ws", Portable.words(col("text")))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nblocks - 1),
+          i => struct(i.as("pos"),
+            array_join(slice(ws, i * w + 1, lit(w)), " ").as("blk")))).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"), col("b.blk").as("blk"))
+    blocks.groupBy(col("doc_id"), col("blk"))
+      .agg(min(col("pos")).as("pos"), count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_blocks"),
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("blk")))),
+            s => s.getField("blk")),
+          " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def txIntradocDedup(spark: SparkSession, dir: String): DataFrame =
+    intradocDedup(Tables.documents(spark, dir), IntraW)
+
+  val txIntradocDedupSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, ${Portable.wordsSql("text")} AS ws
+      FROM documents WHERE text IS NOT NULL),
+    bs AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(1, greatest(len(ws), 1), $IntraW))
+               AS bstart
+      FROM d),
+    blocks AS (
+      SELECT doc_id,
+             CAST((bstart - 1) // $IntraW AS BIGINT) AS pos,
+             array_to_string(ws[bstart : bstart + ${IntraW - 1}], ' ') AS blk
+      FROM bs),
+    kept AS (
+      SELECT doc_id, blk, MIN(pos) AS pos, COUNT(*) AS cnt
+      FROM blocks GROUP BY doc_id, blk)
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_blocks,
+           COUNT(*) AS n_kept,
+           string_agg(blk, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id ORDER BY doc_id"""
+
   /** Sampled-middle permille for the gated CCNet selection — CCNet's
     * published policy keeps `head` whole, SAMPLES `middle`, drops
     * `tail`; 500 = half the middle, decided by a deterministic

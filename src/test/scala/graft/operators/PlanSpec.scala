@@ -20,7 +20,11 @@ class PlanSpec extends SparkSpec {
     "dd_embed_decontaminate",
     // the recall monitor's EXACT arm is simBruteForceTopK's sanctioned
     // broadcast-query non-equi join over a fixed query sample
-    "sim_recall_report")
+    "sim_recall_report",
+    // the banding tuner is CORPUS-INDEPENDENT: 5 literal configs
+    // broadcast-crossed with a constant 1024-point grid — O(1) work
+    // regardless of data scale, the one cross join that cannot grow
+    "dd_lsh_tune")
 
   test("no gated query plans a CartesianProduct, and BNLJ only where sanctioned") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SoftDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("soft dedup: cluster mass conserves — sum of weights over a cluster ~ 1 doc") {
+    val w = Dedup.ddSoftDedup(spark, sf()).collect()
+    graft.Caches.releaseAll()
+    assert(w.nonEmpty)
+    // every doc appears exactly once
+    assert(w.map(_.getLong(0)).distinct.length == w.length)
+    w.foreach { r =>
+      val m = r.getLong(2); val ppm = r.getLong(3)
+      assert(m >= 1 && ppm == 1000000L / m, s"weight must be 1/m in ppm: $r")
+    }
+    // per-cluster: m members each carrying 1e6/m ppm => cluster mass
+    // within m of 1e6 (integer floor), and singletons carry exactly 1e6
+    w.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val m = rows.head.getLong(2)
+      assert(rows.length == m, s"multiplicity must equal member count")
+      val mass = rows.map(_.getLong(3)).sum
+      assert(mass <= 1000000L && mass > 1000000L - m)
+    }
+    val planted = w.filter(_.getLong(2) > 1)
+    assert(planted.nonEmpty, "augmented corpus must contain clusters")
+  }
+
+  test("incremental fold is bit-equal to the full recompute") {
+    val want = Dedup.ddSoftDedup(spark, sf()).collect().toSeq
+    graft.Caches.releaseAll()
+    val got = Dedup.ddSoftDedupIncremental(spark, sf()).collect().toSeq
+    graft.Caches.releaseAll()
+    assert(got == want)
+  }
+
+  test("incremental fold with an empty batch reproduces history state") {
+    val aug = Dedup.augmented(spark, sf())
+    val want = Dedup.softDedupWeights(aug.filter($"doc_id" < 10000))
+      .collect().toSeq
+    graft.Caches.releaseAll()
+    val got = Dedup.softDedupIncremental(
+      aug.filter($"doc_id" < 10000), aug.filter(lit(false)))
+      .collect().toSeq
+    graft.Caches.releaseAll()
+    assert(got == want)
+  }
+
+  test("soft budget mix keeps per-stratum effective tokens near share x budget") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val weights = Dedup.ddSoftDedup(spark, sf()).filter($"doc_id" < 10000)
+    val kept = Dedup.softBudgetMix(docs, weights).collect()
+    assert(kept.nonEmpty)
+    // every kept doc must be a real doc with its soft weight attached
+    kept.foreach { r => assert(r.getLong(3) >= 1 && r.getLong(3) <= 1000000L) }
+    // total effective kept mass must be far below the corpus (budget = 1/4)
+    val keptEff = kept.map(r => r.getLong(2) * r.getLong(3)).sum
+    val totalEff = docs
+      .join(weights.select($"doc_id", $"weight_ppm"), Seq("doc_id"))
+      .select(sum(size(split($"text", " ")).cast("long") * $"weight_ppm"))
+      .as[Long].head()
+    graft.Caches.releaseAll()
+    assert(keptEff < totalEff / 2, s"kept=$keptEff total=$totalEff")
+  }
+
+  test("lsh tuner: integrals are sane and the pipeline banding is the argmin") {
+    val rows = Dedup.lshTune(spark).collect()
+    assert(rows.length == Dedup.TuneConfigs.length)
+    val full = Dedup.TuneGrid.toLong * Dedup.TuneQ
+    rows.foreach { r =>
+      assert(r.getInt(0) * r.getInt(1) == 16)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= full / 2)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= full / 2)
+    }
+    val chosen = rows.filter(_.getBoolean(5))
+    assert(chosen.nonEmpty)
+    assert(chosen.map(_.getLong(4)).distinct.length == 1)
+    assert(chosen.forall(c => rows.forall(_.getLong(4) >= c.getLong(4))))
+    // monotone extremes: 16 bands of 1 row candidates nearly everything
+    // (max FP, min FN); 1 band of 16 rows the reverse
+    val byB = rows.map(r => r.getInt(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byB(16)._1 > byB(1)._1 && byB(16)._2 < byB(1)._2)
+  }
+
+  test("intradoc dedup: within-doc repeats drop, cross-doc repeats survive") {
+    val docs = Seq(
+      (1L, "a b a b c d"),   // block "a b" repeats inside the doc
+      (2L, "a b x y"),       // shares "a b" with doc 1 — must survive
+      (3L, "q r s")          // odd tail block "s"
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.intradocDedup(docs, 2).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 3 && byId(1L).getLong(2) == 2)
+    assert(byId(1L).getString(3) == "a b c d")
+    assert(byId(2L).getString(3) == "a b x y")
+    assert(byId(3L).getString(3) == "q r s")
+    // idempotence: deduping the cleaned text changes nothing
+    val again = TextAnalysis.intradocDedup(
+      out.map(r => (r.getLong(0), r.getString(3))).toSeq.toDF("doc_id", "text"), 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    out.foreach(r => assert(again(r.getLong(0)) == r.getString(3)))
+  }
+
+  test("intradoc dedup on the corpus: kept never exceeds blocks, text stays ordered") {
+    val out = TextAnalysis.txIntradocDedup(spark, sf()).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getString(3).nonEmpty)
+    }
+    assert(out.exists(r => r.getLong(2) < r.getLong(1)),
+      "the 2-word blocks must actually collide within some doc")
+  }
+}

@@ -177,7 +177,11 @@ object ScaleProbe {
     "dd_lsh_tune",
     // within-doc block dedup: two doc-keyed aggregates, ~tokens/w short
     // shuffle rows — expected ~tx_paragraph_dedup (byte-linear)
-    "tx_intradoc_dedup")
+    "tx_intradoc_dedup",
+    // streaming cluster-state folds: stream_neardup's replay + three
+    // new-edge-sized CC folds + cluster-state-sized parquet rewrites —
+    // expected ~stream_neardup plus fold fixed cost
+    "stream_soft_dedup")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -82,6 +82,9 @@ object SparkEntry {
     // ≡ never-ingested, bit-exact against the filtered flat recompute
     "stream_agg_retract" -> (graft.streaming.StreamingGates.streamAggRetract _),
     "stream_neardup" -> (graft.streaming.StreamingGates.streamNearDup _),
+    // soft-dedup cluster state maintained across micro-batch folds,
+    // state round-tripping through parquet — gated vs full recompute
+    "stream_soft_dedup" -> (graft.streaming.StreamingGates.streamSoftDedup _),
     // near-dup pipeline erasure: shingle store folds out the erased
     // docs' rows, output partitions + backlog drop pairs naming them —
     // ≡ the batch LSH chain on the survivors
@@ -431,6 +434,7 @@ object SparkEntry {
     "stream_agg_store" -> Incremental.aggIncrementalOrdersSql,
     "stream_agg_retract" -> graft.streaming.StreamingGates.streamAggRetractSql,
     "stream_neardup" -> Dedup.ddMinhashLshSql,
+    "stream_soft_dedup" -> Dedup.ddSoftDedupSql,
     "stream_neardup_ttl" ->
       graft.streaming.StreamingGates.streamNearDupTtlSql,
     "stream_neardup_delete" ->

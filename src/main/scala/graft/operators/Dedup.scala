@@ -1867,11 +1867,30 @@ object Dedup {
     val newEdges = minhashLshPairs(bat).select(col("id_a"), col("id_b"))
       .unionByName(
         crossNearDupPairs(hist, bat).select(col("id_a"), col("id_b")))
-    // contract history endpoints to their component label
-    val la = histLabels
-      .select(col("doc_id").as("id_a"), col("cluster_id").as("la"))
-    val lb = histLabels
-      .select(col("doc_id").as("id_b"), col("cluster_id").as("lb"))
+    val (labels, sizes) = foldSoftLabels(histLabels, histSizes, newEdges)
+    softWeightsOf(
+      hist.select(col("doc_id")).unionByName(bat.select(col("doc_id"))),
+      labels, sizes)
+  }
+
+  /** ONE FOLD of the soft-dedup cluster state: merge a set of NEW
+    * verified pairs into (labels, sizes) — labels (doc_id, cluster_id)
+    * one row per clustered doc, sizes (cluster_id, m). Invariant in and
+    * out: every cluster_id is its component's min member doc_id (and
+    * therefore itself a labels row), which is what makes contraction
+    * sound — each labeled endpoint collapses to its component label (a
+    * super-node), min-label CC over the contracted graph lands on the
+    * merged component's true min, untouched components keep their label
+    * through the left-join coalesce, and sizes merge additively (old
+    * size flows to the new label; each newly clustered doc adds 1).
+    * Edges between members of one existing component contract to
+    * self-loops and no-op; re-delivered pairs are therefore harmless.
+    * Cost: CC on the contracted graph (new-edge-sized) plus
+    * label-relation joins — never corpus- or history-sized. */
+  def foldSoftLabels(labels: DataFrame, sizes: DataFrame,
+      newEdges: DataFrame): (DataFrame, DataFrame) = {
+    val la = labels.select(col("doc_id").as("id_a"), col("cluster_id").as("la"))
+    val lb = labels.select(col("doc_id").as("id_b"), col("cluster_id").as("lb"))
     val merged = graft.Caches.persist(
       Cluster.connectedComponents(newEdges
           .join(la, Seq("id_a"), "left")
@@ -1880,27 +1899,33 @@ object Dedup {
             coalesce(col("lb"), col("id_b")).as("dst")))
         .select(col("id").as("node"), col("cluster_id").as("nl")))
     // old components flow through the merge map; untouched keep labels
-    val histFinal = histLabels
+    val relabeled = labels
       .join(merged.withColumnRenamed("node", "cluster_id"),
         Seq("cluster_id"), "left")
       .select(col("doc_id"),
         coalesce(col("nl"), col("cluster_id")).as("cluster_id"))
-    // merged nodes that are docs (batch docs, history singletons), not
-    // super-nodes: every super-node id is an old label and old labels
-    // are themselves member doc_ids of histLabels, so the anti-join is
-    // exactly the doc/super-node split
+    // merged nodes that are docs (new docs, old singletons), not
+    // super-nodes: every super-node id is an existing label and labels
+    // are themselves member doc_ids, so the anti-join is exactly the
+    // doc/super-node split
     val direct = merged
       .select(col("node").as("doc_id"), col("nl").as("cluster_id"))
-      .join(histLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val labels = histFinal.unionByName(direct)
-    val sizes = histSizes
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val newSizes = sizes
       .join(merged.withColumnRenamed("node", "cluster_id"),
         Seq("cluster_id"), "left")
       .select(coalesce(col("nl"), col("cluster_id")).as("cluster_id"), col("m"))
       .unionByName(
         direct.groupBy(col("cluster_id")).agg(count(lit(1)).as("m")))
       .groupBy(col("cluster_id")).agg(sum(col("m")).as("m"))
-    hist.select(col("doc_id")).unionByName(bat.select(col("doc_id")))
+    (relabeled.unionByName(direct), newSizes)
+  }
+
+  /** Per-doc soft weights from a (labels, sizes) cluster state: docs in
+    * no cluster are singletons with weight 1. */
+  def softWeightsOf(corpusIds: DataFrame, labels: DataFrame,
+      sizes: DataFrame): DataFrame =
+    corpusIds
       .join(labels, Seq("doc_id"), "left")
       .join(sizes, Seq("cluster_id"), "left")
       .select(col("doc_id"),
@@ -1908,7 +1933,6 @@ object Dedup {
         coalesce(col("m"), lit(1L)).as("multiplicity"))
       .withColumn("weight_ppm", expr("1000000L DIV multiplicity"))
       .orderBy(col("doc_id"))
-  }
 
   /** Gated query: the augmented corpus split at the planted-variant
     * boundary (base docs are history, variants the new batch — the

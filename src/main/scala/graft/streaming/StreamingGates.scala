@@ -784,6 +784,91 @@ object StreamingGates {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SOFT-DEDUP CLUSTER STATE ON A STREAM — the serving twin of
+    * [[Dedup.ddSoftDedupIncremental]]: the corpus arrives in three
+    * micro-batched chunks, each chunk's VERIFIED near-dup pairs (the
+    * shingle-store + stateful-candidate + verify pipeline
+    * [[streamNearDup]] replays — pairs land batch-partitioned under
+    * `out/batch=N`) are folded into a PERSISTED (labels, sizes) cluster
+    * state via [[Dedup.foldSoftLabels]], and the state round-trips
+    * through parquet between folds (the production posture: a restart
+    * between ingests resumes from the stored relations, never from
+    * lineage). Store-then-verify is driven per chunk (checkpointed
+    * restarts), so every candidate's partner shingles are committed
+    * when its pair is emitted — nothing parks pending.
+    *
+    * Gated against the SAME full-recompute oracle as `dd_soft_dedup`:
+    * three successive stream folds ≡ one batch clustering, hash-proven.
+    * Per-fold cost is new-edge-sized CC + label-relation joins + a
+    * cluster-state-sized parquet rewrite — never a corpus rescan. */
+  def streamSoftDedup(spark: SparkSession, dir: String): DataFrame =
+    withFewShufflePartitions(spark) {
+    val corpus = Dedup.augmented(spark, dir)
+    val in = tmp("graft_sgate_sd_in_")
+    val store = tmp("graft_sgate_sd_store_")
+    val out = tmp("graft_sgate_sd_out_")
+    val ck1 = tmp("graft_sgate_sd_ck1_")
+    val ck2 = tmp("graft_sgate_sd_ck2_")
+    val state = tmp("graft_sgate_sd_state_")
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING, ts TIMESTAMP")
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    def emptyOf(ddl: String) = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType.fromDDL(ddl))
+    var seenBatches = Set.empty[String]
+    (0 until 3).foreach { i =>
+      corpus.filter(pmod(col("doc_id"), lit(3)) === i)
+        .select(col("doc_id"), col("text"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("append").parquet(in)
+      // store first, then candidates+verify — checkpointed restarts, so
+      // the stateful candidate operator resumes its band state
+      val storeQ = StreamingPipeline.startShingleStore(src, store, ck1)
+      try storeQ.processAllAvailable() finally storeQ.stop()
+      val verifyQ = StreamingPipeline.startNearDupVerify(
+        StreamingPipeline.streamingNearDupCandidatesAll(src), store, out, ck2)
+      try verifyQ.processAllAvailable() finally verifyQ.stop()
+      // THIS chunk's verified pairs: the batch=N dirs not yet folded
+      val dirs = Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSet
+      val fresh = (dirs -- seenBatches).toSeq.sorted
+      seenBatches = dirs
+      val newPairs =
+        if (fresh.isEmpty) emptyOf("id_a BIGINT, id_b BIGINT")
+        else spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
+          .parquet(fresh.map(d => s"$out/$d"): _*)
+          .select(col("id_a"), col("id_b"))
+      val labels =
+        if (i == 0) emptyOf("doc_id BIGINT, cluster_id BIGINT")
+        else spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
+          .parquet(s"$state/labels")
+      val sizes =
+        if (i == 0) emptyOf("cluster_id BIGINT, m BIGINT")
+        else spark.read.schema("cluster_id BIGINT, m BIGINT")
+          .parquet(s"$state/sizes")
+      val (labels2, sizes2) = Dedup.foldSoftLabels(labels, sizes, newPairs)
+      // state round-trips through parquet: checkpoint the fold output
+      // BEFORE overwriting the relations it still reads from
+      val l2 = labels2.localCheckpoint(true)
+      val s2 = sizes2.localCheckpoint(true)
+      l2.write.mode("overwrite").parquet(s"$state/labels")
+      s2.write.mode("overwrite").parquet(s"$state/sizes")
+      // free ONLY this fold's checkpoint blocks (the next fold reads
+      // the parquet state, not these RDDs); the fold's internal persist
+      // is tiny and harness-released — a global releaseAll here would
+      // unpersist foreign relations process-wide
+      graft.Caches.freeCheckpoint(l2)
+      graft.Caches.freeCheckpoint(s2)
+    }
+    Dedup.softWeightsOf(corpus.select(col("doc_id")),
+      spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
+        .parquet(s"$state/labels"),
+      spark.read.schema("cluster_id BIGINT, m BIGINT")
+        .parquet(s"$state/sizes"))
+  }
+
   /** The doc slice erased by [[streamNearDupDelete]] (chunks 0–1 only —
     * erased ids never re-arrive). */
   private val NearDupDeleteSliceSql = "(doc_id % 3) < 2 AND (doc_id % 8) = 2"

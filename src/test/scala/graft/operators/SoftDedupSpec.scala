@@ -49,6 +49,32 @@ class SoftDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("repeated folds from empty state over arbitrary pair slices equal one batch clustering") {
+    val want = Dedup.ddSoftDedup(spark, sf()).collect().toSeq
+    graft.Caches.releaseAll()
+    val aug = graft.Caches.persist(Dedup.augmented(spark, sf()))
+    val pairs = graft.Caches.persist(
+      Dedup.minhashLshPairs(aug).select($"id_a", $"id_b"))
+    var labels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    var sizes = Seq.empty[(Long, Long)].toDF("cluster_id", "m")
+    (0 until 3).foreach { i =>
+      // slices are arbitrary w.r.t. components: an edge can arrive with
+      // neither, one, or both endpoints already labeled — every
+      // contraction branch of foldSoftLabels fires across the 3 folds
+      val slice = pairs.filter(pmod($"id_a" + $"id_b", lit(3)) === i)
+      val (l2, s2) = Dedup.foldSoftLabels(labels, sizes, slice)
+      labels = l2.localCheckpoint(true)
+      sizes = s2.localCheckpoint(true)
+    }
+    // re-delivering an already-folded slice must be a no-op (self-loops)
+    val (l3, s3) = Dedup.foldSoftLabels(labels, sizes,
+      pairs.filter(pmod($"id_a" + $"id_b", lit(3)) === 1))
+    val got = Dedup.softWeightsOf(aug.select($"doc_id"), l3, s3)
+      .collect().toSeq
+    graft.Caches.releaseAll()
+    assert(got == want)
+  }
+
   test("soft budget mix keeps per-stratum effective tokens near share x budget") {
     val docs = graft.sources.Tables.documents(spark, sf())
     val weights = Dedup.ddSoftDedup(spark, sf()).filter($"doc_id" < 10000)

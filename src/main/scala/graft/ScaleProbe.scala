@@ -181,7 +181,10 @@ object ScaleProbe {
     // streaming cluster-state folds: stream_neardup's replay + three
     // new-edge-sized CC folds + cluster-state-sized parquet rewrites —
     // expected ~stream_neardup plus fold fixed cost
-    "stream_soft_dedup")
+    "stream_soft_dedup",
+    // cluster-state erasure: the base replay + store folds + ONE
+    // affected-component re-cluster — expected ~stream_neardup_delete
+    "stream_soft_dedup_delete")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -85,6 +85,10 @@ object SparkEntry {
     // soft-dedup cluster state maintained across micro-batch folds,
     // state round-tripping through parquet — gated vs full recompute
     "stream_soft_dedup" -> (graft.streaming.StreamingGates.streamSoftDedup _),
+    // erasure over the cluster state: affected components re-cluster
+    // from the surviving pair store, untouched clusters pass through
+    "stream_soft_dedup_delete" ->
+      (graft.streaming.StreamingGates.streamSoftDedupDelete _),
     // near-dup pipeline erasure: shingle store folds out the erased
     // docs' rows, output partitions + backlog drop pairs naming them —
     // ≡ the batch LSH chain on the survivors
@@ -435,6 +439,8 @@ object SparkEntry {
     "stream_agg_retract" -> graft.streaming.StreamingGates.streamAggRetractSql,
     "stream_neardup" -> Dedup.ddMinhashLshSql,
     "stream_soft_dedup" -> Dedup.ddSoftDedupSql,
+    "stream_soft_dedup_delete" ->
+      graft.streaming.StreamingGates.streamSoftDedupDeleteSql,
     "stream_neardup_ttl" ->
       graft.streaming.StreamingGates.streamNearDupTtlSql,
     "stream_neardup_delete" ->

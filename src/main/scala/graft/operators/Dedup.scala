@@ -1921,6 +1921,59 @@ object Dedup {
     (relabeled.unionByName(direct), newSizes)
   }
 
+  /** FOLD-DOWN of the soft-dedup cluster state for DOCUMENT ERASURE —
+    * the right-to-be-forgotten path: removing docs can SPLIT a
+    * component (the erased doc may be the only bridge) and can retire
+    * its label (the min member may be the erased one), so sizes cannot
+    * simply decrement. The fold re-clusters ONLY the affected
+    * components: members of clusters naming an erased doc are re-CC'd
+    * from the SURVIVING verified pairs (the erasure-folded pair store —
+    * no erased endpoint appears in it), members left with no surviving
+    * pair fall back to singletons, and every untouched cluster's label
+    * and size pass through unread. Cost is affected-component-sized —
+    * the delete-independent fold price every erasure path here pays,
+    * never a corpus or pair-store re-cluster. */
+  def unfoldSoftLabels(labels: DataFrame, sizes: DataFrame,
+      erasedIds: DataFrame, survivingPairs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val erased = erasedIds.select(col("doc_id"))
+    val affected = graft.Caches.persist(
+      labels.join(erased, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct())
+    val keptLabels = labels.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    val keptSizes = sizes.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("cluster_id"), col("m"))
+    // surviving members of the affected components
+    val members = graft.Caches.persist(
+      labels.join(affected, Seq("cluster_id"), "left_semi")
+        .join(erased, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")))
+    // pairs among those members — pairs never cross components, so the
+    // double left-semi is exactly the affected subgraph
+    val recc = Cluster.connectedComponents(survivingPairs
+        .join(members.withColumnRenamed("doc_id", "id_a"),
+          Seq("id_a"), "left_semi")
+        .join(members.withColumnRenamed("doc_id", "id_b"),
+          Seq("id_b"), "left_semi")
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    (keptLabels.unionByName(recc),
+      keptSizes.unionByName(
+        recc.groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))))
+  }
+
+  /** Oracle for the soft-dedup erasure gate: the SAME clustering +
+    * weights over the corpus minus the erased docs — erase-then-
+    * continue must equal never-ingested on the survivors. */
+  def ddSoftDedupExcludingSql(pred: String): String = s"""
+    WITH RECURSIVE aug AS (SELECT * FROM ($augmentedSql) AS a0 WHERE NOT ($pred)),
+    ${lshCtesSql("aug")},
+    ${Portable.closureLabelsSql("lsh_pairs", "doc_id")},
+    msize AS (SELECT cluster_id, COUNT(*) AS m FROM labels GROUP BY cluster_id)
+    $softDedupSelectSql
+    ORDER BY a.doc_id"""
+
   /** Per-doc soft weights from a (labels, sizes) cluster state: docs in
     * no cluster are singletons with weight 1. */
   def softWeightsOf(corpusIds: DataFrame, labels: DataFrame,

@@ -869,6 +869,120 @@ object StreamingGates {
         .parquet(s"$state/sizes"))
   }
 
+  /** The doc slice erased by [[streamSoftDedupDelete]] (arrives in
+    * chunks 0–1, erased before chunk 2 — never re-arrives). */
+  private val SoftDeleteSliceSql = "(doc_id % 3) < 2 AND (doc_id % 8) = 2"
+
+  val streamSoftDedupDeleteSql: String =
+    Dedup.ddSoftDedupExcludingSql(SoftDeleteSliceSql)
+
+  /** [[streamSoftDedup]] with DOCUMENT ERASURE at the chunk-1/chunk-2
+    * boundary — the cluster state's right-to-be-forgotten path on top
+    * of the near-dup pipeline's three-tier erasure
+    * ([[streamNearDupDelete]]): after
+    * [[StreamingPipeline.eraseFromNearDupStores]] folds the shingle
+    * store and rewrites the verified-pair partitions (pairs naming an
+    * erased doc from either side go) and the `_sign = −1` batch scrubs
+    * the candidate operator's band state, the (labels, sizes) relations
+    * fold DOWN via [[Dedup.unfoldSoftLabels]]: affected components
+    * re-cluster from the surviving pair store (splits and retired
+    * min-labels handled), untouched clusters pass through unread. Chunk
+    * 2 then folds in as usual. Gated against the full recompute on the
+    * survivor corpus, so erase-then-continue ≡ never-ingested is
+    * hash-proven for the WEIGHTS — an under-deleted pair or a stale
+    * size anywhere flips a multiplicity cell. */
+  def streamSoftDedupDelete(spark: SparkSession, dir: String): DataFrame =
+    withFewShufflePartitions(spark) {
+    val corpus = Dedup.augmented(spark, dir)
+    val inStore = tmp("graft_sgate_sdd_ins_")
+    val inCand = tmp("graft_sgate_sdd_inc_")
+    val store = tmp("graft_sgate_sdd_store_")
+    val out = tmp("graft_sgate_sdd_out_")
+    val ck1 = tmp("graft_sgate_sdd_ck1_")
+    val ck2 = tmp("graft_sgate_sdd_ck2_")
+    val state = tmp("graft_sgate_sdd_state_")
+    val ts = lit("2024-01-01 00:00:00").cast("timestamp").as("ts")
+    val storeSchema = StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP")
+    val candSchema = StructType.fromDDL(
+      "doc_id BIGINT, text STRING, ts TIMESTAMP, _sign INT")
+    def emptyOf(ddl: String) = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType.fromDDL(ddl))
+    def drainStore() = {
+      val q = StreamingPipeline.startShingleStore(
+        spark.readStream.schema(storeSchema)
+          .option("maxFilesPerTrigger", "1").parquet(inStore), store, ck1)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def drainVerify() = {
+      val q = StreamingPipeline.startNearDupVerify(
+        StreamingPipeline.streamingNearDupCandidatesAllSigned(
+          spark.readStream.schema(candSchema)
+            .option("maxFilesPerTrigger", "1").parquet(inCand)),
+        store, out, ck2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    var seenBatches = Set.empty[String]
+    def freshPairs(): DataFrame = {
+      val dirs = Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSet
+      val fresh = (dirs -- seenBatches).toSeq.sorted
+      seenBatches = dirs
+      if (fresh.isEmpty) emptyOf("id_a BIGINT, id_b BIGINT")
+      else spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
+        .parquet(fresh.map(d => s"$out/$d"): _*)
+        .select(col("id_a"), col("id_b"))
+    }
+    def readLabels() = spark.read
+      .schema("doc_id BIGINT, cluster_id BIGINT").parquet(s"$state/labels")
+    def readSizes() = spark.read
+      .schema("cluster_id BIGINT, m BIGINT").parquet(s"$state/sizes")
+    def writeState(labels: DataFrame, sizes: DataFrame): Unit = {
+      val l2 = labels.localCheckpoint(true)
+      val s2 = sizes.localCheckpoint(true)
+      l2.write.mode("overwrite").parquet(s"$state/labels")
+      s2.write.mode("overwrite").parquet(s"$state/sizes")
+      graft.Caches.freeCheckpoint(l2)
+      graft.Caches.freeCheckpoint(s2)
+    }
+    def ingestAndFold(i: Int): Unit = {
+      val rows = corpus.filter(pmod(col("doc_id"), lit(3)) === i)
+        .select(col("doc_id"), col("text"), ts)
+      rows.coalesce(1).write.mode("append").parquet(inStore)
+      rows.withColumn("_sign", lit(1))
+        .coalesce(1).write.mode("append").parquet(inCand)
+      drainStore(); drainVerify()
+      val (labels, sizes) =
+        if (i == 0) (emptyOf("doc_id BIGINT, cluster_id BIGINT"),
+          emptyOf("cluster_id BIGINT, m BIGINT"))
+        else (readLabels(), readSizes())
+      val (l2, s2) = Dedup.foldSoftLabels(labels, sizes, freshPairs())
+      writeState(l2, s2)
+    }
+    ingestAndFold(0); ingestAndFold(1)
+    // quiesced at the committed boundary: fold the stores, scrub the
+    // candidate state, then fold DOWN the cluster relations
+    val erased = corpus.filter(expr(SoftDeleteSliceSql)).select(col("doc_id"))
+    StreamingPipeline.eraseFromNearDupStores(spark, store, out,
+      erased, uptoVersion = 1)
+    corpus.filter(expr(SoftDeleteSliceSql))
+      .select(col("doc_id"), col("text"), ts).withColumn("_sign", lit(-1))
+      .coalesce(1).write.mode("append").parquet(inCand)
+    drainVerify()
+    val survivingPairs = spark.read
+      .schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE").parquet(out)
+      .select(col("id_a"), col("id_b"))
+    val (lDown, sDown) = Dedup.unfoldSoftLabels(
+      readLabels(), readSizes(), erased, survivingPairs)
+    writeState(lDown, sDown)
+    ingestAndFold(2)
+    Dedup.softWeightsOf(
+      corpus.filter(!expr(SoftDeleteSliceSql)).select(col("doc_id")),
+      readLabels(), readSizes())
+  }
+
   /** The doc slice erased by [[streamNearDupDelete]] (chunks 0–1 only —
     * erased ids never re-arrive). */
   private val NearDupDeleteSliceSql = "(doc_id % 3) < 2 AND (doc_id % 8) = 2"

@@ -75,6 +75,33 @@ class SoftDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("unfold: bridge erasure splits, min-label retirement relabels, untouched clusters pass through") {
+    // components {1,2,3} (label 1) and {10,11} (label 10)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val sizes = Seq((1L, 3L), (10L, 2L)).toDF("cluster_id", "m")
+    // erase doc 2 (the bridge of a (1,2),(2,3) chain): survivors 1 and 3
+    // have no surviving pair -> both fall back to singletons
+    val (l2, s2) = Dedup.unfoldSoftLabels(labels, sizes,
+      Seq(Tuple1(2L)).toDF("doc_id"),
+      Seq((10L, 11L)).toDF("id_a", "id_b"))
+    assert(l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(10L -> 10L, 11L -> 10L))
+    assert(s2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(10L -> 2L))
+    graft.Caches.releaseAll()
+    // erase doc 1 (the min member): {2,3} survives pair (2,3) -> the
+    // component relabels to its new min 2
+    val (l3, s3) = Dedup.unfoldSoftLabels(labels, sizes,
+      Seq(Tuple1(1L)).toDF("doc_id"),
+      Seq((2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+    assert(l3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
+    assert(s3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(2L -> 2L, 10L -> 2L))
+    graft.Caches.releaseAll()
+  }
+
   test("soft budget mix keeps per-stratum effective tokens near share x budget") {
     val docs = graft.sources.Tables.documents(spark, sf())
     val weights = Dedup.ddSoftDedup(spark, sf()).filter($"doc_id" < 10000)

@@ -102,6 +102,65 @@ class SoftDedupSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("∀ random graphs and slicings: fold/unfold equal the one-shot union-find reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    // plain-scala reference: CC by union-find, label = component min,
+    // labels only for docs that appear in some edge
+    def reference(edges: Seq[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val labels = nodes.map(n => n -> find(n)).toMap
+      (labels, labels.groupBy(_._2).map { case (c, g) => c -> g.size.toLong })
+    }
+
+    def checkState(labels: org.apache.spark.sql.DataFrame,
+        sizes: org.apache.spark.sql.DataFrame,
+        edges: Seq[(Long, Long)], ctx: String): Unit = {
+      val (wantL, wantM) = reference(edges)
+      assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        == wantL, s"$ctx labels")
+      assert(sizes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        == wantM, s"$ctx sizes")
+    }
+
+    val genEdge = for {
+      a <- Gen.choose(0L, 23L); d <- Gen.choose(1L, 6L)
+    } yield (a, a + d)
+
+    Seq(11L, 23L, 47L, 101L).foreach { seed =>
+      val edges = Gen.listOfN(40, genEdge)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+      var labels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+      var sizes = Seq.empty[(Long, Long)].toDF("cluster_id", "m")
+      (0 until 3).foreach { k =>
+        val slice = edges.filter { case (a, b) => (a * 31 + b) % 3 == k }
+        val (l2, s2) = Dedup.foldSoftLabels(labels, sizes,
+          slice.toDF("id_a", "id_b"))
+        labels = l2.localCheckpoint(true); sizes = s2.localCheckpoint(true)
+      }
+      checkState(labels, sizes, edges, s"seed=$seed folded")
+      // erase a random-ish slice of the ids and fold down
+      val erased = (0L to 29L).filter(i => (i + seed) % 5 == 0)
+      val surviving = edges.filter { case (a, b) =>
+        !erased.contains(a) && !erased.contains(b) }
+      val (l3, s3) = Dedup.unfoldSoftLabels(labels, sizes,
+        erased.toDF("doc_id"), surviving.toDF("id_a", "id_b"))
+      checkState(l3.localCheckpoint(true), s3.localCheckpoint(true),
+        surviving, s"seed=$seed unfolded")
+      graft.Caches.releaseAll()
+    }
+  }
+
   test("soft budget mix keeps per-stratum effective tokens near share x budget") {
     val docs = graft.sources.Tables.documents(spark, sf())
     val weights = Dedup.ddSoftDedup(spark, sf()).filter($"doc_id" < 10000)

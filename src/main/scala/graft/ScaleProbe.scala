@@ -184,7 +184,10 @@ object ScaleProbe {
     "stream_soft_dedup",
     // cluster-state erasure: the base replay + store folds + ONE
     // affected-component re-cluster — expected ~stream_neardup_delete
-    "stream_soft_dedup_delete")
+    "stream_soft_dedup_delete",
+    // combined exact ∪ near weights in pipeline order — expected
+    // ~dd_pipeline plus the CC/label-attach tail (dd_soft_dedup's law)
+    "dd_soft_dedup_pipeline")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

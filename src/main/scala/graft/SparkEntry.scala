@@ -264,6 +264,8 @@ object SparkEntry {
     // batch into persisted cluster state and gates against full recompute
     "dd_soft_dedup" -> (Dedup.ddSoftDedup _),
     "dd_soft_dedup_incremental" -> (Dedup.ddSoftDedupIncremental _),
+    // combined multiplicity: exact copies ∪ near-dups, pipeline order
+    "dd_soft_dedup_pipeline" -> (Dedup.ddSoftDedupPipeline _),
     // soft weights made actionable: budget mix on effective token mass
     "tx_soft_budget_mix" -> (Dedup.txSoftBudgetMix _),
     // the pre-flight banding tuner: S-curve FP/FN integrals per (b, r)
@@ -539,6 +541,7 @@ object SparkEntry {
     "dd_cluster_altstar" -> Dedup.ddClusterSql,
     "dd_soft_dedup" -> Dedup.ddSoftDedupSql,
     "dd_soft_dedup_incremental" -> Dedup.ddSoftDedupIncrementalSql,
+    "dd_soft_dedup_pipeline" -> Dedup.ddSoftDedupPipelineSql,
     "tx_soft_budget_mix" -> Dedup.txSoftBudgetMixSql,
     "dd_lsh_tune" -> Dedup.ddLshTuneSql,
     "tx_intradoc_dedup" -> TextAnalysis.txIntradocDedupSql,

@@ -1921,6 +1921,62 @@ object Dedup {
     (relabeled.unionByName(direct), newSizes)
   }
 
+  /** Soft dedup over the PIPELINE corpus — COMBINED multiplicity from
+    * both duplicate kinds, in the production composition order
+    * ([[ddPipeline]]): exact copies collapse to digest groups first
+    * (each non-keeper contributes an exact edge to its keeper — no LSH
+    * work spent re-discovering byte-identical text), the LSH near-dup
+    * graph is built over the exact SURVIVORS only, and the component
+    * over exact ∪ near edges prices every doc: a doc crawled as 3 exact
+    * copies inside a 2-member near-dup cluster weighs 1/4th. The
+    * augmented-only [[ddSoftDedup]] exercises the near-dup half; this
+    * gate proves the weights survive the composition the 100 TB
+    * pipeline actually runs. */
+  def ddSoftDedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    softDedupPipelineWeights(pipelineCorpus(spark, dir))
+
+  /** The combined-multiplicity engine over an arbitrary (doc_id, text)
+    * corpus — see [[ddSoftDedupPipeline]] for the composition. */
+  def softDedupPipelineWeights(corpus0: DataFrame): DataFrame = {
+    val corpus = graft.Caches.persist(corpus0)
+    val dig = corpus.select(col("doc_id"), md5(col("text")).as("digest"))
+    val keepers = dig.groupBy(col("digest")).agg(min(col("doc_id")).as("id_a"))
+    val exactPairs = dig.join(keepers, Seq("digest"))
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"))
+    val nearPairs = minhashLshPairs(graft.Caches.persist(survivors(corpus)))
+      .select(col("id_a"), col("id_b"))
+    val labels = Cluster.connectedComponents(
+        exactPairs.unionByName(nearPairs)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("m"))
+    softWeightsOf(corpus.select(col("doc_id")), labels, sizes)
+  }
+
+  val ddSoftDedupPipelineSql: String = s"""
+    WITH RECURSIVE aug AS ($augmentedSql),
+    $pipeSql,
+    dig AS (SELECT doc_id, md5(text) AS digest FROM pipe),
+    keepers AS (SELECT digest, MIN(doc_id) AS kid FROM dig GROUP BY digest),
+    epairs AS (
+      SELECT k.kid AS id_a, d.doc_id AS id_b
+      FROM dig d JOIN keepers k USING (digest) WHERE d.doc_id <> k.kid),
+    surv AS (SELECT p.doc_id, p.text FROM pipe p JOIN keepers k ON p.doc_id = k.kid),
+    ${lshCtesSql("surv")},
+    allp AS (SELECT id_a, id_b FROM epairs
+             UNION SELECT id_a, id_b FROM lsh_pairs),
+    ${Portable.closureLabelsSql("allp", "doc_id")},
+    msize AS (SELECT cluster_id, COUNT(*) AS m FROM labels GROUP BY cluster_id)
+    SELECT p.doc_id,
+           COALESCE(l.cluster_id, p.doc_id) AS cluster_id,
+           COALESCE(msize.m, 1) AS multiplicity,
+           1000000 // COALESCE(msize.m, 1) AS weight_ppm
+    FROM pipe p
+    LEFT JOIN labels l ON l.doc_id = p.doc_id
+    LEFT JOIN msize ON msize.cluster_id = l.cluster_id
+    ORDER BY p.doc_id"""
+
   /** FOLD-DOWN of the soft-dedup cluster state for DOCUMENT ERASURE —
     * the right-to-be-forgotten path: removing docs can SPLIT a
     * component (the erased doc may be the only bridge) and can retire

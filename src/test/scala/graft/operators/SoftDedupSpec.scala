@@ -161,6 +161,21 @@ class SoftDedupSpec extends SparkSpec {
     }
   }
 
+  test("pipeline weights: a cluster spanning exact copies AND near-dups prices as one component") {
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (6 to 40).map(i => s"w$i").mkString(" ")  // drop 5 words
+    val docs = Seq(
+      (1L, body), (2L, near), (3L, body),   // exact (1,3) ∪ near (1,2)
+      (9L, "q r s t u v " * 10)             // singleton
+    ).toDF("doc_id", "text")
+    val w = Dedup.softDedupPipelineWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    graft.Caches.releaseAll()
+    assert(w(1L) == ((1L, 3L, 333333L)) && w(2L) == ((1L, 3L, 333333L))
+      && w(3L) == ((1L, 3L, 333333L)), s"spanning cluster must weigh 1/3: $w")
+    assert(w(9L) == ((9L, 1L, 1000000L)))
+  }
+
   test("soft budget mix keeps per-stratum effective tokens near share x budget") {
     val docs = graft.sources.Tables.documents(spark, sf())
     val weights = Dedup.ddSoftDedup(spark, sf()).filter($"doc_id" < 10000)

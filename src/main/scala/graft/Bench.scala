@@ -84,6 +84,34 @@ object Bench {
     if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
   }
 
+  /** Ratchet-proof drift detector — the blind spot the r13→r14 pair
+    * exposed in [[carryoverMedianRatio]]: comparing to the immediately
+    * prior committed record lets COMPOUNDING drift through (r14 drifted
+    * 1.27× over r13 while reporting 0.986 against its own interim
+    * record — each step small, the accumulation invisible). The fix is
+    * a pinned per-query FLOOR: the best committed min ever observed for
+    * each query, updated only DOWNWARD (a loaded run's mins are only
+    * ever higher, so the update is load-immune by construction), kept
+    * in BENCH_FLOOR.json and committed with the round records. The
+    * statistic is the same median-of-ratios as the carryover detector,
+    * but against the floor — accumulated drift cannot ratchet through
+    * because the floor never rises to meet it. */
+  private[graft] def floorMedianRatio(
+      floor: Map[String, (Double, Double)],
+      cur: Seq[(String, (Double, Double))]): Option[Double] =
+    carryoverMedianRatio(floor, cur)
+
+  /** Merge this run's timings into the floor: per query, keep the best
+    * (lowest) min and med each ever observed. New queries seed their
+    * own floor. */
+  private[graft] def mergedFloor(
+      floor: Map[String, (Double, Double)],
+      cur: Seq[(String, (Double, Double))]): Map[String, (Double, Double)] =
+    cur.foldLeft(floor) { case (acc, (k, (mn, md))) =>
+      val (fmn, fmd) = acc.getOrElse(k, (mn, md))
+      acc.updated(k, (math.min(fmn, mn), math.min(fmd, md)))
+    }
+
   /** Median carryover ratio beyond this (in EITHER direction — a
     * committed record captured on a loaded machine makes every later
     * run look uniformly FASTER, which hides real regressions inside the
@@ -143,7 +171,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    finally Caches.releaseAll(blocking = true)
+    finally { Caches.releaseAll(blocking = true); TmpDirs.releaseAll() }
 
     // dev-only filter: SPARK_GRAFT_BENCH_ONLY="q1_pricing_summary,q3_..."
     // times just those queries (the driver never sets it — full run)
@@ -171,6 +199,10 @@ object Bench {
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
         Caches.releaseAll(blocking = true)
+        // gate scratch dirs (streaming state/checkpoints, export shards)
+        // are dead once the action above ran — reclaim per run, not per
+        // JVM (a full suite leaks GBs otherwise, r14 finding)
+        TmpDirs.releaseAll()
         (elapsed, ok)
       }
       // record min AND median: min is the comparison number (JIT/GC
@@ -229,10 +261,32 @@ object Bench {
     // two records that disagree should now disagree WITH an annotation
     val medianRatio = carryoverMedianRatio(prev, timed)
     val loadAfter = loadavg
+    // pinned-floor drift statistic + downward-only floor update: the
+    // ratchet-proof complement of the prev-record comparison above (see
+    // floorMedianRatio — r14 compounded 1.27× through the prev-record
+    // detector unflagged). floor_median_ratio > 1 is ACCUMULATED drift
+    // vs the best this code base has ever clocked; it recovers only by
+    // actually getting fast again, never by re-baselining.
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR",
+      "BENCH_FLOOR.json")
+    val floor = readRecord(floorPath)
+    val floorRatio = floorMedianRatio(floor, timed)
+    val newFloor = mergedFloor(floor, timed)
+    val floorJson = newFloor.toSeq.sortBy(_._1).map { case (k, (mn, md)) =>
+      "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"med\":" + fmt(md) + "}"
+    }.mkString("{\"queries\":{", ",", "}}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(floorPath), floorJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $floorPath: ${e.getMessage}")
+    }
     val envTag = {
       val ratioStr = medianRatio.map(r => fmt(r)).getOrElse("null")
       val suspect = environmentSuspect(medianRatio)
+      val floorStr = floorRatio.map(r => fmt(r)).getOrElse("null")
+      val floorSuspect = floorRatio.exists(_ >= EnvironmentSuspectRatio)
       s""","carryover_median_ratio":$ratioStr,"environment_suspect":$suspect""" +
+        s""","floor_median_ratio":$floorStr,"floor_drift_suspect":$floorSuspect""" +
         s""","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadAfter)}"""
     }
     val fullJson =

@@ -187,7 +187,17 @@ object ScaleProbe {
     "stream_soft_dedup_delete",
     // combined exact ∪ near weights in pipeline order — expected
     // ~dd_pipeline plus the CC/label-attach tail (dd_soft_dedup's law)
-    "dd_soft_dedup_pipeline")
+    "dd_soft_dedup_pipeline",
+    // soft mix served per micro-batch from the persisted (weights,
+    // rates) snapshot: tx_soft_budget_mix's law plus the 3-batch replay
+    // fixed cost — the serve itself is a stateless projection + static
+    // join per batch
+    "stream_soft_budget_mix",
+    // appended physical export: batch-sized cumsum/write + a re-read of
+    // the whole landed directory for the digest — expected
+    // ~tx_release_roundtrip (the re-read dominates; the append write
+    // itself is batch-sized)
+    "tx_release_append_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)
@@ -277,8 +287,7 @@ object ScaleProbe {
     // batch costs ~the same against a 10x-corpus LM. Uncapped, LM rows
     // grow with the corpus vocabulary and the serve cost follows.
     def ccnetCapProbe(trainDir: String): (Long, Double) = {
-      val lmDir = java.nio.file.Files
-        .createTempDirectory("graft_probe_ccnet_lm_").toString
+      val lmDir = graft.TmpDirs.create("graft_probe_ccnet_lm_")
       graft.operators.TextAnalysis.trainPersistCcnet(
         spark, trainDir, lmDir, topK = 5000L)
       val big = spark.read.parquet(s"$lmDir/big")

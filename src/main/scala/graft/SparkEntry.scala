@@ -85,6 +85,10 @@ object SparkEntry {
     // soft-dedup cluster state maintained across micro-batch folds,
     // state round-tripping through parquet — gated vs full recompute
     "stream_soft_dedup" -> (graft.streaming.StreamingGates.streamSoftDedup _),
+    // soft budget mix served per micro-batch from the persisted
+    // (weights, rates) snapshot — ≡ the batch mix, gated vs its oracle
+    "stream_soft_budget_mix" ->
+      (graft.streaming.StreamingGates.streamSoftBudgetMix _),
     // erasure over the cluster state: affected components re-cluster
     // from the surviving pair store, untouched clusters pass through
     "stream_soft_dedup_delete" ->
@@ -176,6 +180,10 @@ object SparkEntry {
     // incremental release: continue a sealed manifest from a batch-only
     // scan; gated against the FULL-recompute oracle
     "tx_release_append" -> (Pack.txReleaseAppend _),
+    // the composed law: an APPENDED physical export (base files
+    // untouched, boundary shard continued, new shards added) re-reads
+    // to exactly the merged manifest — and the full-recompute oracle
+    "tx_release_append_roundtrip" -> (Pack.txReleaseAppendRoundtrip _),
     // deterministic global shuffle order: two-phase rank, no global
     // window; and the release composition (shuffle, then shard)
     "tx_global_shuffle" -> (Pack.txGlobalShuffle _),
@@ -441,6 +449,7 @@ object SparkEntry {
     "stream_agg_retract" -> graft.streaming.StreamingGates.streamAggRetractSql,
     "stream_neardup" -> Dedup.ddMinhashLshSql,
     "stream_soft_dedup" -> Dedup.ddSoftDedupSql,
+    "stream_soft_budget_mix" -> Dedup.txSoftBudgetMixSql,
     "stream_soft_dedup_delete" ->
       graft.streaming.StreamingGates.streamSoftDedupDeleteSql,
     "stream_neardup_ttl" ->
@@ -490,6 +499,7 @@ object SparkEntry {
     "tx_shard_manifest" -> Pack.txShardManifestSql,
     "tx_release_roundtrip" -> Pack.txShardManifestSql,
     "tx_release_append" -> Pack.txShardManifestSql,
+    "tx_release_append_roundtrip" -> Pack.txShardManifestSql,
     "tx_global_shuffle" -> Pack.txGlobalShuffleSql,
     "tx_shuffled_shards" -> Pack.txShuffledShardsSql,
     "tx_chunk_overlap" -> TextAnalysis.txChunkOverlapSql,

@@ -32,7 +32,7 @@ object Verify {
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s"$outDir/$name"))
       }
-      finally Caches.releaseAll()
+      finally { Caches.releaseAll(); TmpDirs.releaseAll() }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -342,15 +342,34 @@ object Dedup {
   def minhashLshPairs(corpus: DataFrame): DataFrame = {
     // persisted for the self-join's two consumers — 4 short rows per doc
     val banded = graft.Caches.persist(bandedRowsOf(corpus))
+    // exact verification on the candidate set only
+    verifyPairs(selfBandCandidates(banded), shingleRowsOf(corpus))
+  }
+
+  /** LSH candidate pairs of ONE band relation (doc_id, band, sig)
+    * against itself — the equi-self-join at the heart of
+    * [[minhashLshPairs]], factored out so consumers holding a PERSISTED
+    * band relation ([[softDedupIncremental]]'s stored history state)
+    * probe it without re-banding the corpus. */
+  private def selfBandCandidates(banded: DataFrame): DataFrame = {
     val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // exact verification on the candidate set only
-    verifyPairs(candidates, shingleRowsOf(corpus))
   }
+
+  /** Cross candidates between two band relations — history side id_a,
+    * batch side id_b (disjoint id ranges by the ingest contract, so no
+    * orientation filter is needed). The history side is the PERSISTED
+    * relation; only the batch side was banded this ingest. */
+  private def crossBandCandidates(histBands: DataFrame,
+      batchBands: DataFrame): DataFrame =
+    histBands.select(col("doc_id").as("id_a"), col("band"), col("sig"))
+      .join(batchBands.select(col("doc_id").as("id_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .select(col("id_a"), col("id_b")).distinct()
 
   /** (doc_id, band, sig) LSH band rows of a corpus — band signature =
     * concat of the R member hashes; ONE posexplode pass (a per-band
@@ -1827,50 +1846,143 @@ object Dedup {
     $softDedupSelectSql
     ORDER BY a.doc_id"""
 
-  /** INCREMENTAL soft dedup — the daily-ingest form: the history's
-    * cluster labels and sizes are PERSISTED STATE (recomputed here from
-    * the history corpus only because the gate is self-contained; in
-    * production they're read back from the last run), and one ingest
-    * folds a new batch in WITHOUT re-running history-internal pair
-    * discovery:
+  /** The persisted soft-dedup state's layout under one state root —
+    * two kinds of durability matched to two growth shapes:
     *
-    *   1. new edges = batch-internal LSH pairs ∪ cross pairs
-    *      ([[crossNearDupPairs]] — history is probed via its persisted
-    *      band relation, never re-paired against itself);
-    *   2. each new edge's history endpoint is CONTRACTED to its old
+    *   - GEOMETRY (bands, shingles): corpus-sized, append-only — two
+    *     delta-store families (`b<k>` dirs, the [[graft.streaming.StreamingPipeline]]
+    *     convention, read via `storeContents`). An ingest appends ONLY
+    *     its batch-sized delta; the history relation is never
+    *     rewritten. Delta id = the cluster fold version it feeds, and
+    *     the write is mode-overwrite at that id, so a crashed ingest
+    *     re-runs idempotently (no duplicated shingle rows to corrupt
+    *     Jaccard counts).
+    *   - CLUSTERS (labels, sizes): duplicate-sized, mutated by every
+    *     fold — one [[graft.streaming.SoftState]] family, both
+    *     relations in one atomic leased `v=<fold>` publish (a torn
+    *     labels/sizes pair is the failure mode the protocol rules out).
+    */
+  private[graft] val StateBands = ("geometry_bands", "doc_id BIGINT, band INT, sig STRING")
+  private[graft] val StateShingles = ("geometry_shingles", "doc_id BIGINT, h BIGINT")
+  private[graft] val StateLabels = ("labels", "doc_id BIGINT, cluster_id BIGINT")
+  private[graft] val StateSizes = ("sizes", "cluster_id BIGINT, m BIGINT")
+  private def clustersDir(stateDir: String) = s"$stateDir/clusters"
+
+  private def readGeometry(spark: SparkSession, stateDir: String,
+      rel: (String, String)): DataFrame =
+    graft.streaming.StreamingPipeline.storeContents(
+      spark, s"$stateDir/${rel._1}", rel._2)
+
+  private def writeGeometryDelta(stateDir: String, rel: (String, String),
+      df: DataFrame, deltaId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$stateDir/${rel._1}/b$deltaId")
+
+  /** FULL RUN over a history corpus, persisting the soft-dedup state a
+    * later [[softDedupIngest]] resumes from: ONE banding pass, ONE
+    * shingle pass, history-internal pairs from those two relations, one
+    * clustering — geometry lands as delta 0 of its two families, and
+    * (labels, sizes) as the single atomic `v=0` cluster snapshot. This
+    * is the artifact a production daily-ingest pipeline writes once per
+    * corpus refresh; its cost is the full-recompute cost, paid once,
+    * never per ingest. */
+  def softDedupStateBuild(history: DataFrame, stateDir: String): Unit = {
+    val spark = history.sparkSession
+    val histBands = graft.Caches.persist(bandedRowsOf(history))
+    val histShingles = shingleRowsOf(history) // self-persisting
+    val histLabels = Cluster.connectedComponents(
+        verifyPairs(selfBandCandidates(histBands), histShingles)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val histSizes = histLabels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("m"))
+    writeGeometryDelta(stateDir, StateBands, histBands, 0L)
+    writeGeometryDelta(stateDir, StateShingles, histShingles, 0L)
+    graft.streaming.SoftState.publish(spark, clustersDir(stateDir), 0L,
+      Seq(StateLabels._1 -> histLabels, StateSizes._1 -> histSizes))
+  }
+
+  /** ONE INGEST against a persisted soft-dedup state: every
+    * history-sized relation is READ BACK from the store — the history
+    * corpus is never re-shingled, re-banded, or re-clustered. New edges
+    * are batch-internal candidates (batch band self-join) plus cross
+    * candidates (batch bands probing the STORED band relation),
+    * verified against the STORED shingles ∪ this batch's shingles,
+    * folded into the stored (labels, sizes) via [[foldSoftLabels]].
+    * Durability advances in ingest order: batch-sized geometry deltas
+    * land first (idempotent at their id), then the cluster fold
+    * publishes as the next atomic snapshot — a crash between the two
+    * re-runs cleanly from the unadvanced cluster version. Per-ingest
+    * cost: batch banding/shingling + band-collision joins +
+    * new-edge-sized CC + batch-sized delta writes — never O(history),
+    * except the unavoidable history-ID scan of the per-doc weight
+    * OUTPUT itself (production pays that projection too: the weights
+    * table is corpus-sized by definition). `historyIds`: one (doc_id)
+    * column, the corpus registry the weights are served over. */
+  def softDedupIngest(stateDir: String, batch: DataFrame,
+      historyIds: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val st = graft.streaming.SoftState
+    val clusters = clustersDir(stateDir)
+    val ver = st.currentVersion(spark, clusters).getOrElse(
+      sys.error(s"softDedupIngest: no committed state under $stateDir — " +
+        "run softDedupStateBuild first"))
+    val bat = graft.Caches.persist(batch)
+    val batBands = graft.Caches.persist(bandedRowsOf(bat))
+    val batShingles = shingleRowsOf(bat) // self-persisting
+    val candidates = selfBandCandidates(batBands)
+      .unionByName(
+        crossBandCandidates(readGeometry(spark, stateDir, StateBands),
+          batBands))
+    val allShingles = readGeometry(spark, stateDir, StateShingles)
+      .unionByName(batShingles)
+    val newEdges = verifyPairs(candidates, allShingles)
+      .select(col("id_a"), col("id_b"))
+    val (labels, sizes) = foldSoftLabels(
+      st.read(spark, clusters, StateLabels._1, StateLabels._2),
+      st.read(spark, clusters, StateSizes._1, StateSizes._2),
+      newEdges)
+    writeGeometryDelta(stateDir, StateBands, batBands, ver + 1L)
+    writeGeometryDelta(stateDir, StateShingles, batShingles, ver + 1L)
+    st.publish(spark, clusters, ver + 1L,
+      Seq(StateLabels._1 -> labels, StateSizes._1 -> sizes))
+    softWeightsOf(
+      historyIds.unionByName(bat.select(col("doc_id"))),
+      st.read(spark, clusters, StateLabels._1, StateLabels._2),
+      st.read(spark, clusters, StateSizes._1, StateSizes._2))
+  }
+
+  /** INCREMENTAL soft dedup — the daily-ingest form, now measuring what
+    * production actually pays: [[softDedupStateBuild]] persists the
+    * history's (bands, shingles, labels, sizes) once (the last full
+    * run's artifact — built here only because the gate is
+    * self-contained), then [[softDedupIngest]] folds the batch in
+    * reading ONLY that stored state:
+    *
+    *   1. new edges = batch-internal LSH pairs ∪ cross pairs (the batch
+    *      probes the STORED band relation — history is never re-banded,
+    *      and verification reads the STORED shingle relation — history
+    *      is never re-shingled);
+    *   2. each new edge's history endpoint is CONTRACTED to its stored
     *      component label (a super-node — old labels are component MIN
     *      ids, so min-label CC over the contracted graph lands on the
     *      merged component's true min);
-    *   3. old components relabel through the merge map (untouched ones
-    *      keep their label — the common case at scale), and sizes merge
-    *      additively: old size flows to the new label, each newly
-    *      clustered doc adds 1.
+    *   3. stored components relabel through the merge map (untouched
+    *      ones keep their label — the common case at scale), sizes
+    *      merge additively, and the advanced state publishes as the
+    *      next atomic snapshot.
     *
     * Gated against the SAME oracle as [[ddSoftDedup]], so the driver's
-    * hash compare proves incremental-fold ≡ full recompute (no pair
-    * lost at the history/batch seam, no size drift through the
-    * contraction). Per-ingest cost: batch bands ⋈ history band
+    * hash compare proves state-build + incremental-fold ≡ full
+    * recompute (no pair lost at the history/batch seam, no size drift
+    * through the contraction, no relation dropped through the
+    * parquet round-trip). Per-ingest cost: batch bands ⋈ stored band
     * collisions + label-relation joins — never O(history²), never a
     * history rescan. */
   def softDedupIncremental(history: DataFrame, batch: DataFrame): DataFrame = {
     val hist = graft.Caches.persist(history)
-    val bat = graft.Caches.persist(batch)
-    // persisted state from the last full run over history
-    val histLabels = graft.Caches.persist(
-      Cluster.connectedComponents(
-          minhashLshPairs(hist)
-            .select(col("id_a").as("src"), col("id_b").as("dst")))
-        .select(col("id").as("doc_id"), col("cluster_id")))
-    val histSizes = histLabels.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("m"))
-    // this ingest's new edges: within-batch + across the seam
-    val newEdges = minhashLshPairs(bat).select(col("id_a"), col("id_b"))
-      .unionByName(
-        crossNearDupPairs(hist, bat).select(col("id_a"), col("id_b")))
-    val (labels, sizes) = foldSoftLabels(histLabels, histSizes, newEdges)
-    softWeightsOf(
-      hist.select(col("doc_id")).unionByName(bat.select(col("doc_id"))),
-      labels, sizes)
+    val stateDir = graft.TmpDirs.create("graft_softstate_inc_")
+    softDedupStateBuild(hist, stateDir)
+    softDedupIngest(stateDir, batch, hist.select(col("doc_id")))
   }
 
   /** ONE FOLD of the soft-dedup cluster state: merge a set of NEW
@@ -2073,34 +2185,64 @@ object Dedup {
     * keep decision is a codegen'd filter — no corpus shuffle beyond
     * soft-dedup's own. */
   def softBudgetMix(docs: DataFrame, weights: DataFrame): DataFrame = {
-    val lens = docs.select(col("doc_id"), col("lang"),
-      size(Portable.words(col("text"))).cast("long").as("n_words"))
     // persisted: the stratum aggregate AND the final keep-filter both
     // consume it, and lw embeds the corpus ⋈ labels join — recomputing
     // that per consumer is the one plan shape that would not survive
     // 100 TB (four narrow columns per row cache cheaply)
     val lw = graft.Caches.persist(
-      lens.join(weights.select(col("doc_id"), col("weight_ppm")),
-        Seq("doc_id")))
-    val counts = lw.groupBy(col("lang"))
-      .agg(sum(col("n_words") * col("weight_ppm")).as("toks_eff"))
-    val rates = counts
-      .withColumn("total", sum(col("toks_eff"))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(Portable.onePartition(col("toks_eff")))))
-      .withColumn("alloc", expr("(total DIV 4) * "
-        + "CASE " + TextAnalysis.BUDGET_SHARES.map { case (l, pm) =>
-            s"WHEN lang = '$l' THEN ${pm}L" }.mkString(" ") + " END DIV 1000"))
-      .withColumn("rate_pm", least(lit(1000L), expr("alloc * 1000 DIV toks_eff")))
-      .select(col("lang"), col("rate_pm"))
-    val bucket = pmod(
-      Portable.hash60(concat(lit("softmix:"), col("doc_id").cast("string"))),
-      lit(1000000000L))
-    lw.join(broadcast(rates), Seq("lang"))
-      .filter(bucket < col("rate_pm") * col("weight_ppm"))
+      softMixLens(docs).join(
+        weights.select(col("doc_id"), col("weight_ppm")), Seq("doc_id")))
+    lw.join(broadcast(softMixRates(lw)), Seq("lang"))
+      .filter(softMixKeep)
       .select(col("doc_id"), col("lang"), col("n_words"), col("weight_ppm"))
       .orderBy(col("doc_id"))
   }
+
+  /** (doc_id, lang, n_words) of a document relation — the stateless
+    * projection both the batch mix and the per-batch streaming serve
+    * compute, shared so the two can never tokenize differently. */
+  private def softMixLens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      size(Portable.words(col("text"))).cast("long").as("n_words"))
+
+  /** Per-stratum keep rates (lang, rate_pm) from the weighted length
+    * relation — the 5-row model artifact of the soft mix, computed once
+    * per corpus refresh and PERSISTED for the streaming serve. */
+  private[graft] def softMixRates(lw: DataFrame): DataFrame =
+    lw.groupBy(col("lang"))
+      .agg(sum(col("n_words") * col("weight_ppm")).as("toks_eff"))
+      .withColumn("total", sum(col("toks_eff"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(Portable.onePartition(col("toks_eff")))))
+      // ELSE 0, not null: an unknown stratum must be dropped (rate 0),
+      // matching the oracle's inner join against the shares VALUES —
+      // least() skips a null alloc and would keep the stratum whole
+      .withColumn("alloc", expr("(total DIV 4) * "
+        + "CASE " + TextAnalysis.BUDGET_SHARES.map { case (l, pm) =>
+            s"WHEN lang = '$l' THEN ${pm}L" }.mkString(" ")
+        + " ELSE 0L END DIV 1000"))
+      .withColumn("rate_pm", least(lit(1000L), expr("alloc * 1000 DIV toks_eff")))
+      .select(col("lang"), col("rate_pm"))
+
+  /** The deterministic keep decision: hash-bucket(10⁹) < rate·weight —
+    * a codegen'd filter, no state, no RNG. */
+  private def softMixKeep: Column =
+    pmod(
+      Portable.hash60(concat(lit("softmix:"), col("doc_id").cast("string"))),
+      lit(1000000000L)) < col("rate_pm") * col("weight_ppm")
+
+  /** STATELESS serve of the soft budget mix against its persisted model
+    * (weights by doc, rates by stratum): one projection + a static
+    * weights join + a broadcast rates join + the codegen'd keep filter —
+    * attaches to a micro-batch stream with no watermark and no state,
+    * the [[graft.streaming.StreamingGates.streamQcScore]] posture. */
+  def softMixServe(batch: DataFrame, weights: DataFrame,
+      rates: DataFrame): DataFrame =
+    softMixLens(batch)
+      .join(weights.select(col("doc_id"), col("weight_ppm")), Seq("doc_id"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(softMixKeep)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("weight_ppm"))
 
   /** Gated query: weights from the augmented clustering restricted to
     * the real corpus (variants exist only to plant duplicate mass), mix

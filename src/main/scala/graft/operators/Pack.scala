@@ -298,8 +298,10 @@ object Pack {
     * shard dir, or a partition-column round-trip bug each flip a digest
     * or a count. */
   def txShardReleaseRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_release_shards_").toString
+    // tracked scratch (fresh per call — the gate proves a NEW export
+    // lands files ≡ manifest, so reuse would mask a stale-dir read);
+    // the harness reclaims it after the returned frame is consumed
+    val out = graft.TmpDirs.create("graft_release_shards_")
     shardAssign(Tables.documents(spark, dir), "text", "doc_id", ShardTokens)
       .select(col("doc_id"), col("text"), col("shard_id"))
       .repartition(col("shard_id"))
@@ -413,6 +415,118 @@ object Pack {
       docs.filter(col("doc_id") < AppendSplitId), "text", "doc_id", ShardTokens)
     shardManifestAppend(base,
       docs.filter(col("doc_id") >= AppendSplitId), "text", "doc_id", ShardTokens)
+  }
+
+  /** Per-doc shard assignment for an APPEND wave: the batch's exclusive
+    * cumsum starts from the base manifest's total token mass — the same
+    * offset law as [[shardManifestAppend]], carrying the payload so the
+    * physical export can partition by it. Base DOCS are never read;
+    * the offset is two scalars off the sealed manifest. Enforces the
+    * same order-continuation contract. */
+  def shardAssignAppend(baseManifest: DataFrame, batch: DataFrame,
+      textCol: String, orderCol: String, shardTokens: Long,
+      buckets: Int = CumsumBuckets): DataFrame = {
+    require(shardTokens > 0, s"shardTokens must be positive, got $shardTokens")
+    val bounds = baseManifest
+      .agg(max(col("last_doc")), sum(col("n_tokens"))).head()
+    val (baseLast, offset) =
+      if (bounds.isNullAt(0)) (Long.MinValue, 0L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val toks = batch.select(col(orderCol), col(textCol),
+      regexp_count(col(textCol), lit("[A-Za-z0-9]+")).cast("long").as("n_tokens"))
+    val batchMin = toks.agg(min(col(orderCol).cast("long"))).head()
+    if (!batchMin.isNullAt(0))
+      require(batchMin.getLong(0) > baseLast,
+        s"append batch starts at ${batchMin.getLong(0)} but the base " +
+          s"manifest already seals keys through $baseLast — appends must " +
+          "continue the order key past the base")
+    exclusiveCumsum(toks, orderCol, "n_tokens", buckets)
+      .withColumn("shard_id", expr(s"(cum_excl + ${offset}L) div ${shardTokens}L"))
+      .select(col(orderCol), col(textCol), col("n_tokens"), col("shard_id"))
+  }
+
+  /** Gated query: the INCREMENTAL-RELEASE PHYSICAL roundtrip — the
+    * composition `tx_release_append` (manifest merge) and
+    * `tx_release_roundtrip` (physical export) each gate half of:
+    * an APPENDED export must land files ≡ the merged manifest without
+    * rescanning or rewriting the sealed wave. The gate runs the real
+    * two-wave workflow:
+    *
+    *   1. wave 1 exports the base half partitioned by shard_id and
+    *      seals its manifest;
+    *   2. wave 2 exports ONLY the batch, offset by the sealed
+    *      manifest's token mass ([[shardAssignAppend]] — a batch-sized
+    *      scan), in APPEND mode: the boundary shard's directory gains
+    *      the batch's continuation file, strictly-new shards appear,
+    *      and every base FILE stays byte-untouched — asserted by
+    *      inventory (name+length) before/after, because "incremental"
+    *      that quietly rewrites history is a full-export in disguise;
+    *   3. the whole directory is RE-READ, every manifest column
+    *      recomputed from the landed bytes, required row-identical to
+    *      [[shardManifestAppend]]'s merged manifest (files ≡ merged
+    *      manifest, the composed law), and gated hash-exact against
+    *      the full-recompute oracle (same SQL as `tx_shard_manifest`).
+    *
+    * Scale shape: wave-2 cost is batch-sized (scan, cumsum, write) plus
+    * a manifest-sized join — the base corpus is touched only as
+    * directory metadata. The file inventory is one listing of
+    * shard-count × files-per-shard entries (the export repartitions by
+    * shard, so ~1 file per shard), driver-bounded by construction. */
+  def txReleaseAppendRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val out = graft.TmpDirs.create("graft_release_append_")
+    val baseDocs = docs.filter(col("doc_id") < AppendSplitId)
+    val batchDocs = docs.filter(col("doc_id") >= AppendSplitId)
+    shardAssign(baseDocs, "text", "doc_id", ShardTokens)
+      .select(col("doc_id"), col("text"), col("shard_id"))
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    // the sealed artifact of wave 1 — the append path reads THIS, never
+    // the base docs (persisted: offset scalars + the merge join both
+    // consume it)
+    val baseManifest = graft.Caches.persist(
+      shardManifest(baseDocs, "text", "doc_id", ShardTokens))
+    def inventory(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(out))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val baseFiles = inventory()
+    shardAssignAppend(baseManifest, batchDocs, "text", "doc_id", ShardTokens)
+      .select(col("doc_id"), col("text"), col("shard_id"))
+      .repartition(col("shard_id"))
+      .write.mode("append").partitionBy("shard_id").parquet(out)
+    val afterFiles = inventory()
+    baseFiles.foreach { case (p, len) =>
+      require(afterFiles.get(p).contains(len),
+        s"incremental release rewrote sealed wave-1 file $p — the append " +
+          "path must only add files, never touch the base export")
+    }
+    // manifest recomputed from the landed bytes only
+    val fromFiles = graft.Caches.persist(spark.read.parquet(out)
+      .select(col("doc_id"), col("text"),
+        col("shard_id").cast("long").as("shard_id"))
+      .withColumn("__t",
+        regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long"))
+      .withColumn("__h", graft.functions.Portable.hash60(col("text")))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        expr("bit_xor(__h)").as("digest"))
+      .orderBy(col("shard_id")))
+    // files ≡ merged manifest, row for row (both shard-count-bounded)
+    val merged = shardManifestAppend(
+      baseManifest, batchDocs, "text", "doc_id", ShardTokens)
+    require(fromFiles.collect().toSeq == merged.collect().toSeq,
+      "re-read export disagrees with the merged manifest — a row moved " +
+        "shards, duplicated, or dropped through the append write")
+    fromFiles
   }
 
   /** Gated query: the RELEASE composition — shards cut over the

@@ -1236,8 +1236,12 @@ object TextAnalysis {
     val nblocks = ceil(size(ws).cast("double") / w).cast("int")
     val blocks = docs.filter(col("text").isNotNull)
       .withColumn("ws", Portable.words(col("text")))
+      // greatest(…, 1) mirrors the SQL twin's greatest(len(ws), 1): an
+      // empty word array would otherwise make sequence(0, -1) emit a
+      // DESCENDING [0, -1] (two phantom blocks) while the oracle emits
+      // one empty block — agree by construction, not by split() quirks
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), nblocks - 1),
+        explode(transform(sequence(lit(0), greatest(nblocks, lit(1)) - 1),
           i => struct(i.as("pos"),
             array_join(slice(ws, i * w + 1, lit(w)), " ").as("blk")))).as("b"))
       .select(col("doc_id"), col("b.pos").as("pos"), col("b.blk").as("blk"))
@@ -1507,9 +1511,14 @@ object TextAnalysis {
       .withColumn("total", sum(col("toks"))
         .over(org.apache.spark.sql.expressions.Window
           .partitionBy(Portable.onePartition(col("toks")))))
+      // ELSE 0, not null: a stratum lang outside BUDGET_SHARES must be
+      // DROPPED (alloc 0 → rate 0), matching the oracle's inner join
+      // against the shares VALUES — a null alloc would fall out of
+      // least() and silently keep the whole unknown stratum
       .withColumn("alloc", expr("(total DIV 4) * "
         + "CASE " + BUDGET_SHARES.map { case (l, pm) =>
-            s"WHEN lang = '$l' THEN ${pm}L" }.mkString(" ") + " END DIV 1000"))
+            s"WHEN lang = '$l' THEN ${pm}L" }.mkString(" ")
+        + " ELSE 0L END DIV 1000"))
       .withColumn("rate_pm", least(lit(1000L), expr("alloc * 1000 DIV toks")))
       .select(col("lang"), col("rate_pm"))
     val bucket = pmod(

@@ -298,6 +298,24 @@ object StoreFsck {
           }
       }
 
+      // multi-relation snapshot completeness ([[SoftState]] families):
+      // every committed snapshot must carry every stamped member
+      // relation — the publish protocol cannot land torn, so a missing
+      // member is incident damage (hand-deleted subdir, partial restore)
+      // that would serve silently wrong joined state
+      SoftState.stampedRelations(spark, dirStr).foreach { rels =>
+        committed.sorted.foreach { v =>
+          val missing = rels.filterNot(r =>
+            fs.exists(new Path(dir, s"v=$v/$r")))
+          if (missing.nonEmpty)
+            report(Finding(label, "torn-state", "error",
+              s"committed snapshot v=$v is missing member relation(s) " +
+                s"${missing.mkString(", ")} (family stamps ${rels.mkString(", ")}) " +
+                "— reads would join relations across folds; restore the " +
+                "snapshot or re-fold from source"))
+        }
+      }
+
       // schema stamp parseability
       StreamingPipeline.stampedSchema(spark, dirStr).foreach { ddl =>
         try org.apache.spark.sql.types.StructType.fromDDL(ddl)

@@ -25,8 +25,7 @@ import org.apache.spark.sql.types.StructType
   * Usage: `SPARK_GRAFT_SF_DIR=… sbt "runMain graft.streaming.MaintenanceProbe"`.
   */
 object MaintenanceProbe {
-  private def tmp(p: String) =
-    java.nio.file.Files.createTempDirectory(p).toString
+  private def tmp(p: String) = graft.TmpDirs.create(p)
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

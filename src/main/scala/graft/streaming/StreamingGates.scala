@@ -27,8 +27,11 @@ import graft.sources.Tables
   */
 object StreamingGates {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  // tracked scratch: the harness (Verify/Bench/specs) reclaims every
+  // gate's staging/checkpoint/state dirs once the returned frame has
+  // been consumed — an untracked Files.createTempDirectory here leaked
+  // GBs per full run (r14 finding)
+  private def tmp(prefix: String): String = graft.TmpDirs.create(prefix)
 
   /** Run `f` with `spark.sql.shuffle.partitions` lowered to `n`,
     * restoring the session value after. The stateful gates replay a few
@@ -784,6 +787,64 @@ object StreamingGates {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SOFT BUDGET MIX ON A STREAM — the serve-on-stream form of
+    * [[graft.operators.Dedup.softBudgetMix]], the production shape for
+    * daily ingest (the [[streamQcScore]] posture): the model — per-doc
+    * soft-dedup weights and the 5-row per-stratum keep rates — is an
+    * OFFLINE artifact computed once per corpus refresh and persisted as
+    * ONE atomic two-relation [[SoftState]] snapshot (weights and rates
+    * are only meaningful together: rates derive from the weighted token
+    * mass, so a torn pair double- or under-thins exactly like torn
+    * labels/sizes would), and each micro-batch's keep decisions are a
+    * stateless projection + static weights join + broadcast rates join
+    * + codegen'd hash filter — no watermark, no state store, no
+    * output-mode constraint. Gated against the batch
+    * `tx_soft_budget_mix` oracle: stream-served keeps ≡ batch keeps ≡
+    * oracle, through the persisted state. */
+  def streamSoftBudgetMix(spark: SparkSession, dir: String): DataFrame =
+    withFewShufflePartitions(spark) {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+    // offline model build: weights from the augmented clustering
+    // restricted to the real corpus (txSoftBudgetMix's convention),
+    // rates from the weighted corpus aggregate
+    val stateDir = tmp("graft_sgate_smix_state_")
+    val weights = Dedup.ddSoftDedup(spark, dir)
+      .filter(col("doc_id") < 10000)
+      .select(col("doc_id"), col("weight_ppm"))
+    val lw = graft.Caches.persist(
+      docs.select(col("doc_id"), col("lang"),
+          size(graft.functions.Portable.words(col("text")))
+            .cast("long").as("n_words"))
+        .join(weights, Seq("doc_id")))
+    SoftState.publish(spark, stateDir, 0L, Seq(
+      "weights" -> lw.select(col("doc_id"), col("weight_ppm")),
+      "rates" -> Dedup.softMixRates(lw)))
+    // serve: 3-chunk document stream, keep decisions per micro-batch
+    val in = tmp("graft_sgate_smix_in_")
+    val out = tmp("graft_sgate_smix_out_")
+    val ckpt = tmp("graft_sgate_smix_ckpt_")
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val src = spark.readStream
+      .schema(StructType.fromDDL("doc_id BIGINT, lang STRING, text STRING"))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = Dedup.softMixServe(src,
+        SoftState.read(spark, stateDir, "weights",
+          "doc_id BIGINT, weight_ppm BIGINT"),
+        SoftState.read(spark, stateDir, "rates", "lang STRING, rate_pm BIGINT"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, n_words BIGINT, weight_ppm BIGINT")
+      .parquet(out)
+      .orderBy(col("doc_id"))
+  }
+
   /** SOFT-DEDUP CLUSTER STATE ON A STREAM — the serving twin of
     * [[Dedup.ddSoftDedupIncremental]]: the corpus arrives in three
     * micro-batched chunks, each chunk's VERIFIED near-dup pairs (the
@@ -791,16 +852,23 @@ object StreamingGates {
     * [[streamNearDup]] replays — pairs land batch-partitioned under
     * `out/batch=N`) are folded into a PERSISTED (labels, sizes) cluster
     * state via [[Dedup.foldSoftLabels]], and the state round-trips
-    * through parquet between folds (the production posture: a restart
-    * between ingests resumes from the stored relations, never from
-    * lineage). Store-then-verify is driven per chunk (checkpointed
-    * restarts), so every candidate's partner shingles are committed
-    * when its pair is emitted — nothing parks pending.
+    * through a [[SoftState]] versioned snapshot between folds (the
+    * production posture: a restart between ingests resumes from the
+    * stored relations, never from lineage). Both relations land in ONE
+    * atomic `v=<fold>` publish under the maintenance lease — a crash
+    * anywhere leaves the previous fold serving, never labels from fold
+    * N joined to sizes from fold N−1 — and the family is fsck-audited
+    * like every other persisted store. Store-then-verify is driven per
+    * chunk (checkpointed restarts), so every candidate's partner
+    * shingles are committed when its pair is emitted — nothing parks
+    * pending.
     *
     * Gated against the SAME full-recompute oracle as `dd_soft_dedup`:
     * three successive stream folds ≡ one batch clustering, hash-proven.
     * Per-fold cost is new-edge-sized CC + label-relation joins + a
-    * cluster-state-sized parquet rewrite — never a corpus rescan. */
+    * cluster-state-sized parquet snapshot — never a corpus rescan (the
+    * staging write executes the fold plan while the previous snapshot
+    * is still on disk, so no per-fold lineage checkpoint is pinned). */
   def streamSoftDedup(spark: SparkSession, dir: String): DataFrame =
     withFewShufflePartitions(spark) {
     val corpus = Dedup.augmented(spark, dir)
@@ -840,33 +908,20 @@ object StreamingGates {
         else spark.read.schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE")
           .parquet(fresh.map(d => s"$out/$d"): _*)
           .select(col("id_a"), col("id_b"))
-      val labels =
-        if (i == 0) emptyOf("doc_id BIGINT, cluster_id BIGINT")
-        else spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
-          .parquet(s"$state/labels")
-      val sizes =
-        if (i == 0) emptyOf("cluster_id BIGINT, m BIGINT")
-        else spark.read.schema("cluster_id BIGINT, m BIGINT")
-          .parquet(s"$state/sizes")
+      val labels = SoftState.read(spark, state, "labels",
+        "doc_id BIGINT, cluster_id BIGINT")
+      val sizes = SoftState.read(spark, state, "sizes",
+        "cluster_id BIGINT, m BIGINT")
       val (labels2, sizes2) = Dedup.foldSoftLabels(labels, sizes, newPairs)
-      // state round-trips through parquet: checkpoint the fold output
-      // BEFORE overwriting the relations it still reads from
-      val l2 = labels2.localCheckpoint(true)
-      val s2 = sizes2.localCheckpoint(true)
-      l2.write.mode("overwrite").parquet(s"$state/labels")
-      s2.write.mode("overwrite").parquet(s"$state/sizes")
-      // free ONLY this fold's checkpoint blocks (the next fold reads
-      // the parquet state, not these RDDs); the fold's internal persist
-      // is tiny and harness-released — a global releaseAll here would
-      // unpersist foreign relations process-wide
-      graft.Caches.freeCheckpoint(l2)
-      graft.Caches.freeCheckpoint(s2)
+      // one atomic v=i publish covering BOTH relations, leased + fenced;
+      // the staging write executes the fold plan against the still-
+      // present v=i-1, so nothing needs a lineage checkpoint here
+      SoftState.publish(spark, state, i.toLong,
+        Seq("labels" -> labels2, "sizes" -> sizes2))
     }
     Dedup.softWeightsOf(corpus.select(col("doc_id")),
-      spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
-        .parquet(s"$state/labels"),
-      spark.read.schema("cluster_id BIGINT, m BIGINT")
-        .parquet(s"$state/sizes"))
+      SoftState.read(spark, state, "labels", "doc_id BIGINT, cluster_id BIGINT"),
+      SoftState.read(spark, state, "sizes", "cluster_id BIGINT, m BIGINT"))
   }
 
   /** The doc slice erased by [[streamSoftDedupDelete]] (arrives in
@@ -935,17 +990,17 @@ object StreamingGates {
         .parquet(fresh.map(d => s"$out/$d"): _*)
         .select(col("id_a"), col("id_b"))
     }
-    def readLabels() = spark.read
-      .schema("doc_id BIGINT, cluster_id BIGINT").parquet(s"$state/labels")
-    def readSizes() = spark.read
-      .schema("cluster_id BIGINT, m BIGINT").parquet(s"$state/sizes")
+    def readLabels() = SoftState.read(spark, state, "labels",
+      "doc_id BIGINT, cluster_id BIGINT")
+    def readSizes() = SoftState.read(spark, state, "sizes",
+      "cluster_id BIGINT, m BIGINT")
+    // every state transition — up-fold or erasure fold-down — is one
+    // atomic leased v=<n> publish of BOTH relations ([[SoftState]])
+    var fold = 0L
     def writeState(labels: DataFrame, sizes: DataFrame): Unit = {
-      val l2 = labels.localCheckpoint(true)
-      val s2 = sizes.localCheckpoint(true)
-      l2.write.mode("overwrite").parquet(s"$state/labels")
-      s2.write.mode("overwrite").parquet(s"$state/sizes")
-      graft.Caches.freeCheckpoint(l2)
-      graft.Caches.freeCheckpoint(s2)
+      SoftState.publish(spark, state, fold,
+        Seq("labels" -> labels, "sizes" -> sizes))
+      fold += 1
     }
     def ingestAndFold(i: Int): Unit = {
       val rows = corpus.filter(pmod(col("doc_id"), lit(3)) === i)
@@ -954,11 +1009,7 @@ object StreamingGates {
       rows.withColumn("_sign", lit(1))
         .coalesce(1).write.mode("append").parquet(inCand)
       drainStore(); drainVerify()
-      val (labels, sizes) =
-        if (i == 0) (emptyOf("doc_id BIGINT, cluster_id BIGINT"),
-          emptyOf("cluster_id BIGINT, m BIGINT"))
-        else (readLabels(), readSizes())
-      val (l2, s2) = Dedup.foldSoftLabels(labels, sizes, freshPairs())
+      val (l2, s2) = Dedup.foldSoftLabels(readLabels(), readSizes(), freshPairs())
       writeState(l2, s2)
     }
     ingestAndFold(0); ingestAndFold(1)
@@ -971,6 +1022,13 @@ object StreamingGates {
       .select(col("doc_id"), col("text"), ts).withColumn("_sign", lit(-1))
       .coalesce(1).write.mode("append").parquet(inCand)
     drainVerify()
+    // pin the scrub contract: the retraction drain must emit NO pairs —
+    // a pair naming an erased doc here would resurrect it in the cluster
+    // state after the unfold, and relying on the downstream hash gate to
+    // notice would leave the contract unasserted
+    require(freshPairs().isEmpty,
+      "soft-dedup erasure: the _sign=-1 retraction batch emitted verified " +
+        "pairs — the candidate-state scrub leaked erased ids")
     val survivingPairs = spark.read
       .schema("id_a BIGINT, id_b BIGINT, jaccard DOUBLE").parquet(out)
       .select(col("id_a"), col("id_b"))

@@ -37,6 +37,27 @@ class SoftDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("two successive ingests through the persisted state equal one batch clustering") {
+    val want = Dedup.ddSoftDedup(spark, sf()).collect().toSeq
+    graft.Caches.releaseAll()
+    // three corpus slices by id range (history < 9000 ≤ batch1 < 10000 ≤
+    // batch2 — the ingest contract's append-only id convention); the
+    // second ingest proves the state a fold WRITES is the state the next
+    // fold can RESUME from (geometry deltas accumulate, cluster snapshot
+    // advances v0→v1→v2)
+    val aug = graft.Caches.persist(Dedup.augmented(spark, sf()))
+    val stateDir = graft.TmpDirs.create("graft_softstate_spec_")
+    Dedup.softDedupStateBuild(aug.filter($"doc_id" < 9000), stateDir)
+    Dedup.softDedupIngest(stateDir,
+      aug.filter($"doc_id" >= 9000 && $"doc_id" < 10000),
+      aug.filter($"doc_id" < 9000).select($"doc_id")).collect()
+    val got = Dedup.softDedupIngest(stateDir,
+      aug.filter($"doc_id" >= 10000),
+      aug.filter($"doc_id" < 10000).select($"doc_id")).collect().toSeq
+    graft.Caches.releaseAll(); graft.TmpDirs.releaseAll()
+    assert(got == want)
+  }
+
   test("incremental fold with an empty batch reproduces history state") {
     val aug = Dedup.augmented(spark, sf())
     val want = Dedup.softDedupWeights(aug.filter($"doc_id" < 10000))

@@ -215,4 +215,55 @@ class FsckSpec extends SparkSpec {
     // read-only: the partial must still exist, untouched
     assert(fs.exists(new Path(dir, "v=0")))
   }
+
+  test("soft-state: a torn snapshot (missing member relation) is an error; repair refuses it") {
+    val dir = Files.createTempDirectory("graft_fsck_soft_").toString
+    SoftState.publish(spark, dir, 0L, Seq(
+      "labels" -> Seq((1L, 1L)).toDF("doc_id", "cluster_id"),
+      "sizes" -> Seq((1L, 1L)).toDF("cluster_id", "m")))
+    assert(findings(dir).map(_._2) == Seq("clean"))
+    // the protocol cannot land torn — plant the INCIDENT class fsck
+    // exists for: a hand-deleted member relation in a committed snapshot
+    fs.delete(new Path(dir, "v=0/sizes"), true)
+    val f = findings(dir)
+    assert(f.exists(x => x._2 == "torn-state" && x._3 == "error"), f.toString)
+    // error class: repair must refuse (no guessed heal), the finding stays
+    val rep = StoreFsck.fsckStore(spark, dir, repair = true)
+      .select($"check", $"repaired").as[(String, Boolean)].collect().toSeq
+    assert(rep.exists(x => x._1 == "torn-state" && !x._2), rep.toString)
+  }
+
+  test("soft-state: a kill mid-publish leaves the previous fold serving and the re-run heals") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_fsck_softkill_").toString
+    def labels(v: Long) = Seq((1L, 1L), (v + 10L, 1L)).toDF("doc_id", "cluster_id")
+    def sizes(v: Long) = Seq((1L, v + 2L)).toDF("cluster_id", "m")
+    SoftState.publish(spark, dir, 0L, Seq("labels" -> labels(0), "sizes" -> sizes(0)))
+    // simulate a crash between the two relations of fold 1: staging holds
+    // labels only, no marker, no rename — the exact window that used to
+    // land TORN under bare overwrite writes
+    labels(1).write.parquet(s"$dir/_compact_staging_v1/labels")
+    // reads still serve fold 0, both relations consistent
+    assert(SoftState.currentVersion(spark, dir).contains(0L))
+    assert(SoftState.read(spark, dir, "sizes", "cluster_id BIGINT, m BIGINT")
+      .select(col("m")).as[Long].head() == 2L)
+    // fsck sees only benign staging residue, no error
+    val f = findings(dir)
+    assert(f.exists(_._2 == "crashed-staging") && !f.exists(_._3 == "error"),
+      f.toString)
+    // the re-run of the same fold overwrites the residue and commits both
+    SoftState.publish(spark, dir, 1L, Seq("labels" -> labels(1), "sizes" -> sizes(1)))
+    assert(SoftState.currentVersion(spark, dir).contains(1L))
+    assert(SoftState.read(spark, dir, "sizes", "cluster_id BIGINT, m BIGINT")
+      .select(col("m")).as[Long].head() == 3L)
+    assert(findings(dir).map(_._2) == Seq("clean"))
+    // non-monotonic publish (stale caller) is refused loudly
+    intercept[IllegalArgumentException] {
+      SoftState.publish(spark, dir, 1L, Seq("labels" -> labels(1), "sizes" -> sizes(1)))
+    }
+    // relation-set drift is refused loudly
+    intercept[IllegalArgumentException] {
+      SoftState.publish(spark, dir, 2L, Seq("labels" -> labels(2)))
+    }
+  }
 }

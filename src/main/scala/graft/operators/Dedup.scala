@@ -1887,6 +1887,10 @@ object Dedup {
     * never per ingest. */
   def softDedupStateBuild(history: DataFrame, stateDir: String): Unit = {
     val spark = history.sparkSession
+    // stamp the complete family set first, so StoreFsck audits the root
+    // for drift and a composed erasure can refuse a partial list
+    graft.streaming.StreamingPipeline.stampFamilies(spark, stateDir, Seq(
+      StateBands._1, StateShingles._1, "clusters"))
     val histBands = graft.Caches.persist(bandedRowsOf(history))
     val histShingles = shingleRowsOf(history) // self-persisting
     val histLabels = Cluster.connectedComponents(

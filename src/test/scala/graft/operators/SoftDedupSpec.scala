@@ -54,6 +54,11 @@ class SoftDedupSpec extends SparkSpec {
     val got = Dedup.softDedupIngest(stateDir,
       aug.filter($"doc_id" >= 10000),
       aug.filter($"doc_id" < 10000).select($"doc_id")).collect().toSeq
+    // the state root is a real store: families stamped, cluster snapshot
+    // committed and retired, geometry deltas live — fsck audits it clean
+    val audit = graft.streaming.StoreFsck.fsckStore(spark, stateDir)
+      .select($"check").as[String].collect().toSeq
+    assert(audit == Seq("clean"), audit.toString)
     graft.Caches.releaseAll(); graft.TmpDirs.releaseAll()
     assert(got == want)
   }

@@ -197,7 +197,11 @@ object ScaleProbe {
     // the whole landed directory for the digest — expected
     // ~tx_release_roundtrip (the re-read dominates; the append write
     // itself is batch-sized)
-    "tx_release_append_roundtrip")
+    "tx_release_append_roundtrip",
+    // batch-state erasure: the state build (dd_soft_dedup's law) + two
+    // geometry excluding-folds (snapshot-rewrite-sized) + ONE
+    // affected-component verify/CC — the delete-independent fold price
+    "dd_soft_dedup_erase")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

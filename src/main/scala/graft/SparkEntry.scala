@@ -274,6 +274,9 @@ object SparkEntry {
     "dd_soft_dedup_incremental" -> (Dedup.ddSoftDedupIncremental _),
     // combined multiplicity: exact copies ∪ near-dups, pipeline order
     "dd_soft_dedup_pipeline" -> (Dedup.ddSoftDedupPipeline _),
+    // erasure over the persisted batch state: tombstones + geometry
+    // excluding-fold + cluster fold-down — ≡ never-ingested, hash-proven
+    "dd_soft_dedup_erase" -> (Dedup.ddSoftDedupErase _),
     // soft weights made actionable: budget mix on effective token mass
     "tx_soft_budget_mix" -> (Dedup.txSoftBudgetMix _),
     // the pre-flight banding tuner: S-curve FP/FN integrals per (b, r)
@@ -552,6 +555,7 @@ object SparkEntry {
     "dd_soft_dedup" -> Dedup.ddSoftDedupSql,
     "dd_soft_dedup_incremental" -> Dedup.ddSoftDedupIncrementalSql,
     "dd_soft_dedup_pipeline" -> Dedup.ddSoftDedupPipelineSql,
+    "dd_soft_dedup_erase" -> Dedup.ddSoftDedupEraseSql,
     "tx_soft_budget_mix" -> Dedup.txSoftBudgetMixSql,
     "dd_lsh_tune" -> Dedup.ddLshTuneSql,
     "tx_intradoc_dedup" -> TextAnalysis.txIntradocDedupSql,

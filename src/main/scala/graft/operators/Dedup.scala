@@ -1955,6 +1955,95 @@ object Dedup {
       st.read(spark, clusters, StateSizes._1, StateSizes._2))
   }
 
+  /** DOCUMENT ERASURE over the persisted BATCH soft-dedup state — the
+    * right-to-be-forgotten path for [[softDedupStateBuild]]'s artifact
+    * (the streaming twin is
+    * [[graft.streaming.StreamingGates.streamSoftDedupDelete]]): one
+    * composed sweep under the state root's [[graft.streaming.MaintenanceLease]]:
+    *
+    *   1. the erased ids register as TOMBSTONES (shared by both
+    *      geometry families — deleting a doc must hide it from bands
+    *      AND shingles in the same logical instant);
+    *   2. both geometry families run an EXCLUDING compaction
+    *      ([[graft.streaming.StreamingPipeline.compactDeltasExcluding]]):
+    *      the erased docs' band and shingle rows are physically absent
+    *      from the published snapshot's bytes, with that protocol's
+    *      full staging/marker/heal crash story;
+    *   3. the cluster state folds DOWN via [[unfoldSoftLabels]]:
+    *      surviving pairs among the AFFECTED components' members are
+    *      re-derived from the folded geometry (erased endpoints are
+    *      already gone there, so no pair can resurrect them), bridge
+    *      splits and retired min-labels re-cluster, untouched clusters
+    *      pass through unread — published as the next atomic snapshot;
+    *   4. the tombstones retire (every family has folded past the
+    *      delete).
+    *
+    * Cost: the verify/CC work is AFFECTED-COMPONENT-sized (the
+    * delete-independent fold price every erasure path here pays); the
+    * geometry refold is one snapshot rewrite per family — at 100 TB the
+    * geometry store is bucketed by doc_id (the AnnIndex posture) so the
+    * member probes prune to affected buckets instead of scanning. */
+  def softDedupErase(spark: SparkSession, stateDir: String,
+      erasedIds: DataFrame): Unit =
+    graft.streaming.MaintenanceLease.withLease(spark, stateDir) {
+      val sp = graft.streaming.StreamingPipeline
+      val st = graft.streaming.SoftState
+      val clusters = clustersDir(stateDir)
+      val ver = st.currentVersion(spark, clusters).getOrElse(
+        sys.error(s"softDedupErase: no committed state under $stateDir"))
+      val erased = graft.Caches.persist(erasedIds.select(col("doc_id")))
+      val tid = sp.writeTombstones(spark, stateDir, erased)
+      sp.compactDeltasExcluding(spark, s"$stateDir/${StateBands._1}",
+        StateBands._2, ver, stateDir, "doc_id")
+      sp.compactDeltasExcluding(spark, s"$stateDir/${StateShingles._1}",
+        StateShingles._2, ver, stateDir, "doc_id")
+      val labels = st.read(spark, clusters, StateLabels._1, StateLabels._2)
+      val sizes = st.read(spark, clusters, StateSizes._1, StateSizes._2)
+      // surviving members of the affected components — the only docs
+      // whose pairs the fold-down needs
+      val affected = labels.join(erased, Seq("doc_id"), "left_semi")
+        .select(col("cluster_id")).distinct()
+      val members = graft.Caches.persist(
+        labels.join(affected, Seq("cluster_id"), "left_semi")
+          .join(erased, Seq("doc_id"), "left_anti")
+          .select(col("doc_id")))
+      val mBands = readGeometry(spark, stateDir, StateBands)
+        .join(members, Seq("doc_id"), "left_semi")
+      val mShingles = readGeometry(spark, stateDir, StateShingles)
+        .join(members, Seq("doc_id"), "left_semi")
+      val survPairs = verifyPairs(selfBandCandidates(mBands), mShingles)
+        .select(col("id_a"), col("id_b"))
+      val (l2, s2) = unfoldSoftLabels(labels, sizes, erased, survPairs)
+      st.publish(spark, clusters, ver + 1L,
+        Seq(StateLabels._1 -> l2, StateSizes._1 -> s2))
+      sp.retireTombstones(spark, stateDir, tid)
+    }
+
+  /** The doc slice erased by the gated batch-state erasure. */
+  private val SoftEraseSliceSql = "(doc_id % 8) = 2"
+
+  /** Gated query: build the persisted state over the full augmented
+    * corpus, ERASE a slice through [[softDedupErase]] (tombstones +
+    * geometry excluding-fold + cluster fold-down), and serve weights
+    * for the survivors from the folded state. Oracle: the full
+    * recompute on the corpus minus the slice — erase-then-serve ≡
+    * never-ingested, hash-proven THROUGH the physical geometry fold
+    * (an under-deleted band/shingle row would re-link a survivor pair
+    * and flip a multiplicity cell). */
+  def ddSoftDedupErase(spark: SparkSession, dir: String): DataFrame = {
+    val aug = graft.Caches.persist(augmented(spark, dir))
+    val stateDir = graft.TmpDirs.create("graft_softstate_erase_")
+    softDedupStateBuild(aug, stateDir)
+    softDedupErase(spark, stateDir, aug.filter(expr(SoftEraseSliceSql)))
+    val st = graft.streaming.SoftState
+    softWeightsOf(
+      aug.filter(!expr(SoftEraseSliceSql)).select(col("doc_id")),
+      st.read(spark, clustersDir(stateDir), StateLabels._1, StateLabels._2),
+      st.read(spark, clustersDir(stateDir), StateSizes._1, StateSizes._2))
+  }
+
+  val ddSoftDedupEraseSql: String = ddSoftDedupExcludingSql(SoftEraseSliceSql)
+
   /** INCREMENTAL soft dedup — the daily-ingest form, now measuring what
     * production actually pays: [[softDedupStateBuild]] persists the
     * history's (bands, shingles, labels, sizes) once (the last full

@@ -63,6 +63,35 @@ class SoftDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("full state lifecycle: ingest, geometry compaction, erasure, ingest ≡ never-ingested") {
+    import org.apache.spark.sql.functions.expr
+    val aug = graft.Caches.persist(Dedup.augmented(spark, sf()))
+    val erasePred = "(doc_id % 8) = 2 AND doc_id < 10000"
+    val want = Dedup.softDedupWeights(aug.filter(!expr(erasePred)))
+      .collect().toSeq
+    graft.Caches.releaseAll()
+    val stateDir = graft.TmpDirs.create("graft_softstate_life_")
+    Dedup.softDedupStateBuild(aug.filter($"doc_id" < 9000), stateDir)
+    Dedup.softDedupIngest(stateDir,
+      aug.filter($"doc_id" >= 9000 && $"doc_id" < 10000),
+      aug.filter($"doc_id" < 9000).select($"doc_id")).collect()
+    // routine geometry compaction mid-lifecycle: deltas b0,b1 fold to
+    // v=1 per family — later ingests and the erasure must read through
+    // the snapshot exactly as they read the raw deltas
+    graft.streaming.StreamingPipeline.compactDeltas(spark,
+      s"$stateDir/${Dedup.StateBands._1}", Dedup.StateBands._2, 1L)
+    graft.streaming.StreamingPipeline.compactDeltas(spark,
+      s"$stateDir/${Dedup.StateShingles._1}", Dedup.StateShingles._2, 1L)
+    Dedup.softDedupErase(spark, stateDir,
+      aug.filter(expr(erasePred)).select($"doc_id"))
+    val got = Dedup.softDedupIngest(stateDir,
+      aug.filter($"doc_id" >= 10000),
+      aug.filter($"doc_id" < 10000 && !expr(erasePred)).select($"doc_id"))
+      .collect().toSeq
+    graft.Caches.releaseAll(); graft.TmpDirs.releaseAll()
+    assert(got == want)
+  }
+
   test("incremental fold with an empty batch reproduces history state") {
     val aug = Dedup.augmented(spark, sf())
     val want = Dedup.softDedupWeights(aug.filter($"doc_id" < 10000))

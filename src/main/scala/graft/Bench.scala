@@ -101,16 +101,83 @@ object Bench {
       cur: Seq[(String, (Double, Double))]): Option[Double] =
     carryoverMedianRatio(floor, cur)
 
+  /** ERA CALIBRATION of the floor statistic — the r15 lesson: floors
+    * minted in the 60–120-query era reflect structurally lower
+    * per-query JVM aging, so a 209-query window reads ~1.5× on
+    * sub-second queries WITHOUT any plan change, and a detector that
+    * always fires gets ignored. Each floor entry therefore carries an
+    * `era` stamp: the timed-suite size it was minted at, refreshed
+    * whenever a later run's min lands within [[EraRevalidateSlack]] of
+    * the floor (evidence the floor is still reachable at the CURRENT
+    * suite size — the floor VALUE itself never rises; only its
+    * provenance is annotated). The calibrated drift statistic
+    * ([[sameEraFloorRatio]]) then compares ONLY against floors minted
+    * or re-validated at a comparable suite size
+    * ([[SameEraFraction]] of the current run's), computed against the
+    * stamps as COMMITTED (this run's re-validations take effect next
+    * run — using them same-run would bias the sample toward queries
+    * currently at their floor). Legacy entries parse as era 0 and stay
+    * excluded until a clean window re-validates them. */
+  private[graft] val EraRevalidateSlack = 1.1
+  private[graft] val SameEraFraction = 0.8
+  private[graft] val SameEraMinSample = 20
+
   /** Merge this run's timings into the floor: per query, keep the best
-    * (lowest) min and med each ever observed. New queries seed their
-    * own floor. */
+    * (lowest) min and med each ever observed; stamp/refresh the era as
+    * documented at [[EraRevalidateSlack]]. New queries seed their own
+    * floor at the current era. */
   private[graft] def mergedFloor(
-      floor: Map[String, (Double, Double)],
-      cur: Seq[(String, (Double, Double))]): Map[String, (Double, Double)] =
+      floor: Map[String, (Double, Double, Int)],
+      cur: Seq[(String, (Double, Double))],
+      n: Int): Map[String, (Double, Double, Int)] =
     cur.foldLeft(floor) { case (acc, (k, (mn, md))) =>
-      val (fmn, fmd) = acc.getOrElse(k, (mn, md))
-      acc.updated(k, (math.min(fmn, mn), math.min(fmd, md)))
+      acc.get(k) match {
+        case None => acc.updated(k, (mn, md, n))
+        case Some((fmn, fmd, era)) =>
+          acc.updated(k, (math.min(fmn, mn), math.min(fmd, md),
+            if (mn <= fmn * EraRevalidateSlack) n else era))
+      }
     }
+
+  /** The calibrated drift statistic: median min-ratio against floors
+    * whose era is comparable to this run's suite size, plus the sample
+    * size (a sample below [[SameEraMinSample]] is reported but not
+    * trusted for the suspect flag — fall back to the all-era ratio). */
+  private[graft] def sameEraFloorRatio(
+      floor: Map[String, (Double, Double, Int)],
+      cur: Seq[(String, (Double, Double))],
+      n: Int): (Option[Double], Int) = {
+    val eligible = floor.collect {
+      case (k, (mn, md, era)) if era >= SameEraFraction * n => k -> (mn, md)
+    }
+    val sub = cur.filter { case (k, _) => eligible.contains(k) }
+    (carryoverMedianRatio(eligible, sub), sub.size)
+  }
+
+  /** Parsed BENCH_FLOOR.json with its provenance stamps. `sf`/`cpus`
+    * are the dataset and parallelism the floors were clocked against —
+    * a run whose identity mismatches must neither merge (one sf0.01
+    * dev run would permanently poison every floor downward) nor report
+    * a floor ratio (meaningless across datasets). A file with queries
+    * but no stamp predates the stamping and is known-provenance
+    * (committed floors were always minted at the driver's sf0.1
+    * default). */
+  private[graft] final case class FloorFile(
+      sf: Option[String], cpus: Option[Int],
+      queries: Map[String, (Double, Double, Int)])
+
+  private[graft] def readFloorFile(path: String): FloorFile = try {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val qre =
+      """"([A-Za-z0-9_]+)":\{"min":([0-9.]+),"med":([0-9.]+)(?:,"era":(\d+))?\}""".r
+    FloorFile(
+      """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)),
+      """"cpus":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt),
+      qre.findAllMatchIn(txt).map(m => m.group(1) ->
+        ((m.group(2).toDouble, m.group(3).toDouble,
+          Option(m.group(4)).map(_.toInt).getOrElse(0)))).toMap)
+  } catch { case _: Throwable => FloorFile(None, None, Map.empty) }
 
   /** Median carryover ratio beyond this (in EITHER direction — a
     * committed record captured on a loaded machine makes every later
@@ -269,24 +336,59 @@ object Bench {
     // actually getting fast again, never by re-baselining.
     val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR",
       "BENCH_FLOOR.json")
-    val floor = readRecord(floorPath)
-    val floorRatio = floorMedianRatio(floor, timed)
-    val newFloor = mergedFloor(floor, timed)
-    val floorJson = newFloor.toSeq.sortBy(_._1).map { case (k, (mn, md)) =>
-      "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"med\":" + fmt(md) + "}"
-    }.mkString("{\"queries\":{", ",", "}}")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(floorPath), floorJson + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $floorPath: ${e.getMessage}")
-    }
+    val floorFile = readFloorFile(floorPath)
+    // identity gate (ADVICE r15): merging a dev run at another sf (or
+    // on other hardware) would permanently lower floors the design
+    // forbids ever re-raising. Pre-stamp files are known-provenance
+    // sf0.1 (the driver default the committed floors were minted at);
+    // an entirely missing file adopts this run's identity.
+    val floorSf = floorFile.sf.getOrElse(
+      if (floorFile.queries.isEmpty) sfDir else "/root/testdata/sf0.1")
+    val floorCpus = floorFile.cpus.getOrElse(cpus.toInt)
+    val floorIdentityOk = floorSf == sfDir && floorCpus == cpus.toInt
+    // filtered runs neither merge nor report: a handful of hand-picked
+    // queries is not a drift sample, and its floors must not ratchet
+    val floorActive = floorIdentityOk && only.isEmpty
+    val floorRatio =
+      if (floorActive)
+        floorMedianRatio(floorFile.queries.map {
+          case (k, (mn, md, _)) => k -> ((mn, md)) }, timed)
+      else None
+    // calibrated statistic: same-era floors only, stamps as COMMITTED
+    // (this run's re-validations land in the file for the NEXT run)
+    val (eraRatio, eraN) =
+      if (floorActive) sameEraFloorRatio(floorFile.queries, timed, timed.size)
+      else (None, 0)
+    if (floorActive) {
+      val newFloor = mergedFloor(floorFile.queries, timed, timed.size)
+      val floorJson = newFloor.toSeq.sortBy(_._1).map { case (k, (mn, md, era)) =>
+        "\"" + k + "\":{\"min\":" + fmt(mn) + ",\"med\":" + fmt(md) +
+          ",\"era\":" + era + "}"
+      }.mkString(
+        s"""{"sf":"$sfDir","cpus":${cpus.toInt},"queries":{""", ",", "}}")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(floorPath), floorJson + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $floorPath: ${e.getMessage}")
+      }
+    } else if (!floorIdentityOk)
+      System.err.println(s"[bench] floor file $floorPath is stamped " +
+        s"($floorSf, cpus=$floorCpus) but this run is ($sfDir, cpus=$cpus) " +
+        "— floor merge and ratio skipped")
     val envTag = {
       val ratioStr = medianRatio.map(r => fmt(r)).getOrElse("null")
       val suspect = environmentSuspect(medianRatio)
       val floorStr = floorRatio.map(r => fmt(r)).getOrElse("null")
-      val floorSuspect = floorRatio.exists(_ >= EnvironmentSuspectRatio)
+      val eraStr = eraRatio.map(r => fmt(r)).getOrElse("null")
+      // the suspect flag keys on the CALIBRATED statistic once its
+      // sample is trustworthy; below that, the uncalibrated ratio
+      // (conservative) keeps fresh repos covered
+      val floorSuspect =
+        if (eraN >= SameEraMinSample) eraRatio.exists(_ >= EnvironmentSuspectRatio)
+        else floorRatio.exists(_ >= EnvironmentSuspectRatio)
       s""","carryover_median_ratio":$ratioStr,"environment_suspect":$suspect""" +
         s""","floor_median_ratio":$floorStr,"floor_drift_suspect":$floorSuspect""" +
+        s""","floor_median_ratio_same_era":$eraStr,"floor_same_era_n":$eraN""" +
         s""","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadAfter)}"""
     }
     val fullJson =

@@ -201,7 +201,15 @@ object ScaleProbe {
     // batch-state erasure: the state build (dd_soft_dedup's law) + two
     // geometry excluding-folds (snapshot-rewrite-sized) + ONE
     // affected-component verify/CC — the delete-independent fold price
-    "dd_soft_dedup_erase")
+    "dd_soft_dedup_erase",
+    // full state lifecycle (build, ingest, SWEEP, ingest): the
+    // incremental law plus one bucketed geometry refold — expected
+    // ~dd_soft_dedup_incremental plus the snapshot-rewrite term
+    "dd_soft_dedup_sweep",
+    // soft-mix RTBF: the base serve's law + one weights anti-join
+    // rewrite and a 5-row rates re-derivation riding the same scan —
+    // expected ~stream_soft_budget_mix
+    "stream_soft_budget_mix_delete")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)
@@ -226,7 +234,14 @@ object ScaleProbe {
       try {
         df.write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
-      } finally Caches.releaseAll()
+      } finally {
+        Caches.releaseAll()
+        // gate scratch (streaming state, persisted stores) is dead once
+        // the action ran — reclaim per probe, not per JVM, or a full
+        // probe run accumulates every gate's scratch until exit (the
+        // Bench per-query discipline, ADVICE r15)
+        TmpDirs.releaseAll()
+      }
     }
     // best-of-two timing via two EXPLICIT sequential evaluations of the
     // by-name argument — the old inline `math.min(f(x), f(x))` computed

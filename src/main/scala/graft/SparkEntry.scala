@@ -89,6 +89,10 @@ object SparkEntry {
     // (weights, rates) snapshot — ≡ the batch mix, gated vs its oracle
     "stream_soft_budget_mix" ->
       (graft.streaming.StreamingGates.streamSoftBudgetMix _),
+    // RTBF on the soft-mix model: weight rows drop, rates re-derive
+    // from the survivors, serve ≡ model-built-on-survivors
+    "stream_soft_budget_mix_delete" ->
+      (graft.streaming.StreamingGates.streamSoftBudgetMixDelete _),
     // erasure over the cluster state: affected components re-cluster
     // from the surviving pair store, untouched clusters pass through
     "stream_soft_dedup_delete" ->
@@ -277,6 +281,7 @@ object SparkEntry {
     // erasure over the persisted batch state: tombstones + geometry
     // excluding-fold + cluster fold-down — ≡ never-ingested, hash-proven
     "dd_soft_dedup_erase" -> (Dedup.ddSoftDedupErase _),
+    "dd_soft_dedup_sweep" -> (Dedup.ddSoftDedupSweep _),
     // soft weights made actionable: budget mix on effective token mass
     "tx_soft_budget_mix" -> (Dedup.txSoftBudgetMix _),
     // the pre-flight banding tuner: S-curve FP/FN integrals per (b, r)
@@ -453,6 +458,8 @@ object SparkEntry {
     "stream_neardup" -> Dedup.ddMinhashLshSql,
     "stream_soft_dedup" -> Dedup.ddSoftDedupSql,
     "stream_soft_budget_mix" -> Dedup.txSoftBudgetMixSql,
+    "stream_soft_budget_mix_delete" ->
+      graft.streaming.StreamingGates.streamSoftBudgetMixDeleteSql,
     "stream_soft_dedup_delete" ->
       graft.streaming.StreamingGates.streamSoftDedupDeleteSql,
     "stream_neardup_ttl" ->
@@ -556,6 +563,7 @@ object SparkEntry {
     "dd_soft_dedup_incremental" -> Dedup.ddSoftDedupIncrementalSql,
     "dd_soft_dedup_pipeline" -> Dedup.ddSoftDedupPipelineSql,
     "dd_soft_dedup_erase" -> Dedup.ddSoftDedupEraseSql,
+    "dd_soft_dedup_sweep" -> Dedup.ddSoftDedupSweepSql,
     "tx_soft_budget_mix" -> Dedup.txSoftBudgetMixSql,
     "dd_lsh_tune" -> Dedup.ddLshTuneSql,
     "tx_intradoc_dedup" -> TextAnalysis.txIntradocDedupSql,
@@ -607,6 +615,7 @@ object SparkEntry {
     "mm_exact_dedup" -> Multimodal.mmExactDedupSql,
     "mm_chunk_neardup" -> Multimodal.mmChunkNearDupSql,
     "mm_chunk_neardup_cap" -> Multimodal.mmChunkNearDupCapSql,
+    "mm_chunk_clamped" -> Multimodal.mmChunkNearDupClampedSql,
     "mm_extract_features" -> Multimodal.mmExtractFeaturesSql,
     "mm_frame_sample" -> Multimodal.mmFrameSampleSql,
     "mm_resize" -> Multimodal.mmResizeSql,

@@ -1851,12 +1851,17 @@ object Dedup {
     *
     *   - GEOMETRY (bands, shingles): corpus-sized, append-only — two
     *     delta-store families (`b<k>` dirs, the [[graft.streaming.StreamingPipeline]]
-    *     convention, read via `storeContents`). An ingest appends ONLY
-    *     its batch-sized delta; the history relation is never
-    *     rewritten. Delta id = the cluster fold version it feeds, and
-    *     the write is mode-overwrite at that id, so a crashed ingest
-    *     re-runs idempotently (no duplicated shingle rows to corrupt
-    *     Jaccard counts).
+    *     convention) whose compaction snapshots are BUCKETED
+    *     ([[graft.streaming.BucketedFamily]]: bands on (band, sig),
+    *     shingles on doc_id) so ingest probes plan Exchange-free on
+    *     the corpus-sized side. An ingest appends ONLY its batch-sized
+    *     plain delta; the history relation is never rewritten between
+    *     sweeps ([[softDedupSweep]] folds the delta tail back into the
+    *     bucketed snapshot). Delta id = the cluster fold version it
+    *     feeds, and the write is mode-overwrite at that id, so a
+    *     crashed ingest re-runs idempotently (no duplicated shingle
+    *     rows to corrupt Jaccard counts); the duplicate-id guard is
+    *     the versioned high-water marker ([[readIdHighWater]]).
     *   - CLUSTERS (labels, sizes): duplicate-sized, mutated by every
     *     fold — one [[graft.streaming.SoftState]] family, both
     *     relations in one atomic leased `v=<fold>` publish (a torn
@@ -1868,14 +1873,101 @@ object Dedup {
   private[graft] val StateSizes = ("sizes", "cluster_id BIGINT, m BIGINT")
   private def clustersDir(stateDir: String) = s"$stateDir/clusters"
 
-  private def readGeometry(spark: SparkSession, stateDir: String,
-      rel: (String, String)): DataFrame =
-    graft.streaming.StreamingPipeline.storeContents(
-      spark, s"$stateDir/${rel._1}", rel._2)
+  /** Bucket layout of the persisted geometry families — the 100 TB
+    * probe posture ([[crossNearDupPairs]]'s scaladoc, the
+    * [[AnnIndex]] discipline at the text tier): the band family hashes
+    * on its probe key (band, sig) so an ingest's cross-candidate join
+    * plans with NO Exchange on the corpus-sized stored side (only the
+    * batch side shuffles to the bucket count, or broadcasts); the
+    * shingle family hashes on doc_id so the verify stage's
+    * candidate-doc lookups stream off the bucketed scan the same way.
+    * 32 buckets at gate scale; production sizes this like any bucketed
+    * table (store bytes / executor-memory-sized splits). */
+  private val GeoBuckets = 32
+  private def geoBucketCols(rel: (String, String)): Seq[String] =
+    if (rel == StateBands) Seq("band", "sig") else Seq("doc_id")
+  private def geoDir(stateDir: String, rel: (String, String)): String =
+    s"$stateDir/${rel._1}"
+
+  /** (bucketed committed snapshot, plain delta tail) of one geometry
+    * family. Probe paths consume the halves SEPARATELY — snapshot via
+    * its Exchange-free bucketed layout, deltas as batch-sized plain
+    * joins — because a Union of the two would erase the snapshot's
+    * output partitioning and re-shuffle the corpus per ingest. */
+  private def geometryParts(spark: SparkSession, stateDir: String,
+      rel: (String, String)): (Option[DataFrame], DataFrame) = {
+    val dir = geoDir(stateDir, rel)
+    (graft.streaming.BucketedFamily.readSnapshot(spark, dir, rel._2).map(_._1),
+      graft.streaming.BucketedFamily.deltasAfterSnapshot(spark, dir, rel._2))
+  }
+
+  /** Full contents of one geometry family, keeping the snapshot's
+    * bucket layout when no delta tail exists (post-sweep, post-erase) —
+    * the serving read for paths where partitioning still helps but
+    * completeness matters more than the probe plan. */
+  private def geometryContents(spark: SparkSession, stateDir: String,
+      rel: (String, String)): DataFrame = {
+    val (snap, deltas) = geometryParts(spark, stateDir, rel)
+    snap match {
+      case Some(s) if graft.streaming.BucketedFamily.fullyCompacted(
+        spark, geoDir(stateDir, rel)) => s
+      case Some(s) => s.unionByName(deltas)
+      case None => deltas
+    }
+  }
 
   private def writeGeometryDelta(stateDir: String, rel: (String, String),
       df: DataFrame, deltaId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$stateDir/${rel._1}/b$deltaId")
+
+  /** Publish one geometry family's bucketed snapshot directly (the
+    * state BUILD's path — no delta to fold yet, so the corpus is
+    * written exactly once, already in probe layout). */
+  private def publishGeometrySnapshot(spark: SparkSession, stateDir: String,
+      rel: (String, String), df: DataFrame, version: Long): Unit = {
+    val dir = geoDir(stateDir, rel)
+    graft.streaming.StreamingPipeline.ensureSchemaCompat(spark, dir, rel._2)
+    graft.streaming.BucketedFamily.publishSnapshot(spark, dir, df, version,
+      graft.streaming.BucketedFamily.BucketSpec(geoBucketCols(rel), GeoBuckets))
+  }
+
+  /** INGEST-ORDER ID HIGH-WATER MARK — the cheap guard enforcing the
+    * documented disjoint-id ingest contract (without it, re-running a
+    * COMPLETED batch would append duplicate band/shingle rows into a
+    * new geometry delta and silently corrupt Jaccard counts and cluster
+    * sizes). One tiny `_graft_id_highwater_v<fold>` file per cluster
+    * fold, stamped with the max ingested doc_id AS OF that fold, so the
+    * guard is a marker read + one batch-sized agg — never a corpus
+    * scan. Versioning is what makes the guard crash-consistent: a
+    * crashed ingest leaves its v+1 marker behind, but the committed
+    * cluster version never advanced, so the re-run reads the OLD
+    * marker and passes; after a successful publish the new marker
+    * gates, so re-ingesting the same batch refuses loudly. */
+  private def hwPath(stateDir: String, ver: Long) =
+    new org.apache.hadoop.fs.Path(stateDir, s"_graft_id_highwater_v$ver")
+
+  private def writeIdHighWater(spark: SparkSession, stateDir: String,
+      ver: Long, hw: Long): Unit = {
+    val p = hwPath(stateDir, ver)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readIdHighWater(spark: SparkSession, stateDir: String,
+      ver: Long): Long = {
+    val p = hwPath(stateDir, ver)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"soft-dedup state $stateDir carries no id high-water marker for " +
+        s"fold $ver — not a softDedupStateBuild artifact (or written by " +
+        "a pre-marker build); rebuild the state rather than ingesting " +
+        "with the duplicate-id guard disabled")
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      "UTF-8").trim.toLong
+    finally in.close()
+  }
 
   /** FULL RUN over a history corpus, persisting the soft-dedup state a
     * later [[softDedupIngest]] resumes from: ONE banding pass, ONE
@@ -1891,18 +1983,26 @@ object Dedup {
     // for drift and a composed erasure can refuse a partial list
     graft.streaming.StreamingPipeline.stampFamilies(spark, stateDir, Seq(
       StateBands._1, StateShingles._1, "clusters"))
-    val histBands = graft.Caches.persist(bandedRowsOf(history))
-    val histShingles = shingleRowsOf(history) // self-persisting
+    val hist = graft.Caches.persist(history)
+    val histBands = graft.Caches.persist(bandedRowsOf(hist))
+    val histShingles = shingleRowsOf(hist) // self-persisting
     val histLabels = Cluster.connectedComponents(
         verifyPairs(selfBandCandidates(histBands), histShingles)
           .select(col("id_a").as("src"), col("id_b").as("dst")))
       .select(col("id").as("doc_id"), col("cluster_id"))
     val histSizes = histLabels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("m"))
-    writeGeometryDelta(stateDir, StateBands, histBands, 0L)
-    writeGeometryDelta(stateDir, StateShingles, histShingles, 0L)
+    // geometry lands DIRECTLY as the bucketed v=0 snapshot of each
+    // family — the very first ingest already probes Exchange-free, and
+    // the corpus is written exactly once, in probe layout
+    publishGeometrySnapshot(spark, stateDir, StateBands, histBands, 0L)
+    publishGeometrySnapshot(spark, stateDir, StateShingles, histShingles, 0L)
     graft.streaming.SoftState.publish(spark, clustersDir(stateDir), 0L,
       Seq(StateLabels._1 -> histLabels, StateSizes._1 -> histSizes))
+    // bounded 1-row scalar: the ingest-contract guard's ceiling
+    val hw = hist.agg(max(col("doc_id"))).head()
+    writeIdHighWater(spark, stateDir, 0L,
+      if (hw.isNullAt(0)) Long.MinValue else hw.getLong(0))
   }
 
   /** ONE INGEST against a persisted soft-dedup state: every
@@ -1931,15 +2031,48 @@ object Dedup {
       sys.error(s"softDedupIngest: no committed state under $stateDir — " +
         "run softDedupStateBuild first"))
     val bat = graft.Caches.persist(batch)
+    // enforce the disjoint-id ingest contract instead of documenting
+    // it: a re-run of a COMPLETED batch (or an id collision) would
+    // append duplicate geometry rows and silently corrupt Jaccard
+    // counts and cluster sizes. One batch-sized agg (bounded 2-scalar
+    // collect) against the committed fold's high-water marker.
+    val hw = readIdHighWater(spark, stateDir, ver)
+    val ext = bat.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    require(ext.isNullAt(0) || ext.getLong(0) > hw,
+      s"softDedupIngest: batch min doc_id ${ext.getLong(0)} does not " +
+        s"exceed the state's ingested high-water $hw — this batch (or an " +
+        "id range overlapping it) was already folded into fold <= " +
+        s"$ver; re-ingesting would double its geometry rows")
     val batBands = graft.Caches.persist(bandedRowsOf(bat))
-    val batShingles = shingleRowsOf(bat) // self-persisting
-    val candidates = selfBandCandidates(batBands)
-      .unionByName(
-        crossBandCandidates(readGeometry(spark, stateDir, StateBands),
-          batBands))
-    val allShingles = readGeometry(spark, stateDir, StateShingles)
-      .unionByName(batShingles)
-    val newEdges = verifyPairs(candidates, allShingles)
+    val batShingles = graft.Caches.persist(shingleRowsOf(bat))
+    // candidate pairs: batch-internal collisions, plus the batch
+    // probing each stored half SEPARATELY — the bucketed snapshot joins
+    // on its (band, sig) layout with NO Exchange on the corpus-sized
+    // side (plan-asserted in SoftDedupSpec), and the delta tail (if a
+    // sweep has not folded it yet) is batch-sized joins. A single
+    // unioned store relation would erase the snapshot's partitioning
+    // and re-shuffle the corpus per ingest.
+    val (bandSnap, bandDeltas) = geometryParts(spark, stateDir, StateBands)
+    val candidates = graft.Caches.persist(
+      (Seq(selfBandCandidates(batBands)) ++
+        bandSnap.map(s => crossBandCandidates(s, batBands)).toSeq ++
+        Seq(crossBandCandidates(bandDeltas, batBands)))
+        .reduce(_ unionByName _))
+    // verification reads ONLY candidate docs' shingles: each stored
+    // half is pre-filtered by a candidate-endpoint semi-join (snapshot
+    // side Exchange-free off its doc_id buckets; candidate ids are
+    // collision-volume, not corpus-volume), so the corpus-sized shingle
+    // relation is never unioned raw into the verify joins
+    val candIds = graft.Caches.persist(
+      candidates.select(col("id_a").as("doc_id"))
+        .unionByName(candidates.select(col("id_b").as("doc_id")))
+        .distinct())
+    val (shSnap, shDeltas) = geometryParts(spark, stateDir, StateShingles)
+    val storedShingles =
+      (shSnap.map(s => s.join(candIds, Seq("doc_id"), "left_semi")).toSeq ++
+        Seq(shDeltas.join(candIds, Seq("doc_id"), "left_semi")))
+        .reduce(_ unionByName _)
+    val newEdges = verifyPairs(candidates, storedShingles.unionByName(batShingles))
       .select(col("id_a"), col("id_b"))
     val (labels, sizes) = foldSoftLabels(
       st.read(spark, clusters, StateLabels._1, StateLabels._2),
@@ -1947,6 +2080,12 @@ object Dedup {
       newEdges)
     writeGeometryDelta(stateDir, StateBands, batBands, ver + 1L)
     writeGeometryDelta(stateDir, StateShingles, batShingles, ver + 1L)
+    // the next fold's high-water BEFORE the cluster publish: a crash
+    // between the two leaves a stale v+1 marker the re-run overwrites
+    // (committed version still gates), never a committed fold without
+    // its guard
+    writeIdHighWater(spark, stateDir, ver + 1L,
+      if (ext.isNullAt(1)) hw else math.max(hw, ext.getLong(1)))
     st.publish(spark, clusters, ver + 1L,
       Seq(StateLabels._1 -> labels, StateSizes._1 -> sizes))
     softWeightsOf(
@@ -1954,6 +2093,57 @@ object Dedup {
       st.read(spark, clusters, StateLabels._1, StateLabels._2),
       st.read(spark, clusters, StateSizes._1, StateSizes._2))
   }
+
+  /** TEST HOOK for plan assertions (SoftDedupSpec): the stored-side
+    * halves of one ingest probe against the BUCKETED snapshots — the
+    * band cross-candidate join and the shingle candidate semi-join —
+    * built exactly as [[softDedupIngest]] builds them, returned
+    * unexecuted so the spec can pin the Exchange-free plan shape. */
+  private[graft] def ingestProbeHalves(spark: SparkSession, stateDir: String,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    val batBands = bandedRowsOf(batch)
+    val bandSnap = geometryParts(spark, stateDir, StateBands)._1.getOrElse(
+      sys.error(s"no committed band snapshot under $stateDir"))
+    val cross = crossBandCandidates(bandSnap, batBands)
+    val candIds = cross.select(col("id_a").as("doc_id"))
+      .unionByName(cross.select(col("id_b").as("doc_id"))).distinct()
+    val shSnap = geometryParts(spark, stateDir, StateShingles)._1.getOrElse(
+      sys.error(s"no committed shingle snapshot under $stateDir"))
+    (cross, shSnap.join(candIds, Seq("doc_id"), "left_semi"))
+  }
+
+  /** ROUTINE MAINTENANCE SWEEP of a persisted soft-dedup state — the
+    * one call a production scheduler runs between ingests (the
+    * [[graft.streaming.StreamingPipeline.sweepAnnStore]] shape): under
+    * the state root's lease, fold each geometry family's accumulated
+    * plain deltas into its BUCKETED snapshot at the committed cluster
+    * fold boundary (probes go back to one Exchange-free join instead
+    * of snapshot + k per-delta joins), and retire superseded id
+    * high-water markers. Cluster snapshots need no retention step
+    * here — [[graft.streaming.SoftState.publish]] retires superseded
+    * versions at every fold. Sweep-neutrality (post-sweep ingest ≡
+    * full recompute) is oracle-hashed by `dd_soft_dedup_sweep` and
+    * spec-pinned in SoftDedupSpec; run it quiesced between ingests,
+    * the [[graft.streaming.StreamingPipeline.compactDeltas]]
+    * discipline. */
+  def softDedupSweep(spark: SparkSession, stateDir: String): Unit =
+    graft.streaming.MaintenanceLease.withLease(spark, stateDir) {
+      val sp = graft.streaming.StreamingPipeline
+      val ver = graft.streaming.SoftState
+        .currentVersion(spark, clustersDir(stateDir)).getOrElse(
+          sys.error(s"softDedupSweep: no committed state under $stateDir"))
+      sp.compactDeltasBucketed(spark, geoDir(stateDir, StateBands),
+        StateBands._2, ver, geoBucketCols(StateBands), GeoBuckets)
+      sp.compactDeltasBucketed(spark, geoDir(stateDir, StateShingles),
+        StateShingles._2, ver, geoBucketCols(StateShingles), GeoBuckets)
+      // superseded ingest-guard markers (every fold below the committed
+      // one) are retirement residue, exactly like covered deltas
+      val root = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      (0L until ver).foreach { v =>
+        fs.delete(hwPath(stateDir, v), false)
+      }
+    }
 
   /** DOCUMENT ERASURE over the persisted BATCH soft-dedup state — the
     * right-to-be-forgotten path for [[softDedupStateBuild]]'s artifact
@@ -1980,9 +2170,10 @@ object Dedup {
     *
     * Cost: the verify/CC work is AFFECTED-COMPONENT-sized (the
     * delete-independent fold price every erasure path here pays); the
-    * geometry refold is one snapshot rewrite per family — at 100 TB the
-    * geometry store is bucketed by doc_id (the AnnIndex posture) so the
-    * member probes prune to affected buckets instead of scanning. */
+    * geometry refold is one snapshot rewrite per family, republished
+    * BUCKETED so the store keeps its Exchange-free probe layout, and
+    * the member probes broadcast the (cluster-sized) survivor set to
+    * stream the bucketed snapshots instead of shuffling them. */
   def softDedupErase(spark: SparkSession, stateDir: String,
       erasedIds: DataFrame): Unit =
     graft.streaming.MaintenanceLease.withLease(spark, stateDir) {
@@ -1993,10 +2184,14 @@ object Dedup {
         sys.error(s"softDedupErase: no committed state under $stateDir"))
       val erased = graft.Caches.persist(erasedIds.select(col("doc_id")))
       val tid = sp.writeTombstones(spark, stateDir, erased)
-      sp.compactDeltasExcluding(spark, s"$stateDir/${StateBands._1}",
-        StateBands._2, ver, stateDir, "doc_id")
-      sp.compactDeltasExcluding(spark, s"$stateDir/${StateShingles._1}",
-        StateShingles._2, ver, stateDir, "doc_id")
+      // the excluding fold republishes each family BUCKETED — erasure
+      // must not cost the store its Exchange-free probe layout
+      sp.compactDeltasExcludingBucketed(spark, geoDir(stateDir, StateBands),
+        StateBands._2, ver, stateDir, "doc_id",
+        geoBucketCols(StateBands), GeoBuckets)
+      sp.compactDeltasExcludingBucketed(spark, geoDir(stateDir, StateShingles),
+        StateShingles._2, ver, stateDir, "doc_id",
+        geoBucketCols(StateShingles), GeoBuckets)
       val labels = st.read(spark, clusters, StateLabels._1, StateLabels._2)
       val sizes = st.read(spark, clusters, StateSizes._1, StateSizes._2)
       // surviving members of the affected components — the only docs
@@ -2007,13 +2202,22 @@ object Dedup {
         labels.join(affected, Seq("cluster_id"), "left_semi")
           .join(erased, Seq("doc_id"), "left_anti")
           .select(col("doc_id")))
-      val mBands = readGeometry(spark, stateDir, StateBands)
-        .join(members, Seq("doc_id"), "left_semi")
-      val mShingles = readGeometry(spark, stateDir, StateShingles)
-        .join(members, Seq("doc_id"), "left_semi")
+      // members are affected-component survivors (cluster-sized, not
+      // corpus-sized) — broadcast them so the member probes STREAM the
+      // just-folded bucketed snapshots instead of shuffling them, and
+      // the band self-join below keeps the (band, sig) bucket layout
+      val mBands = geometryContents(spark, stateDir, StateBands)
+        .join(broadcast(members), Seq("doc_id"), "left_semi")
+      val mShingles = geometryContents(spark, stateDir, StateShingles)
+        .join(broadcast(members), Seq("doc_id"), "left_semi")
       val survPairs = verifyPairs(selfBandCandidates(mBands), mShingles)
         .select(col("id_a"), col("id_b"))
       val (l2, s2) = unfoldSoftLabels(labels, sizes, erased, survPairs)
+      // erasure never raises the id ceiling, and a forgotten id must
+      // NOT be re-ingestable (the tombstone contract) — carry the
+      // committed high-water forward to the new fold
+      writeIdHighWater(spark, stateDir, ver + 1L,
+        readIdHighWater(spark, stateDir, ver))
       st.publish(spark, clusters, ver + 1L,
         Seq(StateLabels._1 -> l2, StateSizes._1 -> s2))
       sp.retireTombstones(spark, stateDir, tid)
@@ -2261,6 +2465,38 @@ object Dedup {
 
   val ddSoftDedupIncrementalSql: String = ddSoftDedupSql
 
+  /** Gated query: the FULL maintenance lifecycle of the persisted
+    * soft-dedup state — build on the history, ingest wave 1, run the
+    * ROUTINE [[softDedupSweep]] (the delta tail folds into the
+    * bucketed geometry snapshots, superseded ingest guards retire),
+    * then ingest wave 2 against the SWEPT store and serve. Oracle: the
+    * same full-recompute SQL as `dd_soft_dedup`, so the hash compare
+    * proves SWEEP NEUTRALITY — compacting the geometry changes no
+    * candidate, no Jaccard count, no cluster — through two persisted
+    * folds and one maintenance boundary. */
+  def ddSoftDedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val aug = graft.Caches.persist(augmented(spark, dir))
+    val hist = aug.filter(col("doc_id") < 10000)
+    // split the variant batch at its exact median id (bounded 1-row
+    // scalar) — two ingest waves honoring the append-only id contract
+    // at any corpus scale
+    val midRow = aug.filter(col("doc_id") >= 10000)
+      .agg(expr("percentile(doc_id, 0.5)")).head()
+    val mid = if (midRow.isNullAt(0)) Long.MaxValue.toDouble
+      else midRow.getDouble(0)
+    val stateDir = graft.TmpDirs.create("graft_softstate_sweep_")
+    softDedupStateBuild(hist, stateDir)
+    softDedupIngest(stateDir,
+      aug.filter(col("doc_id") >= 10000 && col("doc_id") <= mid),
+      hist.select(col("doc_id")))
+    softDedupSweep(spark, stateDir)
+    softDedupIngest(stateDir,
+      aug.filter(col("doc_id") > mid),
+      aug.filter(col("doc_id") <= mid).select(col("doc_id")))
+  }
+
+  val ddSoftDedupSweepSql: String = ddSoftDedupSql
+
   /** Soft-dedup-weighted token-budget mix — the composition that makes
     * the weights ACTIONABLE: [[graft.operators.TextAnalysis.txTokenBudgetMix]]'s
     * budget allocator run on EFFECTIVE token mass (Σ n_words·weight —
@@ -2344,7 +2580,62 @@ object Dedup {
     softBudgetMix(Tables.documents(spark, dir),
       ddSoftDedup(spark, dir).filter(col("doc_id") < 10000))
 
-  val txSoftBudgetMixSql: String = {
+  /** Stamped schemas of the persisted soft-mix model family — the
+    * weights relation carries (lang, n_words) alongside the weight so
+    * a later [[softMixErase]] can re-derive the 5-row rates from the
+    * surviving rows alone (rates sum weighted token mass; a weights
+    * relation without the mass columns would make every erasure a full
+    * offline model rebuild). */
+  private[graft] val MixWeightsSchema =
+    "doc_id BIGINT, lang STRING, n_words BIGINT, weight_ppm BIGINT"
+  private[graft] val MixRatesSchema = "lang STRING, rate_pm BIGINT"
+
+  /** Publish the soft-mix model — the per-doc weighted length relation
+    * and its derived 5-row rates — as ONE atomic [[graft.streaming.SoftState]]
+    * snapshot (the two are only meaningful together: rates derive from
+    * the weighted token mass). `lw`: (doc_id, lang, n_words,
+    * weight_ppm), the [[softBudgetMix]] join. */
+  def softMixStateBuild(spark: SparkSession, stateDir: String,
+      lw: DataFrame): Unit =
+    graft.streaming.SoftState.publish(spark, stateDir, 0L, Seq(
+      "weights" -> lw.select(col("doc_id"), col("lang"), col("n_words"),
+        col("weight_ppm")),
+      "rates" -> softMixRates(lw)))
+
+  /** RIGHT-TO-BE-FORGOTTEN fold of the persisted soft-mix model — the
+    * erase path BETWEEN corpus refreshes (before this, an erased doc
+    * kept serving its weight until the next offline rebuild — the one
+    * persisted family without a delete gate, VERDICT r15): under the
+    * family's lease, the erased docs' weight rows are dropped (their
+    * bytes leave the published snapshot — the anti-join rewrite every
+    * physical-erasure path here pays) and the 5-row rates RE-DERIVE
+    * from the survivors in the same staged write (the rates aggregate
+    * rides the rewrite scan — no extra pass), publishing both
+    * relations as the next atomic snapshot. An erased doc then neither
+    * serves a weight (the serve joins weights inner) nor inflates its
+    * stratum's effective token mass. NOTE the scope: this erases the
+    * MODEL rows; re-clustering the soft-dedup weights themselves is
+    * [[softDedupErase]]'s job on its own state family. */
+  def softMixErase(spark: SparkSession, stateDir: String,
+      erasedIds: DataFrame): Unit =
+    graft.streaming.MaintenanceLease.withLease(spark, stateDir) {
+      val st = graft.streaming.SoftState
+      val ver = st.currentVersion(spark, stateDir).getOrElse(
+        sys.error(s"softMixErase: no committed soft-mix state under $stateDir"))
+      val surv = graft.Caches.persist(
+        st.read(spark, stateDir, "weights", MixWeightsSchema)
+          .join(broadcast(erasedIds.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti"))
+      st.publish(spark, stateDir, ver + 1L, Seq(
+        "weights" -> surv, "rates" -> softMixRates(surv)))
+    }
+
+  /** Oracle builder for the soft-budget-mix gates: the full model +
+    * serve chain, with the weighted length relation optionally
+    * restricted (`lwPred` — the erase gates' survivor corpus; rates
+    * re-derive from the restricted relation exactly as
+    * [[softMixErase]] re-derives them from the surviving rows). */
+  private def txSoftBudgetMixSqlWhere(lwPred: String): String = {
     val vals = TextAnalysis.BUDGET_SHARES
       .map { case (l, pm) => s"('$l', $pm)" }.mkString(", ")
     s"""
@@ -2360,7 +2651,7 @@ object Dedup {
       FROM documents),
     lw AS (
       SELECT lens.doc_id, lens.lang, lens.n_words, soft.weight_ppm
-      FROM lens JOIN soft USING (doc_id)),
+      FROM lens JOIN soft USING (doc_id) WHERE $lwPred),
     c AS (SELECT lang, CAST(SUM(n_words * weight_ppm) AS BIGINT) AS toks_eff
           FROM lw GROUP BY lang),
     t AS (SELECT CAST(SUM(toks_eff) AS BIGINT) AS total FROM c),
@@ -2375,6 +2666,14 @@ object Dedup {
            + 1000000000) % 1000000000 < r.rate_pm * lw.weight_ppm
     ORDER BY lw.doc_id"""
   }
+
+  val txSoftBudgetMixSql: String = txSoftBudgetMixSqlWhere("TRUE")
+
+  /** Oracle for a soft-mix serve after [[softMixErase]] of `pred`:
+    * weights AND rates over the survivor relation only — erase-then-
+    * serve ≡ model-built-on-survivors. */
+  def txSoftBudgetMixExcludingSql(pred: String): String =
+    txSoftBudgetMixSqlWhere(s"NOT ($pred)")
 
   // ----------------------------------------------------------- LSH tuning
 

@@ -374,27 +374,45 @@ object Multimodal {
       FROM documents
       WHERE doc_id >= 25 AND doc_id < 50 AND length(text) > $ChunkMutMinLen)"""
 
-  /** `mcorp` → per-doc distinct chunk hashes `ch(doc_id, h)`: candidate
-    * cut positions by the window-hash rule, forced end cut, per-chunk
-    * hash60 of the substring slice. Shared by both chunk oracles. */
-  private def chunkHashCtesSql(corpus: String): String = {
+  /** The divisor-rule candidate cut positions of `corpus` docs, as a
+    * sorted list column `cands` — the POSITIONAL half both the plain
+    * and the clamped oracle share (the clamped kernel's window
+    * deliberately straddles cuts, so its candidate set is this exact
+    * stateless one). */
+  private def chunkCandCteSql(corpus: String): String = {
     val P = graft.functions.Portable.P
-    s"""ce AS (
+    s"""ce0 AS (
       SELECT doc_id, text,
-             list_sort(list_distinct(list_append(
+             list_sort(list_distinct(
                list_filter(range($ChunkW, length(text) + 1), q ->
-                 ${chunkWindowSumSql(ChunkW)} % $P % $ChunkDivisor = 0),
-               length(text)::BIGINT))) AS ends
-      FROM $corpus WHERE length(text) > 0),
-    ch AS (
+                 ${chunkWindowSumSql(ChunkW)} % $P % $ChunkDivisor = 0))) AS cands
+      FROM $corpus WHERE length(text) > 0)"""
+  }
+
+  /** (doc_id, text, ends) → per-doc distinct chunk hashes
+    * `ch(doc_id, h)`: per-chunk hash60 of each substring slice between
+    * consecutive ends. Shared by every chunk oracle. */
+  private def chunkSliceHashCteSql(from: String): String =
+    s"""ch AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(range(1, len(ends) + 1), i ->
                ${graft.functions.Portable.hash60Sql(
                  """substring(text,
                    (CASE WHEN i = 1 THEN 1 ELSE ends[i - 1] + 1 END)::INT,
                    (ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END)::INT)""")}))) AS h
-      FROM ce)"""
-  }
+      FROM $from)"""
+
+  /** `mcorp` → per-doc distinct chunk hashes `ch(doc_id, h)`: candidate
+    * cut positions by the window-hash rule, forced end cut, per-chunk
+    * hash60 of the substring slice. Shared by both unclamped oracles. */
+  private def chunkHashCtesSql(corpus: String): String =
+    s"""${chunkCandCteSql(corpus)},
+    ce AS (
+      SELECT doc_id, text,
+             list_sort(list_distinct(list_append(cands,
+               length(text)::BIGINT))) AS ends
+      FROM ce0),
+    ${chunkSliceHashCteSql("ce")}"""
 
   /** Shared/containment tail: pair join over `chr(doc_id, h)`, per-doc
     * sizes over `sizesFrom` (= `chr` unless a df cap separates the two —
@@ -508,12 +526,15 @@ object Multimodal {
     * ([[graft.functions.CdcChunkHash60sClamped]]) — the production
     * config for adversarial content (zero runs → 1-byte chunks,
     * divisor-avoiding bytes → payload-sized chunks; the clamps bound
-    * both). Gated ROWS-ONLY: clamping makes the cut decision stateful
-    * (each cut depends on the previous one), which has no positional
-    * SQL twin — the kernel is instead pinned against an independent
-    * scalar Scala reference in `CdcChunkSpec` (equality, clamp bounds,
-    * minLen=1/maxLen=∞ ≡ the oracled stateless rule), the
-    * BPE-fit no-oracle pattern. */
+    * both). Clamping makes the cut decision STATEFUL (each cut depends
+    * on the previous one), so the oracle cannot state it positionally
+    * like [[mmChunkNearDupSql]] — but the kernel's window deliberately
+    * straddles cuts, so the divisor CANDIDATE set stays positional and
+    * the cut walk over it is pure integer recursion
+    * ([[mmChunkNearDupClampedSql]]); the kernel is additionally pinned
+    * against an independent scalar Scala reference in `CdcChunkSpec`
+    * (equality, clamp bounds, minLen=1/maxLen=∞ ≡ the stateless
+    * rule). */
   def mmChunkNearDupClamped(spark: SparkSession, dir: String): DataFrame = {
     val corpus = chunkCorpus(spark, dir)
     val rows = graft.Caches.persist(corpus.select(col("doc_id"),
@@ -522,4 +543,38 @@ object Multimodal {
         ChunkMinLen, ChunkMaxLen)).as("h")))
     chunkPairTail(rows)
   }
+
+  /** Oracle for the clamped chunker — the r15 stretch that retires this
+    * gate from the rows-only tail: the divisor candidates are the SAME
+    * positional list as the unclamped oracle's (the window straddles
+    * cuts by design), and the clamp walk is a RECURSIVE integer
+    * unfold — from cut position c, the next cut is the least of (first
+    * candidate ≥ c + minLen, c + maxLen, end) — exactly the kernel's
+    * first-rule-to-fire scan, stated as arithmetic over the candidate
+    * set instead of per-byte state. Chunk hashing and the
+    * shared/containment tail are the oracles' shared CTEs. */
+  val mmChunkNearDupClampedSql: String = s"""
+    WITH RECURSIVE $chunkCorpusCtesSql,
+    ${chunkCandCteSql("mcorp")},
+    cand AS (SELECT doc_id, unnest(cands) AS q FROM ce0),
+    dlen AS (SELECT doc_id, length(text)::BIGINT AS len
+             FROM mcorp WHERE length(text) > 0),
+    walk AS (
+      SELECT doc_id, 0::BIGINT AS cut FROM dlen
+      UNION ALL
+      SELECT w.doc_id,
+             LEAST(
+               COALESCE((SELECT MIN(c.q) FROM cand c
+                         WHERE c.doc_id = w.doc_id
+                           AND c.q >= w.cut + $ChunkMinLen), l.len),
+               w.cut + $ChunkMaxLen, l.len) AS cut
+      FROM walk w JOIN dlen l ON l.doc_id = w.doc_id
+      WHERE w.cut < l.len),
+    cc AS (
+      SELECT w.doc_id, ce0.text, list_sort(list(w.cut)) AS ends
+      FROM walk w JOIN ce0 ON ce0.doc_id = w.doc_id
+      WHERE w.cut > 0 GROUP BY w.doc_id, ce0.text),
+    ${chunkSliceHashCteSql("cc")},
+    chr AS (SELECT doc_id, h FROM ch),
+    ${chunkPairTailSql()}"""
 }

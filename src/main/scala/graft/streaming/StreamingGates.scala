@@ -803,12 +803,21 @@ object StreamingGates {
     * oracle, through the persisted state. */
   def streamSoftBudgetMix(spark: SparkSession, dir: String): DataFrame =
     withFewShufflePartitions(spark) {
+      val stateDir = tmp("graft_sgate_smix_state_")
+      softMixModelState(spark, dir, stateDir)
+      softMixServeStream(spark, dir, stateDir, "graft_sgate_smix_")
+    }
+
+  /** Offline model build shared by the soft-mix serve gates: weights
+    * from the augmented clustering restricted to the real corpus
+    * (txSoftBudgetMix's convention) joined to the per-doc lengths,
+    * rates from the weighted corpus aggregate — published as ONE
+    * atomic (weights, rates) snapshot via
+    * [[graft.operators.Dedup.softMixStateBuild]]. */
+  private def softMixModelState(spark: SparkSession, dir: String,
+      stateDir: String): Unit = {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, dir)
-    // offline model build: weights from the augmented clustering
-    // restricted to the real corpus (txSoftBudgetMix's convention),
-    // rates from the weighted corpus aggregate
-    val stateDir = tmp("graft_sgate_smix_state_")
     val weights = Dedup.ddSoftDedup(spark, dir)
       .filter(col("doc_id") < 10000)
       .select(col("doc_id"), col("weight_ppm"))
@@ -817,13 +826,19 @@ object StreamingGates {
           size(graft.functions.Portable.words(col("text")))
             .cast("long").as("n_words"))
         .join(weights, Seq("doc_id")))
-    SoftState.publish(spark, stateDir, 0L, Seq(
-      "weights" -> lw.select(col("doc_id"), col("weight_ppm")),
-      "rates" -> Dedup.softMixRates(lw)))
-    // serve: 3-chunk document stream, keep decisions per micro-batch
-    val in = tmp("graft_sgate_smix_in_")
-    val out = tmp("graft_sgate_smix_out_")
-    val ckpt = tmp("graft_sgate_smix_ckpt_")
+    Dedup.softMixStateBuild(spark, stateDir, lw)
+  }
+
+  /** The stateless 3-chunk streaming serve against a persisted
+    * (weights, rates) snapshot — shared by the plain and post-erase
+    * soft-mix gates so the two can never serve differently. */
+  private def softMixServeStream(spark: SparkSession, dir: String,
+      stateDir: String, prefix: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, dir)
+    val in = tmp(s"${prefix}in_")
+    val out = tmp(s"${prefix}out_")
+    val ckpt = tmp(s"${prefix}ckpt_")
     (0 until 3).foreach { i =>
       docs.filter(pmod(col("doc_id"), lit(3)) === i)
         .select(col("doc_id"), col("lang"), col("text"))
@@ -833,9 +848,8 @@ object StreamingGates {
       .schema(StructType.fromDDL("doc_id BIGINT, lang STRING, text STRING"))
       .option("maxFilesPerTrigger", "1").parquet(in)
     val q = Dedup.softMixServe(src,
-        SoftState.read(spark, stateDir, "weights",
-          "doc_id BIGINT, weight_ppm BIGINT"),
-        SoftState.read(spark, stateDir, "rates", "lang STRING, rate_pm BIGINT"))
+        SoftState.read(spark, stateDir, "weights", Dedup.MixWeightsSchema),
+        SoftState.read(spark, stateDir, "rates", Dedup.MixRatesSchema))
       .writeStream.outputMode("append").format("parquet")
       .option("path", out).option("checkpointLocation", ckpt).start()
     try q.processAllAvailable() finally q.stop()
@@ -844,6 +858,38 @@ object StreamingGates {
       .parquet(out)
       .orderBy(col("doc_id"))
   }
+
+  /** The doc slice erased from the soft-mix model by
+    * [[streamSoftBudgetMixDelete]] — one SQL predicate shared verbatim
+    * by the gate and its oracle so the deleted set cannot drift. */
+  private val SoftMixDeleteSliceSql = "(doc_id % 5) = 2"
+
+  val streamSoftBudgetMixDeleteSql: String =
+    graft.operators.Dedup.txSoftBudgetMixExcludingSql(SoftMixDeleteSliceSql)
+
+  /** [[streamSoftBudgetMix]] with a RIGHT-TO-BE-FORGOTTEN erase between
+    * model build and serve — the gap VERDICT r15 named (every other
+    * persisted family had a delete gate; an erased doc here kept
+    * serving its weight until the next corpus refresh): the model
+    * builds over the full corpus, a slice of doc_ids is erased through
+    * [[graft.operators.Dedup.softMixErase]] (weight rows physically
+    * dropped, the 5-row rates RE-DERIVED from the survivors, both as
+    * the next atomic snapshot), and the UNCHANGED full document stream
+    * is served against the folded state. Erased docs drop out (no
+    * weight row survives the inner join) and — the part a serving-time
+    * filter could not provide — every surviving stratum's keep rate is
+    * priced on survivor token mass only. Oracle: the batch mix with
+    * BOTH weights and rates computed over the survivor corpus, so the
+    * hash compare proves erase-then-serve ≡ model-built-on-survivors. */
+  def streamSoftBudgetMixDelete(spark: SparkSession, dir: String): DataFrame =
+    withFewShufflePartitions(spark) {
+      val stateDir = tmp("graft_sgate_smixdel_state_")
+      softMixModelState(spark, dir, stateDir)
+      graft.operators.Dedup.softMixErase(spark, stateDir,
+        Tables.documents(spark, dir)
+          .filter(expr(SoftMixDeleteSliceSql)).select(col("doc_id")))
+      softMixServeStream(spark, dir, stateDir, "graft_sgate_smixdel_")
+    }
 
   /** SOFT-DEDUP CLUSTER STATE ON A STREAM — the serving twin of
     * [[Dedup.ddSoftDedupIncremental]]: the corpus arrives in three

@@ -1000,7 +1000,30 @@ object StreamingPipeline {
     * history. */
   def compactDeltas(spark: SparkSession, dir: String, schema: String,
                     uptoVersion: Long): Unit =
-    compactDeltas(spark, dir, schema, uptoVersion, None)
+    compactDeltas(spark, dir, schema, uptoVersion, None, None)
+
+  /** [[compactDeltas]] publishing the fold as a BUCKETED snapshot
+    * ([[BucketedFamily]]) — the sweep for corpus-sized families that
+    * later ingests PROBE by equi-join: the published layout lets the
+    * probe plan with no Exchange on the snapshot side. Same crash
+    * protocol, markers, and retirement as the plain sweep. */
+  def compactDeltasBucketed(spark: SparkSession, dir: String, schema: String,
+                            uptoVersion: Long, bucketCols: Seq[String],
+                            buckets: Int): Unit =
+    compactDeltas(spark, dir, schema, uptoVersion, None,
+      Some(BucketedFamily.BucketSpec(bucketCols, buckets)))
+
+  /** [[compactDeltasExcluding]] (physical tombstone application) with a
+    * bucketed publish — the erasure fold for probe-facing families: the
+    * tombstoned keys' bytes leave the store AND the Exchange-free
+    * layout survives the rewrite. */
+  def compactDeltasExcludingBucketed(spark: SparkSession, dir: String,
+                                     schema: String, uptoVersion: Long,
+                                     storeRoot: String, keyCol: String,
+                                     bucketCols: Seq[String],
+                                     buckets: Int): Unit =
+    compactDeltas(spark, dir, schema, uptoVersion, Some((storeRoot, Seq(keyCol))),
+      Some(BucketedFamily.BucketSpec(bucketCols, buckets)))
 
   /** [[compactDeltas]] with PHYSICAL tombstone application: the staged
     * fold anti-joins the store's current tombstone set
@@ -1020,7 +1043,8 @@ object StreamingPipeline {
   def compactDeltasExcluding(spark: SparkSession, dir: String, schema: String,
                              uptoVersion: Long, storeRoot: String,
                              keyCol: String): Unit =
-    compactDeltas(spark, dir, schema, uptoVersion, Some((storeRoot, Seq(keyCol))))
+    compactDeltas(spark, dir, schema, uptoVersion,
+      Some((storeRoot, Seq(keyCol))), None)
 
   /** Multi-key variant: a row is removed when ANY of `keyCols` is
     * tombstoned — the shape for RELATIONSHIP families (ER/ANN pair
@@ -1029,11 +1053,12 @@ object StreamingPipeline {
   def compactDeltasExcluding(spark: SparkSession, dir: String, schema: String,
                              uptoVersion: Long, storeRoot: String,
                              keyCols: Seq[String]): Unit =
-    compactDeltas(spark, dir, schema, uptoVersion, Some((storeRoot, keyCols)))
+    compactDeltas(spark, dir, schema, uptoVersion, Some((storeRoot, keyCols)), None)
 
   private def compactDeltas(spark: SparkSession, dir: String, schema: String,
                             uptoVersion: Long,
-                            exclude: Option[(String, Seq[String])]): Unit =
+                            exclude: Option[(String, Seq[String])],
+                            bucketSpec: Option[BucketedFamily.BucketSpec]): Unit =
    // single-writer enforcement: every sweep step below (heal, GC, park,
    // publish, retire) is crash-safe alone but NOT interleave-safe against
    // a concurrent sweep of the same family — see MaintenanceLease
@@ -1074,7 +1099,20 @@ object StreamingPipeline {
     // while the caller goes on to retire the tombstones — a silent
     // un-delete. Plain compaction keeps the skip (refolding a fold is
     // pure waste there).
-    if (exclude.isDefined || !(snaps.contains(uptoVersion) && unfolded.isEmpty)) {
+    // a bucketed sweep must also refold when the snapshot at this
+    // boundary exists but under a DIFFERENT layout (plain→bucketed
+    // upgrade, or a bucket-count change): skipping would silently leave
+    // the probe-facing layout stale
+    val layoutUpgrade = bucketSpec.exists(spec =>
+      snaps.contains(uptoVersion) &&
+        !BucketedFamily.readSpec(spark, s"$dir/v=$uptoVersion").contains(spec))
+    def publish(contents: DataFrame): Unit = bucketSpec match {
+      case Some(spec) =>
+        BucketedFamily.publishSnapshot(spark, dir, contents, uptoVersion, spec)
+      case None => publishSnapshot(spark, dir, contents, uptoVersion)
+    }
+    if (exclude.isDefined || layoutUpgrade ||
+        !(snaps.contains(uptoVersion) && unfolded.isEmpty)) {
       val folded = deltasBelow(spark, dir, schema, uptoVersion + 1)
       val contents = exclude.fold(folded) { case (storeRoot, keyCols) =>
         antiJoinTombstones(spark, folded, storeRoot, keyCols)
@@ -1086,9 +1124,9 @@ object StreamingPipeline {
         // delete never races the read (the staged path's rename ordering
         // gives this for free, but the protocol choice is per-filesystem)
         val pinned = contents.localCheckpoint(true)
-        try publishSnapshot(spark, dir, pinned, uptoVersion)
+        try publish(pinned)
         finally graft.Caches.freeCheckpoint(pinned)
-      } else publishSnapshot(spark, dir, contents, uptoVersion)
+      } else publish(contents)
     }
     // retire EVERYTHING v=<uptoVersion> now covers — every delta ≤ upto
     // and every older snapshot, not just the ones this run folded, so a

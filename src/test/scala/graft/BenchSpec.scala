@@ -90,6 +90,55 @@ class BenchSpec extends AnyFunSuite {
       Seq("q" -> (1.0, 1.0))).isEmpty)
   }
 
+  test("floor era: values ratchet downward only; era refreshes on re-validation") {
+    val floor = Map("a" -> (1.0, 1.2, 100), "b" -> (2.0, 2.2, 100))
+    val cur = Seq(
+      "a" -> (1.05, 1.3),  // within 1.1x slack: value keeps 1.0, era -> 209
+      "b" -> (3.0, 3.1),   // drifted: value and ERA both unchanged
+      "c" -> (0.5, 0.6))   // new: seeds at current era
+    val m = Bench.mergedFloor(floor, cur, 209)
+    assert(m("a") == ((1.0, 1.2, 209)))
+    assert(m("b") == ((2.0, 2.2, 100)))
+    assert(m("c") == ((0.5, 0.6, 209)))
+    // a faster min lowers the floor AND re-stamps the era
+    assert(Bench.mergedFloor(floor, Seq("b" -> (1.5, 1.6)), 209)("b") ==
+      ((1.5, 1.6, 209)))
+  }
+
+  test("same-era floor ratio excludes small-suite-era floors (the r15 wolf-cry)") {
+    // 20 sub-second floors minted in the 60-query era read 2x from pure
+    // suite aging; 20 floors minted at comparable size read true 1.0
+    val floor =
+      (1 to 20).map(i => s"old_$i" -> (0.2, 0.25, 60)).toMap ++
+        (1 to 20).map(i => s"new_$i" -> (1.0, 1.1, 200)).toMap
+    val cur =
+      (1 to 20).map(i => s"old_$i" -> (0.4, 0.5)) ++
+        (1 to 20).map(i => s"new_$i" -> (1.0, 1.1))
+    // uncalibrated: median over all 40 straddles the aging queries
+    val all = Bench.floorMedianRatio(
+      floor.map { case (k, (mn, md, _)) => k -> ((mn, md)) }, cur)
+    assert(all.exists(_ > 1.0))
+    // calibrated: only the 20 same-era floors, ratio 1.0, sample 20
+    val (era, n) = Bench.sameEraFloorRatio(floor, cur, 210)
+    assert(n == 20 && era.exists(r => math.abs(r - 1.0) < 1e-9))
+    // and REAL drift on same-era floors still flags
+    val drifted = cur.map { case (k, v) =>
+      k -> (if (k.startsWith("new_")) (1.5, 1.6) else v) }
+    val (era2, _) = Bench.sameEraFloorRatio(floor, drifted, 210)
+    assert(era2.exists(_ >= Bench.EnvironmentSuspectRatio))
+  }
+
+  test("readFloorFile round-trips stamps and eras; legacy entries parse era 0") {
+    val p = java.nio.file.Files.createTempFile("graft_bench_floor", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"sf":"/root/testdata/sf0.1","cpus":32,"queries":{"q1":{"min":1.500,"med":2.000,"era":209},"legacy":{"min":0.100,"med":0.150}}}""")
+    val f = Bench.readFloorFile(p.toString)
+    assert(f.sf.contains("/root/testdata/sf0.1") && f.cpus.contains(32))
+    assert(f.queries == Map("q1" -> (1.5, 2.0, 209), "legacy" -> (0.1, 0.15, 0)))
+    assert(Bench.readFloorFile("/nonexistent/floor.json") ==
+      Bench.FloorFile(None, None, Map.empty))
+  }
+
   test("readRecord parses the BENCH_FULL format this repo writes") {
     val p = java.nio.file.Files.createTempFile("graft_bench_rec", ".json")
     java.nio.file.Files.writeString(p,

@@ -75,13 +75,11 @@ class SoftDedupSpec extends SparkSpec {
     Dedup.softDedupIngest(stateDir,
       aug.filter($"doc_id" >= 9000 && $"doc_id" < 10000),
       aug.filter($"doc_id" < 9000).select($"doc_id")).collect()
-    // routine geometry compaction mid-lifecycle: deltas b0,b1 fold to
-    // v=1 per family — later ingests and the erasure must read through
-    // the snapshot exactly as they read the raw deltas
-    graft.streaming.StreamingPipeline.compactDeltas(spark,
-      s"$stateDir/${Dedup.StateBands._1}", Dedup.StateBands._2, 1L)
-    graft.streaming.StreamingPipeline.compactDeltas(spark,
-      s"$stateDir/${Dedup.StateShingles._1}", Dedup.StateShingles._2, 1L)
+    // routine maintenance mid-lifecycle: the build's bucketed v=0
+    // snapshots and the ingest's b1 deltas fold to bucketed v=1 per
+    // family — later ingests and the erasure must read through the
+    // swept snapshot exactly as they read the delta tail
+    Dedup.softDedupSweep(spark, stateDir)
     Dedup.softDedupErase(spark, stateDir,
       aug.filter(expr(erasePred)).select($"doc_id"))
     val got = Dedup.softDedupIngest(stateDir,
@@ -90,6 +88,119 @@ class SoftDedupSpec extends SparkSpec {
       .collect().toSeq
     graft.Caches.releaseAll(); graft.TmpDirs.releaseAll()
     assert(got == want)
+  }
+
+  test("ingest probes plan Exchange-free on the stored geometry side") {
+    val aug = graft.Caches.persist(Dedup.augmented(spark, sf()))
+    val stateDir = graft.TmpDirs.create("graft_softstate_plan_")
+    Dedup.softDedupStateBuild(aug.filter($"doc_id" < 9000), stateDir)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the planner must consider distribution —
+      // at a 100 TB corpus with a large daily batch neither side
+      // broadcasts, and this is exactly the regime the bucketed
+      // snapshot exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (cross, shSemi) = Dedup.ingestProbeHalves(spark, stateDir,
+        aug.filter($"doc_id" >= 9000))
+      val planC = cross.queryExecution.executedPlan.toString
+      // exactly ONE hash Exchange on (band, sig): the batch side
+      // aligning to the bucket layout; the corpus-sized snapshot reads
+      // straight off its buckets
+      val nC = "Exchange hashpartitioning\\(band".r.findAllIn(planC).length
+      assert(planC.contains("SortMergeJoin"), s"expected SMJ:\n$planC")
+      assert(nC == 1,
+        s"band probe must shuffle ONLY the batch side (got $nC):\n$planC")
+      // shingle semi-join: the candidate-id side shuffles (batch-sized
+      // banding + distinct), but the STORED side must stream off its
+      // doc_id buckets with no Exchange anywhere in its subtree
+      val planS = shSemi.queryExecution.executedPlan.toString
+      val rootS = shSemi.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case o => o
+      }
+      val semis = rootS.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.nonEmpty, s"expected a sort-merge semi join:\n$planS")
+      val stored = semis.head.left
+      assert(stored.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.isEmpty, s"stored shingle side must not shuffle:\n$planS")
+      assert(stored.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.bucketSpec.isDefined => f
+      }.nonEmpty, s"stored side must be the bucketed scan:\n$planS")
+      // sanity: the same joins over a BARE parquet read of the snapshot
+      // files (the layout silently lost) shuffle both sides
+      val bareDir = {
+        val d = s"$stateDir/${Dedup.StateBands._1}"
+        val v = graft.streaming.BucketedFamily.readSnapshot(spark, d,
+          Dedup.StateBands._2).get._2
+        s"$d/v=$v"
+      }
+      val bareRel = spark.read.schema(Dedup.StateBands._2).parquet(bareDir)
+      val bare = bareRel.as("a").join(bareRel.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      val nBare = "Exchange hashpartitioning\\(band".r
+        .findAllIn(bare.queryExecution.executedPlan.toString).length
+      assert(nBare == 2, s"sanity: bare read should shuffle both sides ($nBare)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      graft.Caches.releaseAll(); graft.TmpDirs.releaseAll()
+    }
+  }
+
+  test("state handoff: a fresh session resumes ingest from the on-disk root alone") {
+    val aug = graft.Caches.persist(Dedup.augmented(spark, sf()))
+    val want = Dedup.softDedupWeights(aug).collect().toSeq
+    val stateDir = graft.TmpDirs.create("graft_softstate_restart_")
+    Dedup.softDedupStateBuild(aug.filter($"doc_id" < 10000), stateDir)
+    graft.Caches.releaseAll()
+    // the production restart in miniature: a DIFFERENT session (fresh
+    // session state and conf view) must recover the banding geometry,
+    // the bucketed snapshot layout, the cluster fold version, and the
+    // ingest-guard high-water from disk markers alone. Defensively drop
+    // any bucketed-table registrations the build session could have
+    // left (Spark's external catalog is shared across newSession).
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_bfam_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val fresh = spark.newSession()
+    val augF = graft.Caches.persist(Dedup.augmented(fresh, sf()))
+    val got = Dedup.softDedupIngest(stateDir,
+      augF.filter(col("doc_id") >= 10000),
+      augF.filter(col("doc_id") < 10000).select(col("doc_id")))
+      .collect().toSeq
+    // the fresh session served the probe through a RE-REGISTERED
+    // external bucketed table, not a bare parquet read
+    assert(fresh.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_bfam_")),
+      "ingest must re-register the bucketed snapshot in the fresh session")
+    graft.Caches.releaseAll(); graft.TmpDirs.releaseAll()
+    assert(got == want)
+  }
+
+  test("ingest refuses a batch overlapping already-ingested ids (duplicate-id guard)") {
+    val aug = graft.Caches.persist(Dedup.augmented(spark, sf()))
+    val stateDir = graft.TmpDirs.create("graft_softstate_guard_")
+    // split INSIDE the base id range so the re-delivered batch is
+    // genuinely non-empty at spec scale
+    Dedup.softDedupStateBuild(aug.filter($"doc_id" < 250), stateDir)
+    Dedup.softDedupIngest(stateDir,
+      aug.filter($"doc_id" >= 250 && $"doc_id" < 10000),
+      aug.filter($"doc_id" < 250).select($"doc_id"))
+    // re-delivering the COMPLETED batch must refuse loudly, not
+    // silently double its geometry rows
+    val e = intercept[IllegalArgumentException] {
+      Dedup.softDedupIngest(stateDir,
+        aug.filter($"doc_id" >= 250 && $"doc_id" < 10000),
+        aug.filter($"doc_id" < 250).select($"doc_id"))
+    }
+    assert(e.getMessage.contains("high-water"), e.getMessage)
+    graft.Caches.releaseAll(); graft.TmpDirs.releaseAll()
   }
 
   test("incremental fold with an empty batch reproduces history state") {

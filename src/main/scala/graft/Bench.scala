@@ -252,6 +252,13 @@ object Bench {
       // so this query's measurement starts from a clean storage/heap state
       Caches.releaseAll(blocking = true)
       spark.catalog.clearCache()
+      // unload finished streaming gates' state-store providers and
+      // re-anchor the 60 s maintenance timer to the next gate's start —
+      // otherwise whether a JVM-global maintenance tick lands inside a
+      // stateful gate's window is wall-clock phase, which read as
+      // multi-second cross-session spread on untouched code (the r15
+      // stream_stream_join 10.6→15.3 s finding). See Bridge scaladoc.
+      org.apache.spark.sql.graft.Bridge.resetStreamingStateMaintenance()
       System.gc()
       val runs = (1 to 3).map { _ =>
         // elapsed captured BEFORE the inter-run release: the blocking
@@ -393,10 +400,17 @@ object Bench {
     }
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$windowTag$envTag$filteredTag}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
-    }
+    // a filtered dev run must not REPLACE the committed full-suite
+    // record either (the carryover detector reads it as prev — a 1-query
+    // record there guts the next full run's statistic); it still prints
+    // its own JSON to stdout
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+      }
+    else System.err.println(
+      s"[bench] filtered run — $fullPath left untouched")
     val slowest = timed.sortBy { case (_, v) => -v._1 }.take(12)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v._1) }.mkString("{", ",", "}")
     val compact =

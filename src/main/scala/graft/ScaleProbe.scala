@@ -241,6 +241,9 @@ object ScaleProbe {
         // probe run accumulates every gate's scratch until exit (the
         // Bench per-query discipline, ADVICE r15)
         TmpDirs.releaseAll()
+        // and re-anchor the state-store maintenance timer (the Bench
+        // inter-query discipline — see Bridge.resetStreamingStateMaintenance)
+        org.apache.spark.sql.graft.Bridge.resetStreamingStateMaintenance()
       }
     }
     // best-of-two timing via two EXPLICIT sequential evaluations of the

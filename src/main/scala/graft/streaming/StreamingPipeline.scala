@@ -1998,8 +1998,18 @@ object StreamingPipeline {
           // a pair colliding in several bands arrives once per band
           val pairs = batch.select(col("doc_id").as("id_a"),
             col("matched_with").as("id_b")).distinct().persist()
-          val store =
-            shingleStoreContents(batch.sparkSession, storeDir).persist()
+          // ONLY candidate-endpoint docs' shingles matter downstream
+          // (the verify joins by pair id; the jaccard sizes join is
+          // inner), so the corpus-sized store is pre-filtered with a
+          // broadcast semi-join BEFORE the at-least-once distinct:
+          // no micro-batch ever shuffles, distincts, or caches the
+          // whole store — the r16 softDedupIngest posture, and the
+          // same oracles prove the filtered verify bit-equal. The
+          // readiness/pending split below is also unaffected: every
+          // pair endpoint is a candidate id, so "endpoint present in
+          // the filtered store" ≡ "endpoint present in the store".
+          val store = backlogFilteredStore(batch.sparkSession, storeDir,
+            pairs).persist()
           try {
             val ids = store.select(col("doc_id")).distinct()
             val idsA = ids.withColumnRenamed("doc_id", "id_a")
@@ -2139,10 +2149,27 @@ object StreamingPipeline {
     * pairs; the production sweep is [[verifyPendingAndCompact]], which
     * also persists its output and retires resolved pairs. */
   def verifyPending(spark: SparkSession, storeDir: String, outDir: String,
-                    threshold: Double = 0.5): DataFrame =
-    graft.operators.Dedup.verifyPairs(
-      pendingCandidates(spark, outDir),
-      shingleStoreContents(spark, storeDir), threshold)
+                    threshold: Double = 0.5): DataFrame = {
+    val pending = pendingCandidates(spark, outDir)
+    graft.operators.Dedup.verifyPairs(pending,
+      backlogFilteredStore(spark, storeDir, pending), threshold)
+  }
+
+  /** The shingle store restricted to a pair relation's endpoint docs —
+    * a broadcast semi-join BEFORE the at-least-once distinct, so no
+    * verify pass ever shuffles, distincts, or caches the corpus-sized
+    * store (the pair set is candidate/backlog-sized and bounded by the
+    * TTL sweep; only its docs' shingles feed the jaccard arithmetic —
+    * the r16 softDedupIngest argument, bit-equality proven by the same
+    * oracles). */
+  private def backlogFilteredStore(spark: SparkSession, storeDir: String,
+                                   pairs: DataFrame): DataFrame =
+    storeContents(spark, storeDir, "doc_id BIGINT, h BIGINT")
+      .join(broadcast(
+        pairs.select(col("id_a").as("doc_id"))
+          .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()),
+        Seq("doc_id"), "left_semi")
+      .distinct()
 
   /** The production backlog sweep: verify what is NOW verifiable,
     * persist the newly-verified pairs into the same `batch=<id>` output
@@ -2174,7 +2201,9 @@ object StreamingPipeline {
     val outPath = new Path(outDir)
     val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
     val pending = pendingCandidates(spark, outDir).persist()
-    val store = shingleStoreContents(spark, storeDir).persist()
+    // backlog-endpoint filter before the distinct — the sweep must not
+    // pay a corpus-sized shuffle/cache either (see backlogFilteredStore)
+    val store = backlogFilteredStore(spark, storeDir, pending).persist()
     try {
       val ids = store.select(col("doc_id")).distinct()
       val idsA = ids.withColumnRenamed("doc_id", "id_a")

@@ -209,7 +209,12 @@ object ScaleProbe {
     // soft-mix RTBF: the base serve's law + one weights anti-join
     // rewrite and a 5-row rates re-derivation riding the same scan —
     // expected ~stream_soft_budget_mix
-    "stream_soft_budget_mix_delete")
+    "stream_soft_budget_mix_delete",
+    // persisted digest artifact: one history digest pass + bloom build
+    // at store build, then a batch-sized bloom filter + positive-tail
+    // anti-join at probe — expected ~dd_incremental (byte-linear in
+    // the history pass, probe batch-sized)
+    "dd_incremental_store")
 
   def main(args: Array[String]): Unit = {
     val Array(dirSmall, dirBig) = args.take(2)

@@ -282,6 +282,9 @@ object SparkEntry {
     // excluding-fold + cluster fold-down — ≡ never-ingested, hash-proven
     "dd_soft_dedup_erase" -> (Dedup.ddSoftDedupErase _),
     "dd_soft_dedup_sweep" -> (Dedup.ddSoftDedupSweep _),
+    // exact dedup through the persisted (bloom + bucketed digests)
+    // history artifact — the build-once/probe-daily ingest form
+    "dd_incremental_store" -> (Dedup.ddIncrementalStore _),
     // soft weights made actionable: budget mix on effective token mass
     "tx_soft_budget_mix" -> (Dedup.txSoftBudgetMix _),
     // the pre-flight banding tuner: S-curve FP/FN integrals per (b, r)
@@ -564,6 +567,7 @@ object SparkEntry {
     "dd_soft_dedup_pipeline" -> Dedup.ddSoftDedupPipelineSql,
     "dd_soft_dedup_erase" -> Dedup.ddSoftDedupEraseSql,
     "dd_soft_dedup_sweep" -> Dedup.ddSoftDedupSweepSql,
+    "dd_incremental_store" -> Dedup.ddIncrementalStoreSql,
     "tx_soft_budget_mix" -> Dedup.txSoftBudgetMixSql,
     "dd_lsh_tune" -> Dedup.ddLshTuneSql,
     "tx_intradoc_dedup" -> TextAnalysis.txIntradocDedupSql,

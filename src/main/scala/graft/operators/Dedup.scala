@@ -603,6 +603,95 @@ object Dedup {
     SELECT min(doc_id) AS doc_id, digest FROM fresh
     GROUP BY digest ORDER BY doc_id"""
 
+  // ------------------------------------- persisted digest-store dedup
+
+  /** PERSISTED HISTORY DIGEST ARTIFACT for ingest-time exact dedup —
+    * the build-once/probe-daily form of [[incrementalDedup]] for the
+    * scale where the history digest set neither broadcasts nor should
+    * be recomputed per ingest (at 100 TB the distinct digest relation
+    * is itself billions of rows). Two probe layers, cheapest first:
+    *
+    *   1. a serialized BLOOM FILTER over the digests' 60-bit hashes
+    *      (`_graft_digest_bloom`, [[graft.operators.BloomJoin]]'s
+    *      membership-sketch regime: keys fit a broadcastable bitmap
+    *      when the rows do not). Bloom-NEGATIVE batch rows — the bulk
+    *      of a typical ingest — are definitely fresh and never join
+    *      anything: they die into the output inside the scan's
+    *      codegen stage;
+    *   2. the digest relation as a BUCKETED snapshot on `digest`
+    *      ([[graft.streaming.BucketedFamily]]): the bloom-positive
+    *      tail (true duplicates + ~fpp leak) anti-joins it with NO
+    *      Exchange on the corpus-sized side. False positives die in
+    *      this exact anti-join, so the bloom is a pure pruning layer —
+    *      the gate's oracle is [[ddIncrementalSql]] itself, and the
+    *      hash compare proves artifact-probe ≡ in-query recompute. */
+  private val DigestRel = ("digests", "digest STRING")
+  private val DigestBloomFile = "_graft_digest_bloom"
+  val DigestBloomFpp = 0.01
+
+  def digestStoreBuild(history: DataFrame, storeDir: String): Unit = {
+    val spark = history.sparkSession
+    val dir = s"$storeDir/${DigestRel._1}"
+    val digests = graft.Caches.persist(
+      history.select(md5(col("text")).as("digest")).distinct())
+    graft.streaming.StreamingPipeline.ensureSchemaCompat(spark, dir, DigestRel._2)
+    graft.streaming.BucketedFamily.publishSnapshot(spark, dir, digests, 0L,
+      graft.streaming.BucketedFamily.BucketSpec(Seq("digest"), GeoBuckets))
+    // auto-sized like BloomJoin.pruneFactKeysAuto: a pinned capacity
+    // saturates at scale and silently stops pruning
+    val bf = digests.select(Portable.hash60(col("digest")).as("h"))
+      .stat.bloomFilter("h", math.max(digests.count(), 1L), DigestBloomFpp)
+    val p = new org.apache.hadoop.fs.Path(storeDir, DigestBloomFile)
+    val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  private def readDigestBloom(spark: SparkSession, storeDir: String)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(storeDir, DigestBloomFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"no $DigestBloomFile under $storeDir — not a digestStoreBuild " +
+        "artifact; rebuild rather than probing without the prune layer")
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  /** One ingest's fresh rows against the persisted digest store —
+    * never recomputes, rescans, or shuffles the history side. */
+  def incrementalDedupFromStore(spark: SparkSession, storeDir: String,
+      batch: DataFrame): DataFrame = {
+    val bd = graft.Caches.persist(
+      batch.select(col("doc_id"), md5(col("text")).as("digest")))
+    val bc = spark.sparkContext.broadcast(readDigestBloom(spark, storeDir))
+    val might = graft.functions.BloomMightContainLong.mightContain(
+      Portable.hash60(col("digest")), bc)
+    val store = graft.streaming.BucketedFamily
+      .readSnapshot(spark, s"$storeDir/${DigestRel._1}", DigestRel._2)
+      .getOrElse(sys.error(
+        s"no committed digest snapshot under $storeDir"))._1
+    val fresh = bd.filter(!might).unionByName(
+      bd.filter(might).join(store, Seq("digest"), "left_anti"))
+    fresh.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: [[ddIncremental]]'s corpus split, THROUGH the
+    * persisted artifact (bloom + bucketed digest snapshot). Same
+    * oracle as `dd_incremental`, so the hash compare proves the
+    * two-layer probe loses nothing and invents nothing. */
+  def ddIncrementalStore(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = pipelineCorpus(spark, dir)
+    val storeDir = graft.TmpDirs.create("graft_digeststore_")
+    digestStoreBuild(corpus.filter(col("doc_id") < 10000), storeDir)
+    incrementalDedupFromStore(spark, storeDir,
+      corpus.filter(col("doc_id") >= 10000))
+  }
+
+  val ddIncrementalStoreSql: String = ddIncrementalSql
+
   // ------------------------------------------------------- decontamination
 
   /** Benchmark decontamination — the training-data hygiene op: drop every

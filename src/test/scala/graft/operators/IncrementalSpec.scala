@@ -28,6 +28,36 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("digest store: artifact probe is bit-equal to in-query dedup; bloom negatives bypass the join; store side never shuffles") {
+    val want = Dedup.ddIncremental(spark, sf()).collect().toSeq
+    graft.Caches.releaseAll()
+    val got = Dedup.ddIncrementalStore(spark, sf()).collect().toSeq
+    graft.Caches.releaseAll(); graft.TmpDirs.releaseAll()
+    assert(got == want)
+    // plan shape: with broadcast off, the bloom-positive tail's
+    // anti-join must read the digest snapshot off its buckets with no
+    // Exchange on the store side (only the candidate side aligns)
+    val corpus = graft.Caches.persist(Dedup.pipelineCorpus(spark, sf()))
+    val storeDir = graft.TmpDirs.create("graft_digeststore_spec_")
+    Dedup.digestStoreBuild(corpus.filter($"doc_id" < 10000), storeDir)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Dedup.incrementalDedupFromStore(spark, storeDir,
+        corpus.filter($"doc_id" >= 10000))
+      val plan = probe.queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning\\(digest".r.findAllIn(plan).length
+      // one digest Exchange for the candidate side of the anti-join and
+      // one for the final min-by-digest aggregate — never a third for
+      // the corpus-sized snapshot (it reads straight off its buckets)
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scan:\n$plan")
+      assert(n <= 2, s"store side of the anti-join must not shuffle ($n):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      graft.Caches.releaseAll(); graft.TmpDirs.releaseAll()
+    }
+  }
+
   test("merge reads ONLY the stored partial table on the history side") {
     val orders = spark.read.parquet(s"${sf()}/orders.parquet")
     val split = lit("1999-01-01").cast("timestamp")

@@ -164,20 +164,35 @@ object Bench {
     * default). */
   private[graft] final case class FloorFile(
       sf: Option[String], cpus: Option[Int],
-      queries: Map[String, (Double, Double, Int)])
+      queries: Map[String, (Double, Double, Int)],
+      corrupt: Boolean = false)
 
-  private[graft] def readFloorFile(path: String): FloorFile = try {
-    val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8")
-    val qre =
-      """"([A-Za-z0-9_]+)":\{"min":([0-9.]+),"med":([0-9.]+)(?:,"era":(\d+))?\}""".r
-    FloorFile(
-      """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)),
-      """"cpus":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt),
-      qre.findAllMatchIn(txt).map(m => m.group(1) ->
+  /** A MISSING floor file parses as empty (first round, fresh checkout:
+    * merging seeds the floors). A file that EXISTS but yields zero
+    * parsed queries from non-empty text is CORRUPT, not absent — the
+    * old swallow-everything read would adopt this run's identity and
+    * rewrite the file from this run alone, silently re-baselining
+    * floors the design says must never re-baseline. Corrupt files now
+    * skip both merge and ratio, loudly. */
+  private[graft] def readFloorFile(path: String): FloorFile = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) FloorFile(None, None, Map.empty)
+    else try {
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val qre =
+        """"([A-Za-z0-9_]+)":\{"min":([0-9.]+),"med":([0-9.]+)(?:,"era":(\d+))?\}""".r
+      val queries = qre.findAllMatchIn(txt).map(m => m.group(1) ->
         ((m.group(2).toDouble, m.group(3).toDouble,
-          Option(m.group(4)).map(_.toInt).getOrElse(0)))).toMap)
-  } catch { case _: Throwable => FloorFile(None, None, Map.empty) }
+          Option(m.group(4)).map(_.toInt).getOrElse(0)))).toMap
+      FloorFile(
+        """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1)),
+        """"cpus":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt),
+        queries,
+        corrupt = queries.isEmpty && txt.trim.nonEmpty)
+    } catch {
+      case _: Throwable => FloorFile(None, None, Map.empty, corrupt = true)
+    }
+  }
 
   /** Median carryover ratio beyond this (in EITHER direction — a
     * committed record captured on a loaded machine makes every later
@@ -191,6 +206,18 @@ object Bench {
   private[graft] def environmentSuspect(medianRatio: Option[Double]): Boolean =
     medianRatio.exists(r =>
       r >= EnvironmentSuspectRatio || r <= 1.0 / EnvironmentSuspectRatio)
+
+  /** Pre-run machine-load gate (VERDICT r16 §Next-round #3): the r16
+    * driver record started at loadavg 9.6 on 32 cpus and every ratio
+    * statistic keyed on carryover stayed quiet — the load average was
+    * recorded but fed no flag. A run that STARTS on a machine already
+    * loaded past this fraction of its cores is named suspect at the top
+    * of the record, independent of any ratio (those need the run to
+    * finish to fire; this one is knowable before the first query). */
+  private[graft] val LoadSuspectFraction = 0.15
+
+  private[graft] def loadSuspect(loadavgBefore: Double, cpus: Int): Boolean =
+    cpus > 0 && loadavgBefore / cpus > LoadSuspectFraction
 
   /** Parse a BENCH_FULL.json record's per-query (min, med) map. The
     * format is self-written (see below), so a line regex suffices — no
@@ -353,9 +380,14 @@ object Bench {
       if (floorFile.queries.isEmpty) sfDir else "/root/testdata/sf0.1")
     val floorCpus = floorFile.cpus.getOrElse(cpus.toInt)
     val floorIdentityOk = floorSf == sfDir && floorCpus == cpus.toInt
+    if (floorFile.corrupt)
+      System.err.println(s"[bench] floor file $floorPath exists but parsed " +
+        "to zero queries — corrupt or torn write; floor merge and ratio " +
+        "SKIPPED (fix or restore the file; merging would re-baseline " +
+        "floors from this run alone)")
     // filtered runs neither merge nor report: a handful of hand-picked
     // queries is not a drift sample, and its floors must not ratchet
-    val floorActive = floorIdentityOk && only.isEmpty
+    val floorActive = floorIdentityOk && only.isEmpty && !floorFile.corrupt
     val floorRatio =
       if (floorActive)
         floorMedianRatio(floorFile.queries.map {
@@ -396,7 +428,8 @@ object Bench {
       s""","carryover_median_ratio":$ratioStr,"environment_suspect":$suspect""" +
         s""","floor_median_ratio":$floorStr,"floor_drift_suspect":$floorSuspect""" +
         s""","floor_median_ratio_same_era":$eraStr,"floor_same_era_n":$eraN""" +
-        s""","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadAfter)}"""
+        s""","loadavg_before":${fmt(loadBefore)},"loadavg_after":${fmt(loadAfter)}""" +
+        s""","load_suspect":${loadSuspect(loadBefore, cpus.toInt)}"""
     }
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"$windowTag$envTag$filteredTag}"""

@@ -1982,24 +1982,33 @@ object Dedup {
     * family. Probe paths consume the halves SEPARATELY — snapshot via
     * its Exchange-free bucketed layout, deltas as batch-sized plain
     * joins — because a Union of the two would erase the snapshot's
-    * output partitioning and re-shuffle the corpus per ingest. */
+    * output partitioning and re-shuffle the corpus per ingest.
+    *
+    * `upToDelta` is the COMMITTED cluster fold version (delta id = the
+    * fold it feeds): a crashed ingest leaves an UNCOMMITTED b(ver+1)
+    * in the tail, and reading it as stored history would double the
+    * batch's own band/shingle rows on the re-run (self-candidate pairs,
+    * inflated Jaccard counts). Restricting the tail to ids ≤ the
+    * committed fold makes the crash-rerun read-side idempotent. */
   private def geometryParts(spark: SparkSession, stateDir: String,
-      rel: (String, String)): (Option[DataFrame], DataFrame) = {
+      rel: (String, String), upToDelta: Long): (Option[DataFrame], DataFrame) = {
     val dir = geoDir(stateDir, rel)
     (graft.streaming.BucketedFamily.readSnapshot(spark, dir, rel._2).map(_._1),
-      graft.streaming.BucketedFamily.deltasAfterSnapshot(spark, dir, rel._2))
+      graft.streaming.BucketedFamily.deltasAfterSnapshot(spark, dir, rel._2,
+        Some(upToDelta)))
   }
 
   /** Full contents of one geometry family, keeping the snapshot's
     * bucket layout when no delta tail exists (post-sweep, post-erase) —
     * the serving read for paths where partitioning still helps but
-    * completeness matters more than the probe plan. */
+    * completeness matters more than the probe plan. Same committed-fold
+    * tail restriction as [[geometryParts]]. */
   private def geometryContents(spark: SparkSession, stateDir: String,
-      rel: (String, String)): DataFrame = {
-    val (snap, deltas) = geometryParts(spark, stateDir, rel)
+      rel: (String, String), upToDelta: Long): DataFrame = {
+    val (snap, deltas) = geometryParts(spark, stateDir, rel, upToDelta)
     snap match {
       case Some(s) if graft.streaming.BucketedFamily.fullyCompacted(
-        spark, geoDir(stateDir, rel)) => s
+        spark, geoDir(stateDir, rel), Some(upToDelta)) => s
       case Some(s) => s.unionByName(deltas)
       case None => deltas
     }
@@ -2114,6 +2123,17 @@ object Dedup {
   def softDedupIngest(stateDir: String, batch: DataFrame,
       historyIds: DataFrame): DataFrame = {
     val spark = batch.sparkSession
+    // the whole read-fold-write sequence runs under the state root's
+    // MaintenanceLease, like every sibling mutator (sweep, erase,
+    // publish): two concurrently scheduled ingests both pass the
+    // high-water guard (same committed marker), and the loser's
+    // mode-overwrite delta write at b(ver+1) would silently drop the
+    // winner's geometry rows while the winner's cluster fold commits —
+    // the lease makes the second ingest refuse loudly instead. The
+    // nested SoftState.publish lease is the documented re-entrant
+    // composed-sweep shape. The committed version is read UNDER the
+    // lease, so it cannot move between guard and write.
+    graft.streaming.MaintenanceLease.withLease(spark, stateDir) {
     val st = graft.streaming.SoftState
     val clusters = clustersDir(stateDir)
     val ver = st.currentVersion(spark, clusters).getOrElse(
@@ -2141,7 +2161,7 @@ object Dedup {
     // sweep has not folded it yet) is batch-sized joins. A single
     // unioned store relation would erase the snapshot's partitioning
     // and re-shuffle the corpus per ingest.
-    val (bandSnap, bandDeltas) = geometryParts(spark, stateDir, StateBands)
+    val (bandSnap, bandDeltas) = geometryParts(spark, stateDir, StateBands, ver)
     val candidates = graft.Caches.persist(
       (Seq(selfBandCandidates(batBands)) ++
         bandSnap.map(s => crossBandCandidates(s, batBands)).toSeq ++
@@ -2156,7 +2176,7 @@ object Dedup {
       candidates.select(col("id_a").as("doc_id"))
         .unionByName(candidates.select(col("id_b").as("doc_id")))
         .distinct())
-    val (shSnap, shDeltas) = geometryParts(spark, stateDir, StateShingles)
+    val (shSnap, shDeltas) = geometryParts(spark, stateDir, StateShingles, ver)
     val storedShingles =
       (shSnap.map(s => s.join(candIds, Seq("doc_id"), "left_semi")).toSeq ++
         Seq(shDeltas.join(candIds, Seq("doc_id"), "left_semi")))
@@ -2181,6 +2201,7 @@ object Dedup {
       historyIds.unionByName(bat.select(col("doc_id"))),
       st.read(spark, clusters, StateLabels._1, StateLabels._2),
       st.read(spark, clusters, StateSizes._1, StateSizes._2))
+    }
   }
 
   /** TEST HOOK for plan assertions (SoftDedupSpec): the stored-side
@@ -2191,13 +2212,15 @@ object Dedup {
   private[graft] def ingestProbeHalves(spark: SparkSession, stateDir: String,
       batch: DataFrame): (DataFrame, DataFrame) = {
     val batBands = bandedRowsOf(batch)
-    val bandSnap = geometryParts(spark, stateDir, StateBands)._1.getOrElse(
-      sys.error(s"no committed band snapshot under $stateDir"))
+    val committed = graft.streaming.SoftState
+      .currentVersion(spark, clustersDir(stateDir)).getOrElse(0L)
+    val bandSnap = geometryParts(spark, stateDir, StateBands, committed)
+      ._1.getOrElse(sys.error(s"no committed band snapshot under $stateDir"))
     val cross = crossBandCandidates(bandSnap, batBands)
     val candIds = cross.select(col("id_a").as("doc_id"))
       .unionByName(cross.select(col("id_b").as("doc_id"))).distinct()
-    val shSnap = geometryParts(spark, stateDir, StateShingles)._1.getOrElse(
-      sys.error(s"no committed shingle snapshot under $stateDir"))
+    val shSnap = geometryParts(spark, stateDir, StateShingles, committed)
+      ._1.getOrElse(sys.error(s"no committed shingle snapshot under $stateDir"))
     (cross, shSnap.join(candIds, Seq("doc_id"), "left_semi"))
   }
 
@@ -2295,9 +2318,9 @@ object Dedup {
       // corpus-sized) — broadcast them so the member probes STREAM the
       // just-folded bucketed snapshots instead of shuffling them, and
       // the band self-join below keeps the (band, sig) bucket layout
-      val mBands = geometryContents(spark, stateDir, StateBands)
+      val mBands = geometryContents(spark, stateDir, StateBands, ver)
         .join(broadcast(members), Seq("doc_id"), "left_semi")
-      val mShingles = geometryContents(spark, stateDir, StateShingles)
+      val mShingles = geometryContents(spark, stateDir, StateShingles, ver)
         .join(broadcast(members), Seq("doc_id"), "left_semi")
       val survPairs = verifyPairs(selfBandCandidates(mBands), mShingles)
         .select(col("id_a"), col("id_b"))

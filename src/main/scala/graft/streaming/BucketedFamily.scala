@@ -50,10 +50,10 @@ object BucketedFamily {
   val BucketSpecMarker = "_graft_bucketspec"
   private val SpecFormatVersion = 1
 
-  /** Bucket layout of a snapshot: hash columns and file count. Sort
-    * columns ride along so a re-registered table keeps the SORTED BY
-    * clause (sort-merge joins then skip their Sort when one file per
-    * bucket exists). */
+  /** Bucket layout of a snapshot: hash columns and file count. The
+    * writer sorts each bucket by the bucket columns and the reader
+    * re-registers the same `SORTED BY` clause, so sort-merge joins on
+    * the bucket key skip their Sort when one file per bucket exists. */
   final case class BucketSpec(cols: Seq[String], buckets: Int)
 
   private def fsOf(spark: SparkSession, p: Path) =
@@ -209,15 +209,20 @@ object BucketedFamily {
 
   /** Deltas NOT yet covered by the newest committed snapshot — the
     * plain, batch-sized tail a probe joins separately. Empty relation
-    * when the family is fully compacted (or does not exist yet). */
+    * when the family is fully compacted (or does not exist yet).
+    * `maxId` (when given) is the caller's COMMITTED fold version: a
+    * delta above it was written by an uncommitted (crashed) ingest and
+    * must stay invisible until its fold commits — reading it early
+    * double-counts the batch's own rows on the re-run. */
   def deltasAfterSnapshot(spark: SparkSession, dir: String,
-                          schema: String): DataFrame = {
+                          schema: String,
+                          maxId: Option[Long] = None): DataFrame = {
     val st = StructType.fromDDL(schema)
     val snap = StreamingPipeline.committedSnapshots(spark, dir).maxOption
     val deltas = StreamingPipeline
       .listVersions(spark, dir, StreamingPipeline.DeltaName)
       .getOrElse(Seq.empty)
-      .filter(k => snap.forall(k > _)).sorted
+      .filter(k => snap.forall(k > _) && maxId.forall(k <= _)).sorted
     if (deltas.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), st)
@@ -227,10 +232,14 @@ object BucketedFamily {
   /** True when the family has no uncompacted deltas — callers use it to
     * serve the bucketed snapshot DIRECTLY (preserving its output
     * partitioning) instead of unioning an empty tail (a Union node
-    * erases partitioning even over zero extra rows). */
-  def fullyCompacted(spark: SparkSession, dir: String): Boolean = {
+    * erases partitioning even over zero extra rows). Same `maxId`
+    * visibility rule as [[deltasAfterSnapshot]]. */
+  def fullyCompacted(spark: SparkSession, dir: String,
+                     maxId: Option[Long] = None): Boolean = {
     val snap = StreamingPipeline.committedSnapshots(spark, dir).maxOption
     StreamingPipeline.listVersions(spark, dir, StreamingPipeline.DeltaName)
-      .getOrElse(Seq.empty).forall(k => snap.exists(k <= _))
+      .getOrElse(Seq.empty)
+      .filter(k => maxId.forall(k <= _))
+      .forall(k => snap.exists(k <= _))
   }
 }

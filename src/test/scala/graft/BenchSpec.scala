@@ -139,6 +139,25 @@ class BenchSpec extends AnyFunSuite {
       Bench.FloorFile(None, None, Map.empty))
   }
 
+  test("loadSuspect keys on loadavg_before / cpus (the r16 driver-window case)") {
+    assert(Bench.loadSuspect(9.6, 32))    // the r16 record: 0.30 > 0.15
+    assert(!Bench.loadSuspect(0.6, 32))   // the judge's clean window
+    assert(!Bench.loadSuspect(4.7, 32))   // just under the 0.15 line
+    assert(!Bench.loadSuspect(1.0, 0))    // degenerate cpu count: no flag
+  }
+
+  test("readFloorFile: corrupt (non-empty, zero-query) file flags corrupt; missing does not") {
+    val p = java.nio.file.Files.createTempFile("graft_bench_floor_bad", ".json")
+    java.nio.file.Files.writeString(p, """{"sf":"/root/testdata/sf0.1","cpus":32,"queri""")
+    val f = Bench.readFloorFile(p.toString)
+    assert(f.corrupt, "a torn floor file must parse as corrupt, not as 'no floors'")
+    assert(!Bench.readFloorFile("/nonexistent/floor.json").corrupt)
+    // an empty file is indistinguishable from a fresh touch — also corrupt
+    // only when non-empty text yielded nothing
+    val e = java.nio.file.Files.createTempFile("graft_bench_floor_empty", ".json")
+    assert(!Bench.readFloorFile(e.toString).corrupt)
+  }
+
   test("readRecord parses the BENCH_FULL format this repo writes") {
     val p = java.nio.file.Files.createTempFile("graft_bench_rec", ".json")
     java.nio.file.Files.writeString(p,

@@ -183,6 +183,66 @@ class SoftDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ingest holds the state root's maintenance lease: a concurrent ingest refuses loudly") {
+    val aug = graft.Caches.persist(Dedup.augmented(spark, sf()))
+    val stateDir = graft.TmpDirs.create("graft_softstate_race_")
+    Dedup.softDedupStateBuild(aug.filter($"doc_id" < 9000), stateDir)
+    val batch = aug.filter($"doc_id" >= 9000 && $"doc_id" < 10000)
+    val histIds = aug.filter($"doc_id" < 9000).select($"doc_id")
+    // deterministic race: the main thread holds the root lease (a
+    // scheduler's sweep, or the winner ingest mid-flight); a second
+    // ingest on another thread must refuse BEFORE writing anything —
+    // pre-fix it would overwrite the winner's b(ver+1) geometry delta
+    // and only the later cluster publish would refuse.
+    graft.streaming.MaintenanceLease.withLease(spark, stateDir) {
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() => {
+        try Dedup.softDedupIngest(stateDir, batch, histIds).collect()
+        catch { case e: Throwable => err.set(e) }
+      })
+      t.start(); t.join()
+      assert(err.get() != null, "concurrent ingest must not succeed")
+      assert(err.get().isInstanceOf[
+        graft.streaming.MaintenanceLease.LeaseHeldException],
+        s"expected LeaseHeldException, got ${err.get()}")
+      // the refused ingest wrote NOTHING: no b1 geometry delta exists
+      assert(!new java.io.File(s"$stateDir/geometry_bands/b1").exists(),
+        "refused ingest must not have written a geometry delta")
+    }
+    // after the lease releases, the same ingest succeeds and the final
+    // weights equal the one-shot recompute over history ∪ batch
+    val want = Dedup.softDedupWeights(aug.filter($"doc_id" < 10000))
+      .collect().toSeq
+    val got = Dedup.softDedupIngest(stateDir, batch, histIds).collect().toSeq
+    graft.Caches.releaseAll(); graft.TmpDirs.releaseAll()
+    assert(got == want)
+  }
+
+  test("crashed ingest's uncommitted geometry delta is invisible to the re-run") {
+    val aug = graft.Caches.persist(Dedup.augmented(spark, sf()))
+    val stateDir = graft.TmpDirs.create("graft_softstate_crash_")
+    Dedup.softDedupStateBuild(aug.filter($"doc_id" < 10000), stateDir)
+    val batch = graft.Caches.persist(aug.filter($"doc_id" >= 10000))
+    // simulate the crash window (delta written, cluster fold v1 never
+    // committed): plant a b1 delta in BOTH geometry families holding the
+    // batch's own rows. Pre-fix, the re-run's geometryParts read this
+    // stale tail as stored history, so the batch collided with itself —
+    // self-candidate pairs and doubled shingle rows corrupting Jaccard.
+    val payload = batch.select($"doc_id", $"text")
+    payload.select($"doc_id", lit(0).as("band"),
+        md5($"text").as("sig"))
+      .write.parquet(s"$stateDir/geometry_bands/b1")
+    payload.select($"doc_id",
+        xxhash64($"text").as("h"))
+      .write.parquet(s"$stateDir/geometry_shingles/b1")
+    val want = Dedup.softDedupWeights(aug).collect().toSeq
+    val got = Dedup.softDedupIngest(stateDir, batch,
+      aug.filter($"doc_id" < 10000).select($"doc_id")).collect().toSeq
+    graft.Caches.releaseAll(); graft.TmpDirs.releaseAll()
+    assert(got == want,
+      "re-run after a crash must ignore the uncommitted delta tail")
+  }
+
   test("ingest refuses a batch overlapping already-ingested ids (duplicate-id guard)") {
     val aug = graft.Caches.persist(Dedup.augmented(spark, sf()))
     val stateDir = graft.TmpDirs.create("graft_softstate_guard_")

@@ -22,7 +22,9 @@ object JobProfile {
   private final case class JobRec(id: Int, desc: String,
       submitted: Long, var completed: Long = 0L,
       var taskTimeMs: Long = 0L, var shuffleRead: Long = 0L,
-      var shuffleWrite: Long = 0L, var site: String = "")
+      var shuffleWrite: Long = 0L, var site: String = "",
+      var cpuMs: Long = 0L, var gcMs: Long = 0L, var deserMs: Long = 0L,
+      var tasks: Int = 0)
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -35,6 +37,17 @@ object JobProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // A/B knobs for guide-§2.2 experiments — DEFAULTS MATCH Bench's
+      // session exactly, so a plain profile measures what the bench
+      // measures. Both were tried on dd_soft_dedup_sweep (r17):
+      // parallelismFirst=false left the task count unchanged;
+      // canChangeCachedPlanOutputPartitioning=true cut tasks 7881→6455
+      // but wall time was flat-to-worse — small CPU-dense stages want
+      // parallelism-first coalescing, which is Spark's default.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHED", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -61,6 +74,10 @@ object JobProfile {
           r.taskTimeMs += e.stageInfo.taskMetrics.executorRunTime
           r.shuffleRead += e.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead
           r.shuffleWrite += e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          r.cpuMs += e.stageInfo.taskMetrics.executorCpuTime / 1000000L
+          r.gcMs += e.stageInfo.taskMetrics.jvmGCTime
+          r.deserMs += e.stageInfo.taskMetrics.executorDeserializeTime
+          r.tasks += e.stageInfo.numTasks
         }
       }
     }
@@ -92,7 +109,9 @@ object JobProfile {
       sumWall += wall; sumGap += gap
       val label = if (j.desc.nonEmpty) j.desc else j.site
       println(f"[job] id=${j.id}%4d wall=${wall}%6d ms gap=${gap}%6d ms " +
-        f"task=${j.taskTimeMs}%7d ms shr=${j.shuffleRead}%9d shw=${j.shuffleWrite}%9d  $label")
+        f"task=${j.taskTimeMs}%7d ms cpu=${j.cpuMs}%7d ms gc=${j.gcMs}%5d ms " +
+        f"deser=${j.deserMs}%6d ms nt=${j.tasks}%4d " +
+        f"shr=${j.shuffleRead}%9d shw=${j.shuffleWrite}%9d  $label")
     }
     println(f"[profile] sum_job_wall=${sumWall / 1000.0}%.3f s " +
       f"sum_gaps=${sumGap / 1000.0}%.3f s (driver-side/non-job)")

@@ -2092,9 +2092,13 @@ object Dedup {
       .agg(count(lit(1)).as("m"))
     // geometry lands DIRECTLY as the bucketed v=0 snapshot of each
     // family — the very first ingest already probes Exchange-free, and
-    // the corpus is written exactly once, in probe layout
-    publishGeometrySnapshot(spark, stateDir, StateBands, histBands, 0L)
-    publishGeometrySnapshot(spark, stateDir, StateShingles, histShingles, 0L)
+    // the corpus is written exactly once, in probe layout. The two
+    // families are independent relations (both read from cache):
+    // publish them concurrently so the second write's jobs back-fill
+    // the first one's tail (guide §2.6 / graft.Par)
+    graft.Par.run2(
+      publishGeometrySnapshot(spark, stateDir, StateBands, histBands, 0L),
+      publishGeometrySnapshot(spark, stateDir, StateShingles, histShingles, 0L))
     graft.streaming.SoftState.publish(spark, clustersDir(stateDir), 0L,
       Seq(StateLabels._1 -> histLabels, StateSizes._1 -> histSizes))
     // bounded 1-row scalar: the ingest-contract guard's ceiling
@@ -2187,8 +2191,11 @@ object Dedup {
       st.read(spark, clusters, StateLabels._1, StateLabels._2),
       st.read(spark, clusters, StateSizes._1, StateSizes._2),
       newEdges)
-    writeGeometryDelta(stateDir, StateBands, batBands, ver + 1L)
-    writeGeometryDelta(stateDir, StateShingles, batShingles, ver + 1L)
+    // batch-sized, independent, both read from cache — write them
+    // concurrently (guide §2.6)
+    graft.Par.run2(
+      writeGeometryDelta(stateDir, StateBands, batBands, ver + 1L),
+      writeGeometryDelta(stateDir, StateShingles, batShingles, ver + 1L))
     // the next fold's high-water BEFORE the cluster publish: a crash
     // between the two leaves a stale v+1 marker the re-run overwrites
     // (committed version still gates), never a committed fold without
@@ -2244,10 +2251,14 @@ object Dedup {
       val ver = graft.streaming.SoftState
         .currentVersion(spark, clustersDir(stateDir)).getOrElse(
           sys.error(s"softDedupSweep: no committed state under $stateDir"))
-      sp.compactDeltasBucketed(spark, geoDir(stateDir, StateBands),
-        StateBands._2, ver, geoBucketCols(StateBands), GeoBuckets)
-      sp.compactDeltasBucketed(spark, geoDir(stateDir, StateShingles),
-        StateShingles._2, ver, geoBucketCols(StateShingles), GeoBuckets)
+      // independent family folds, run concurrently (guide §2.6): each
+      // acquires its OWN family-dir lease on its thread; the root lease
+      // held here stays the single-sweep guard
+      graft.Par.run2(
+        sp.compactDeltasBucketed(spark, geoDir(stateDir, StateBands),
+          StateBands._2, ver, geoBucketCols(StateBands), GeoBuckets),
+        sp.compactDeltasBucketed(spark, geoDir(stateDir, StateShingles),
+          StateShingles._2, ver, geoBucketCols(StateShingles), GeoBuckets))
       // superseded ingest-guard markers (every fold below the committed
       // one) are retirement residue, exactly like covered deltas
       val root = new org.apache.hadoop.fs.Path(stateDir)
@@ -2298,6 +2309,12 @@ object Dedup {
       val tid = sp.writeTombstones(spark, stateDir, erased)
       // the excluding fold republishes each family BUCKETED — erasure
       // must not cost the store its Exchange-free probe layout
+      // NOT run through graft.Par here, a MEASURED decision (r17): the
+      // concurrent excluding folds read the erase gate +0.9–1.1 s in
+      // both the filtered A/B and the full-suite record (the two
+      // tombstone-filtered rewrites contend on the same broadcast
+      // tombstone build mid-erase), while build/sweep/ingest each got
+      // faster from the same overlap — sequential stays correct here
       sp.compactDeltasExcludingBucketed(spark, geoDir(stateDir, StateBands),
         StateBands._2, ver, stateDir, "doc_id",
         geoBucketCols(StateBands), GeoBuckets)

@@ -660,8 +660,10 @@ object TextAnalysis {
     * would be a wasted Exchange. */
   def bigramScores(docs: DataFrame): DataFrame = {
     // persisted: feeds the bigram counts, the context counts, and the
-    // probe side of both joins
-    val grams = graft.Caches.persist(docs
+    // probe side of both joins. Spread first ([[Tables.spread]]): the
+    // gram explode + string split is the CPU-dense pass, and inheriting
+    // one-file scan partitioning serialized it onto one core.
+    val grams = graft.Caches.persist(Tables.spread(docs, "doc_id")
       .select(col("doc_id"), explode(Portable.ngrams(col("text"), 2)).as("g")))
     val big = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt2"))
     val ctx = grams
@@ -860,7 +862,8 @@ object TextAnalysis {
                         topK: Long = DefaultCcnetTopK): Unit = {
     val docs = Tables.documents(spark, dir)
     trainPersistLm(docs,
-      docs.select(col("doc_id"), explode(Portable.ngrams(col("text"), 2)).as("g")),
+      Tables.spread(docs, "doc_id")
+        .select(col("doc_id"), explode(Portable.ngrams(col("text"), 2)).as("g")),
       lmDir, topK)(bigramScoresFrom)
   }
 
@@ -924,7 +927,10 @@ object TextAnalysis {
   def ccnetServe(docs: DataFrame, big: DataFrame, ctx: DataFrame,
                  th: DataFrame, broadcastLm: Boolean = true): DataFrame = {
     def lmSide(lm: DataFrame): DataFrame = if (broadcastLm) broadcast(lm) else lm
-    docs
+    // spread the served batch: a replayed micro-batch arrives as one
+    // file = one partition, which would serialize the gram explode and
+    // the LM probe onto one core (see [[Tables.spread]])
+    Tables.spread(docs, "doc_id")
       .select(col("doc_id"), col("lang"),
         explode(Portable.ngrams(col("text"), 2)).as("g"))
       .join(lmSide(big), "g")
@@ -1005,6 +1011,12 @@ object TextAnalysis {
     * stride = width). */
   def paragraphsByWindow(docs: DataFrame, width: Int): DataFrame = {
     require(width > 0, s"paragraph width must be positive, got $width")
+    // NOT spread here, a MEASURED decision (r17): the window split
+    // itself is cheap, and an unconditional exchange cost the small
+    // consumers more than it bought (tx_paragraph_dedup 0.46→0.83 s,
+    // tx_ccnet_paragraphs 2.71→3.02 s full-suite). The LM-heavy
+    // consumers spread their INPUT at the call site instead (the
+    // paragraph trainer and the per-batch serve below).
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), Portable.words(col("text")).as("words"))
       .select(col("doc_id"), col("lang"), col("words"),
@@ -1102,7 +1114,8 @@ object TextAnalysis {
       lmDir: String, topK: Long = DefaultCcnetTopK): Unit = {
     val docs = Tables.documents(spark, dir)
     trainPersistLm(docs,
-      paragraphGrams(paragraphsByWindow(docs, ParaWords)), lmDir, topK)(
+      paragraphGrams(paragraphsByWindow(
+        Tables.spread(docs, "doc_id"), ParaWords)), lmDir, topK)(
       (g, b, c) => ccnetParagraphScores(g, b, c, broadcastLm = false))
   }
 
@@ -1113,7 +1126,10 @@ object TextAnalysis {
     * unknown-transition and short-paragraph semantics as the trainer. */
   def ccnetParagraphServe(docs: DataFrame, big: DataFrame, ctx: DataFrame,
       th: DataFrame, broadcastLm: Boolean = true): DataFrame = {
-    val grams = paragraphGrams(paragraphsByWindow(docs, ParaWords))
+    // spread the served batch (one replay file = one partition would
+    // serialize the paragraph split + LM probe; see Tables.spread)
+    val grams = paragraphGrams(paragraphsByWindow(
+      Tables.spread(docs, "doc_id"), ParaWords))
     ccnetParagraphScores(grams, big, ctx, broadcastLm)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .join(broadcast(th), "lang")

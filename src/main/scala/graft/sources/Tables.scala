@@ -15,6 +15,26 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Repartition a scan-derived relation to the session's default
+    * parallelism, hash-keyed on `key` — the shared rule behind
+    * [[graft.operators.Dedup.augmented]] and
+    * [[graft.operators.EntityResolution.variantHashes]], factored out:
+    * a CPU-dense kernel pass (md5 shingling, gram explode, GD epochs,
+    * variant generation) must not inherit the scan's FILE partitioning.
+    * A small table is one parquet file = one row group = one scan
+    * partition, which serializes the whole kernel stage onto a single
+    * core no matter how many the session has (measured 4× on the ER d2
+    * gate, ~3× on the CCNet LM trainers at sf0.1). At production scale
+    * the same exchange is the explicit parallelism floor a compute-
+    * bound stage wants before fanning out — the shuffled bytes are the
+    * narrow pre-kernel projection, paid once, and every downstream
+    * consumer of the (usually persisted) kernel output inherits the
+    * spread. Hash-keyed, not round-robin: deterministic row placement
+    * under retries (guide §2.5) and no sort-before-repartition pass. */
+  def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(key))
+
   val regionSchema: StructType = StructType(Seq(
     StructField("r_regionkey", IntegerType),
     StructField("r_name", StringType)))
